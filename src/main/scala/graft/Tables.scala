@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Every query in [[SparkEntry.queries]] receives `(spark, sfDir)` and reads
+  * only these tables, so the DuckDB oracle (which registers the same parquet
+  * files under the same names) sees identical inputs at every scale factor.
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def events(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "events")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = read(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+}

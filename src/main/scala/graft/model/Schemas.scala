@@ -16,7 +16,11 @@ object Schemas {
 
   /** Sync metadata — Metadata.Sync.{Version,Type,ReasonCode}.
     * Version is mandatory (hard failure when absent):
-    * reference Source/Services/ChangeTrackingBackgroundService.cs:561-565. */
+    * reference Source/Services/ChangeTrackingBackgroundService.cs:561-565.
+    * NOTE: Spark's from_json does NOT enforce nullable=false — a missing
+    * Version parses to null silently. The decoder (ops.Envelope.decode) adds
+    * an explicit post-parse assertion (raise_error when version IS NULL);
+    * never rely on the StructField nullability alone. */
   val syncMetaSchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("type", StringType, nullable = true),       // "Full" | "Diff"
@@ -38,7 +42,15 @@ object Schemas {
     StructField("payload", MapType(StringType, StringType), nullable = true)
   ))
 
-  /** Whole envelope: {Metadata:{Sync:{...}}, Data:[...]} */
+  /** Whole envelope: {Metadata:{Sync:{...}}, Data:[...]}.
+    *
+    * Field-name note: the wire contract is PascalCase (Metadata/Sync/Version)
+    * with $-prefixed meta keys and user columns flat on each row
+    * (stored-procedure.md:34-66); from_json matches keys case-sensitively.
+    * These schemas are the engine's NORMALIZED shape — a key-normalization /
+    * restructuring decode step (ops.Envelope.decode: parse as PascalCase,
+    * project $-keys out, fold user columns into the payload map) is required
+    * before they apply to raw reference output. */
   val envelopeSchema: StructType = StructType(Seq(
     StructField("metadata", StructType(Seq(
       StructField("sync", syncMetaSchema, nullable = false))), nullable = false),
@@ -70,10 +82,10 @@ object Schemas {
     StructField("sourceKey", StringType, nullable = false),
     StructField("trackingObjectName", StringType, nullable = false),
     StructField("environmentName", StringType, nullable = true),
-    StructField("databaseName", StringType, nullable = true),
+    StructField("databaseName", StringType, nullable = false),
     StructField("dataHash", StringType, nullable = false),
     StructField("data", StringType, nullable = false),
-    StructField("errorMessage", StringType, nullable = true),
+    StructField("errorMessage", StringType, nullable = false),
     StructField("timestamp", TimestampType, nullable = false),
     StructField("attempts", IntegerType, nullable = false),
     StructField("nextAttempt", TimestampType, nullable = true)
@@ -86,7 +98,7 @@ final case class TrackingObject(
     database: String,
     tableName: String,
     storedProcedureName: String,
-    initialSyncMode: String = "Full" // "Full" | "Incremental"
+    initialSyncMode: String = "Incremental" // "Full" | "Incremental" (TrackingObject.cs:10 default)
 )
 
 /** Sink endpoint — reference Source/Models/ApiEndpoint.cs:5-15 (subset that
@@ -126,5 +138,5 @@ object Defaults {
   val DlqBackoffCapSeconds = 6 * 3600  // cap 6h, DeadLetterReplayService.cs:137-141
   val DlqRetentionDays = 60
   val CompressionThresholdBytes = 1024 // MessageQueueService.cs:36
-  val ExportDirCapBytes: Long = 500L * 1000 * 1000
+  val ExportDirCapBytes: Long = 500L * 1024 * 1024 // FilePathSizeLimit * 1 MiB, ExportService.cs:48
 }
