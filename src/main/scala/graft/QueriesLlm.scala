@@ -1,0 +1,367 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import QHelpers._
+
+/** Training-data-pipeline operators (dedup, similarity, text analysis,
+  * multimodal) and the TPC-H-style analytic queries used as bench headliners.
+  *
+  * Portability notes: all hashes route through sha256 (identical hex in
+  * DuckDB); MinHash permutations are int64 arithmetic mod 2^31-1; embedding
+  * scores use quantized int64 dot products — every ranking below is
+  * bit-exact in both engines.
+  */
+object QueriesLlm {
+
+  /** Shared DuckDB fragment: normalized text + token list per document. */
+  private val normDocsCte =
+    """norm_docs AS (
+      |  SELECT doc_id, text,
+      |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+      |              ' +', ' ', 'g')) AS norm
+      |  FROM documents),
+      |tok_docs AS (
+      |  SELECT doc_id, text, norm,
+      |         CASE WHEN length(norm) = 0 THEN [] ELSE string_split(norm, ' ') END AS toks
+      |  FROM norm_docs)""".stripMargin
+
+  /** DuckDB 60-bit portable hash of an expression. */
+  private def h60(x: String): String =
+    s"CAST('0x' || substr(sha256($x), 1, 15) AS BIGINT)"
+
+  /** DuckDB shingle-hash lists (mirrors DedupOps.shingleHashRows: token
+    * hashes combined pairwise with the K1/K2 mixing constants; whole-text
+    * hash fallback for documents under 3 tokens). */
+  private val shinglesCte = {
+    val p = DedupOps.MersennePrime31
+    val k1 = DedupOps.ShingleK1
+    val k2 = DedupOps.ShingleK2
+    s"""tokh_docs AS (
+      |  SELECT doc_id, norm,
+      |         list_transform(toks, t -> ${h60("t")} % $p) AS ht,
+      |         len(toks) AS n
+      |  FROM tok_docs),
+      |shingle_docs AS (
+      |  SELECT doc_id,
+      |         CASE WHEN n >= 3
+      |              THEN list_transform(range(n - 2),
+      |                     i -> ((ht[i+1] * $k1) % $p + (ht[i+2] * $k2) % $p + ht[i+3]) % $p)
+      |              ELSE [${h60("norm")} % $p] END AS shingles
+      |  FROM tokh_docs)""".stripMargin
+  }
+
+  /** DuckDB minhash signature columns sig_0..sig_7 (mirrors
+    * DedupOps.minhashSignature with permParams(8)). */
+  private val sigSelect: String = {
+    val p = DedupOps.MersennePrime31
+    DedupOps.permParams(8).zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(shingles, h -> ($a * h + $b) % $p)) AS sig_$j"
+    }.mkString(",\n       ")
+  }
+
+  private val sigCte =
+    s"""sig_docs AS (
+      |  SELECT doc_id,
+      |       $sigSelect
+      |  FROM shingle_docs)""".stripMargin
+
+  /** DuckDB LSH band/bucket rows (mirrors DedupOps.lshBuckets: 4 bands × 2
+    * rows). */
+  private val bucketCte =
+    """bucket_docs AS (
+      |  SELECT doc_id, 0 AS band, CAST(sig_0 AS VARCHAR) || '_' || CAST(sig_1 AS VARCHAR) AS bucket FROM sig_docs
+      |  UNION ALL
+      |  SELECT doc_id, 1, CAST(sig_2 AS VARCHAR) || '_' || CAST(sig_3 AS VARCHAR) FROM sig_docs
+      |  UNION ALL
+      |  SELECT doc_id, 2, CAST(sig_4 AS VARCHAR) || '_' || CAST(sig_5 AS VARCHAR) FROM sig_docs
+      |  UNION ALL
+      |  SELECT doc_id, 3, CAST(sig_6 AS VARCHAR) || '_' || CAST(sig_7 AS VARCHAR) FROM sig_docs)""".stripMargin
+
+  private val pairsCte =
+    """pair_docs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bucket_docs a JOIN bucket_docs b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
+  def text: Seq[Q] = Seq(
+    Q("llm_token_count",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.approxBpeCount(col("text")).cast("long").as("n_bpe")),
+      Some(withCtes(normDocsCte)(
+        """SELECT doc_id,
+          |       CAST(len(toks) AS BIGINT) AS n_tokens,
+          |       CAST(greatest(len(toks), CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS n_bpe
+          |FROM tok_docs""".stripMargin))),
+
+    Q("llm_quality",
+      (s, d) => TextOps.qualityFeatures(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_chars_m").cast("long").as("n_chars_m"),
+          col("n_words").cast("long").as("n_words"),
+          col("punct_chars").cast("long").as("punct_chars"),
+          col("stop_words").cast("long").as("stop_words"),
+          col("mean_word_len"), col("stop_ratio")),
+      Some(withCtes(normDocsCte)(
+        s"""SELECT doc_id,
+          |       CAST(length(text) AS BIGINT) AS n_chars_m,
+          |       CAST(len(toks) AS BIGINT) AS n_words,
+          |       CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT)
+          |         AS punct_chars,
+          |       CAST(len(list_filter(toks, t -> t IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(",")}))) AS BIGINT)
+          |         AS stop_words,
+          |       CASE WHEN len(toks) > 0
+          |            THEN CAST(length(norm) - len(toks) + 1 AS DOUBLE) / len(toks) END AS mean_word_len,
+          |       CASE WHEN len(toks) > 0
+          |            THEN CAST(len(list_filter(toks, t -> t IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / len(toks) END
+          |         AS stop_ratio
+          |FROM tok_docs""".stripMargin))),
+
+    Q("llm_langid",
+      (s, d) => {
+        val scores = TextOps.langScores(col("text"))
+        val df = Tables.documents(s, d)
+        scores.foldLeft(df) { case (acc, (lang, c)) =>
+          acc.withColumn(s"s_$lang", c.cast("long"))
+        }
+          .withColumn("predicted", TextOps.predictedLang(col("text")))
+          .select(col("doc_id") +: col("predicted") +:
+            TextOps.LangMarkers.keys.toSeq.sorted.map(l => col(s"s_$l")): _*)
+      },
+      Some {
+        val markers = TextOps.LangMarkers.toSeq.sortBy(_._1)
+        val scoreCols = markers.map { case (lang, words) =>
+          s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$lang"
+        }.mkString(",\n         ")
+        // Tie-break: highest score wins; ties go to the lexicographically
+        // largest language code (greatest(struct) semantics on the Spark side).
+        val langsDesc = markers.map(_._1).reverse
+        val caseChain = langsDesc.map { l =>
+          val others = markers.map(_._1).filter(_ != l)
+          s"WHEN s_$l >= greatest(${others.map("s_" + _).mkString(",")}) THEN '$l'"
+        }.mkString(" ")
+        withCtes(normDocsCte,
+          s"""scored AS (
+            |  SELECT doc_id,
+            |         $scoreCols
+            |  FROM tok_docs)""".stripMargin)(
+          s"""SELECT doc_id, CASE $caseChain END AS predicted,
+            |       ${markers.map(m => "s_" + m._1).mkString(", ")}
+            |FROM scored""".stripMargin)
+      }),
+
+    Q("llm_fingerprint",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint")),
+      Some(withCtes(normDocsCte)(
+        "SELECT doc_id, substr(sha256(norm), 1, 16) AS fingerprint FROM norm_docs")))
+  )
+
+  def dedup: Seq[Q] = Seq(
+    Q("dedup_exact",
+      (s, d) => DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text"),
+      Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS copies
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    Q("dedup_minhash_sig",
+      (s, d) => DedupOps.minhashSignature(Tables.documents(s, d), "doc_id", "text", 8)
+        .select(col("doc_id") +: (0 until 8).map(j => col(s"sig_$j")): _*),
+      Some(withCtes(normDocsCte, shinglesCte, sigCte)(
+        s"SELECT doc_id, ${(0 until 8).map("sig_" + _).mkString(", ")} FROM sig_docs"))),
+
+    Q("dedup_lsh_pairs",
+      (s, d) => DedupOps.candidatePairs(
+        DedupOps.lshBuckets(
+          DedupOps.minhashSignature(Tables.documents(s, d), "doc_id", "text", 8), "doc_id"),
+        "doc_id"),
+      Some(withCtes(normDocsCte, shinglesCte, sigCte, bucketCte)(
+        """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |FROM bucket_docs a JOIN bucket_docs b
+          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin))),
+
+    Q("dedup_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = DedupOps.candidatePairs(
+          DedupOps.lshBuckets(DedupOps.minhashSignature(docs, "doc_id", "text", 8), "doc_id"),
+          "doc_id")
+        DedupOps.jaccard(pairs, docs, "doc_id", "text")
+      },
+      Some(withCtes(normDocsCte, shinglesCte, sigCte, bucketCte, pairsCte)(
+        """SELECT p.id_a, p.id_b,
+          |       CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS INTEGER) AS inter,
+          |       CAST(len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+          |            - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS INTEGER) AS union_,
+          |       CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
+          |         / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+          |            - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))) AS jaccard
+          |FROM pair_docs p
+          |JOIN shingle_docs a ON a.doc_id = p.id_a
+          |JOIN shingle_docs b ON b.doc_id = p.id_b""".stripMargin))),
+
+    Q("dedup_simhash",
+      (s, d) => DedupOps.simhash16(Tables.documents(s, d), "doc_id", "text"),
+      Some {
+        val bits = (0 until 16).map(i =>
+          s"CASE WHEN sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << i} ELSE 0 END")
+          .mkString(" + ")
+        withCtes(normDocsCte,
+          s"""tok_h AS (
+            |  SELECT doc_id, ${h60("t.tok")} AS h
+            |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok_docs) t)""".stripMargin)(
+          s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM tok_h GROUP BY doc_id")
+      })
+  )
+
+  def ann: Seq[Q] = Seq(
+    Q("ann_brute_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("score"))
+      },
+      Some("""WITH qv AS (
+        |  SELECT vec_id AS query_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id < 5),
+        |cv AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS c
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |         CAST(list_sum(list_transform(range(1, 65), i -> q[i] * c[i])) AS BIGINT) AS score
+        |  FROM qv CROSS JOIN cv WHERE query_id <> vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 10""".stripMargin)),
+
+    Q("ann_lsh_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 10, planes = 4, dim = 64)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("score"), col("bucket"))
+      },
+      Some {
+        val planeDot = (j: Int) =>
+          s"CAST(list_sum(list_transform(range(1, 65), i -> v[i] * (((i-1)*31 + $j*17) % 7 - 3))) AS BIGINT)"
+        val bucketExpr = (0 until 4).map(j =>
+          s"CASE WHEN ${planeDot(j)} >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        s"""WITH quant AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          |  FROM embeddings),
+          |keyed AS (
+          |  SELECT vec_id, v, CAST($bucketExpr AS BIGINT) AS bucket FROM quant),
+          |scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id, q.bucket,
+          |         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) AS BIGINT) AS score
+          |  FROM keyed q JOIN keyed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          |  WHERE q.vec_id < 5),
+          |ranked AS (
+          |  SELECT query_id, vec_id, score, bucket,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+          |  FROM scored)
+          |SELECT query_id, rank, vec_id, score, bucket FROM ranked WHERE rank <= 10""".stripMargin
+      })
+  )
+
+  def multimodal: Seq[Q] = Seq(
+    Q("mm_frame_sample",
+      (s, d) => {
+        val media = Multimodal.asMedia(Tables.documents(s, d), "text", "image")
+        Multimodal.sampleFrames(media, n = 4, frameBytes = 32)
+          .select(col("doc_id"), col("frame_index").cast("long").as("frame_index"),
+            col("frame_offset").cast("long").as("frame_offset"),
+            col("frame_hash"))
+      },
+      Some("""WITH f AS (
+        |  SELECT doc_id, i, text,
+        |         CAST(floor(i * greatest(length(text) - 32, 1) / 3.0) AS BIGINT) AS off
+        |  FROM documents, range(0, 4) t(i))
+        |SELECT doc_id, i AS frame_index, off AS frame_offset,
+        |       sha256(substring(text, CAST(off + 1 AS INTEGER), 32)) AS frame_hash
+        |FROM f WHERE off + 32 <= length(text)""".stripMargin))
+  )
+
+  def tpch: Seq[Q] = Seq(
+    Q("q1_pricing_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")))).as("sum_charge_cents"),
+          count(lit(1)).as("count_order")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        |       sum(${centsSql("l_quantity")}) AS sum_qty_cents,
+        |       sum(${centsSql("l_extendedprice")}) AS sum_base_cents,
+        |       sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS sum_disc_cents,
+        |       sum(${centsSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS sum_charge_cents,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin)),
+
+    Q("q3_top_revenue_orders",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey"), col("o_orderdate").cast("string").as("o_orderdate"),
+            col("revenue_cents"))
+      },
+      Some(s"""SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+        |       sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    Q("q5_regional_revenue",
+      (s, d) => {
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        val n = Tables.nation(s, d)
+        val dim = broadcast(n.join(r, col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(dim, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+      },
+      Some(s"""SELECT n_name,
+        |       sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin))
+  )
+
+  def all: Seq[Q] = text ++ dedup ++ ann ++ multimodal ++ tpch
+}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Readers for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -12,7 +13,16 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def events(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * as a timestamp. Read nanos as long (legacy conf) and truncate to
+    * microseconds with integer arithmetic (ns values exceed double's exact
+    * range, so no float division) — the same truncation DuckDB applies, so
+    * oracle comparisons agree. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "customer")

@@ -1,0 +1,103 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic derived tables used by the correctness harness.
+  *
+  * The reference engine's inputs (an outbox change table, a dead-letter store,
+  * a probe log) do not exist in the driver-provided test data, so each is
+  * derived from `events.parquet` with pure, order-independent expressions.
+  * The exact same derivation is written as a DuckDB CTE in
+  * [[graft.OracleCtes]] so both engines see identical inputs.
+  *
+  * Outbox shape: reference Source/SQL/01-change-tracking-setup.postgres.sql:42-57
+  * (id BIGINT identity = the version, xact_id for the horizon gate, operation
+  * CHAR(1), key column, payload columns, changed TEXT[]).
+  */
+object Fixtures {
+
+  /** Versioned append-only change table (the engine's canonical source).
+    *
+    *  - `id` is the monotonically increasing version (outbox identity).
+    *  - `xact_id` is deliberately NOT aligned with `id` (out-of-order commit
+    *    simulation: a lower id can carry a higher xact_id and vice versa),
+    *    which is what the transaction-horizon gate (P2) exists for —
+    *    reference Source/SQL/02-stored-procedure.postgres.table.sql:21-31.
+    *  - `operation` I/U/D; delete rows carry only the key (payload NULL) —
+    *    reference Source/SQL/02-stored-procedure.sqlserver.table.sql:44-50.
+    *  - `changed` is the column mask, present only on U rows —
+    *    reference Source/SQL/02-stored-procedure.postgres.column.sql:13-14.
+    */
+  def outbox(events: DataFrame): DataFrame = {
+    val op = when(col("event_type").isin("click", "view"), "I")
+      .when(col("event_type").isin("purchase", "signup"), "U")
+      .otherwise("D")
+    events.select(
+      col("event_id").as("id"),
+      (col("event_id") + (col("event_id") % 7) * 5).as("xact_id"),
+      op.as("operation"),
+      col("user_id").as("session_id"),
+      when(op =!= "D", col("ts")).as("recorded_on"),
+      when(op =!= "D", col("value")).as("value"),
+      when(op =!= "D", col("props")).as("props"),
+      when(op === "U",
+        when(col("value") > 100, array(lit("value"), lit("props")))
+          .otherwise(array(lit("value")))).as("changed")
+    )
+  }
+
+  /** Dead-letter store — reference Source/Services/DeadLetterService.cs:36-72,
+    * unique (sourceKey, dataHash); sourceKey = "{env}_{obj}_{db}". Some rows
+    * have NULL environmentName (unroutable, migration-added column) and NULL
+    * nextAttempt (due immediately). */
+  def deadLetters(events: DataFrame): DataFrame = {
+    val env = concat(lit("env"), (col("user_id") % 3).cast("string"))
+    val obj = concat(lit("obj"), (col("user_id") % 5).cast("string"))
+    val db  = concat(lit("db"),  (col("user_id") % 2).cast("string"))
+    events.select(
+      col("event_id").as("id"),
+      concat(env, lit("_"), obj, lit("_"), db).as("source_key"),
+      obj.as("tracking_object_name"),
+      when(col("event_id") % 11 =!= 0, env).as("environment_name"),
+      db.as("database_name"),
+      sha2(col("props"), 256).as("data_hash"),
+      col("props").as("data"),
+      concat(lit("boom "), col("event_type")).as("error_message"),
+      col("ts").as("timestamp"),
+      (col("event_id") % 7).cast("int").as("attempts"),
+      when(col("event_id") % 3 =!= 0, col("ts") + expr("INTERVAL 2 HOUR"))
+        .as("next_attempt")
+    )
+  }
+
+  /** Probe log for the interval-overlap oracle (J5) — reference
+    * Tests/Trignis.Tests/Stress/DuplicatePollerStressTests.cs:24-31.
+    * Interval endpoints are integer epoch seconds so the overlap predicate is
+    * exact in both engines. */
+  def probeLog(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id").as("id"),
+      concat(lit("env"), (col("user_id") % 3).cast("string")).as("env"),
+      unix_timestamp(col("ts")).as("started_at"),
+      (unix_timestamp(col("ts")) + floor(col("value") * 10).cast("long"))
+        .as("ended_at")
+    )
+
+  /** Export-directory listing for the cumulative-cleanup operator (A8/W3) —
+    * reference Source/Services/ExportService.cs:333-361. One "file" per
+    * (env, day) with a deterministic size. */
+  def exportFiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        concat(lit("env"), (col("user_id") % 3).cast("string")).as("env"),
+        to_date(col("ts")).as("day"))
+      .agg(
+        sum(length(col("props"))).cast("long").as("size_bytes"),
+        max(col("event_id")).as("file_id"))
+
+  /** Fixed "now" for every time-relative operator so Spark and the DuckDB
+    * oracle agree. Mid-range of the events table's ts span. */
+  val RefNow = "2024-01-15 00:00:00"
+  def refNow: Column = to_timestamp(lit(RefNow))
+}

@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact, MinHash+LSH banded
+  * near-dup, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design: every variant is built around hash-bucket joins — there is
+  * NO all-pairs comparison anywhere. Exact dedup is one groupBy on a 256-bit
+  * hash; MinHash/LSH compares only documents that collide in a band bucket;
+  * Jaccard runs only on LSH candidate pairs. At 100 TB each stage is a
+  * single hash shuffle keyed by (hash | band), which AQE can re-split on
+  * skew.
+  *
+  * Portability: the base hash is the first 60 bits of sha256 (identical in
+  * any engine), and MinHash permutations are `(a·h + b) mod p` over
+  * `p = 2^31-1` in plain int64 arithmetic — so signatures, buckets and
+  * candidate pairs are oracle-checkable in DuckDB, not just "plausible".
+  */
+object DedupOps {
+
+  /** Portable 60-bit base hash of a string: `sha256(s)[0,15]` hex → int64. */
+  def hash60(c: Column): Column =
+    conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
+
+  val MersennePrime31 = 2147483647L // 2^31 - 1
+
+  /** Fixed permutation parameters (a, b) for the MinHash family — odd
+    * multipliers, deterministic, engine-independent. */
+  def permParams(n: Int): Seq[(Long, Long)] =
+    (0 until n).map(i => (2L * i + 3, 12289L * (i + 1)))
+
+  /** Exact dedup by content hash: canonical representative = min(id) per
+    * hash. One partial-aggregated groupBy; returns (hash, keep_id, copies).
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Survivors of exact dedup (the deduplicated corpus). */
+  def exactDedupSurvivors(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.join(
+      exactDedup(docs, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Word k-shingles of the normalized text (k consecutive tokens joined by
+    * a space); the whole normalized text when the document has fewer than k
+    * tokens.
+    *
+    * NOTE: fine for small inputs/tests, but `element_at` inside the lambda
+    * re-evaluates the tokenization chain per element on Spark's interpreted
+    * HOF path — the hot-path pipeline uses [[shingleHashRows]] instead. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array(TextOps.normalize(text)))
+  }
+
+  /** Mixing constants for combining adjacent token hashes into a 3-shingle
+    * hash: `((h1·K1) mod p + (h2·K2) mod p + h3) mod p`. */
+  val ShingleK1 = 1000003L
+  val ShingleK2 = 8191L
+
+  /** One row per 3-token shingle: (idCol, _h) where `_h` is the portable
+    * shingle hash in [0, 2^31-1). Documents with fewer than 3 tokens get a
+    * single row hashing the whole normalized text.
+    *
+    * This is the scale-shaped formulation: tokens are hashed ONCE on
+    * exploded rows (sha2 stays in whole-stage codegen — inside a
+    * higher-order-function lambda it runs interpreted, re-evaluating the
+    * tokenizer per element; measured 18 s vs ~2 s at sf0.1), and adjacent
+    * token hashes combine with integer arithmetic under a window `lead`
+    * keyed on the document id — one hash shuffle that the downstream
+    * signature groupBy reuses. */
+  def shingleHashRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = MersennePrime31
+    val base = df.select(col(idCol),
+      (hash60(TextOps.normalize(col(textCol))) % P).as("_doc_h"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("_pos", "_tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    base
+      .withColumn("_th", hash60(col("_tok")) % P)
+      .withColumn("_t1", lead(col("_th"), 1).over(w))
+      .withColumn("_t2", lead(col("_th"), 2).over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("_h",
+        when(col("_n") >= 3 && col("_t2").isNotNull,
+          ((col("_th") * ShingleK1) % P + (col("_t1") * ShingleK2) % P + col("_t2")) % P)
+          .when(col("_n") < 3 && col("_pos") === 0, col("_doc_h")))
+      .filter(col("_h").isNotNull)
+      .select(col(idCol), col("_h"))
+  }
+
+  /** Distinct shingle-hash set per document (for Jaccard verification). */
+  def shingleHashSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingleHashRows(df, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("_h"))).as("shset"))
+
+  /** MinHash signature: for permutation j, `min over shingles of
+    * ((a_j · (h mod p) + b_j) mod p)`. Emitted as `numPerms` columns
+    * `sig_0 … sig_{n-1}` — array-free so whole-stage codegen keeps the whole
+    * signature computation in one pass over the shingle array. */
+  /** Computes (idCol, sig_0..sig_{n-1}).
+    *
+    * Shape matters here: the naive form — n `withColumn`s each mapping over
+    * a shared hashed-shingle array — gets re-inlined by Catalyst's
+    * CollapseProject, so sha256 runs n times per shingle (measured ~50 s at
+    * sf0.1). Instead the shingle hashes are exploded ONCE and the signature
+    * is n partial-aggregated `min`s over cheap int64 permutations: sha256
+    * per shingle exactly once, one map-side-combined groupBy on the doc id.
+    */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       numPerms: Int = 8): DataFrame = {
+    val hashed = shingleHashRows(df, idCol, textCol)
+    val aggs = permParams(numPerms).zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("_h") + lit(b)) % MersennePrime31).as(s"sig_$j")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: `numPerms` signature columns → `bands` bucket keys, each
+    * the concatenation of `numPerms/bands` adjacent signature values.
+    * Documents sharing any (band_index, bucket) are near-dup candidates. */
+  def lshBuckets(sigs: DataFrame, idCol: String, numPerms: Int = 8, bands: Int = 4): DataFrame = {
+    val rows = numPerms / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"sig_${b * rows + r}")): _*).as("bucket"))
+    }
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate near-dup pairs: ids colliding in at least one band bucket.
+    *
+    * One groupBy on (band, bucket) then in-bucket pair expansion — the
+    * signature pipeline is evaluated once (a bucket self-join would
+    * recompute it per side) and work is bounded by Σ bucket_size², never
+    * all-pairs. At extreme corpus scale, degenerate mega-buckets (a shingle
+    * half the corpus shares) should be dropped before expansion — they
+    * carry no near-dup signal; the reference cap is a policy choice left to
+    * the caller. */
+  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame =
+    buckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+
+  /** n-gram Jaccard similarity for candidate verification: |A∩B| / |A∪B|
+    * over distinct shingle-HASH sets (collision probability ~2^-31 — and
+    * mirrored exactly in the oracle). Run on LSH candidates only; the set
+    * intersection is a native array op on int arrays, not a string
+    * comparison. */
+  def jaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sets = shingleHashSets(docs, idCol, textCol)
+    def side(n: String) = sets
+      .withColumnRenamed(idCol, s"id_$n").withColumnRenamed("shset", s"set_$n")
+    pairs
+      .join(side("a"), Seq("id_a"))
+      .join(side("b"), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("union_", size(col("set_a")) + size(col("set_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("union_"), col("jaccard"))
+  }
+
+  /** SimHash (16-bit, portable): explode tokens, take each token's 60-bit
+    * hash, sum ±1 per bit position, reassemble the sign bits. Two narrow
+    * passes + one groupBy on the doc id. */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", hash60(col("tok")))
+    val bitSums = (0 until 16).map { i =>
+      sum(when(shiftRight(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit_$i")
+    }
+    exploded.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 16).map(i => when(col(s"bit_$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+}

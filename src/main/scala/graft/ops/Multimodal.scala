@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata alongside.
+  *
+  * The Spark-side contract is real — schema, batching, partitioning,
+  * deterministic frame sampling — while the media decode itself is STUBBED
+  * (this container ships no image/audio codecs): [[fakeDecode]] derives
+  * deterministic pseudo-metadata from the bytes. A production deployment
+  * swaps `fakeDecode` for a real codec behind the same column contract
+  * (binary in → struct out), keeping every downstream operator unchanged.
+  */
+object Multimodal {
+
+  /** Wrap a text/raw column as a typed media column: (media binary,
+    * media_type, byte size). */
+  def asMedia(df: DataFrame, srcCol: String, mediaType: String): DataFrame =
+    df.withColumn("media", col(srcCol).cast("binary"))
+      .withColumn("media_type", lit(mediaType))
+      .withColumn("media_bytes", octet_length(col("media")))
+
+  /** STUB decode: deterministic pseudo width/height/duration derived from
+    * the payload hash — stands in for a real image/audio decoder. */
+  def fakeDecode(media: Column): Column = {
+    val h = DedupOps.hash60(media.cast("string"))
+    struct(
+      (pmod(h, lit(1024L)) + 64).as("width"),
+      (pmod(h / 1024, lit(1024L)) + 64).as("height"),
+      (pmod(h / 1048576, lit(600L))).as("duration_s"))
+  }
+
+  /** Deterministic frame sampling: `n` evenly spaced byte-offset "frames"
+    * from the binary payload (each frame = a fixed-size slice), the shape a
+    * real video pipeline uses (frame index + payload slice per row). */
+  def sampleFrames(df: DataFrame, n: Int, frameBytes: Int = 32): DataFrame = {
+    val len = octet_length(col("media"))
+    val idx = explode(sequence(lit(0), lit(n - 1)))
+    df.withColumn("frame_index", idx)
+      .withColumn("frame_offset",
+        (col("frame_index") * greatest(len - frameBytes, lit(1)) / lit(math.max(n - 1, 1))).cast("int"))
+      .filter(col("frame_offset") + frameBytes <= len)
+      .withColumn("frame",
+        col("media").substr(col("frame_offset") + 1, lit(frameBytes)))
+      .withColumn("frame_hash", sha2(col("frame"), 256))
+  }
+
+  /** Feature extraction over frames: stubbed as the portable 60-bit hash of
+    * the frame bytes (a real pipeline emits an embedding here). */
+  def frameFeatures(frames: DataFrame): DataFrame =
+    frames.withColumn("feature", DedupOps.hash60(col("frame").cast("string")))
+}

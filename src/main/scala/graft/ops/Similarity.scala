@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, mirroring how ANN is actually deployed on Spark:
+  *  - [[bruteForceTopK]] — exact scan; the baseline and the per-bucket inner
+  *    loop. The cross join is bounded: |queries| × |corpus|, with the query
+  *    side broadcast, so the corpus is streamed once, never shuffled.
+  *  - [[lshTopK]] — random-hyperplane LSH: corpus and queries bucketed by
+  *    sign bits, candidates meet only within a bucket. At 100 TB the bucket
+  *    key is the shuffle/partition key and each bucket is a small fraction
+  *    of the corpus; recall is tuned by the number of hyperplanes.
+  *
+  * Scores are computed on quantized vectors (`round(x*1000)` per element,
+  * int64 dot product) — deterministic to the bit in any engine, which makes
+  * top-k rankings oracle-checkable; cosine on raw floats is also provided
+  * for production use where cross-engine hashing is not needed.
+  */
+object Similarity {
+
+  /** Quantize an embedding to int64 milli-units. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x * 1000).cast("long"))
+
+  /** Integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Float cosine similarity (production scoring). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbours per query by quantized dot product.
+    * `queries` is expected small (it is broadcast); ties break on vec_id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), quantize(col("embedding")).as("qv")))
+    val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score", qdot(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: element i of plane j is
+    * `((i*31 + j*17) mod 7) - 3` — small ints, identical in any engine. */
+  def hyperplane(j: Int, dim: Int): Column =
+    array((0 until dim).map(i => lit(((i * 31 + j * 17) % 7 - 3).toLong)): _*)
+
+  /** LSH bucket key: sign bits of the dot products with `planes`
+    * hyperplanes. */
+  def lshKey(vec: Column, planes: Int, dim: Int): Column =
+    (0 until planes)
+      .map(j => when(qdot(quantize(vec), hyperplane(j, dim)) >= 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** ANN top-k via hyperplane LSH: candidates share the query's bucket.
+    * One hash shuffle on the bucket key; per-bucket exact re-rank. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 4, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = (v: Column) => lshKey(v, planes, dim)
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"),
+      quantize(col("embedding")).as("qv"),
+      key(col("embedding")).as("bucket")))
+    val c = corpus.select(
+      col("vec_id"), quantize(col("embedding")).as("cv"),
+      key(col("embedding")).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score", qdot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"), col("bucket"))
+  }
+}

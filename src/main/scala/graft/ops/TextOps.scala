@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline: normalization,
+  * tokenization, language scoring, quality scoring, fingerprinting.
+  *
+  * All pure codegen'd built-ins — per-row narrow transforms that scale
+  * embarrassingly. Every function here is written to be bit-identical to a
+  * portable SQL formulation (see SparkEntry oracles) so correctness is
+  * oracle-checkable.
+  */
+object TextOps {
+
+  /** Lowercase, strip non-alphanumerics to spaces, collapse runs, trim —
+    * the canonical normalization before tokenizing/fingerprinting. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Token count (whitespace) — the cheap length signal. */
+  def tokenCount(text: Column): Column =
+    when(length(normalize(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword estimate: ~1 token per 4 chars, floor 1 per word —
+    * the standard heuristic when no tokenizer is shipped. */
+  def approxBpeCount(text: Column): Column =
+    greatest(tokenCount(text), ceil(length(text) / 4.0).cast("long"))
+
+  /** Stopword ratio against a fixed list (quality signal). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords: _*)))
+
+  /** Quality features: chars, words, mean word length, punctuation ratio,
+    * stopword ratio — the length/punct/stopword heuristics of C4-style
+    * cleaning, one narrow pass. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokenCount(t)
+    val punct = length(t) - length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_words", toks)
+      .withColumn("punct_chars", punct)
+      .withColumn("stop_words", stopwordCount(t))
+      .withColumn("mean_word_len",
+        when(toks > 0, (length(normalize(t)) - toks + 1).cast("double") / toks))
+      .withColumn("stop_ratio",
+        when(toks > 0, col("stop_words").cast("double") / toks))
+  }
+
+  /** Language ID by stopword-hit scoring across per-language marker lists —
+    * the classic n-gram-free heuristic; argmax with a fixed tie-break
+    * (alphabetical) for determinism. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "le", "wo", "zai"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(filter(tokens(text), t => t.isin(words: _*)))
+    }
+
+  def predictedLang(text: Column): Column = {
+    val scores = langScores(text)
+    // argmax by (score, then reverse-alphabetical preference): compare via
+    // a sortable struct so ties break deterministically toward 'en' … 'zh'.
+    val best = scores.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
+    // greatest() on structs compares field-by-field; score first, then the
+    // lexicographically LARGEST language wins ties — fixed and documented.
+    getFieldAs(greatest(best: _*), "l")
+  }
+
+  private def getFieldAs(c: Column, f: String): Column = c.getField(f)
+
+  /** Document fingerprint: first 16 hex chars of sha256 over the normalized
+    * text — the exact-near-canonical-dup key (rolling-hash analog that is
+    * portable across engines). */
+  def fingerprint(text: Column): Column =
+    substring(sha2(normalize(text), 256), 1, 16)
+}
