@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog today"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat today"),   // near dup of 1
+    (4L, "completely different content about spark query engines"),
+    (5L, "hi")                                                    // < 3 tokens
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val got = DedupOps.exactDedup(docs, "doc_id", "text")
+    assert(got.count() == 4)
+    val dup = got.filter($"copies" === 2).select($"keep_id").as[Long].head()
+    assert(dup == 1L)
+    val survivors = DedupOps.exactDedupSurvivors(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash signatures: identical docs share all signature values") {
+    val sigs = DedupOps.minhashSignature(docs, "doc_id", "text", 8)
+    val s1 = sigs.filter($"doc_id" === 1).drop("doc_id").head()
+    val s2 = sigs.filter($"doc_id" === 2).drop("doc_id").head()
+    assert(s1 == s2)
+    assert(sigs.count() == 5) // the 2-token doc still gets a signature
+  }
+
+  test("LSH pairs: exact dups collide; unrelated docs do not") {
+    val pairs = DedupOps.candidatePairs(
+      DedupOps.lshBuckets(DedupOps.minhashSignature(docs, "doc_id", "text", 8), "doc_id"),
+      "doc_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => (a == 4L || b == 4L) && (a min b) != 4L })
+  }
+
+  test("jaccard: identical = 1.0, near-dup high, ordered pair keys") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val got = DedupOps.jaccard(pairs, docs, "doc_id", "text")
+      .orderBy("id_b").select($"jaccard").as[Double].collect()
+    assert(got(0) == 1.0)
+    assert(got(1) > 0.5 && got(1) < 1.0)
+    assert(got(2) == 0.0)
+  }
+
+  test("simhash: identical docs equal, near-dups within small hamming distance") {
+    val sh = DedupOps.simhash16(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(hamming <= 6, s"near-dup hamming distance was $hamming")
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("quantized dot product is exact") {
+    val got = vecs.filter($"vec_id" === 1)
+      .select(Similarity.qdot(
+        Similarity.quantize($"embedding"),
+        Similarity.quantize($"embedding")).as("d")).as[Long].head()
+    assert(got == 900L * 900 + 100L * 100) // 0.9,0.1 quantized to 900,100
+  }
+
+  test("brute-force top-k ranks by similarity") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), 3)
+      .orderBy("rank").select($"vec_id").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 2L, 3L)) // most similar first, opposite last
+  }
+
+  test("LSH top-k only searches the query's bucket and identical vectors collide") {
+    val got = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0), 3, planes = 4, dim = 3)
+    val neighbours = got.select("vec_id").as[Long].collect().toSet
+    assert(neighbours.contains(1L))  // same half-space as the query
+    assert(!neighbours.contains(3L)) // opposite vector lands in another bucket
+  }
+}

