@@ -1,0 +1,92 @@
+package graft.runtime
+
+import graft.model.{EnvironmentConfig, SinkEndpoint, TrackingObject}
+
+/** Config validation + dialect registry — the reference's
+  * ConfigurationValidator (Source/Helpers/ConfigurationValidator.cs:26-396)
+  * and SqlDialect alias table (Source/Data/SqlDialect.cs:78-110), as pure
+  * functions returning error/warning lists (the shape its 533-line test
+  * suite asserts on). */
+object Config {
+
+  final case class Validation(errors: Seq[String], warnings: Seq[String]) {
+    def ok: Boolean = errors.isEmpty
+  }
+
+  /** S5 — dialect aliases, case-insensitive, trimmed
+    * (SqlDialect.cs:78-110). */
+  val DialectAliases: Map[String, String] = Map(
+    "mssql" -> "mssql", "sqlserver" -> "mssql",
+    "postgres" -> "postgres", "postgresql" -> "postgres", "pgsql" -> "postgres")
+
+  def normalizeProvider(p: String): Option[String] =
+    DialectAliases.get(Option(p).getOrElse("").trim.toLowerCase)
+
+  /** S5 — connection-property merge: dialect defaults apply only where the
+    * user did not set the key (user wins; SqlDialect.cs:120-143). */
+  def mergeConnectionProps(user: Map[String, String], defaults: Map[String, String]): Map[String, String] = {
+    val userKeys = user.keySet.map(_.toLowerCase)
+    defaults.filterNot { case (k, _) => userKeys.contains(k.toLowerCase) } ++ user
+  }
+
+  /** Dialect connection defaults (SqlDialect.cs:50-58). */
+  val MssqlDefaults: Map[String, String] = Map(
+    "Packet Size" -> "32768", "Connect Timeout" -> "30")
+
+  /** Validate one environment, mirroring the reference's rule set:
+    * provider known, names present, connection strings resolvable,
+    * InitialSyncMode valid, polling interval sane, endpoints complete. */
+  def validate(env: EnvironmentConfig, connectionStrings: Map[String, String] = Map.empty): Validation = {
+    val errors = Seq.newBuilder[String]
+    val warnings = Seq.newBuilder[String]
+
+    if (Option(env.name).forall(_.trim.isEmpty))
+      errors += "environment name must not be empty"
+    if (normalizeProvider(env.provider).isEmpty)
+      errors += s"unknown provider '${env.provider}' (expected one of ${DialectAliases.keys.toSeq.sorted.mkString(", ")})"
+
+    // PollingIntervalSeconds warn band 5–3600 (ConfigurationValidator.cs:79-86).
+    if (env.pollingIntervalSeconds < 5 || env.pollingIntervalSeconds > 3600)
+      warnings += s"PollingIntervalSeconds=${env.pollingIntervalSeconds} outside the recommended 5–3600 s band"
+
+    if (env.trackingObjects.isEmpty)
+      warnings += "environment has no tracking objects"
+
+    env.trackingObjects.foreach { o =>
+      if (Option(o.name).forall(_.trim.isEmpty))
+        errors += "tracking object with empty Name"
+      if (Option(o.storedProcedureName).forall(_.trim.isEmpty))
+        errors += s"tracking object '${o.name}': StoredProcedureName is required"
+      if (!Seq("full", "incremental").contains(Option(o.initialSyncMode).getOrElse("").toLowerCase))
+        errors += s"tracking object '${o.name}': InitialSyncMode '${o.initialSyncMode}' is not Full|Incremental"
+      if (connectionStrings.nonEmpty && !connectionStrings.keySet.exists(_.equalsIgnoreCase(o.database)))
+        errors += s"tracking object '${o.name}': no connection string for database key '${o.database}'"
+    }
+
+    val dupObjects = env.trackingObjects.groupBy(_.name.toLowerCase).collect { case (n, xs) if xs.size > 1 => n }
+    dupObjects.foreach(n => errors += s"duplicate tracking object name '$n'")
+
+    env.endpoints.foreach { ep =>
+      if (Option(ep.key).forall(_.trim.isEmpty))
+        errors += "endpoint with empty Key"
+      ep.kind.toLowerCase match {
+        case "http" | "file" | "kafka" =>
+          if (Option(ep.target).forall(_.trim.isEmpty))
+            errors += s"endpoint '${ep.key}': target (url/path/topic) is required"
+        case "rabbitmq" | "azureservicebus" | "awssqs" | "eventhubs" =>
+          if (Option(ep.target).forall(_.trim.isEmpty))
+            errors += s"endpoint '${ep.key}': ${ep.kind} queue/topic is required"
+        case other =>
+          errors += s"endpoint '${ep.key}': unknown sink kind '$other'"
+      }
+    }
+
+    Validation(errors.result(), warnings.result())
+  }
+
+  /** T8/S8 invariant from the dialect parity suite: a dialect without a
+    * server-side watermark must be seedable through the procedure
+    * (SqlDialectParityTests.cs:141-153). */
+  def requiresSeedMode(provider: String): Boolean =
+    normalizeProvider(provider).contains("postgres")
+}

@@ -1,0 +1,154 @@
+package graft.state
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+import graft.ops.{Dlq, StateOps}
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Parquet-backed control tables: watermarks, pauses, dead letters.
+  *
+  * Mirrors the reference's SQLite state.db / sinkhole.db
+  * (ChangeTrackingBackgroundService.cs:158-173, PauseService.cs:27-48,
+  * DeadLetterService.cs:36-72) with snapshot semantics: every mutation
+  * writes a NEW versioned snapshot directory and then flips a pointer file —
+  * the commit is the atomic pointer write, so a crash mid-write never
+  * corrupts the current snapshot (readers always resolve the pointer).
+  *
+  * Control tables are tiny (one row per tracked object / pause / failure),
+  * so full-snapshot rewrites are the right trade-off — the data-scale state
+  * (the change log itself) never lives here.
+  */
+final class ParquetStateStore(spark: SparkSession, rootDir: String) {
+
+  private def tableRoot(name: String): Path = Paths.get(rootDir, name)
+  private def pointer(name: String): Path = tableRoot(name).resolve("_CURRENT")
+
+  private def currentDir(name: String): Option[Path] = {
+    val p = pointer(name)
+    if (Files.exists(p)) {
+      val v = Files.readString(p).trim
+      val dir = tableRoot(name).resolve(v)
+      if (Files.exists(dir)) Some(dir) else None
+    } else None
+  }
+
+  /** Read the current snapshot, or an empty frame with the given schema. */
+  def read(name: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    currentDir(name) match {
+      case Some(dir) => spark.read.schema(schema).parquet(dir.toString)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** Commit a new snapshot: write v{n+1}, flip the pointer, GC old
+    * versions (keeping one previous for concurrent readers). */
+  def commit(name: String, df: DataFrame): Unit = {
+    Files.createDirectories(tableRoot(name))
+    val next = System.nanoTime().toString
+    val dir = tableRoot(name).resolve(s"v$next")
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val prev = currentDir(name)
+    Files.writeString(pointer(name), s"v$next")
+    // GC everything except the new current and its immediate predecessor.
+    val keep = Set(Some(dir), prev).flatten.map(_.getFileName.toString)
+    Files.list(tableRoot(name)).filter(p =>
+        Files.isDirectory(p) && !keep.contains(p.getFileName.toString))
+      .forEach { p =>
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+      }
+  }
+
+  // ---- watermarks (LastVersions) ----------------------------------------
+
+  private val wmSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("environment_name", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("object_name", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("last_version", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("last_updated", org.apache.spark.sql.types.TimestampType)))
+
+  def watermarks: DataFrame = read("watermarks", wmSchema)
+
+  /** J6 — the `INSERT … ON CONFLICT DO UPDATE` upsert. */
+  def setWatermark(env: String, obj: String, version: Long): Unit = {
+    import spark.implicits._
+    val update = Seq((env, obj, version))
+      .toDF("environment_name", "object_name", "last_version")
+      .withColumn("last_updated", current_timestamp())
+    commit("watermarks", StateOps.watermarkUpsert(watermarks, update))
+  }
+
+  def getWatermark(env: String, obj: String): Option[Long] =
+    watermarks
+      .filter(col("environment_name") === env && col("object_name") === obj)
+      .select("last_version")
+      .collect().headOption.map(_.getLong(0))
+
+  /** T8 — state reset: deleting the row re-initializes the object per its
+    * InitialSyncMode on the next cycle (Program.cs:401-432). */
+  def resetWatermark(env: String, obj: String): Unit =
+    commit("watermarks", watermarks.filter(
+      !(col("environment_name") === env && col("object_name") === obj)))
+
+  // ---- pauses -----------------------------------------------------------
+
+  def pauses: DataFrame = read("pauses", Schemas.pauseSchema)
+
+  def pause(scope: String, reason: String, by: String): Unit = {
+    import spark.implicits._
+    val row = Seq((scope.toLowerCase, reason, by))
+      .toDF("scope", "reason", "pausedBy")
+      .withColumn("pausedAt", current_timestamp())
+    commit("pauses", pauses.filter(col("scope") =!= scope.toLowerCase).unionByName(row))
+  }
+
+  /** T7 — resume = delete the row; holds survive restarts because they live
+    * in the store, not in config (PauseService.cs:10-16). */
+  def resume(scope: String): Unit =
+    commit("pauses", pauses.filter(col("scope") =!= scope.toLowerCase))
+
+  // ---- dead letters -----------------------------------------------------
+
+  private val dlqSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("source_key", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tracking_object_name", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("environment_name", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("database_name", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("data_hash", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("data", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("error_message", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("attempts", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("next_attempt", org.apache.spark.sql.types.TimestampType)))
+
+  def deadLetters: DataFrame = read("dead_letters", dlqSchema)
+
+  /** K9/D1 — append failures with exactly-once-per-payload semantics:
+    * a (source_key, data_hash) already present is skipped (T4). */
+  def appendDeadLetters(rows: DataFrame): Unit = {
+    val existing = deadLetters
+    val maxId = existing.agg(coalesce(max("id"), lit(0L))).collect()(0).getLong(0)
+    val fresh = rows
+      .join(existing.select("source_key", "data_hash"), Seq("source_key", "data_hash"), "left_anti")
+      .withColumn("id", lit(maxId) + row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("source_key", "data_hash")))
+      .withColumn("attempts", lit(0))
+      .withColumn("next_attempt", lit(null).cast("timestamp"))
+    commit("dead_letters", existing.unionByName(fresh.select(existing.columns.map(col): _*)))
+  }
+
+  def deleteDeadLetters(ids: Seq[Long]): Unit =
+    commit("dead_letters", deadLetters.filter(!col("id").isin(ids: _*)))
+
+  /** T5 — merge back updated retry state for the given rows. */
+  def updateDeadLetters(updated: DataFrame): Unit = {
+    val cols = deadLetters.columns
+    val untouched = deadLetters.join(updated.select("id"), Seq("id"), "left_anti")
+    commit("dead_letters", untouched.unionByName(updated.select(cols.map(col): _*)))
+  }
+
+  def dueDeadLetters(maxAttempts: Int, batchSize: Int = 25): DataFrame =
+    Dlq.replayBatch(Dlq.dueFilter(deadLetters, maxAttempts, current_timestamp()), batchSize)
+}

@@ -1,0 +1,169 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.model.{EnvironmentConfig, TrackingObject}
+import graft.ops.{Dlq, Envelope, Incremental, StateOps, Windows}
+import graft.sinks.{ExportFailure, ExportMeta, Sinks}
+import graft.state.ParquetStateStore
+
+/** The change-relay pipeline: one polling cycle per tracked object —
+  * watermark read → incremental read (P1+P2) → envelope encode → batch →
+  * fan-out to sinks → failures dead-lettered → watermark advance.
+  *
+  * Mirrors ChangeTrackingBackgroundService.ProcessChangesForObjectAsync
+  * (reference :427-606) with the relational core as DataFrame transforms.
+  * At-least-once semantics (T2): the watermark advances after the export
+  * attempt even when a sink fails — failed payloads are re-driven from the
+  * DLQ, never by re-polling (stored-procedure.md:92).
+  */
+final class ChangeRelay(
+    spark: SparkSession,
+    store: ParquetStateStore,
+    config: EnvironmentConfig,
+    fileSinkTemplate: Option[String] = None,
+    horizonOf: DataFrame => Long = ChangeRelay.defaultHorizon) {
+
+  import spark.implicits._
+
+  /** One micro-batch cycle for one object over the current change table.
+    * Returns (rows exported, new watermark). */
+  def runCycle(obj: TrackingObject, changes: DataFrame, nowUtc: String): (Long, Long) = {
+    // P7 — pause scopes short-circuit before any work.
+    val envScope = s"env:${config.name.toLowerCase}"
+    val objScope = s"obj:${config.name.toLowerCase}/${obj.name.toLowerCase}"
+    val paused = store.pauses.filter(col("scope").isin(envScope, objScope)).limit(1).count() > 0
+    if (paused) {
+      val fv = store.getWatermark(config.name, obj.name).getOrElse(0L)
+      return (0L, fv)
+    }
+
+    // T8/S7/S8 — missing watermark re-initializes per InitialSyncMode.
+    val fromVersion = store.getWatermark(config.name, obj.name) match {
+      case Some(v) => v
+      case None if obj.initialSyncMode.equalsIgnoreCase("Full") => 0L
+      case None =>
+        // Seed: record the frontier, emit nothing this cycle (S8).
+        val seeded = Incremental.seed(changes).select("version").as[Long].head()
+        store.setWatermark(config.name, obj.name, seeded)
+        return (0L, seeded)
+    }
+
+    val horizon = horizonOf(changes)
+    val batch = Incremental.incrementalRead(changes, fromVersion, horizon)
+    // A2 — watermark through the same gate as the rows.
+    val newVersion = Incremental.gatedWatermark(changes, fromVersion, horizon)
+      .as[Long].head()
+
+    val rows = batch.select(
+      lit(obj.name).as("g"),
+      col("operation"),
+      col("id").as("version"),
+      col("changed"),
+      Envelope.stripNulls(map(
+        lit("value"), col("value").cast("string"),
+        lit("props"), col("props"))).as("payload"))
+
+    val exported =
+      if (batch.isEmpty) 0L
+      else {
+        val envelopes = Envelope.encode(
+          Windows.numberBatches(rows, "g", "version", config.maxRecordsPerBatch)
+            .withColumn("g", concat(col("g"), lit("#"), col("batch"))),
+          "g")
+        val payloads = envelopes.select("g", "envelope_json").as[(String, String)].collect()
+        val failures = scala.collection.mutable.ArrayBuffer[ExportFailure]()
+        payloads.foreach { case (g, json) =>
+          val batchNo = g.substring(g.lastIndexOf('#') + 1).toInt
+          val meta = ExportMeta(config.name, obj.name, obj.database, nowUtc,
+            batchNo, payloads.length)
+          fileSinkTemplate.foreach { tpl =>
+            Sinks.writeFile(json, tpl, meta).left.foreach(failures += _)
+          }
+          config.endpoints.filter(_.kind == "http").foreach { ep =>
+            Sinks.prepareHttp(json, ep.target, meta, ep.headers, ep.enableCompression,
+                config.maxPayloadSizeBytes)
+              .left.foreach(failures += _)
+          }
+        }
+        // K9 — every failure dead-letters with D1 dedup.
+        if (failures.nonEmpty) {
+          val fdf = failures.toSeq
+            .map(f => (s"${config.name}_${obj.name}_${obj.database}", obj.name,
+              config.name, obj.database, f.error))
+            .toDF("source_key", "tracking_object_name", "environment_name",
+              "database_name", "error_message")
+            .withColumn("data", lit(payloads.head._2))
+            .withColumn("data_hash", sha2(col("data"), 256))
+            .withColumn("timestamp", current_timestamp())
+          store.appendDeadLetters(fdf)
+        }
+        batch.count()
+      }
+
+    // T2 — advance AFTER the export attempt, regardless of sink failures.
+    if (newVersion != fromVersion)
+      store.setWatermark(config.name, obj.name, newVersion)
+    (exported, newVersion)
+  }
+
+  /** §3.2 — dead-letter replay cycle: due batch, attempt, delete on
+    * success / widen backoff on failure (T5). `attempt` is injectable so
+    * tests can simulate endpoint recovery. */
+  def replayCycle(attempt: String => Boolean, nowUtc: java.sql.Timestamp): (Long, Long) = {
+    val due = store.dueDeadLetters(config.deadLetterMaxReplayAttempts,
+      graft.model.Defaults.DlqReplayBatchSize).collect()
+    val (ok, bad) = due.partition(r => attempt(r.getAs[String]("source_key")))
+    if (ok.nonEmpty) store.deleteDeadLetters(ok.map(_.getAs[Long]("id")).toSeq)
+    if (bad.nonEmpty) {
+      val badIds = bad.map(_.getAs[Long]("id")).toSeq
+      val updated = Dlq.retryState(
+        store.deadLetters.filter(col("id").isin(badIds: _*)),
+        lit(nowUtc), config.deadLetterReplayBackoffSeconds)
+        .drop("backoff_seconds")
+      store.updateDeadLetters(updated)
+    }
+    (ok.length.toLong, bad.length.toLong)
+  }
+}
+
+object ChangeRelay {
+  /** Default horizon: one past the max committed xact — everything visible
+    * commits; the gate only matters when the caller passes the true
+    * in-flight horizon (tests do). */
+  def defaultHorizon(changes: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    changes.agg(coalesce(max("xact_id") + 1, lit(Long.MaxValue)))
+      .collect()(0).getLong(0)
+  }
+
+  /** T1/T6 — the Structured-Streaming wrapper: watch an outbox directory as
+    * a file stream and run the relay per micro-batch at the configured
+    * cadence. One StreamingQuery per environment, named for uniqueness
+    * (never two pollers per environment — the reference's stress
+    * invariant). */
+  def streamFromOutboxDir(
+      spark: SparkSession,
+      relay: ChangeRelay,
+      obj: TrackingObject,
+      outboxDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpointDir: String,
+      envName: String,
+      intervalSeconds: Int = graft.model.Defaults.PollingIntervalSeconds): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(outboxDir)
+      .writeStream
+      .queryName(s"graft-relay-$envName")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        relay.runCycle(obj, batch,
+          java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+            .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)))
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,116 @@
+package graft.runtime
+
+import graft.SparkSpec
+import graft.model.{EnvironmentConfig, SinkEndpoint, TrackingObject}
+import graft.sinks.{ExportMeta, Sinks}
+
+/** Config-validator rules (ConfigurationValidatorTests pattern) and sink
+  * guard-level behavior (MessageQueueServiceTests pattern). */
+class ConfigSinksSpec extends SparkSpec {
+
+  private val goodObj = TrackingObject("orders", "db0", "t", "sp")
+  private def env(
+      provider: String = "postgres",
+      objs: Seq[TrackingObject] = Seq(goodObj),
+      eps: Seq[SinkEndpoint] = Nil,
+      poll: Int = 30) =
+    EnvironmentConfig("prod", provider, objs, eps, pollingIntervalSeconds = poll)
+
+  test("provider aliases normalize case-insensitively; unknown rejected") {
+    assert(Config.normalizeProvider(" SqlServer ").contains("mssql"))
+    assert(Config.normalizeProvider("PostgreSQL").contains("postgres"))
+    assert(Config.normalizeProvider("oracle").isEmpty)
+    assert(Config.validate(env(provider = "oracle")).errors.exists(_.contains("unknown provider")))
+  }
+
+  test("validation catches empty names, bad sync mode, missing conn string, dup objects") {
+    val bad = env(objs = Seq(
+      goodObj,
+      goodObj.copy(name = "orders"),                        // duplicate
+      TrackingObject("x", "nodb", "t", "", "Sometimes")))   // bad proc + mode
+    val v = Config.validate(bad, connectionStrings = Map("db0" -> "cs"))
+    assert(v.errors.exists(_.contains("duplicate tracking object")))
+    assert(v.errors.exists(_.contains("StoredProcedureName")))
+    assert(v.errors.exists(_.contains("InitialSyncMode")))
+    assert(v.errors.exists(_.contains("no connection string for database key 'nodb'")))
+  }
+
+  test("polling interval outside 5-3600 warns but does not error") {
+    val v = Config.validate(env(poll = 2))
+    assert(v.ok && v.warnings.exists(_.contains("PollingIntervalSeconds")))
+  }
+
+  test("endpoint validation: unknown kind and missing target error") {
+    val v = Config.validate(env(eps = Seq(
+      SinkEndpoint("a", "http", ""),
+      SinkEndpoint("b", "carrierpigeon", "x"))))
+    assert(v.errors.exists(_.contains("'a': target")))
+    assert(v.errors.exists(_.contains("unknown sink kind 'carrierpigeon'")))
+  }
+
+  test("connection-prop merge: user keys win over dialect defaults") {
+    val merged = Config.mergeConnectionProps(
+      Map("Packet Size" -> "4096", "Application Name" -> "app"),
+      Config.MssqlDefaults)
+    assert(merged("Packet Size") == "4096")
+    assert(merged("Connect Timeout") == "30")
+  }
+
+  test("seedability invariant: postgres requires seed mode, mssql does not") {
+    assert(Config.requiresSeedMode("pgsql"))
+    assert(!Config.requiresSeedMode("sqlserver"))
+  }
+
+  private val meta = ExportMeta("prod", "orders", "db0", "20240115000000", 0, 2)
+
+  test("K2 guards: batch headers set; oversized post-compression body fails, never truncates") {
+    val small = Sinks.prepareHttp("""{"a":1}""", "http://h/{object}", meta)
+    assert(small.isRight)
+    val req = small.toOption.get
+    assert(req.url == "http://h/orders")
+    assert(req.headers("X-Batch-Number") == "1" && req.headers("X-Total-Batches") == "2")
+    val big = Sinks.prepareHttp("x" * 100, "http://h", meta, compress = true, maxPayloadBytes = 10)
+    assert(big.isLeft && big.swap.toOption.get.error.contains("exceeds cap"))
+  }
+
+  test("K3-K6 guards: required fields, per-broker caps, compression threshold") {
+    assert(Sinks.prepareBrokerMessage("rabbitmq", "x", Map("queue" -> ""))
+      .swap.toOption.get.error.contains("missing required fields"))
+    assert(Sinks.prepareBrokerMessage("notabroker", "x", Map("q" -> "v")).isLeft)
+    // Compressible payload under the ASB cap passes even though raw > cap.
+    val compressible = "y" * 300000
+    assert(Sinks.prepareBrokerMessage("azureservicebus", compressible, Map("queue" -> "q")).isRight)
+    // Tiny payload is left uncompressed.
+    val tiny = Sinks.prepareBrokerMessage("kafka", "{}", Map("topic" -> "t"))
+    assert(tiny.toOption.get.sameElements("{}".getBytes("UTF-8")))
+  }
+
+  test("K8: circuit breaker opens after 3 failures and closes after the window") {
+    var now = 0L
+    val cb = new Sinks.CircuitBreaker(threshold = 3, openMillis = 1000, clock = () => now)
+    (1 to 2).foreach(_ => cb.recordFailure("ep"))
+    assert(cb.allowed("ep"))
+    cb.recordFailure("ep")
+    assert(!cb.allowed("ep"))
+    now = 1500
+    assert(cb.allowed("ep")) // window elapsed → half-open/closed again
+    cb.recordSuccess("ep")
+    assert(cb.allowed("ep"))
+  }
+
+  test("template rendering covers all 8 placeholders and URL-escapes") {
+    val m = ExportMeta("prod env", "ord", "db", "20240101000000", 1, 3)
+    val s = Sinks.renderTemplate(
+      "{environment}/{object}/{database}/{key}/{timestamp}/{batch}/{totalbatches}/{guid}",
+      m, "G-1", urlEscape = false)
+    assert(s == "prod env/ord/db/prod env_ord/20240101000000/1/3/G-1")
+    val u = Sinks.renderTemplate("http://h/{environment}", m, "G", urlEscape = true)
+    assert(u == "http://h/prod+env")
+  }
+
+  test("pretty printer produces stable indented JSON") {
+    val p = Sinks.prettyJson("""{"a":[1,2],"b":{"c":"x,y"}}""")
+    assert(p.contains("\"a\": [") && p.contains("\"c\": \"x,y\"")) // comma inside string untouched
+    assert(p.linesIterator.size > 5)
+  }
+}

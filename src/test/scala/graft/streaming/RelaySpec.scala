@@ -1,0 +1,148 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.{EnvironmentConfig, SinkEndpoint, TrackingObject}
+import graft.state.ParquetStateStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+
+/** SURVEY §7.2 minimum end-to-end slice: outbox → incremental read →
+  * envelope → templated file sink → watermark advance; a second cycle picks
+  * up only new rows; a delete round-trips; sink failures dead-letter and
+  * replay; pause holds; reset re-syncs. */
+class RelaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): Path = Files.createTempDirectory("graft-relay")
+
+  private def outboxDf(rows: Seq[(Long, Long, String, Double, String)]): DataFrame =
+    rows.toDF("id", "xact_id", "operation", "value", "props")
+      .select($"id", $"xact_id", $"operation",
+        when($"operation" =!= "D", $"value").as("value"),
+        when($"operation" =!= "D", $"props").as("props"),
+        lit(null).cast("array<string>").as("changed"))
+
+  private val obj = TrackingObject("orders", "db0", "t_orders", "sp_orders")
+  private def cfg(sinks: Seq[SinkEndpoint] = Nil) = EnvironmentConfig(
+    name = "prod", provider = "postgres",
+    trackingObjects = Seq(obj), endpoints = sinks)
+
+  test("end-to-end slice: export, watermark advance, second run incremental, delete round-trips") {
+    val dir = tmp()
+    val store = new ParquetStateStore(spark, dir.resolve("state").toString)
+    val exportTpl = dir.resolve("exports").toString +
+      "/{environment}/{object}/changes-{timestamp}-{batch}.json"
+    val relay = new ChangeRelay(spark, store, cfg(), Some(exportTpl),
+      horizonOf = _ => 1000L)
+
+    store.setWatermark("prod", "orders", 0L)
+    val cycle1 = outboxDf(Seq(
+      (1L, 10L, "I", 1.5, """{"k":1}"""),
+      (2L, 11L, "U", 2.5, """{"k":2}"""),
+      (3L, 2000L, "U", 9.9, """{"k":9}"""))) // in-flight: beyond horizon
+    val (n1, v1) = relay.runCycle(obj, cycle1, "20240115000000")
+    assert(n1 == 2 && v1 == 2L) // in-flight row deferred from rows AND watermark
+
+    val written = Files.walk(dir.resolve("exports")).filter(Files.isRegularFile(_))
+      .map[String](_.toString).toArray
+    assert(written.length == 1)
+    val content = Files.readString(java.nio.file.Paths.get(written(0).toString))
+    assert(content.contains("\"Version\": 2") && content.contains("$operation"))
+
+    // Cycle 2: the deferred row is now committed + one delete arrives.
+    val cycle2 = outboxDf(Seq(
+      (1L, 10L, "I", 1.5, """{"k":1}"""),
+      (2L, 11L, "U", 2.5, """{"k":2}"""),
+      (3L, 2000L, "U", 9.9, """{"k":9}"""),
+      (4L, 2001L, "D", 0.0, null)))
+    val relay2 = new ChangeRelay(spark, store, cfg(), Some(exportTpl), horizonOf = _ => 3000L)
+    val (n2, v2) = relay2.runCycle(obj, cycle2, "20240115000100")
+    assert(n2 == 2 && v2 == 4L) // ONLY the deferred row + the delete
+    val all = Files.walk(dir.resolve("exports")).filter(Files.isRegularFile(_)).count()
+    assert(all == 2)
+    val second = Files.walk(dir.resolve("exports")).filter(Files.isRegularFile(_))
+      .map[String](p => Files.readString(p)).toArray.map(_.toString)
+      .find(_.contains("\"Version\": 4")).get
+    assert(second.contains("\"$operation\": \"D\"")) // delete survived to the sink
+    assert(store.getWatermark("prod", "orders").contains(4L))
+  }
+
+  test("at-least-once: failed sink dead-letters but the watermark still advances") {
+    val dir = tmp()
+    val store = new ParquetStateStore(spark, dir.resolve("state").toString)
+    val failingHttp = SinkEndpoint("ep1", "http", "http://x/{object}",
+      enableCompression = false)
+    // 5-byte payload cap → every post fails → DLQ.
+    val relay = new ChangeRelay(spark, store,
+      cfg(Seq(failingHttp)).copy(maxPayloadSizeBytes = 5L),
+      None, horizonOf = _ => 1000L)
+    store.setWatermark("prod", "orders", 0L)
+    val (_, v) = relay.runCycle(obj,
+      outboxDf(Seq((1L, 1L, "I", 1.0, """{"k":1}"""))), "20240115000000")
+    assert(v == 1L)
+    assert(store.getWatermark("prod", "orders").contains(1L)) // advanced anyway
+    assert(store.deadLetters.count() == 1)
+
+    // T4: the same failure again is idempotent (D1 dedup).
+    val relayAgain = new ChangeRelay(spark, store,
+      cfg(Seq(failingHttp)).copy(maxPayloadSizeBytes = 5L), None, horizonOf = _ => 1000L)
+    store.resetWatermark("prod", "orders")
+    store.setWatermark("prod", "orders", 0L)
+    relayAgain.runCycle(obj, outboxDf(Seq((1L, 1L, "I", 1.0, """{"k":1}"""))), "20240115000000")
+    assert(store.deadLetters.count() == 1)
+
+    // T5/replay: endpoint recovers → row deleted from DLQ.
+    val (ok, bad) = relay.replayCycle(_ => true, java.sql.Timestamp.valueOf("2024-01-15 01:00:00"))
+    assert(ok == 1 && bad == 0)
+    assert(store.deadLetters.count() == 0)
+  }
+
+  test("replay failure widens backoff and bumps attempts") {
+    val dir = tmp()
+    val store = new ParquetStateStore(spark, dir.resolve("state").toString)
+    val rows = Seq(("k1", "orders", "prod", "db0", "h1", "{}", "boom"))
+      .toDF("source_key", "tracking_object_name", "environment_name",
+        "database_name", "data_hash", "data", "error_message")
+      .withColumn("timestamp", current_timestamp())
+    store.appendDeadLetters(rows)
+    val relay = new ChangeRelay(spark, store, cfg(), None)
+    val (ok, bad) = relay.replayCycle(_ => false, java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    assert(ok == 0 && bad == 1)
+    val row = store.deadLetters.head()
+    assert(row.getAs[Int]("attempts") == 1)
+    assert(row.getAs[java.sql.Timestamp]("next_attempt")
+      .equals(java.sql.Timestamp.valueOf("2024-01-15 00:02:00"))) // 60*2^1
+  }
+
+  test("pause holds the object; resume releases it; reset re-seeds") {
+    val dir = tmp()
+    val store = new ParquetStateStore(spark, dir.resolve("state").toString)
+    val relay = new ChangeRelay(spark, store, cfg(), None, horizonOf = _ => 100L)
+    val changes = outboxDf(Seq((1L, 1L, "I", 1.0, "{}"), (2L, 2L, "U", 2.0, "{}")))
+
+    store.setWatermark("prod", "orders", 0L)
+    store.pause("env:prod", "maintenance", "ops")
+    val (n, _) = relay.runCycle(obj, changes, "20240115000000")
+    assert(n == 0) // held
+    store.resume("env:prod")
+    val (n2, _) = relay.runCycle(obj, changes, "20240115000000")
+    assert(n2 == 2)
+
+    // T8 — delete the watermark: Incremental mode seeds at the frontier.
+    store.resetWatermark("prod", "orders")
+    val (n3, v3) = relay.runCycle(obj, changes, "20240115000000")
+    assert(n3 == 0 && v3 == 2L) // seeded, nothing emitted
+    assert(store.getWatermark("prod", "orders").contains(2L))
+  }
+
+  test("state store: snapshot commit survives re-read and GC keeps history bounded") {
+    val dir = tmp()
+    val store = new ParquetStateStore(spark, dir.resolve("state").toString)
+    (1 to 5).foreach(i => store.setWatermark("e", "o", i.toLong))
+    assert(store.getWatermark("e", "o").contains(5L))
+    val versions = Files.list(dir.resolve("state").resolve("watermarks"))
+      .filter(Files.isDirectory(_)).count()
+    assert(versions <= 2) // current + one predecessor
+  }
+}
