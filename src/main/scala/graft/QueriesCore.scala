@@ -490,7 +490,26 @@ object QueriesCore {
     Q("o2_ordered_listing",
       (s, d) => Windows.topN(Tables.documents(s, d), 10, col("source"), col("doc_id"))
         .select(col("doc_id"), col("source")),
-      Some("SELECT doc_id, source FROM documents ORDER BY source, doc_id LIMIT 10"))
+      Some("SELECT doc_id, source FROM documents ORDER BY source, doc_id LIMIT 10")),
+
+    Q("o3_log_sort_desc",
+      (s, d) => {
+        val line = concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit(" ["), upper(col("event_type")), lit("] "), col("props"))
+        Windows.topN(Tables.events(s, d).select(col("event_id"), line.as("line")),
+          20, col("line").desc, col("event_id").desc)
+      },
+      Some("""SELECT event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') || ' [' || upper(event_type) || '] ' || props AS line
+        |FROM events ORDER BY line DESC, event_id DESC LIMIT 20""".stripMargin)),
+
+    Q("o5_oldest_first_delete",
+      (s, d) => Windows.topN(Fixtures.exportFiles(Tables.events(s, d)), 5,
+          col("day"), col("file_id"))
+        .select(col("env"), col("day").cast("string").as("day"), col("file_id")),
+      Some(withCtes(OracleCtes.exportFiles)(
+        """SELECT env, CAST(day AS VARCHAR) AS day, file_id
+          |FROM export_files ORDER BY day, file_id LIMIT 5""".stripMargin)))
   )
 
   def scalars: Seq[Q] = Seq(
@@ -553,6 +572,30 @@ object QueriesCore {
           (Scalars.gunzip(Scalars.gzip(col("text").cast("binary"))).cast("string")
             === col("text")).as("ok")),
       Some("SELECT doc_id, true AS ok FROM documents")),
+
+    Q("a10_overview_totals",
+      (s, d) => Tables.events(s, d).select(
+          concat(lit("env"), (col("user_id") % 3).cast("string")).as("environment_name"),
+          concat(lit("obj"), (col("user_id") % 5).cast("string")).as("object_name"))
+        .distinct()
+        .agg(countDistinct(col("environment_name")).as("environments"),
+          count(lit(1)).as("total_objects")),
+      Some("""SELECT count(DISTINCT environment_name) AS environments,
+        |       count(*) AS total_objects
+        |FROM (SELECT DISTINCT 'env' || CAST(user_id % 3 AS VARCHAR) AS environment_name,
+        |             'obj' || CAST(user_id % 5 AS VARCHAR) AS object_name FROM events)""".stripMargin)),
+
+    Q("f12_array_ops",
+      (s, d) => outbox(s, d).filter(col("operation") === "U")
+        .select(col("id"),
+          array_contains(col("changed"), "props").as("has_props"),
+          (size(col("changed")) === 0).as("empty_mask"),
+          size(col("changed")).as("mask_len")),
+      Some(withCtes(OracleCtes.outbox)(
+        """SELECT id, list_contains(changed, 'props') AS has_props,
+          |       len(changed) = 0 AS empty_mask,
+          |       CAST(len(changed) AS INTEGER) AS mask_len
+          |FROM outbox WHERE operation = 'U'""".stripMargin))),
 
     Q("f7_correlation_id",
       (s, d) => {

@@ -1,0 +1,88 @@
+package graft.runtime
+
+import graft.SparkSpec
+import graft.sources.{OutboxSource, ProcedureCall, SyncMode}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("U1/S1: OutboxSource honors the sync/seed contract") {
+    val outbox = () => Seq(
+      (1L, 1L, "I"), (2L, 2L, "U"), (3L, 99L, "U")
+    ).toDF("id", "xact_id", "operation")
+    val src = new OutboxSource(outbox, horizonOf = _ => 50L)
+    val sync = src.fetch(spark, 1L, SyncMode.Sync).select("id").as[Long].collect().sorted
+    assert(sync.toSeq == Seq(2L)) // > fromVersion, under horizon
+    val seed = src.fetch(spark, 0L, SyncMode.Seed)
+    assert(seed.count() == 1 && seed.select("version").as[Long].head() == 3L)
+    assert(src.currentVersion(spark) == 2L) // gated frontier
+  }
+
+  test("S1 JDBC flavor: dialect call templates and the single JSON parameter") {
+    assert(ProcedureCall.parameter(42L, SyncMode.Sync) == """{"fromVersion":42,"mode":"sync"}""")
+    assert(ProcedureCall.parameter(0L, SyncMode.Seed) == """{"fromVersion":0,"mode":"seed"}""")
+    assert(ProcedureCall.callSql("SqlServer", "dbo.sp_x").contains("EXEC dbo.sp_x @Parameter = ?"))
+    assert(ProcedureCall.callSql("pgsql", "get_changes").contains("SELECT * FROM get_changes(?::jsonb)"))
+    assert(ProcedureCall.callSql("oracle", "x").isEmpty)
+  }
+
+  test("S6: loadDir parses reference-shaped JSON ordered by filename; diff detects changes") {
+    val dir = Files.createTempDirectory("envs")
+    val envJson =
+      """{"Provider":"postgres",
+        | "ConnectionStrings":{"db0":"Host=h;Database=d"},
+        | "ChangeTracking":{
+        |   "PollingIntervalSeconds": 10,
+        |   "TrackingObjects":[{"Name":"orders","Database":"db0","TableName":"t","StoredProcedureName":"sp","InitialSyncMode":"Incremental"}],
+        |   "ApiEndpoints":[{"Key":"ep1","Url":"http://h/{object}","EnableCompression":true}]}}""".stripMargin
+    Files.writeString(dir.resolve("b-env.json"), envJson)
+    Files.writeString(dir.resolve("a-env.json"), envJson.replace("postgres", "mssql"))
+
+    val loaded = EnvLoader.loadDir(dir.toString)
+    assert(loaded.map(_.config.name) == Seq("a-env", "b-env")) // filename order (O2)
+    val b = loaded(1)
+    assert(b.config.provider == "postgres")
+    assert(b.config.pollingIntervalSeconds == 10)
+    assert(b.config.trackingObjects.head.name == "orders")
+    assert(b.config.endpoints.head.enableCompression)
+    assert(b.connectionStrings("db0").startsWith("Host="))
+    assert(Config.validate(b.config, b.connectionStrings).ok)
+
+    // Single-env selection, case-insensitive.
+    assert(EnvLoader.loadDir(dir.toString, Some("B-ENV")).map(_.config.name) == Seq("b-env"))
+
+    // Reload diff: update one, remove one, add one.
+    Files.writeString(dir.resolve("b-env.json"), envJson.replace("10", "20"))
+    Files.delete(dir.resolve("a-env.json"))
+    Files.writeString(dir.resolve("c-env.json"), envJson)
+    val changes = EnvLoader.diff(loaded, EnvLoader.loadDir(dir.toString))
+    assert(changes.toSet == Set(
+      EnvLoader.Added("c-env"), EnvLoader.Removed("a-env"), EnvLoader.Updated("b-env")))
+  }
+
+  test("T6: never two pollers per environment; reload storm keeps exactly one") {
+    val starts = scala.collection.mutable.ArrayBuffer[String]()
+    val stops = scala.collection.mutable.ArrayBuffer[String]()
+    val mgr = new RelayManager[String](
+      startTask = n => { starts += n; s"task-$n" },
+      stopTask = h => { stops += h; () })
+
+    assert(mgr.start("Prod"))
+    assert(!mgr.start("prod")) // case-insensitive uniqueness
+    assert(mgr.activeCount == 1)
+
+    // Reload storm: many updates never yield a second concurrent task.
+    (1 to 10).foreach(_ => mgr.applyDiff(Seq(EnvLoader.Updated("prod"))))
+    assert(mgr.activeCount == 1)
+    assert(stops.size == 10 && starts.size == 11) // stop-then-start each time
+
+    mgr.applyDiff(Seq(EnvLoader.Removed("prod")))
+    assert(mgr.activeCount == 0)
+    mgr.applyDiff(Seq(EnvLoader.Added("dev"), EnvLoader.Added("dev")))
+    assert(mgr.activeCount == 1)
+    mgr.stopAll()
+    assert(mgr.activeCount == 0)
+  }
+}
