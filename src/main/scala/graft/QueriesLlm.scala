@@ -31,25 +31,18 @@ object QueriesLlm {
   private def h60(x: String): String =
     s"CAST('0x' || substr(sha256($x), 1, 15) AS BIGINT)"
 
-  /** DuckDB shingle-hash lists (mirrors DedupOps.shingleHashRows: token
-    * hashes combined pairwise with the K1/K2 mixing constants; whole-text
-    * hash fallback for documents under 3 tokens). */
+  /** DuckDB shingle-hash lists (mirrors DedupOps.shingleHashRows: hash of
+    * the 3-token shingle string; whole-normalized-text hash fallback for
+    * documents under 3 tokens). */
   private val shinglesCte = {
     val p = DedupOps.MersennePrime31
-    val k1 = DedupOps.ShingleK1
-    val k2 = DedupOps.ShingleK2
-    s"""tokh_docs AS (
-      |  SELECT doc_id, norm,
-      |         list_transform(toks, t -> ${h60("t")} % $p) AS ht,
-      |         len(toks) AS n
-      |  FROM tok_docs),
-      |shingle_docs AS (
+    s"""shingle_docs AS (
       |  SELECT doc_id,
-      |         CASE WHEN n >= 3
-      |              THEN list_transform(range(n - 2),
-      |                     i -> ((ht[i+1] * $k1) % $p + (ht[i+2] * $k2) % $p + ht[i+3]) % $p)
+      |         CASE WHEN len(toks) >= 3
+      |              THEN list_transform(range(len(toks) - 2),
+      |                     i -> ${h60("toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]")} % $p)
       |              ELSE [${h60("norm")} % $p] END AS shingles
-      |  FROM tokh_docs)""".stripMargin
+      |  FROM tok_docs)""".stripMargin
   }
 
   /** DuckDB minhash signature columns sig_0..sig_7 (mirrors

@@ -51,7 +51,7 @@ object DedupOps {
     *
     * NOTE: fine for small inputs/tests, but `element_at` inside the lambda
     * re-evaluates the tokenization chain per element on Spark's interpreted
-    * HOF path — the hot-path pipeline uses [[shingleHashRows]] instead. */
+    * HOF path — the hot-path pipeline uses [[shingleArrays]] instead. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = TextOps.tokens(text)
     when(size(toks) >= k,
@@ -60,40 +60,38 @@ object DedupOps {
       .otherwise(array(TextOps.normalize(text)))
   }
 
-  /** Mixing constants for combining adjacent token hashes into a 3-shingle
-    * hash: `((h1·K1) mod p + (h2·K2) mod p + h3) mod p`. */
-  val ShingleK1 = 1000003L
-  val ShingleK2 = 8191L
-
   /** One row per 3-token shingle: (idCol, _h) where `_h` is the portable
-    * shingle hash in [0, 2^31-1). Documents with fewer than 3 tokens get a
-    * single row hashing the whole normalized text.
+    * shingle hash in [0, 2^31-1); documents under 3 tokens get the
+    * whole-normalized-text hash as their single row.
     *
-    * This is the scale-shaped formulation: tokens are hashed ONCE on
-    * exploded rows (sha2 stays in whole-stage codegen — inside a
-    * higher-order-function lambda it runs interpreted, re-evaluating the
-    * tokenizer per element; measured 18 s vs ~2 s at sf0.1), and adjacent
-    * token hashes combine with integer arithmetic under a window `lead`
-    * keyed on the document id — one hash shuffle that the downstream
-    * signature groupBy reuses. */
+    * Shape, chosen by measurement at sf0.1 — the constraint is keeping the
+    * tokenizer and sha2 on the whole-stage-codegen path and evaluated once:
+    *  - the token array is materialized per document in the projection
+    *    UNDER the Generate (a Generate is a CollapseProject barrier, so
+    *    nothing re-inlines the tokenizer into per-element accesses);
+    *  - the Generate explodes a plain index sequence; shingle text + hash
+    *    are then FLAT column expressions (`element_at` against the bound
+    *    array attribute) — no HOF lambdas (interpreted: 6-18 s), no window
+    *    (WindowExec: 7-10 s), no self-joins (each side re-evaluates the
+    *    hash subtree: 8-9 s). This shape runs ~1 s;
+    *  - the up-front repartition parallelizes small single-row-group files
+    *    (parquet cannot split them) and pre-clusters by doc id for the
+    *    downstream signature groupBy. */
   def shingleHashRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val P = MersennePrime31
-    val base = df.select(col(idCol),
-      (hash60(TextOps.normalize(col(textCol))) % P).as("_doc_h"),
-      posexplode(TextOps.tokens(col(textCol))).as(Seq("_pos", "_tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
-    base
-      .withColumn("_th", hash60(col("_tok")) % P)
-      .withColumn("_t1", lead(col("_th"), 1).over(w))
-      .withColumn("_t2", lead(col("_th"), 2).over(w))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(idCol))))
-      .withColumn("_h",
-        when(col("_n") >= 3 && col("_t2").isNotNull,
-          ((col("_th") * ShingleK1) % P + (col("_t1") * ShingleK2) % P + col("_t2")) % P)
-          .when(col("_n") < 3 && col("_pos") === 0, col("_doc_h")))
-      .filter(col("_h").isNotNull)
-      .select(col(idCol), col("_h"))
+    df.repartition(col(idCol))
+      .select(col(idCol),
+        (hash60(TextOps.normalize(col(textCol))) % P).as("_doc_h"),
+        TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_doc_h"), col("_toks"),
+        explode(sequence(lit(0), greatest(size(col("_toks")) - 3, lit(0)))).as("_idx"))
+      .select(col(idCol),
+        when(size(col("_toks")) >= 3,
+          hash60(concat_ws(" ",
+            expr("element_at(_toks, _idx + 1)"),
+            expr("element_at(_toks, _idx + 2)"),
+            expr("element_at(_toks, _idx + 3)"))) % P)
+          .otherwise(col("_doc_h")).as("_h"))
   }
 
   /** Distinct shingle-hash set per document (for Jaccard verification). */
@@ -117,11 +115,17 @@ object DedupOps {
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numPerms: Int = 8): DataFrame = {
-    val hashed = shingleHashRows(df, idCol, textCol)
+    // Aggregated minima over shingle-hash ROWS. The signature columns come
+    // out as aggregate attributes, which downstream consumers (banding,
+    // joins) reference directly — array_min-over-transform projections get
+    // re-inlined by CollapseProject into every consumer expression
+    // (measured 7-11 s at sf0.1 vs ~1 s for this shape), and any per-element
+    // HOF or window formulation of the shingling itself runs off the
+    // codegen path (~6 s) — see shingleHashRows.
     val aggs = permParams(numPerms).zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("_h") + lit(b)) % MersennePrime31).as(s"sig_$j")
     }
-    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    shingleHashRows(df, idCol, textCol).groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: `numPerms` signature columns → `bands` bucket keys, each
