@@ -265,6 +265,40 @@ object QueriesLlm {
       })
   )
 
+  /** DuckDB LSH bucket expression over quantized vector column `v` with
+    * `planes` hyperplanes (mirrors Similarity.lshKey / hyperplane). */
+  private def duckBucketExpr(planes: Int): String = {
+    val planeDot = (j: Int) =>
+      s"CAST(list_sum(list_transform(range(1, 65), i -> v[i] * (((i-1)*31 + $j*17) % 7 - 3))) AS BIGINT)"
+    (0 until planes).map(j =>
+      s"CASE WHEN ${planeDot(j)} >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+  }
+
+  def embDedup: Seq[Q] = Seq(
+    Q("dedup_embedding",
+      (s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d), minCos = 0.2),
+      Some {
+        s"""WITH keyed AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          |  FROM embeddings),
+          |scored0 AS (
+          |  SELECT vec_id, v, CAST(${duckBucketExpr(12)} AS BIGINT) AS bucket,
+          |         CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS n2
+          |  FROM keyed),
+          |pairs AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+          |         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS score,
+          |         a.n2 AS na2, b.n2 AS nb2
+          |  FROM scored0 a JOIN scored0 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, score,
+          |       CAST(floor(score * 1000 / sqrt(CAST(na2 * nb2 AS DOUBLE))) AS BIGINT) AS cos_milli,
+          |       bucket
+          |FROM pairs
+          |WHERE score > 0.2 * sqrt(CAST(na2 * nb2 AS DOUBLE))""".stripMargin
+      })
+  )
+
   def multimodal: Seq[Q] = Seq(
     Q("mm_frame_sample",
       (s, d) => {
@@ -356,5 +390,5 @@ object QueriesLlm {
         |GROUP BY 1""".stripMargin))
   )
 
-  def all: Seq[Q] = text ++ dedup ++ ann ++ multimodal ++ tpch
+  def all: Seq[Q] = text ++ dedup ++ ann ++ embDedup ++ multimodal ++ tpch
 }

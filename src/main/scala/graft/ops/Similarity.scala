@@ -67,6 +67,31 @@ object Similarity {
       .map(j => when(qdot(quantize(vec), hyperplane(j, dim)) >= 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate candidates: vectors sharing an LSH
+    * bucket whose exact cosine clears `minCos`. The bucket key bounds the
+    * self-join (Σ bucket² pairs, never all-pairs); `planes` trades recall
+    * against bucket size — at 50k vectors, 12 planes keeps buckets ~12 wide.
+    * Scoring is exact on the quantized vectors: `dot > minCos·√(|a|²·|b|²)`
+    * in int64/IEEE arithmetic, so results are engine-portable. */
+  def embeddingNearDup(corpus: DataFrame, minCos: Double,
+                       planes: Int = 12, dim: Int = 64): DataFrame = {
+    val keyed = corpus.select(
+      col("vec_id"), quantize(col("embedding")).as("qv"),
+      lshKey(col("embedding"), planes, dim).as("bucket"))
+      .withColumn("n2", qdot(col("qv"), col("qv")))
+    val a = keyed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("qv").as("qa"), col("n2").as("na2"))
+    val b = keyed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("qv").as("qb"), col("n2").as("nb2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", qdot(col("qa"), col("qb")))
+      .filter(col("score") > lit(minCos) * sqrt((col("na2") * col("nb2")).cast("double")))
+      .withColumn("cos_milli",
+        floor(col("score") * 1000 / sqrt((col("na2") * col("nb2")).cast("double"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("score"), col("cos_milli"), col("bucket"))
+  }
+
   /** ANN top-k via hyperplane LSH: candidates share the query's bucket.
     * One hash shuffle on the bucket key; per-bucket exact re-rank. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
