@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.{GzipCompress, GzipDecompress}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions so they are callable from SQL in any session configured with
+  * `spark.sql.extensions=graft.GraftExtensions` — the (c) rung of the
+  * extension ladder (SURVEY §7.3): codegen'd Catalyst expressions, no UDF
+  * registration required per session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("gzip_compress"),
+      new ExpressionInfo(classOf[GzipCompress].getName, "gzip_compress"),
+      (children: Seq[Expression]) => GzipCompress(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("gzip_decompress"),
+      new ExpressionInfo(classOf[GzipDecompress].getName, "gzip_decompress"),
+      (children: Seq[Expression]) => GzipDecompress(children.head)))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native gzip expressions resolve from SQL via SparkSessionExtensions") {
+    val got = spark.sql(
+      """SELECT cast(gzip_decompress(gzip_compress(cast('hello native codegen' as binary))) as string) AS s,
+        |       octet_length(gzip_compress(cast(repeat('x', 1000) as binary))) AS gz_len
+        |""".stripMargin).as[(String, Int)].head()
+    assert(got._1 == "hello native codegen")
+    assert(got._2 < 1000 && got._2 > 0)
+  }
+
+  test("native gzip via call_function in the Column API matches the UDF") {
+    val df = Seq("payload payload payload").toDF("t")
+    val native = df.select(
+      call_function("gzip_compress", $"t".cast("binary")).as("z")).as[Array[Byte]].head()
+    val viaUdf = df.select(
+      graft.functions.Scalars.gzip($"t".cast("binary")).as("z")).as[Array[Byte]].head()
+    assert(native.sameElements(viaUdf))
+    // and stays inside a codegen'd projection (no BatchEvalPython/ScalaUDF node)
+    val plan = df.select(call_function("gzip_compress", $"t".cast("binary")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+  }
+
+  test("gzip_compress rejects non-binary input with a type error") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT gzip_compress(42)").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("binary") ||
+      ex.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("salted aggregation matches plain groupBy under a hot key") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i.toLong))
+      .toDF("k", "v")
+    val salted = Skew.saltedCount(df, Seq("k"), $"v", buckets = 8)
+      .as[(String, Long)].collect().toMap
+    val plain = df.groupBy("k").count().as[(String, Long)].collect().toMap
+    assert(salted == plain)
+    assert(salted("HOT") == 900L)
+  }
+}
