@@ -144,6 +144,48 @@ object QueriesLlm {
             |FROM scored""".stripMargin)
       }),
 
+    Q("llm_quality_filter",
+      // C4-style keep/drop decision composed from the quality features:
+      // enough words, sane mean word length, not punctuation-soup.
+      (s, d) => TextOps.qualityFeatures(Tables.documents(s, d), "text")
+        .withColumn("keep",
+          col("n_words") >= 10 &&
+          col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0 &&
+          (col("punct_chars").cast("double") / col("n_chars_m")) < lit(0.2))
+        .select(col("doc_id"), col("keep")),
+      Some(withCtes(normDocsCte)(
+        """SELECT doc_id,
+          |       len(toks) >= 10
+          |       AND (CAST(length(norm) - len(toks) + 1 AS DOUBLE) / len(toks)) >= 2.0
+          |       AND (CAST(length(norm) - len(toks) + 1 AS DOUBLE) / len(toks)) <= 12.0
+          |       AND (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+          |            / length(text)) < 0.2 AS keep
+          |FROM tok_docs""".stripMargin))),
+
+    Q("llm_lang_rollup",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.predictedLang(col("text")).as("predicted"))
+        .groupBy(col("predicted"))
+        .agg(count(lit(1)).as("docs")),
+      Some {
+        val markers = TextOps.LangMarkers.toSeq.sortBy(_._1)
+        val scoreCols = markers.map { case (lang, words) =>
+          s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS s_$lang"
+        }.mkString(",\n         ")
+        val langsDesc = markers.map(_._1).reverse
+        val caseChain = langsDesc.map { l =>
+          val others = markers.map(_._1).filter(_ != l)
+          s"WHEN s_$l >= greatest(${others.map("s_" + _).mkString(",")}) THEN '$l'"
+        }.mkString(" ")
+        withCtes(normDocsCte,
+          s"""scored AS (
+            |  SELECT doc_id,
+            |         $scoreCols
+            |  FROM tok_docs)""".stripMargin)(
+          s"""SELECT CASE $caseChain END AS predicted, count(*) AS docs
+            |FROM scored GROUP BY 1""".stripMargin)
+      }),
+
     Q("llm_fingerprint",
       (s, d) => Tables.documents(s, d).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint")),
@@ -157,6 +199,12 @@ object QueriesLlm {
       Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
         |       count(*) AS copies
         |FROM documents GROUP BY 1""".stripMargin)),
+
+    Q("dedup_exact_survivors",
+      (s, d) => DedupOps.exactDedupSurvivors(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))""".stripMargin)),
 
     Q("dedup_minhash_sig",
       (s, d) => DedupOps.minhashSignature(Tables.documents(s, d), "doc_id", "text", 8)
