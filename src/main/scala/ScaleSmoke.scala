@@ -1,0 +1,40 @@
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, Similarity}
+
+/** Scale smoke: replicate documents 20x (100k docs) and embeddings 4x (200k
+  * vectors) and check the dedup/ANN pipelines scale ~linearly. */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n0 = docs0.count()
+    // 20 copies, each with shifted ids; even copies keep identical text
+    // (real duplicates for the pipeline to find).
+    val copies = spark.range(20).withColumnRenamed("id", "copy")
+    val docs = docs0.crossJoin(copies)
+      .select((col("doc_id") + col("copy") * 1000000).as("doc_id"),
+        when(col("copy") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" variant "), col("copy"))).as("text"))
+    docs.cache(); val n = docs.count()
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $name%-26s ${(System.nanoTime()-t0)/1e9}%7.2f s  ($r rows over $n docs)")
+    }
+    t("exact dedup")(DedupOps.exactDedup(docs, "doc_id", "text").count())
+    t("minhash signatures")(DedupOps.minhashSignature(docs, "doc_id", "text", 8).count())
+    t("lsh candidate pairs")(DedupOps.candidatePairs(
+      DedupOps.lshBuckets(DedupOps.minhashSignature(docs, "doc_id", "text", 8), "doc_id"), "doc_id").count())
+    val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val emb = emb0.crossJoin(spark.range(4).withColumnRenamed("id", "c"))
+      .select((col("vec_id") + col("c") * 1000000).as("vec_id"), col("embedding"))
+    emb.cache(); val m = emb.count()
+    t(s"embedding near-dup ($m)")(Similarity.embeddingNearDup(emb, 0.2).count())
+    spark.stop()
+  }
+}

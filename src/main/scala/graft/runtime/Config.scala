@@ -69,13 +69,23 @@ object Config {
     env.endpoints.foreach { ep =>
       if (Option(ep.key).forall(_.trim.isEmpty))
         errors += "endpoint with empty Key"
-      ep.kind.toLowerCase match {
-        case "http" | "file" | "kafka" =>
+      val kind = Option(ep.kind).getOrElse("").toLowerCase
+      kind match {
+        case "http" =>
           if (Option(ep.target).forall(_.trim.isEmpty))
-            errors += s"endpoint '${ep.key}': target (url/path/topic) is required"
-        case "rabbitmq" | "azureservicebus" | "awssqs" | "eventhubs" =>
+            errors += s"endpoint '${ep.key}': http Url is required"
+          else if (!ep.target.startsWith("http://") && !ep.target.startsWith("https://"))
+            errors += s"endpoint '${ep.key}': Url must start with http:// or https://"
+        case "file" | "kafka" =>
           if (Option(ep.target).forall(_.trim.isEmpty))
-            errors += s"endpoint '${ep.key}': ${ep.kind} queue/topic is required"
+            errors += s"endpoint '${ep.key}': target (path/topic) is required"
+        case k if BrokerRequiredFields.contains(k) =>
+          if (Option(ep.target).forall(_.trim.isEmpty))
+            errors += s"endpoint '${ep.key}': $k queue/topic is required"
+          val missing = BrokerRequiredFields(k).filterNot(f =>
+            ep.headers.keys.exists(_.equalsIgnoreCase(f)))
+          if (missing.nonEmpty)
+            errors += s"endpoint '${ep.key}': $k config missing required ${missing.mkString(", ")}"
         case other =>
           errors += s"endpoint '${ep.key}': unknown sink kind '$other'"
       }
@@ -83,6 +93,17 @@ object Config {
 
     Validation(errors.result(), warnings.result())
   }
+
+  /** Per-broker required connection fields, mirroring the reference's
+    * validator + guard checks (ConfigurationValidator.cs:117-341,
+    * MessageQueueService guards; carried in the endpoint's opaque config
+    * map here). */
+  val BrokerRequiredFields: Map[String, Seq[String]] = Map(
+    "rabbitmq" -> Seq("HostName"),
+    "azureservicebus" -> Seq("ConnectionString"),
+    "awssqs" -> Seq("Region", "QueueUrl"),
+    "eventhubs" -> Seq("ConnectionString", "EventHubName"),
+    "kafka" -> Seq())
 
   /** T8/S8 invariant from the dialect parity suite: a dialect without a
     * server-side watermark must be seedable through the procedure

@@ -40,12 +40,27 @@ class ConfigSinksSpec extends SparkSpec {
     assert(v.ok && v.warnings.exists(_.contains("PollingIntervalSeconds")))
   }
 
-  test("endpoint validation: unknown kind and missing target error") {
+  test("endpoint validation: unknown kind, missing target, malformed url") {
     val v = Config.validate(env(eps = Seq(
       SinkEndpoint("a", "http", ""),
-      SinkEndpoint("b", "carrierpigeon", "x"))))
-    assert(v.errors.exists(_.contains("'a': target")))
+      SinkEndpoint("b", "carrierpigeon", "x"),
+      SinkEndpoint("c", "http", "ftp://nope"))))
+    assert(v.errors.exists(_.contains("'a': http Url is required")))
     assert(v.errors.exists(_.contains("unknown sink kind 'carrierpigeon'")))
+    assert(v.errors.exists(_.contains("'c': Url must start with")))
+  }
+
+  test("broker endpoint validation: per-broker required fields") {
+    val v = Config.validate(env(eps = Seq(
+      SinkEndpoint("r", "rabbitmq", "q1"),                       // missing HostName
+      SinkEndpoint("s", "awssqs", "q2", headers = Map("Region" -> "eu-1")), // missing QueueUrl
+      SinkEndpoint("e", "eventhubs", "hub",
+        headers = Map("ConnectionString" -> "cs", "EventHubName" -> "hub")), // complete
+      SinkEndpoint("k", "kafka", "topic1"))))                    // topic-only is fine
+    assert(v.errors.exists(_.contains("'r': rabbitmq config missing required HostName")))
+    assert(v.errors.exists(e => e.contains("'s'") && e.contains("QueueUrl") && !e.contains("Region")))
+    assert(!v.errors.exists(_.contains("'e'")))
+    assert(!v.errors.exists(_.contains("'k'")))
   }
 
   test("connection-prop merge: user keys win over dialect defaults") {
