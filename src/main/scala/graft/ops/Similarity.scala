@@ -61,11 +61,30 @@ object Similarity {
     array((0 until dim).map(i => lit(((i * 31 + j * 17) % 7 - 3).toLong)): _*)
 
   /** LSH bucket key: sign bits of the dot products with `planes`
-    * hyperplanes. */
+    * hyperplanes (per-row HOF form; [[lshBucketOf]] is the codegen form
+    * used on large corpora). */
   def lshKey(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes)
       .map(j => when(qdot(quantize(vec), hyperplane(j, dim)) >= 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
+
+  /** (vec_id, bucket) computed on the codegen path: elements exploded once,
+    * all plane dot products as conditional SUMs in one map-side-combined
+    * groupBy — the per-row HOF form evaluates `planes × dim` interpreted
+    * lambdas per vector, which dominates at corpus scale. */
+  def lshBucketOf(df: DataFrame, planes: Int): DataFrame = {
+    val el = df.repartition(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("_i", "_x")))
+      .select(col("vec_id"), col("_i"),
+        round(col("_x").cast("double") * 1000).cast("long").as("_q"))
+    val sums = (0 until planes).map { j =>
+      sum(col("_q") * (((col("_i") * 31 + j * 17) % 7) - 3)).as(s"_d$j")
+    }
+    el.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
+      .select(col("vec_id"),
+        (0 until planes).map(j => when(col(s"_d$j") >= 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("bucket"))
+  }
 
   /** Embedding-cosine near-duplicate candidates: vectors sharing an LSH
     * bucket whose exact cosine clears `minCos`. The bucket key bounds the
@@ -75,9 +94,8 @@ object Similarity {
     * in int64/IEEE arithmetic, so results are engine-portable. */
   def embeddingNearDup(corpus: DataFrame, minCos: Double,
                        planes: Int = 12, dim: Int = 64): DataFrame = {
-    val keyed = corpus.select(
-      col("vec_id"), quantize(col("embedding")).as("qv"),
-      lshKey(col("embedding"), planes, dim).as("bucket"))
+    val keyed = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .join(lshBucketOf(corpus, planes), Seq("vec_id"))
       .withColumn("n2", qdot(col("qv"), col("qv")))
     val a = keyed.select(col("bucket"), col("vec_id").as("id_a"),
       col("qv").as("qa"), col("n2").as("na2"))
