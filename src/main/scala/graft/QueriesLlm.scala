@@ -186,6 +186,41 @@ object QueriesLlm {
             |FROM scored GROUP BY 1""".stripMargin)
       }),
 
+    Q("llm_bigram_coverage",
+      // Boilerplate signal: corpus-wide top-20 bigrams (broadcast dimension)
+      // joined back per document — fraction of the document's bigrams that
+      // are corpus-dominant. High coverage = templated/boilerplate text.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bigrams = DedupOps.tokenBigrams(docs, "doc_id", "text")
+        val top = broadcast(
+          bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
+            .orderBy(col("freq").desc, col("bigram")).limit(20)
+            .select(col("bigram")))
+        bigrams
+          .join(top.withColumn("is_top", lit(1)), Seq("bigram"), "left_outer")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(coalesce(col("is_top"), lit(0))).as("top_hits"))
+          .withColumn("coverage_milli",
+            floor(col("top_hits") * 1000.0 / col("n_bigrams")).cast("long"))
+          .select(col("doc_id"), col("n_bigrams"), col("top_hits"), col("coverage_milli"))
+      },
+      Some(withCtes(normDocsCte,
+        """bigram_docs AS (
+          |  SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+          |           i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+          |  FROM tok_docs WHERE len(toks) >= 2),
+          |top_bigrams AS (
+          |  SELECT bigram FROM bigram_docs GROUP BY 1
+          |  ORDER BY count(*) DESC, bigram LIMIT 20)""".stripMargin)(
+        """SELECT doc_id, count(*) AS n_bigrams,
+          |       CAST(sum(CASE WHEN t.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS top_hits,
+          |       CAST(floor(sum(CASE WHEN t.bigram IS NOT NULL THEN 1 ELSE 0 END) * 1000.0 / count(*)) AS BIGINT)
+          |         AS coverage_milli
+          |FROM bigram_docs b LEFT JOIN top_bigrams t USING (bigram)
+          |GROUP BY doc_id""".stripMargin))),
+
     Q("llm_fingerprint",
       (s, d) => Tables.documents(s, d).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint")),
@@ -366,6 +401,31 @@ object QueriesLlm {
   )
 
   def tpch: Seq[Q] = Seq(
+    Q("q_monthly_revenue",
+      // Time-series rollup: monthly order revenue with a running cumulative
+      // sum — the window partitions by priority so the frame never spans the
+      // whole table in one partition.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val monthly = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"),
+            count(lit(1)).as("orders"))
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        monthly.withColumn("cumulative_cents", sum(col("revenue_cents")).over(w))
+      },
+      Some(s"""SELECT o_orderpriority, month, revenue_cents, orders,
+        |       CAST(sum(revenue_cents) OVER (
+        |         PARTITION BY o_orderpriority ORDER BY month
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_cents
+        |FROM (
+        |  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+        |         sum(${centsSql("o_totalprice")}) AS revenue_cents,
+        |         count(*) AS orders
+        |  FROM orders GROUP BY 1, 2)""".stripMargin)),
+
     Q("q1_pricing_summary",
       (s, d) => Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
