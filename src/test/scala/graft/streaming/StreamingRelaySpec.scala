@@ -53,5 +53,21 @@ class StreamingRelaySpec extends SparkSpec {
       .filter(Files.isRegularFile(_)).count()
     assert(exports == 2) // one file per non-empty micro-batch
     assert(query.name == "graft-relay-prod") // T6 uniqueness key
+
+    // T2 — checkpoint recovery: a RESTARTED query on the same checkpoint
+    // must not reprocess already-committed files; a new file appended while
+    // stopped is picked up exactly once.
+    rows(Seq((4L, 4L, "I", 4.0, "{}"))).coalesce(1)
+      .write.mode("append").parquet(outboxDir)
+    val restarted = ChangeRelay.streamFromOutboxDir(
+      spark, relay, obj, outboxDir, outboxSchema,
+      root.resolve("ckpt").toString, "prod", intervalSeconds = 1)
+    try {
+      restarted.processAllAvailable()
+      assert(store.getWatermark("prod", "orders").contains(4L))
+    } finally restarted.stop()
+    val exportsAfter = Files.walk(root.resolve("exports"))
+      .filter(Files.isRegularFile(_)).count()
+    assert(exportsAfter == 3) // exactly one new export, nothing replayed
   }
 }
