@@ -37,6 +37,32 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Quantized elements as rows: (vec_id, _i, _q) — the layout for
+    * codegen-path scoring at corpus scale. */
+  def elementRows(df: DataFrame): DataFrame =
+    df.repartition(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("_i", "_x")))
+      .select(col("vec_id"), col("_i"),
+        round(col("_x").cast("double") * 1000).cast("long").as("_q"))
+
+  /** Exact dot products for an arbitrary candidate-pair set, computed
+    * matrix-multiply-style: pairs join the element table per side and
+    * reduce with one hash aggregation — every operator whole-stage codegen.
+    *
+    * This is the shape for LARGE candidate sets (the in-row
+    * `zip_with`+`aggregate` scoring runs interpreted at ~µs/element, which
+    * is fine for thousands of pairs and fatal for billions); the cost here
+    * is two shuffles of |pairs|×dim element rows, which scales out
+    * horizontally. */
+  def scorePairsExact(pairs: DataFrame, corpus: DataFrame): DataFrame = {
+    val e = elementRows(corpus)
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("_i"), col("_q").as("_qa")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("_i"), col("_q").as("_qb")), Seq("id_b", "_i"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("_qa") * col("_qb")).as("score"))
+  }
+
   /** Exact top-k neighbours per query by quantized dot product.
     * `queries` is expected small (it is broadcast); ties break on vec_id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -1,0 +1,61 @@
+package graft.runtime
+
+/** D2 — keyed resource pool with single-flight construction, mirroring the
+  * reference's connection/producer caches (RabbitMQ connections keyed
+  * `host:port:vhost` behind a Lazy; Kafka producers keyed
+  * `servers:topic:user` — Source/Services/MessageQueueService.cs:26-27,
+  * 268-322,581-616). Driver-side state, not a data operator: sinks share
+  * one live connection per key, concurrent first-use builds it once.
+  */
+final class KeyedPool[V](build: String => V, close: V => Unit = (_: V) => ()) {
+
+  private val cells = new java.util.concurrent.ConcurrentHashMap[String, Lazy]()
+
+  private final class Lazy {
+    lazy val value: V = build(pendingKey)
+    @volatile var pendingKey: String = _
+  }
+
+  /** Get-or-create: concurrent callers for the same key all observe the
+    * same instance; `build` runs at most once per key (single-flight). */
+  def get(key: String): V = {
+    val cell = cells.computeIfAbsent(key, k => { val l = new Lazy; l.pendingKey = k; l })
+    cell.value
+  }
+
+  def contains(key: String): Boolean = cells.containsKey(key)
+  def size: Int = cells.size()
+
+  /** Evict one key (e.g. after a broken connection), closing the resource. */
+  def evict(key: String): Unit = {
+    val cell = cells.remove(key)
+    if (cell != null) close(cell.value)
+  }
+
+  /** Close everything (shutdown flush path). */
+  def closeAll(): Unit = {
+    val it = cells.keySet().iterator()
+    while (it.hasNext) evict(it.next())
+  }
+}
+
+/** §3.3 — connection-health probe tracker: per-target consecutive-failure
+  * counting on a sweep cycle (reference ConnectionHealthCheckService.cs:
+  * 43-161, 15-minute cadence). The probe itself is injected (no egress). */
+final class HealthTracker(probe: String => Boolean) {
+  private val failures = scala.collection.mutable.Map[String, Int]()
+  private val lastOk = scala.collection.mutable.Map[String, Boolean]()
+
+  /** Run one sweep over the targets; returns (target → healthy). */
+  def sweep(targets: Seq[String]): Map[String, Boolean] = synchronized {
+    targets.map { t =>
+      val ok = try probe(t) catch { case _: Exception => false }
+      if (ok) failures(t) = 0 else failures(t) = failures.getOrElse(t, 0) + 1
+      lastOk(t) = ok
+      t -> ok
+    }.toMap
+  }
+
+  def consecutiveFailures(target: String): Int = synchronized(failures.getOrElse(target, 0))
+  def isHealthy(target: String): Boolean = synchronized(lastOk.getOrElse(target, true))
+}
