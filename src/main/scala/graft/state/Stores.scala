@@ -53,11 +53,15 @@ final class ParquetStateStore(spark: SparkSession, rootDir: String) {
     Files.writeString(pointer(name), s"v$next")
     // GC everything except the new current and its immediate predecessor.
     val keep = Set(Some(dir), prev).flatten.map(_.getFileName.toString)
-    Files.list(tableRoot(name)).filter(p =>
+    val listing = Files.list(tableRoot(name))
+    try listing.filter(p =>
         Files.isDirectory(p) && !keep.contains(p.getFileName.toString))
       .forEach { p =>
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+        finally walk.close()
       }
+    finally listing.close()
   }
 
   // ---- watermarks (LastVersions) ----------------------------------------
@@ -126,7 +130,11 @@ final class ParquetStateStore(spark: SparkSession, rootDir: String) {
   def deadLetters: DataFrame = read("dead_letters", dlqSchema)
 
   /** K9/D1 — append failures with exactly-once-per-payload semantics:
-    * a (source_key, data_hash) already present is skipped (T4). */
+    * a (source_key, data_hash) already present is skipped (T4).
+    *
+    * Id assignment uses an unpartitioned window — fine here by design: an
+    * append is one cycle's failures (bounded by batch caps), never a
+    * data-scale frame. */
   def appendDeadLetters(rows: DataFrame): Unit = {
     val existing = deadLetters
     val maxId = existing.agg(coalesce(max("id"), lit(0L))).collect()(0).getLong(0)
