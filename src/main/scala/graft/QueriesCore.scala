@@ -558,6 +558,35 @@ object QueriesCore {
         |       upper(event_type) AS level, props AS msg
         |FROM events""".stripMargin)),
 
+    Q("f9_log_fold",
+      (s, d) => {
+        // Every 5th line is a continuation (no timestamp prefix); fold each
+        // onto its preceding entry and count lines per entry.
+        val line = when(col("event_id") % 5 === 4,
+            concat(lit("  at frame "), col("props")))
+          .otherwise(concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit(" ["), upper(col("event_type")), lit("] "), col("props")))
+        val lines = Tables.events(s, d)
+          .select(col("event_id"), to_date(col("ts")).as("day"), line.as("line"))
+        Scalars.foldContinuations(lines, "line", "event_id", col("day"))
+          .groupBy(col("entry_id"))
+          .agg(count(lit(1)).as("n_lines"))
+      },
+      Some("""WITH lines AS (
+        |  SELECT event_id, CAST(ts AS DATE) AS day,
+        |         CASE WHEN event_id % 5 = 4 THEN '  at frame ' || props
+        |              ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') || ' [' || upper(event_type) || '] ' || props
+        |         END AS line
+        |  FROM events),
+        |tagged AS (
+        |  SELECT event_id, day,
+        |         last_value(CASE WHEN regexp_extract(line, '^(\S+ \S+) \[(\w+)\] (.*)$', 1) <> ''
+        |                         THEN event_id END IGNORE NULLS)
+        |           OVER (PARTITION BY day ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS entry_id
+        |  FROM lines)
+        |SELECT entry_id, count(*) AS n_lines
+        |FROM tagged WHERE entry_id IS NOT NULL GROUP BY 1""".stripMargin)),
+
     Q("f11_prefix_split",
       (s, d) => dlq(s, d).filter(col("environment_name") === "env0")
         .select(col("id"),

@@ -57,6 +57,22 @@ object Scalars {
   def logLevel(line: Column): Column = regexp_extract(line, LogLineRe, 2)
   def logMsg(line: Column): Column   = regexp_extract(line, LogLineRe, 3)
 
+  /** F9 — continuation fold: lines that do not match the log pattern belong
+    * to the previous matching entry (stack traces etc., Program.cs:788-800).
+    * Each line is tagged with its entry's anchor via `last(_, ignoreNulls)`
+    * over an ordered window. Partitioned by `dayCol` so the window never
+    * spans one global partition at scale (a midnight-crossing continuation
+    * folds into the new day — bounded, deterministic drift). */
+  def foldContinuations(df: org.apache.spark.sql.DataFrame, lineCol: String,
+                        orderCol: String, dayCol: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(dayCol).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val anchor = when(logTs(col(lineCol)) =!= "", col(orderCol))
+    df.withColumn("entry_id", last(anchor, ignoreNulls = true).over(w))
+      .filter(col("entry_id").isNotNull) // leading orphan continuations drop
+  }
+
   /** F5 — gzip. No Spark built-in; a deterministic JVM UDF (fixed header, no
     * timestamp byte — level/OS fields zeroed by the JDK's GZIPOutputStream
     * defaults). Ref: Source/Helpers/Gzip.cs:9-18; used with base64() when a

@@ -73,28 +73,30 @@ final class ChangeRelay(
             .withColumn("g", concat(col("g"), lit("#"), col("batch"))),
           "g")
         val payloads = envelopes.select("g", "envelope_json").as[(String, String)].collect()
-        val failures = scala.collection.mutable.ArrayBuffer[ExportFailure]()
+        // (failure, the failing payload) — each dead letter carries ITS OWN
+        // envelope so replay re-sends exactly what failed
+        // (DeadLetterService.cs stores the Data JSON per failure).
+        val failures = scala.collection.mutable.ArrayBuffer[(ExportFailure, String)]()
         payloads.foreach { case (g, json) =>
           val batchNo = g.substring(g.lastIndexOf('#') + 1).toInt
           val meta = ExportMeta(config.name, obj.name, obj.database, nowUtc,
             batchNo, payloads.length)
           fileSinkTemplate.foreach { tpl =>
-            Sinks.writeFile(json, tpl, meta).left.foreach(failures += _)
+            Sinks.writeFile(json, tpl, meta).left.foreach(f => failures += ((f, json)))
           }
           config.endpoints.filter(_.kind == "http").foreach { ep =>
             Sinks.prepareHttp(json, ep.target, meta, ep.headers, ep.enableCompression,
                 config.maxPayloadSizeBytes)
-              .left.foreach(failures += _)
+              .left.foreach(f => failures += ((f, json)))
           }
         }
         // K9 — every failure dead-letters with D1 dedup.
         if (failures.nonEmpty) {
           val fdf = failures.toSeq
-            .map(f => (s"${config.name}_${obj.name}_${obj.database}", obj.name,
-              config.name, obj.database, f.error))
+            .map { case (f, json) => (s"${config.name}_${obj.name}_${obj.database}",
+              obj.name, config.name, obj.database, f.error, json) }
             .toDF("source_key", "tracking_object_name", "environment_name",
-              "database_name", "error_message")
-            .withColumn("data", lit(payloads.head._2))
+              "database_name", "error_message", "data")
             .withColumn("data_hash", sha2(col("data"), 256))
             .withColumn("timestamp", current_timestamp())
           store.appendDeadLetters(fdf)
