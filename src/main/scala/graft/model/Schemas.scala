@@ -60,10 +60,10 @@ object Schemas {
   /** Watermark control table — reference SQLite LastVersions
     * (ChangeTrackingBackgroundService.cs:158-173). */
   val watermarkSchema: StructType = StructType(Seq(
-    StructField("environmentName", StringType, nullable = false),
-    StructField("objectName", StringType, nullable = false),
-    StructField("lastVersion", LongType, nullable = false),
-    StructField("lastUpdated", TimestampType, nullable = false)
+    StructField("environment_name", StringType, nullable = false),
+    StructField("object_name", StringType, nullable = false),
+    StructField("last_version", LongType, nullable = false),
+    StructField("last_updated", TimestampType, nullable = false)
   ))
 
   /** Pause control table — reference Pauses (PauseService.cs:27-48).
@@ -71,24 +71,24 @@ object Schemas {
   val pauseSchema: StructType = StructType(Seq(
     StructField("scope", StringType, nullable = false),
     StructField("reason", StringType, nullable = true),
-    StructField("pausedBy", StringType, nullable = true),
-    StructField("pausedAt", TimestampType, nullable = false)
+    StructField("paused_by", StringType, nullable = true),
+    StructField("paused_at", TimestampType, nullable = false)
   ))
 
   /** Dead-letter table — reference DeadLetters (DeadLetterService.cs:36-72),
     * unique on (sourceKey, dataHash). */
   val deadLetterSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
-    StructField("sourceKey", StringType, nullable = false),
-    StructField("trackingObjectName", StringType, nullable = false),
-    StructField("environmentName", StringType, nullable = true),
-    StructField("databaseName", StringType, nullable = false),
-    StructField("dataHash", StringType, nullable = false),
+    StructField("source_key", StringType, nullable = false),
+    StructField("tracking_object_name", StringType, nullable = false),
+    StructField("environment_name", StringType, nullable = true),
+    StructField("database_name", StringType, nullable = false),
+    StructField("data_hash", StringType, nullable = false),
     StructField("data", StringType, nullable = false),
-    StructField("errorMessage", StringType, nullable = false),
+    StructField("error_message", StringType, nullable = false),
     StructField("timestamp", TimestampType, nullable = false),
     StructField("attempts", IntegerType, nullable = false),
-    StructField("nextAttempt", TimestampType, nullable = true)
+    StructField("next_attempt", TimestampType, nullable = true)
   ))
 }
 

@@ -198,6 +198,7 @@ object DedupOps {
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = docs.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0) // empty-norm docs emit no rows (matches oracle)
       .withColumn("h", hash60(col("tok")))
     val bitSums = (0 until 16).map { i =>
       sum(when(shiftRight(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit_$i")

@@ -49,16 +49,27 @@ object Envelope {
     * MaxRecordsPerBatch) must be applied upstream of this fold.
     */
   def encode(rows: DataFrame, groupCol: String): DataFrame = {
-    // One change row → one flat JSON object: $-meta keys + user keys from the
-    // payload map (wire rows are flat, stored-procedure.md:62-70). Values are
-    // carried as JSON strings — the normalized tri-state representation.
-    val rowJson = to_json(
-      map_concat(
-        map(
-          lit("$operation"), col("operation"),
-          lit("$version"), col("version").cast(StringType),
-          lit("$changed"), to_json(col("changed"))),
-        coalesce(col("payload"), map())))
+    // One change row → one flat JSON object: $-meta keys + user keys from
+    // the payload map (wire rows are flat, stored-procedure.md:62-70).
+    // The $-meta keys keep their CONTRACT types — $version is a JSON number
+    // and $changed a real array — so reference-compatible consumers parse
+    // engine-encoded envelopes; user payload values ride as JSON strings
+    // (the normalized tri-state representation). decode() handles both
+    // (Spark's map<string,string> parser captures nested JSON as raw text).
+    val payloadJson = to_json(coalesce(col("payload"), map()))
+    val payloadFragment = when(length(payloadJson) > 2,
+      concat(lit(","), payloadJson.substr(lit(2), length(payloadJson) - 2)))
+      .otherwise("")
+    val rowJson = concat(
+      lit("""{"$operation":"""),
+      when(col("operation").isNull, "null")
+        .otherwise(concat(lit("\""), col("operation"), lit("\""))),
+      lit(""","$version":"""),
+      when(col("version").isNull, "null").otherwise(col("version").cast(StringType)),
+      lit(""","$changed":"""),
+      coalesce(to_json(col("changed")), lit("null")),
+      payloadFragment,
+      lit("}"))
     val dataArr = array_sort(
       collect_list(struct(col("version").as("v"), rowJson.as("j"))))
     rows

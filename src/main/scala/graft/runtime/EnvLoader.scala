@@ -57,12 +57,25 @@ object EnvLoader {
     val eps: Seq[SinkEndpoint] =
       if (ct != null && ct.has("ApiEndpoints"))
         ct.get("ApiEndpoints").elements().asScala.map { e =>
+          // Carry every remaining scalar field (plus the MessageQueue config
+          // object's fields) in the opaque headers map — this is where the
+          // per-broker connection settings (HostName, ConnectionString,
+          // Region, QueueUrl, EventHubName, ...) live for Config.validate.
+          val known = Set("Key", "MessageQueueType", "Url", "EnableCompression", "MessageQueue")
+          def scalars(n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+            if (n == null || !n.isObject) Map.empty
+            else n.properties().asScala
+              .filter(kv => kv.getValue.isValueNode && !kv.getValue.isNull)
+              .map(kv => kv.getKey -> kv.getValue.asText()).toMap
+          val topLevel = scalars(e).view.filterKeys(!known.contains(_)).toMap
+          val mq = scalars(if (e.has("MessageQueue")) e.get("MessageQueue") else null)
           SinkEndpoint(
             key = text(e, "Key"),
             kind = if (e.has("MessageQueueType")) text(e, "MessageQueueType", "http").toLowerCase
                    else "http",
             target = text(e, "Url"),
-            enableCompression = e.has("EnableCompression") && e.get("EnableCompression").asBoolean(false))
+            enableCompression = e.has("EnableCompression") && e.get("EnableCompression").asBoolean(false),
+            headers = topLevel ++ mq)
         }.toSeq
       else Seq.empty
 
@@ -83,9 +96,12 @@ object EnvLoader {
   def loadDir(dir: String, onlyEnv: Option[String] = None): Seq[Loaded] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) return Seq.empty
-    val files = Files.list(p).iterator().asScala
-      .filter(f => f.toString.endsWith(".json"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val listing = Files.list(p)
+    val files =
+      try listing.iterator().asScala
+        .filter(f => f.toString.endsWith(".json"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
     val loaded = files.map { f =>
       val name = f.getFileName.toString.stripSuffix(".json")
       parse(name, Files.readString(f))

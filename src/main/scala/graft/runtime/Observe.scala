@@ -44,5 +44,5 @@ object Observe {
 
   /** Pauses newest-first (O6). */
   def pauses(store: ParquetStateStore): DataFrame =
-    store.pauses.orderBy(col("pausedAt").desc, col("scope"))
+    store.pauses.orderBy(col("paused_at").desc, col("scope"))
 }

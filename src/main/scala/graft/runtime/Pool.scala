@@ -12,7 +12,8 @@ final class KeyedPool[V](build: String => V, close: V => Unit = (_: V) => ()) {
   private val cells = new java.util.concurrent.ConcurrentHashMap[String, Lazy]()
 
   private final class Lazy {
-    lazy val value: V = build(pendingKey)
+    @volatile var built = false
+    lazy val value: V = { val v = build(pendingKey); built = true; v }
     @volatile var pendingKey: String = _
   }
 
@@ -26,10 +27,13 @@ final class KeyedPool[V](build: String => V, close: V => Unit = (_: V) => ()) {
   def contains(key: String): Boolean = cells.containsKey(key)
   def size: Int = cells.size()
 
-  /** Evict one key (e.g. after a broken connection), closing the resource. */
+  /** Evict one key (e.g. after a broken connection), closing the resource
+    * if it was ever built (never construct just to close). A caller that
+    * raced get() against evict() may hold a closed resource — the next use
+    * fails and re-enters through get(), same as the reference's caches. */
   def evict(key: String): Unit = {
     val cell = cells.remove(key)
-    if (cell != null) close(cell.value)
+    if (cell != null && cell.built) close(cell.value)
   }
 
   /** Close everything (shutdown flush path). */

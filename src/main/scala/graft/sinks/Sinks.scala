@@ -157,13 +157,17 @@ object Sinks {
     private val failures = scala.collection.mutable.Map[String, Int]()
     private val openedAt = scala.collection.mutable.Map[String, Long]()
 
-    def allowed(key: String): Boolean = openedAt.get(key) match {
-      case Some(t) if clock() - t < openMillis => false
-      case Some(_) => openedAt.remove(key); failures(key) = 0; true
-      case None => true
+    def allowed(key: String): Boolean = synchronized {
+      openedAt.get(key) match {
+        case Some(t) if clock() - t < openMillis => false
+        case Some(_) => openedAt.remove(key); failures(key) = 0; true
+        case None => true
+      }
     }
-    def recordSuccess(key: String): Unit = { failures(key) = 0; openedAt.remove(key) }
-    def recordFailure(key: String): Unit = {
+    def recordSuccess(key: String): Unit = synchronized {
+      failures(key) = 0; openedAt.remove(key)
+    }
+    def recordFailure(key: String): Unit = synchronized {
       val n = failures.getOrElse(key, 0) + 1
       failures(key) = n
       if (n >= threshold) openedAt(key) = clock()

@@ -66,13 +66,7 @@ final class ParquetStateStore(spark: SparkSession, rootDir: String) {
 
   // ---- watermarks (LastVersions) ----------------------------------------
 
-  private val wmSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("environment_name", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("object_name", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("last_version", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("last_updated", org.apache.spark.sql.types.TimestampType)))
-
-  def watermarks: DataFrame = read("watermarks", wmSchema)
+  def watermarks: DataFrame = read("watermarks", Schemas.watermarkSchema)
 
   /** J6 — the `INSERT … ON CONFLICT DO UPDATE` upsert. */
   def setWatermark(env: String, obj: String, version: Long): Unit = {
@@ -102,8 +96,8 @@ final class ParquetStateStore(spark: SparkSession, rootDir: String) {
   def pause(scope: String, reason: String, by: String): Unit = {
     import spark.implicits._
     val row = Seq((scope.toLowerCase, reason, by))
-      .toDF("scope", "reason", "pausedBy")
-      .withColumn("pausedAt", current_timestamp())
+      .toDF("scope", "reason", "paused_by")
+      .withColumn("paused_at", current_timestamp())
     commit("pauses", pauses.filter(col("scope") =!= scope.toLowerCase).unionByName(row))
   }
 
@@ -114,20 +108,7 @@ final class ParquetStateStore(spark: SparkSession, rootDir: String) {
 
   // ---- dead letters -----------------------------------------------------
 
-  private val dlqSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("source_key", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("tracking_object_name", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("environment_name", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("database_name", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("data_hash", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("data", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("error_message", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.TimestampType),
-    org.apache.spark.sql.types.StructField("attempts", org.apache.spark.sql.types.IntegerType),
-    org.apache.spark.sql.types.StructField("next_attempt", org.apache.spark.sql.types.TimestampType)))
-
-  def deadLetters: DataFrame = read("dead_letters", dlqSchema)
+  def deadLetters: DataFrame = read("dead_letters", Schemas.deadLetterSchema)
 
   /** K9/D1 — append failures with exactly-once-per-payload semantics:
     * a (source_key, data_hash) already present is skipped (T4).
@@ -138,7 +119,12 @@ final class ParquetStateStore(spark: SparkSession, rootDir: String) {
   def appendDeadLetters(rows: DataFrame): Unit = {
     val existing = deadLetters
     val maxId = existing.agg(coalesce(max("id"), lit(0L))).collect()(0).getLong(0)
+    val batchW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source_key", "data_hash").orderBy("error_message")
     val fresh = rows
+      // D1 holds WITHIN the incoming batch too: several sinks failing on the
+      // same payload produce one dead letter (first by error_message).
+      .withColumn("_rn", row_number().over(batchW)).filter(col("_rn") === 1).drop("_rn")
       .join(existing.select("source_key", "data_hash"), Seq("source_key", "data_hash"), "left_anti")
       .withColumn("id", lit(maxId) + row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("source_key", "data_hash")))

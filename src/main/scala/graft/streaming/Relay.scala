@@ -52,9 +52,11 @@ final class ChangeRelay(
 
     val horizon = horizonOf(changes)
     val batch = Incremental.incrementalRead(changes, fromVersion, horizon)
-    // A2 — watermark through the same gate as the rows.
-    val newVersion = Incremental.gatedWatermark(changes, fromVersion, horizon)
-      .as[Long].head()
+    // A2 — watermark through the same gate as the rows. Never regress: a
+    // late-replayed micro-batch (e.g. an old file re-surfacing in the file
+    // stream) can carry only ids below the stored watermark.
+    val newVersion = math.max(fromVersion,
+      Incremental.gatedWatermark(changes, fromVersion, horizon).as[Long].head())
 
     val rows = batch.select(
       lit(obj.name).as("g"),
@@ -65,8 +67,11 @@ final class ChangeRelay(
         lit("value"), col("value").cast("string"),
         lit("props"), col("props"))).as("payload"))
 
+    // One action for the row count; the envelope collect below is the only
+    // other job over the batch (no separate isEmpty probe).
+    val batchRows = batch.count()
     val exported =
-      if (batch.isEmpty) 0L
+      if (batchRows == 0) 0L
       else {
         val envelopes = Envelope.encode(
           Windows.numberBatches(rows, "g", "version", config.maxRecordsPerBatch)
@@ -101,11 +106,11 @@ final class ChangeRelay(
             .withColumn("timestamp", current_timestamp())
           store.appendDeadLetters(fdf)
         }
-        batch.count()
+        batchRows
       }
 
     // T2 — advance AFTER the export attempt, regardless of sink failures.
-    if (newVersion != fromVersion)
+    if (newVersion > fromVersion)
       store.setWatermark(config.name, obj.name, newVersion)
     (exported, newVersion)
   }

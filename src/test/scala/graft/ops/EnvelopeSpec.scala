@@ -8,9 +8,10 @@ class EnvelopeSpec extends SparkSpec {
   import spark.implicits._
 
   test("decode: valid envelope round-trips meta and payload") {
+    // Reference wire shape: $version is a number, $changed a real array.
     val json =
       """{"Metadata":{"Sync":{"Version":42,"Type":"Diff","ReasonCode":0}},
-        |"Data":[{"$operation":"U","$version":41,"$changed":"[\"steps\"]","steps":"12"},
+        |"Data":[{"$operation":"U","$version":41,"$changed":["steps"],"steps":"12"},
         |        {"$operation":"D","$version":42,"$changed":null,"id":"7"}]}""".stripMargin
     val got = Envelope.decode(Seq(json).toDF("j"), "j").orderBy("version")
     val rows = got.select($"envelope_version", $"operation", $"version").as[(Long, String, Long)].collect()
@@ -32,7 +33,7 @@ class EnvelopeSpec extends SparkSpec {
   test("decode: tri-state — absent key, null value, present value are distinct") {
     val json =
       """{"Metadata":{"Sync":{"Version":1,"Type":"Diff","ReasonCode":0}},
-        |"Data":[{"$operation":"U","$version":1,"$changed":"[\"a\",\"b\"]","a":null,"b":"5"}]}""".stripMargin
+        |"Data":[{"$operation":"U","$version":1,"$changed":["a","b"],"a":null,"b":"5"}]}""".stripMargin
     val payload = Envelope.decode(Seq(json).toDF("j"), "j")
       .select($"payload").as[Map[String, String]].head()
     // "a" present-with-null (cleared), "b" present (set), "c" absent (untouched)
