@@ -136,6 +136,31 @@ class RelaySpec extends SparkSpec {
     assert(store.getWatermark("prod", "orders").contains(2L))
   }
 
+  test("watermark never regresses when a late micro-batch carries only old ids") {
+    val dir = tmp()
+    val store = new ParquetStateStore(spark, dir.resolve("state").toString)
+    val relay = new ChangeRelay(spark, store, cfg(), None, horizonOf = _ => 1000L)
+    store.setWatermark("prod", "orders", 10L)
+    // A replayed/old file surfaces rows 5-6 after the watermark reached 10.
+    val late = outboxDf(Seq((5L, 5L, "I", 1.0, "{}"), (6L, 6L, "U", 2.0, "{}")))
+    val (n, v) = relay.runCycle(obj, late, "20240115000000")
+    assert(n == 0 && v == 10L)
+    assert(store.getWatermark("prod", "orders").contains(10L)) // not regressed to 6
+  }
+
+  test("multiple sinks failing on one payload produce exactly one dead letter") {
+    val dir = tmp()
+    val store = new ParquetStateStore(spark, dir.resolve("state").toString)
+    val eps = Seq(
+      SinkEndpoint("ep1", "http", "http://a/{object}"),
+      SinkEndpoint("ep2", "http", "http://b/{object}"))
+    val relay = new ChangeRelay(spark, store,
+      cfg(eps).copy(maxPayloadSizeBytes = 5L), None, horizonOf = _ => 1000L)
+    store.setWatermark("prod", "orders", 0L)
+    relay.runCycle(obj, outboxDf(Seq((1L, 1L, "I", 1.0, """{"k":1}"""))), "20240115000000")
+    assert(store.deadLetters.count() == 1) // both endpoint failures collapse (D1)
+  }
+
   test("state store: snapshot commit survives re-read and GC keeps history bounded") {
     val dir = tmp()
     val store = new ParquetStateStore(spark, dir.resolve("state").toString)
