@@ -498,5 +498,40 @@ object QueriesLlm {
         |GROUP BY 1""".stripMargin))
   )
 
-  def all: Seq[Q] = text ++ dedup ++ ann ++ embDedup ++ multimodal ++ tpch
+  def timeWindows: Seq[Q] = Seq(
+    Q("t9_tumbling_counts",
+      (s, d) => TimeWindows.tumblingCounts(Tables.events(s, d), "ts", "event_type", "1 hour")
+        .select(col("window_start").cast("string").as("window_start"),
+          col("event_type"), col("events")),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+        |       event_type, count(*) AS events
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    Q("t9_session_windows",
+      (s, d) => TimeWindows.sessionStats(
+          TimeWindows.sessionize(Tables.events(s, d), "ts", "user_id", gapSeconds = 1800),
+          "ts", "user_id")
+        .select(col("user_id"), col("session_id"), col("events"),
+          col("start_epoch"), col("duration_s")),
+      Some("""WITH gaps AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN CAST(floor(date_part('epoch', ts)) AS BIGINT)
+        |                   - lag(CAST(floor(date_part('epoch', ts)) AS BIGINT))
+        |                     OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM gaps)
+        |SELECT user_id, session_id, count(*) AS events,
+        |       min(CAST(floor(date_part('epoch', ts)) AS BIGINT)) AS start_epoch,
+        |       max(CAST(floor(date_part('epoch', ts)) AS BIGINT))
+        |         - min(CAST(floor(date_part('epoch', ts)) AS BIGINT)) AS duration_s
+        |FROM sess GROUP BY 1, 2""".stripMargin))
+  )
+
+  def all: Seq[Q] = text ++ dedup ++ ann ++ embDedup ++ multimodal ++ tpch ++ timeWindows
 }
