@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Specs for the DLQ query family not covered elsewhere (P9 search, A5
+  * window counts, W1 pagination edges, O1 replay order). */
+class DlqQuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val now = lit(ts("2024-01-15 00:00:00"))
+
+  private val dlq = Seq(
+    (1L, "obj_a", "timeout talking to endpoint", "db0", ts("2024-01-14 23:30:00")),
+    (2L, "obj_b", "connection refused", "db1", ts("2024-01-14 10:00:00")),
+    (3L, "timeouts", "ok-ish", "db0", ts("2024-01-10 00:00:00")),
+    (4L, "obj_c", "boom", "db_timeout", ts("2024-01-01 00:00:00"))
+  ).toDF("id", "tracking_object_name", "error_message", "database_name", "timestamp")
+
+  test("P9: search matches object OR error OR database; optional exact object filter") {
+    val got = Dlq.search(dlq, "timeout").select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L, 4L)) // error, object, database hits
+    val narrowed = Dlq.search(dlq, "timeout", objectName = Some("timeouts"))
+      .select("id").as[Long].collect()
+    assert(narrowed.toSeq == Seq(3L))
+  }
+
+  test("A5: conditional window counts in one pass") {
+    val got = Dlq.windowCounts(dlq.filter($"timestamp" <= now), now)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((1L, 2L, 3L, 4L))) // 1h / 24h / 7d / total
+  }
+
+  test("W1: pagination beyond the last row is empty; first page is newest-first") {
+    assert(Dlq.page(dlq, 25, 1).count() == 0)
+    val first = Dlq.page(dlq, 2, 0).orderBy("rn").select("id").as[Long].collect()
+    assert(first.toSeq == Seq(1L, 2L)) // newest timestamps first
+  }
+
+  test("O1: replay batch is oldest-first and capped") {
+    val due = dlq.withColumn("attempts", lit(0))
+      .withColumn("environment_name", lit("e"))
+      .withColumn("next_attempt", lit(null).cast("timestamp"))
+    val got = Dlq.replayBatch(Dlq.dueFilter(due, 5, now), 2)
+      .select("id").as[Long].collect()
+    assert(got.toSeq == Seq(4L, 3L)) // two oldest
+  }
+}
