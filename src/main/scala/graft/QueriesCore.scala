@@ -534,7 +534,8 @@ object QueriesCore {
     Q("f4_f8_hash_bytes",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), Scalars.sha256Hex(col("text")).as("sha"),
-          Scalars.utf8Bytes(col("text")).as("bytes"), length(col("text")).as("chars")),
+          Scalars.utf8Bytes(col("text")).cast("long").as("bytes"),
+          length(col("text")).cast("long").as("chars")),
       Some("SELECT doc_id, sha256(text) AS sha, strlen(text) AS bytes, " +
         "length(text) AS chars FROM documents")),
 

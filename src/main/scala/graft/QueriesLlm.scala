@@ -422,7 +422,7 @@ object QueriesLlm {
         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_cents
         |FROM (
         |  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
-        |         sum(${centsSql("o_totalprice")}) AS revenue_cents,
+        |         CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents,
         |         count(*) AS orders
         |  FROM orders GROUP BY 1, 2)""".stripMargin)),
 
@@ -438,10 +438,10 @@ object QueriesLlm {
             * (lit(1) + col("l_tax")))).as("sum_charge_cents"),
           count(lit(1)).as("count_order")),
       Some(s"""SELECT l_returnflag, l_linestatus,
-        |       sum(${centsSql("l_quantity")}) AS sum_qty_cents,
-        |       sum(${centsSql("l_extendedprice")}) AS sum_base_cents,
-        |       sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS sum_disc_cents,
-        |       sum(${centsSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS sum_charge_cents,
+        |       CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_cents,
+        |       CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_cents,
+        |       CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS sum_disc_cents,
+        |       CAST(sum(${centsSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS BIGINT) AS sum_charge_cents,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -463,7 +463,7 @@ object QueriesLlm {
             col("revenue_cents"))
       },
       Some(s"""SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
-        |       sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS revenue_cents
+        |       CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_cents
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -488,7 +488,7 @@ object QueriesLlm {
             .as("revenue_cents"))
       },
       Some(s"""SELECT n_name,
-        |       sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS revenue_cents
+        |       CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_cents
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -509,21 +509,22 @@ object QueriesLlm {
 
     Q("t9_session_windows",
       (s, d) => TimeWindows.sessionStats(
-          TimeWindows.sessionize(Tables.events(s, d), "ts", "user_id", gapSeconds = 1800),
+          TimeWindows.sessionize(Tables.events(s, d), "ts", "user_id", gapSeconds = 1800,
+            tieBreakCols = Seq("event_id")),
           "ts", "user_id")
         .select(col("user_id"), col("session_id"), col("events"),
           col("start_epoch"), col("duration_s")),
       Some("""WITH gaps AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |         CASE WHEN CAST(floor(date_part('epoch', ts)) AS BIGINT)
         |                   - lag(CAST(floor(date_part('epoch', ts)) AS BIGINT))
-        |                     OVER (PARTITION BY user_id ORDER BY ts) > 1800
-        |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+        |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM events),
         |sess AS (
         |  SELECT user_id, ts,
-        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM gaps)
         |SELECT user_id, session_id, count(*) AS events,

@@ -24,10 +24,15 @@ object TimeWindows {
   /** Session windows via gaps-and-islands: a new session starts when the
     * gap to the previous event of the same key exceeds `gapSeconds`;
     * the session id is the running count of session starts. One shuffle on
-    * the key — the same partitioning every per-key op downstream reuses. */
+    * the key — the same partitioning every per-key op downstream reuses.
+    *
+    * `tieBreakCols` must make the ordering unique: two events with
+    * identical (key, ts) otherwise get a nondeterministic lag order, and
+    * the session assignment can vary between runs (pass a unique id). */
   def sessionize(events: DataFrame, tsCol: String, keyCol: String,
-                 gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+                 gapSeconds: Long, tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol) +: tieBreakCols.map(col): _*)
     val gap = unix_timestamp(col(tsCol)) - lag(unix_timestamp(col(tsCol)), 1).over(w)
     events
       .withColumn("_new_session",

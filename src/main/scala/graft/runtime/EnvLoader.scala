@@ -79,6 +79,9 @@ object EnvLoader {
         }.toSeq
       else Seq.empty
 
+    def long(n: com.fasterxml.jackson.databind.JsonNode, f: String, dflt: Long): Long =
+      if (n != null && n.has(f) && n.get(f).isNumber) n.get(f).asLong() else dflt
+
     val cfg = EnvironmentConfig(
       name = name,
       provider = provider,
@@ -86,10 +89,22 @@ object EnvLoader {
       endpoints = eps,
       pollingIntervalSeconds = int(ct, "PollingIntervalSeconds", 30),
       retryCount = int(ct, "RetryCount", 3),
-      retryDelaySeconds = int(ct, "RetryDelaySeconds", 5))
+      retryDelaySeconds = int(ct, "RetryDelaySeconds", 5),
+      maxRecordsPerBatch = int(ct, "MaxRecordsPerBatch", 1000),
+      maxPayloadSizeBytes = long(ct, "MaxPayloadSizeBytes", 5L * 1024 * 1024),
+      deadLetterMaxReplayAttempts = int(ct, "DeadLetterMaxReplayAttempts", 5),
+      deadLetterReplayBackoffSeconds = int(ct, "DeadLetterReplayBackoffSeconds", 60))
 
-    Loaded(cfg, conns, java.util.Objects.hash(json).toString)
+    Loaded(cfg, conns, sha256Hex(json))
   }
+
+  /** Strong content fingerprint — a 32-bit String.hashCode can collide
+    * between old and new file contents, which would make diff() miss an
+    * Updated environment and keep a stale config running. */
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 
   /** Load every `.json` file in `dir` ordered by filename (O2); name from
     * filename; optional single-env selection (case-insensitive). */

@@ -5,7 +5,11 @@ Usage: python3 tools/check_correctness.py <sfdir> <outdir>
   1. expects `sbt "runMain graft.Verify <sfdir> <outdir>"` to have run
   2. registers the sfdir parquet tables in DuckDB
   3. runs each oracle_sql.json entry and compares with <outdir>/<name> parquet
-Comparison: column names sorted, rows sorted, values stringified.
+Comparison: column names sorted, rows sorted, values stringified, AND
+DuckDB result types compared per column — the driver's hash is
+type-sensitive (e.g. DuckDB sum(BIGINT) -> HUGEINT vs Spark BIGINT
+hash-mismatches even when values agree), so a stringified-only compare
+is weaker than the real gate.
 """
 import json
 import math
@@ -50,6 +54,7 @@ def main():
         try:
             o = con.sql(sql)
             o_cols = [c.lower() for c in o.columns]
+            o_types = [str(t) for t in o.types]
             o_rows = o.fetchall()
         except Exception as e:
             bad.append((name, f"oracle SQL error: {str(e)[:200]}"))
@@ -57,12 +62,24 @@ def main():
         try:
             s = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
             s_cols = [c.lower() for c in s.columns]
+            s_types = [str(t) for t in s.types]
             s_rows = s.fetchall()
         except Exception as e:
             bad.append((name, f"spark result missing: {str(e)[:200]}"))
             continue
         if sorted(o_cols) != sorted(s_cols):
             bad.append((name, f"schema mismatch: oracle={sorted(o_cols)} spark={sorted(s_cols)}"))
+            continue
+        # The driver tolerates integer-width differences (int32 and int64
+        # hash identically through Python ints) but NOT HUGEINT, which falls
+        # outside int64 — so normalize widths, keep HUGEINT distinct.
+        def norm_type(t):
+            return "INT" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") else t
+        o_typed = sorted(zip(o_cols, (norm_type(t) for t in o_types)))
+        s_typed = sorted(zip(s_cols, (norm_type(t) for t in s_types)))
+        if o_typed != s_typed:
+            mism = [(a, b) for a, b in zip(o_typed, s_typed) if a != b]
+            bad.append((name, f"type mismatch (driver hash is type-sensitive): oracle vs spark {mism}"))
             continue
         if len(o_rows) != len(s_rows):
             bad.append((name, f"row count: oracle={len(o_rows)} spark={len(s_rows)}"))
