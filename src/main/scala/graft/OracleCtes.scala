@@ -73,6 +73,17 @@ object OracleCtes {
       |  FROM events
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Mirrors Fixtures.pauses. */
+  val pauses: String =
+    """pauses AS (
+      |  SELECT event_id AS id,
+      |         CASE WHEN event_id % 2 = 0
+      |              THEN 'env:env' || CAST(user_id % 3 AS VARCHAR)
+      |              ELSE 'obj:env' || CAST(user_id % 3 AS VARCHAR)
+      |                   || '/obj' || CAST(user_id % 5 AS VARCHAR) END AS scope,
+      |         ts AS created
+      |  FROM events WHERE event_id % 97 = 0)""".stripMargin
+
   /** Fixed reference instant (see Fixtures.RefNow). */
   val refNow: String = s"TIMESTAMP '${fixtures.Fixtures.RefNow}'"
 }

@@ -110,6 +110,39 @@ object QueriesCore {
           |FROM outbox o WHERE o.id > $FromV AND o.xact_id < 10000""".stripMargin)))
   )
 
+  /** A3 as a direct byte-for-byte envelope compare: the ordered JSON fold's
+    * output string (Data ordered by version inside each group) must match an
+    * oracle that builds the same document with `string_agg(... ORDER BY id)`
+    * — this pins the in-group ordering the decode-side roundtrip (s3) can't
+    * observe. U-rows only: their payload columns are non-null, so the JSON
+    * text is fully determined by the portability rules. */
+  def envelopeFold: Seq[Q] = Seq(
+    Q("a3_ordered_fold",
+      (s, d) => {
+        val rows = Incremental.incrementalRead(outbox(s, d), FromV, 10000L)
+          .filter(col("operation") === "U")
+          .select(col("session_id"), col("operation"), col("id").as("version"),
+            col("changed"),
+            map(lit("value"), col("value").cast("string")).as("payload"))
+        Envelope.encode(rows, "session_id")
+      },
+      Some(withCtes(OracleCtes.outbox,
+        s"""u AS (
+          |  SELECT session_id, id, value, changed FROM outbox
+          |  WHERE operation = 'U' AND id > $FromV AND xact_id < 10000)""".stripMargin,
+        s"""rws AS (
+          |  SELECT session_id, id,
+          |    '{"$$operation":"U","$$version":' || CAST(id AS VARCHAR) ||
+          |    ',"$$changed":["' || array_to_string(changed, '","') || '"],"value":"' ||
+          |    CAST(value AS VARCHAR) || '"}' AS j
+          |  FROM u)""".stripMargin)(
+        """SELECT session_id,
+          |  '{"Metadata":{"Sync":{"Version":' || CAST(max(id) AS VARCHAR) ||
+          |  ',"Type":"Diff","ReasonCode":0}},"Data":[' ||
+          |  string_agg(j, ',' ORDER BY id) || ']}' AS envelope_json
+          |FROM rws GROUP BY 1""".stripMargin)))
+  )
+
   def mask: Seq[Q] = Seq(
     Q("p6_changed_detection",
       (s, d) => Mask.detectChanges(
@@ -503,6 +536,14 @@ object QueriesCore {
         |       strftime(ts, '%Y-%m-%d %H:%M:%S') || ' [' || upper(event_type) || '] ' || props AS line
         |FROM events ORDER BY line DESC, event_id DESC LIMIT 20""".stripMargin)),
 
+    Q("o6_pauses_newest",
+      (s, d) => Windows.topN(Fixtures.pauses(Tables.events(s, d)), 20,
+          col("created").desc, col("id").desc)
+        .select(col("id"), col("scope"), tsSec(col("created")).as("created")),
+      Some(withCtes(OracleCtes.pauses)(
+        s"""SELECT id, scope, ${tsSecSql("created")} AS created
+          |FROM pauses ORDER BY created DESC, id DESC LIMIT 20""".stripMargin))),
+
     Q("o5_oldest_first_delete",
       (s, d) => Windows.topN(Fixtures.exportFiles(Tables.events(s, d)), 5,
           col("day"), col("file_id"))
@@ -642,5 +683,6 @@ object QueriesCore {
         |FROM documents""".stripMargin))
   )
 
-  def all: Seq[Q] = incremental ++ mask ++ state ++ dlqQueries ++ windows ++ scalars
+  def all: Seq[Q] =
+    incremental ++ envelopeFold ++ mask ++ state ++ dlqQueries ++ windows ++ scalars
 }

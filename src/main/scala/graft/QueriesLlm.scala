@@ -345,7 +345,44 @@ object QueriesLlm {
           |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
           |  FROM scored)
           |SELECT query_id, rank, vec_id, score, bucket FROM ranked WHERE rank <= 10""".stripMargin
-      })
+      }),
+
+    Q("ann_ivf_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 10,
+            numCentroids = 8, nprobe = 2)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("score"), col("cluster"))
+      },
+      Some("""WITH quant AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM quant WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT vec_id, cid, v FROM (
+        |    SELECT q.vec_id, c.cid, q.v,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*c.cv[i])) AS BIGINT) DESC, c.cid) AS rn
+        |    FROM quant q CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, cid, qv FROM (
+        |    SELECT q.vec_id AS query_id, c.cid, q.v AS qv,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*c.cv[i])) AS BIGINT) DESC, c.cid) AS rn
+        |    FROM quant q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id, a.cid,
+        |         CAST(list_sum(list_transform(range(1,65), i -> p.qv[i]*a.v[i])) AS BIGINT) AS score
+        |  FROM probes p JOIN assign a ON a.cid = p.cid
+        |  WHERE a.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cid, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, score, cid AS cluster
+        |FROM ranked WHERE rank <= 10""".stripMargin))
   )
 
   /** DuckDB LSH bucket expression over quantized vector column `v` with
@@ -378,6 +415,47 @@ object QueriesLlm {
           |       CAST(floor(score * 1000 / sqrt(CAST(na2 * nb2 AS DOUBLE))) AS BIGINT) AS cos_milli,
           |       bucket
           |FROM pairs
+          |WHERE score > 0.2 * sqrt(CAST(na2 * nb2 AS DOUBLE))""".stripMargin
+      }),
+
+    Q("dedup_embedding_mb",
+      (s, d) => Similarity.embeddingNearDupMultiband(Tables.embeddings(s, d),
+        minCos = 0.2, bands = 3, planesPerBand = 8),
+      Some {
+        // Per-band bucket: plane index J = band*8 + j, bit position j.
+        def bandExpr(b: Int): String = {
+          val planeDot = (jj: Int) =>
+            s"CAST(list_sum(list_transform(range(1, 65), i -> v[i] * (((i-1)*31 + $jj*17) % 7 - 3))) AS BIGINT)"
+          (0 until 8).map(j =>
+            s"CASE WHEN ${planeDot(b * 8 + j)} >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        }
+        val bandSelects = (0 until 3).map(b =>
+          s"SELECT vec_id, $b AS band, CAST(${bandExpr(b)} AS BIGINT) AS bucket FROM keyed")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH keyed AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          |  FROM embeddings),
+          |bb AS (
+          |  $bandSelects),
+          |pr AS (
+          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          |  FROM bb a JOIN bb b
+          |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          |n2t AS (
+          |  SELECT vec_id, v,
+          |         CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS n2
+          |  FROM keyed),
+          |scored AS (
+          |  SELECT p.id_a, p.id_b,
+          |         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS score,
+          |         a.n2 AS na2, b.n2 AS nb2
+          |  FROM pr p
+          |  JOIN n2t a ON a.vec_id = p.id_a
+          |  JOIN n2t b ON b.vec_id = p.id_b)
+          |SELECT id_a, id_b, score,
+          |       CAST(floor(score * 1000 / sqrt(CAST(na2 * nb2 AS DOUBLE))) AS BIGINT) AS cos_milli
+          |FROM scored
           |WHERE score > 0.2 * sqrt(CAST(na2 * nb2 AS DOUBLE))""".stripMargin
       })
   )

@@ -96,6 +96,18 @@ object Fixtures {
         sum(length(col("props"))).cast("long").as("size_bytes"),
         max(col("event_id")).as("file_id"))
 
+  /** Pause entries (env- and object-scoped) for the pause listing (O6) —
+    * reference Source/Services/PauseService.cs:27-48: scope strings
+    * "env:{env}" / "obj:{env}/{obj}" with a created timestamp. */
+  def pauses(events: DataFrame): DataFrame =
+    events.filter(col("event_id") % 97 === 0).select(
+      col("event_id").as("id"),
+      when(col("event_id") % 2 === 0,
+        concat(lit("env:env"), (col("user_id") % 3).cast("string")))
+        .otherwise(concat(lit("obj:env"), (col("user_id") % 3).cast("string"),
+          lit("/obj"), (col("user_id") % 5).cast("string"))).as("scope"),
+      col("ts").as("created"))
+
   /** Fixed "now" for every time-relative operator so Spark and the DuckDB
     * oracle agree. Mid-range of the events table's ts span. */
   val RefNow = "2024-01-15 00:00:00"

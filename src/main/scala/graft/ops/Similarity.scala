@@ -136,6 +136,99 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("score"), col("cos_milli"), col("bucket"))
   }
 
+  /** (vec_id, band, bucket) for `bands` independent hyperplane sets, all
+    * computed in ONE pass over the element rows (a single groupBy with
+    * `bands × planesPerBand` conditional sums, then one explode) — banding
+    * trades precision for recall exactly like MinHash-LSH banding: a pair
+    * is a candidate if it collides in ANY band, so recall rises
+    * exponentially with bands while each band's buckets stay selective. */
+  def lshBandBuckets(df: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
+    val el = df.repartition(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("_i", "_x")))
+      .select(col("vec_id"), col("_i"),
+        round(col("_x").cast("double") * 1000).cast("long").as("_q"))
+    val total = bands * planesPerBand
+    val sums = (0 until total).map { j =>
+      sum(col("_q") * (((col("_i") * 31 + j * 17) % 7) - 3)).as(s"_d$j")
+    }
+    val bandBucket = (b: Int) =>
+      (0 until planesPerBand)
+        .map(j => when(col(s"_d${b * planesPerBand + j}") >= 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+    el.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until bands).map(bandBucket): _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Multi-band embedding near-dup: like [[embeddingNearDup]] but a pair
+    * qualifies when it shares a bucket in ANY of `bands` plane sets —
+    * distinct candidate pairs are scored exactly once. At corpus scale the
+    * self-join is per (band, bucket), so the shuffle key stays selective
+    * while banding recovers the near-neighbours a single plane set splits
+    * apart (each extra band only adds |corpus| rows to the bucket join,
+    * never all-pairs work). */
+  def embeddingNearDupMultiband(corpus: DataFrame, minCos: Double,
+                                bands: Int = 3, planesPerBand: Int = 8): DataFrame = {
+    val bb = lshBandBuckets(corpus, bands, planesPerBand)
+    val pairs = bb.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+      .join(bb.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val keyed = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("n2", qdot(col("qv"), col("qv")))
+    pairs
+      .join(keyed.select(col("vec_id").as("id_a"), col("qv").as("qa"),
+        col("n2").as("na2")), Seq("id_a"))
+      .join(keyed.select(col("vec_id").as("id_b"), col("qv").as("qb"),
+        col("n2").as("nb2")), Seq("id_b"))
+      .withColumn("score", qdot(col("qa"), col("qb")))
+      .filter(col("score") > lit(minCos) * sqrt((col("na2") * col("nb2")).cast("double")))
+      .withColumn("cos_milli",
+        floor(col("score") * 1000 / sqrt((col("na2") * col("nb2")).cast("double"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("score"), col("cos_milli"))
+  }
+
+  /** IVF-style ANN: the corpus is partitioned into inverted lists by
+    * nearest centroid (one broadcast of the K centroids, one map-side argmax
+    * — no shuffle to assign), queries probe their `nprobe` nearest lists,
+    * and only those lists are exactly re-ranked. The candidate join is a
+    * hash join on the centroid id, so at 100 TB each query touches
+    * `nprobe/K` of the corpus instead of all of it; K scales with corpus
+    * size (√N is the usual rule) and the centroid table stays broadcastable.
+    * Centroids here are the first `numCentroids` corpus vectors —
+    * deterministic, so the ranking is oracle-checkable; production would
+    * plug k-means centroids into the same plan. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = broadcast(corpus.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), quantize(col("embedding")).as("cv")))
+    def nearest(df: DataFrame, idCol: String, vCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("_cscore").desc, col("cid"))
+      df.crossJoin(cent)
+        .withColumn("_cscore", qdot(col(vCol), col("cv")))
+        .withColumn("_crn", row_number().over(w))
+        .filter(col("_crn") <= n)
+        .drop("cv", "_cscore", "_crn")
+    }
+    val assign = nearest(
+      corpus.select(col("vec_id"), quantize(col("embedding")).as("v")),
+      "vec_id", "v", 1)
+    val probes = nearest(
+      queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv")),
+      "query_id", "qv", nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    probes.join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", qdot(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"),
+        col("cid").as("cluster"))
+  }
+
   /** ANN top-k via hyperplane LSH: candidates share the query's bucket.
     * One hash shuffle on the bucket key; per-bucket exact re-rank. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
