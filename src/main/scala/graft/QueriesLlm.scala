@@ -461,6 +461,29 @@ object QueriesLlm {
   )
 
   def multimodal: Seq[Q] = Seq(
+    Q("mm_decode_meta",
+      // The decode contract end-to-end: binary media column + typed
+      // metadata struct (stub decoder — deterministic pseudo-dimensions
+      // derived from the payload hash; a real codec swaps in behind the
+      // same binary→struct column shape).
+      (s, d) => {
+        val media = Multimodal.asMedia(Tables.documents(s, d), "text", "image")
+        media.withColumn("meta", Multimodal.fakeDecode(col("media")))
+          .select(col("doc_id"), col("media_type"),
+            col("media_bytes").cast("long").as("media_bytes"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            col("meta.duration_s").as("duration_s"))
+      },
+      Some("""WITH h60 AS (
+        |  SELECT doc_id, strlen(text) AS media_bytes,
+        |         CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, 'image' AS media_type, media_bytes,
+        |       h % 1024 + 64 AS width,
+        |       (h // 1024) % 1024 + 64 AS height,
+        |       (h // 1048576) % 600 AS duration_s
+        |FROM h60""".stripMargin)),
+
     Q("mm_frame_sample",
       (s, d) => {
         val media = Multimodal.asMedia(Tables.documents(s, d), "text", "image")
@@ -584,6 +607,20 @@ object QueriesLlm {
       Some("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
         |       event_type, count(*) AS events
         |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    Q("t9_sliding_counts",
+      (s, d) => TimeWindows.slidingCounts(Tables.events(s, d), "ts", "event_type",
+          "1 hour", "15 minutes")
+        .select(col("window_start").cast("string").as("window_start"),
+          col("event_type"), col("events")),
+      // Each event belongs to the 4 fifteen-minute-grid windows covering it
+      // (both engines align the grid to midnight multiples).
+      Some("""SELECT CAST(ws AS VARCHAR) AS window_start, event_type, count(*) AS events
+        |FROM (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - i * INTERVAL 15 MINUTE AS ws,
+        |         event_type
+        |  FROM events, range(0, 4) t(i))
+        |GROUP BY 1, 2""".stripMargin)),
 
     Q("t9_session_windows",
       (s, d) => TimeWindows.sessionStats(

@@ -180,7 +180,14 @@ object DedupOps {
     * intersection is a native array op on int arrays, not a string
     * comparison. */
   def jaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sets = shingleHashSets(docs, idCol, textCol)
+    // Shingle only the documents that appear in a candidate pair — LSH
+    // leaves a vanishing fraction of the corpus as candidates, so the
+    // verification pass must not re-tokenize/re-hash the whole corpus
+    // (at 100 TB that second full pass would dominate the entire job).
+    val candidateIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val sets = shingleHashSets(docs.join(candidateIds, Seq(idCol), "left_semi"),
+      idCol, textCol)
     def side(n: String) = sets
       .withColumnRenamed(idCol, s"id_$n").withColumnRenamed("shset", s"set_$n")
     pairs

@@ -25,11 +25,13 @@ object Multimodal {
   /** STUB decode: deterministic pseudo width/height/duration derived from
     * the payload hash — stands in for a real image/audio decoder. */
   def fakeDecode(media: Column): Column = {
+    // Column `/` is double division — shift instead (1024 = 2^10,
+    // 1048576 = 2^20) so every field stays exact int64.
     val h = DedupOps.hash60(media.cast("string"))
     struct(
       (pmod(h, lit(1024L)) + 64).as("width"),
-      (pmod(h / 1024, lit(1024L)) + 64).as("height"),
-      (pmod(h / 1048576, lit(600L))).as("duration_s"))
+      (pmod(shiftright(h, 10), lit(1024L)) + 64).as("height"),
+      pmod(shiftright(h, 20), lit(600L)).as("duration_s"))
   }
 
   /** Deterministic frame sampling: `n` evenly spaced byte-offset "frames"

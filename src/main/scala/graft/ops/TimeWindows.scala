@@ -21,6 +21,18 @@ object TimeWindows {
       .agg(count(lit(1)).as("events"))
       .select(col("w.start").as("window_start"), col(keyCol), col("events"))
 
+  /** Sliding counts: overlapping buckets via `window(ts, width, slide)` —
+    * each event lands in `width/slide` windows (Spark expands them before
+    * the aggregation, so the cost is a bounded row multiplier into the same
+    * map-side-combined hash aggregate as the tumbling case; no self-join).
+    * Works unchanged under Structured Streaming with a watermark. */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), width, slide).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("events"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("events"))
+
   /** Session windows via gaps-and-islands: a new session starts when the
     * gap to the previous event of the same key exceeds `gapSeconds`;
     * the session id is the running count of session starts. One shuffle on

@@ -21,6 +21,17 @@ class TimeWindowsSpec extends SparkSpec {
       (ts("2024-01-01 10:00:00"), "view", 1L)))
   }
 
+  test("sliding counts place each event in width/slide overlapping windows") {
+    val ev = Seq((ts("2024-01-01 10:05:00"), "click")).toDF("ts", "event_type")
+    val got = TimeWindows.slidingCounts(ev, "ts", "event_type", "1 hour", "15 minutes")
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got == Set(
+      (ts("2024-01-01 09:15:00"), "click", 1L),
+      (ts("2024-01-01 09:30:00"), "click", 1L),
+      (ts("2024-01-01 09:45:00"), "click", 1L),
+      (ts("2024-01-01 10:00:00"), "click", 1L)))
+  }
+
   test("sessionize splits on gaps above the threshold, per key") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
