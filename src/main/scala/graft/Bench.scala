@@ -36,9 +36,19 @@ object Bench {
     // (~5 s) that would otherwise be attributed to an arbitrary query.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
+    // Optional subset (comma-separated names) + repeat count for controlled
+    // A/B timing — per-query noise on a loaded machine is ±50%, so single
+    // runs of single queries are not comparable across invocations.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    (1 to repeat).flatMap(r => selected.map { case (n, f) =>
+      (if (repeat > 1) s"$n#$r" else n, f)
+    }).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

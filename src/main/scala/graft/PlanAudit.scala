@@ -9,7 +9,8 @@ object PlanAudit {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSet
       else Set("p2_horizon_gate", "j1_change_outer_join", "q3_top_revenue_orders",
-        "q5_regional_revenue", "dedup_lsh_pairs", "ann_lsh_topk", "w1_pagination")
+        "q5_regional_revenue", "dedup_lsh_pairs", "ann_lsh_topk", "w1_pagination",
+        "ann_ivf_topk", "dedup_embedding_mb", "t9_sliding_counts", "dedup_jaccard")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

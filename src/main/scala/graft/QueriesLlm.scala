@@ -260,9 +260,15 @@ object QueriesLlm {
     Q("dedup_jaccard",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // Materialize the candidate set before verification: jaccard()
+        // consumes `pairs` twice (the pairs themselves + the left-semi doc
+        // restriction), and without a persist the whole MinHash pipeline
+        // would be evaluated twice. At scale this persist is the
+        // checkpoint every find-then-verify pipeline places between the
+        // two phases.
         val pairs = DedupOps.candidatePairs(
           DedupOps.lshBuckets(DedupOps.minhashSignature(docs, "doc_id", "text", 8), "doc_id"),
-          "doc_id")
+          "doc_id").persist()
         DedupOps.jaccard(pairs, docs, "doc_id", "text")
       },
       Some(withCtes(normDocsCte, shinglesCte, sigCte, bucketCte, pairsCte)(

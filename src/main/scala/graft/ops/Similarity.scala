@@ -204,23 +204,31 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val cent = broadcast(corpus.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), quantize(col("embedding")).as("cv")))
-    def nearest(df: DataFrame, idCol: String, vCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("_cscore").desc, col("cid"))
-      df.crossJoin(cent)
-        .withColumn("_cscore", qdot(col(vCol), col("cv")))
-        .withColumn("_crn", row_number().over(w))
-        .filter(col("_crn") <= n)
-        .drop("cv", "_cscore", "_crn")
-    }
-    val assign = nearest(
-      corpus.select(col("vec_id"), quantize(col("embedding")).as("v")),
-      "vec_id", "v", 1)
-    val probes = nearest(
-      queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv")),
-      "query_id", "qv", nprobe)
+    // Corpus-side assignment is an ARGMAX AGGREGATE, not a window: the
+    // broadcast cross join is map-only and max_by partial-aggregates, so
+    // each mapper emits one row per vector instead of shuffling K scored
+    // copies into a sort+window (ties break to the lowest centroid id via
+    // the (score, -cid) ordering struct — matching the oracle's
+    // ORDER BY score DESC, cid).
+    val assign = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .crossJoin(cent)
+      .withColumn("_cscore", qdot(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("_cscore"), -col("cid"))).as("cid"),
+        first(col("v")).as("v"))
+    // Query-side probing keeps the window (top-nprobe, not top-1) — the
+    // query batch is small and ends up broadcast into the candidate join.
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("_cscore").desc, col("cid"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+      .crossJoin(cent)
+      .withColumn("_cscore", qdot(col("qv"), col("cv")))
+      .withColumn("_crn", row_number().over(pw))
+      .filter(col("_crn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    probes.join(assign, Seq("cid"))
+    broadcast(probes).join(assign, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score", qdot(col("qv"), col("v")))
       .withColumn("rank", row_number().over(w))
