@@ -35,6 +35,11 @@ object ScaleSmoke {
       .select((col("vec_id") + col("c") * 1000000).as("vec_id"), col("embedding"))
     emb.cache(); val m = emb.count()
     t(s"embedding near-dup ($m)")(Similarity.embeddingNearDup(emb, 0.2).count())
+    t(s"multiband near-dup ($m)")(
+      Similarity.embeddingNearDupMultiband(emb, 0.2, bands = 3, planesPerBand = 8).count())
+    t(s"ivf top-k ($m corpus)")(
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16), 10,
+        numCentroids = 32, nprobe = 3).count())
     spark.stop()
   }
 }

@@ -200,24 +200,69 @@ object Similarity {
     * deterministic, so the ranking is oracle-checkable; production would
     * plug k-means centroids into the same plan. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              numCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
+              numCentroids: Int = 8, nprobe: Int = 2): DataFrame =
+    ivfTopKWith(corpus, queries,
+      corpus.filter(col("vec_id") < numCentroids)
+        .select(col("vec_id").as("cid"), quantize(col("embedding")).as("cv")),
+      k, nprobe)
+
+  /** Lloyd's k-means refinement for IVF centroids, DataFrame-native and
+    * deterministic: seed = the first `k` corpus vectors, then `iterations`
+    * rounds of (assign via broadcast argmax) → (new centroid = element-wise
+    * mean of members). Per round: one map-only broadcast cross join + one
+    * argmax aggregate + one (cid, element-index) average — all partial-
+    * aggregated, so shuffle volume is O(corpus) rows round one and
+    * O(k × dim) after. Returns (cid, cv) quantized, ready for [[ivfTopK]]'s
+    * centroid contract. Empty clusters keep their previous centroid. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iterations: Int = 2): DataFrame = {
+    val quantized = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
+    var cent = quantized.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    for (_ <- 0 until iterations) {
+      val assign = quantized.crossJoin(broadcast(cent))
+        .withColumn("_cscore", qdot(col("v"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("_cscore"), -col("cid"))).as("cid"),
+          first(col("v")).as("v"))
+      // Element-wise mean per cluster: explode to (cid, i, q), average, and
+      // reassemble in index order — two partial-aggregated shuffles whose
+      // second is only k × dim rows.
+      val means = assign
+        .select(col("cid"), posexplode(col("v")).as(Seq("_i", "_q")))
+        .groupBy(col("cid"), col("_i"))
+        .agg(avg(col("_q")).as("_m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("_i"), col("_m")))).as("_im"))
+        .select(col("cid"),
+          transform(col("_im"), x => round(x.getField("_m")).cast("long")).as("cv"))
+      // Preserve centroids whose cluster emptied (left join keeps the old).
+      cent = cent.select(col("cid"), col("cv").as("_old"))
+        .join(means, Seq("cid"), "left_outer")
+        .select(col("cid"), coalesce(col("cv"), col("_old")).as("cv"))
+    }
+    cent
+  }
+
+  /** [[ivfTopK]] against an explicit centroid table (e.g. from
+    * [[kmeansCentroids]]) instead of the first-k seed.
+    *
+    * Corpus-side assignment is an ARGMAX AGGREGATE, not a window: the
+    * broadcast cross join is map-only and `max_by` partial-aggregates, so
+    * each mapper emits one row per vector instead of shuffling K scored
+    * copies into a sort+window. Ties break to the lowest centroid id via
+    * the (score, -cid) ordering struct — matching the oracle's
+    * ORDER BY score DESC, cid. Query-side probing keeps a window (top-
+    * nprobe, not top-1) and is broadcast into the candidate join. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                  k: Int, nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = broadcast(corpus.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cid"), quantize(col("embedding")).as("cv")))
-    // Corpus-side assignment is an ARGMAX AGGREGATE, not a window: the
-    // broadcast cross join is map-only and max_by partial-aggregates, so
-    // each mapper emits one row per vector instead of shuffling K scored
-    // copies into a sort+window (ties break to the lowest centroid id via
-    // the (score, -cid) ordering struct — matching the oracle's
-    // ORDER BY score DESC, cid).
+    val cent = broadcast(centroids)
     val assign = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
       .crossJoin(cent)
       .withColumn("_cscore", qdot(col("v"), col("cv")))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("_cscore"), -col("cid"))).as("cid"),
         first(col("v")).as("v"))
-    // Query-side probing keeps the window (top-nprobe, not top-1) — the
-    // query batch is small and ends up broadcast into the candidate join.
     val pw = Window.partitionBy(col("query_id")).orderBy(col("_cscore").desc, col("cid"))
     val probes = queries
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))

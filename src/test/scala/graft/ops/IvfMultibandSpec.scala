@@ -57,6 +57,26 @@ class IvfMultibandSpec extends SparkSpec {
     assert(mismatches.count() == 0)
   }
 
+  test("kmeansCentroids refines seeds deterministically and plugs into ivfTopKWith") {
+    val cent0 = Similarity.kmeansCentroids(emb, k = 4, iterations = 0)
+    val cent2a = Similarity.kmeansCentroids(emb, k = 4, iterations = 2)
+    val cent2b = Similarity.kmeansCentroids(emb, k = 4, iterations = 2)
+    // deterministic across runs
+    assert(cent2a.exceptAll(cent2b).isEmpty && cent2b.exceptAll(cent2a).isEmpty)
+    // zero iterations = the quantized seeds themselves
+    val seeds = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv"))
+    assert(cent0.exceptAll(seeds).isEmpty && seeds.exceptAll(cent0).isEmpty)
+    // refined centroids keep k rows of the right dimensionality and drive
+    // a well-formed IVF search
+    assert(cent2a.count() == 4)
+    assert(cent2a.select(size(col("cv"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(64))
+    val res = Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") < 2), cent2a,
+      k = 3, nprobe = 2)
+    assert(res.filter(col("query_id") === col("vec_id")).count() == 0)
+    assert(res.groupBy(col("query_id")).count().collect().forall(_.getLong(1) <= 3))
+  }
+
   test("ivfTopK never returns a worse top-1 than the probed lists contain") {
     // Construct the ground truth restricted to the probed clusters by
     // re-deriving assignment exactly as ivfTopK does, then check top-1.

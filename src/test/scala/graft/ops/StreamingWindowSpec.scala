@@ -41,4 +41,25 @@ class StreamingWindowSpec extends SparkSpec {
       assert(updated == 3L)
     } finally query.stop()
   }
+
+  test("watermarked sliding counts over a stream (width/slide overlapping windows)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = input.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .count()
+    val query = counts.writeStream
+      .format("memory").queryName("t9c_stream").outputMode("update").start()
+    try {
+      input.addData((Timestamp.valueOf("2024-01-01 10:05:00"), "click"))
+      query.processAllAvailable()
+      val starts = spark.sql(
+        "SELECT CAST(window.start AS STRING) AS s FROM t9c_stream WHERE event_type = 'click'")
+        .as[String].collect().toSet
+      // one event → 4 overlapping windows on the 15-minute grid
+      assert(starts == Set("2024-01-01 09:15:00", "2024-01-01 09:30:00",
+        "2024-01-01 09:45:00", "2024-01-01 10:00:00"))
+    } finally query.stop()
+  }
 }
