@@ -221,6 +221,34 @@ object QueriesLlm {
           |FROM bigram_docs b LEFT JOIN top_bigrams t USING (bigram)
           |GROUP BY doc_id""".stripMargin))),
 
+    Q("llm_len_quantiles",
+      // Exact per-language length quantiles via the rank-selection method
+      // (value at rank ceil(p·n)) — portable to the bit, unlike
+      // interpolating/approximate quantile functions whose algorithms
+      // differ between engines. One window over the (lang)-partitioned
+      // sort; the quantile probes are a 4-row expansion, not a re-scan.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("len"), col("doc_id"))
+        val ranked = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), length(col("text")).cast("long").as("len"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        ranked
+          .select(col("lang"), col("len"), col("rn"), col("n"),
+            explode(array(lit(25), lit(50), lit(75), lit(90))).as("q"))
+          .filter(col("rn") === greatest(lit(1), ceil(col("q") * col("n") / 100)))
+          .select(col("lang"), col("q").cast("long").as("q"), col("len"))
+      },
+      Some("""WITH ranked AS (
+        |  SELECT lang, length(text) AS len,
+        |         row_number() OVER (PARTITION BY lang ORDER BY length(text), doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, q, len
+        |FROM ranked, (VALUES (25), (50), (75), (90)) t(q)
+        |WHERE rn = greatest(1, CAST(ceil(q * n / 100.0) AS BIGINT))""".stripMargin)),
+
     Q("llm_fingerprint",
       (s, d) => Tables.documents(s, d).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint")),
@@ -382,6 +410,61 @@ object QueriesLlm {
         |  SELECT p.query_id, a.vec_id, a.cid,
         |         CAST(list_sum(list_transform(range(1,65), i -> p.qv[i]*a.v[i])) AS BIGINT) AS score
         |  FROM probes p JOIN assign a ON a.cid = p.cid
+        |  WHERE a.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cid, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, score, cid AS cluster
+        |FROM ranked WHERE rank <= 10""".stripMargin)),
+
+    Q("ann_ivf_kmeans",
+      // Production centroid path: one deterministic Lloyd refinement of the
+      // first-4 seeds, then the same IVF probe/re-rank — the oracle mirrors
+      // the full iteration (argmax assignment, element-wise floor(avg+0.5)
+      // means, empty-cluster fallback) in SQL.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") < 5),
+            Similarity.kmeansCentroids(emb, k = 4, iterations = 1),
+            k = 10, nprobe = 2)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("score"), col("cluster"))
+      },
+      Some("""WITH quant AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |seed AS (SELECT vec_id AS cid, v AS cv FROM quant WHERE vec_id < 4),
+        |a1 AS (
+        |  SELECT vec_id, cid, v FROM (
+        |    SELECT q.vec_id, c.cid, q.v,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*c.cv[i])) AS BIGINT) DESC, c.cid) AS rn
+        |    FROM quant q CROSS JOIN seed c) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cid, list(el ORDER BY i) AS cv FROM (
+        |    SELECT cid, i, CAST(floor(avg(v[i]) + 0.5) AS BIGINT) AS el
+        |    FROM a1, range(1, 65) t(i) GROUP BY cid, i)
+        |  GROUP BY cid),
+        |cent AS (
+        |  SELECT s.cid, coalesce(m.cv, s.cv) AS cv FROM seed s LEFT JOIN m1 m USING (cid)),
+        |a2 AS (
+        |  SELECT vec_id, cid, v FROM (
+        |    SELECT q.vec_id, c.cid, q.v,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*c.cv[i])) AS BIGINT) DESC, c.cid) AS rn
+        |    FROM quant q CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, cid, qv FROM (
+        |    SELECT q.vec_id AS query_id, c.cid, q.v AS qv,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*c.cv[i])) AS BIGINT) DESC, c.cid) AS rn
+        |    FROM quant q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id, a.cid,
+        |         CAST(list_sum(list_transform(range(1,65), i -> p.qv[i]*a.v[i])) AS BIGINT) AS score
+        |  FROM probes p JOIN a2 a ON a.cid = p.cid
         |  WHERE a.vec_id <> p.query_id),
         |ranked AS (
         |  SELECT query_id, vec_id, cid, score,

@@ -234,7 +234,10 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("_i"), col("_m")))).as("_im"))
         .select(col("cid"),
-          transform(col("_im"), x => round(x.getField("_m")).cast("long")).as("cv"))
+          // floor(m + 0.5), not round(): identical in any engine (round's
+          // half-away-from-zero differs from half-up on negatives, and the
+          // oracle mirrors this expression exactly).
+          transform(col("_im"), x => floor(x.getField("_m") + 0.5).cast("long")).as("cv"))
       // Preserve centroids whose cluster emptied (left join keeps the old).
       cent = cent.select(col("cid"), col("cv").as("_old"))
         .join(means, Seq("cid"), "left_outer")
