@@ -711,6 +711,34 @@ object QueriesLlm {
         |  FROM events, range(0, 4) t(i))
         |GROUP BY 1, 2""".stripMargin)),
 
+    Q("t9_session_native",
+      // Native session_window (streaming-capable) checked against a
+      // gaps-and-islands oracle: session start = min ts, end = max ts +
+      // gap, new session when gap >= 1800 s (session_window expiry
+      // semantics — the >= matters on exact-gap ties).
+      (s, d) => TimeWindows.nativeSessions(Tables.events(s, d), "ts", "user_id",
+          "30 minutes")
+        .select(col("user_id"),
+          tsSec(col("session_start")).as("session_start"),
+          tsSec(col("session_end")).as("session_end"), col("events")),
+      Some("""WITH gaps AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |                     OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+        |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM gaps)
+        |SELECT user_id,
+        |       CAST(date_trunc('second', min(ts)) AS VARCHAR) AS session_start,
+        |       CAST(date_trunc('second', max(ts) + INTERVAL 1800 SECOND) AS VARCHAR) AS session_end,
+        |       count(*) AS events
+        |FROM sess GROUP BY user_id, session_id""".stripMargin)),
+
     Q("t9_session_windows",
       (s, d) => TimeWindows.sessionStats(
           TimeWindows.sessionize(Tables.events(s, d), "ts", "user_id", gapSeconds = 1800,

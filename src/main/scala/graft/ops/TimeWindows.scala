@@ -55,6 +55,19 @@ object TimeWindows {
       .drop("_new_session")
   }
 
+  /** Native session windows: `session_window(ts, gap)` — unlike the
+    * gaps-and-islands form this runs unchanged in Structured Streaming
+    * (with a watermark) where Spark merges/expires session state per key.
+    * A new session starts when the gap to the previous event is >= `gap`;
+    * window end = last event + gap. */
+  def nativeSessions(events: DataFrame, tsCol: String, keyCol: String,
+                     gap: String): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol))
+      .agg(count(lit(1)).as("events"))
+      .select(col(keyCol), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("events"))
+
   /** Per-session rollup: bounds, duration, event count. */
   def sessionStats(sessions: DataFrame, tsCol: String, keyCol: String): DataFrame =
     sessions.groupBy(col(keyCol), col("session_id"))
