@@ -221,6 +221,36 @@ object QueriesLlm {
           |FROM bigram_docs b LEFT JOIN top_bigrams t USING (bigram)
           |GROUP BY doc_id""".stripMargin))),
 
+    Q("llm_repetition",
+      // Gopher-style repetition signals: distinct-token ratio and the
+      // dominant token's share, in exact integer milli-units. Two
+      // map-side-combined aggregations (token counts, then per-doc
+      // rollup) — no window, no collect.
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+        toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("distinct_tokens"),
+            max(col("c")).as("top_count"))
+          .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+            floor(col("distinct_tokens") * 1000.0 / col("n_tokens")).cast("long")
+              .as("distinct_milli"),
+            floor(col("top_count") * 1000.0 / col("n_tokens")).cast("long")
+              .as("top_tok_milli"))
+      },
+      Some(withCtes(normDocsCte,
+        """tok_counts AS (
+          |  SELECT doc_id, tok, count(*) AS c
+          |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok_docs) t
+          |  GROUP BY 1, 2)""".stripMargin)(
+        """SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS distinct_tokens,
+          |       CAST(floor(count(*) * 1000.0 / sum(c)) AS BIGINT) AS distinct_milli,
+          |       CAST(floor(max(c) * 1000.0 / sum(c)) AS BIGINT) AS top_tok_milli
+          |FROM tok_counts GROUP BY doc_id""".stripMargin))),
+
     Q("llm_len_quantiles",
       // Exact per-language length quantiles via the rank-selection method
       // (value at rank ceil(p·n)) — portable to the bit, unlike
