@@ -122,9 +122,15 @@ object StateOps {
     side("a").join(side("b"), Seq("env", "_bucket"))
       .filter(
         col("a_id") < col("b_id") &&
-        col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+        col("a_start") < col("b_end") && col("b_start") < col("a_end") &&
+        // Canonical-bucket dedup: a pair overlapping across several buckets
+        // matches the join in each of them — count it only in the bucket
+        // holding the overlap start (max of the two starts, which both
+        // intervals cover). Pure filter, so no distinct() shuffle over the
+        // full output.
+        col("_bucket") ===
+          floor(greatest(col("a_start"), col("b_start")) / bucketSeconds).cast("long"))
       .drop("_bucket")
-      .distinct()
   }
 
   /** SET1 — config diff on reload: added / removed / updated object sets.

@@ -49,13 +49,14 @@ class StateOpsSpec extends SparkSpec {
     // Intervals spanning bucket boundaries on purpose (bucket = 10 s).
     val probe = Seq(
       (1L, "e", 0L, 25L), (2L, "e", 24L, 30L), (3L, "e", 30L, 40L),
-      (4L, "e", 95L, 130L), (5L, "e", 128L, 140L), (6L, "f", 0L, 100L)
+      (4L, "e", 95L, 130L), (5L, "e", 128L, 140L), (6L, "f", 0L, 100L),
+      (7L, "f", 5L, 95L) // shares ~9 buckets with id 6 → must emit ONCE
     ).toDF("id", "env", "started_at", "ended_at")
     val got = StateOps.intervalOverlaps(probe, bucketSeconds = 10L)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted
     // naive: (1,2) overlap; (2,3) touch at 30 → NOT overlap (strict <);
-    // (4,5) overlap; env f isolated.
-    assert(got.toSeq == Seq((1L, 2L), (4L, 5L)))
+    // (4,5) overlap; (6,7) overlap across many buckets, exactly one row.
+    assert(got.toSeq == Seq((1L, 2L), (4L, 5L), (6L, 7L)))
   }
 
   test("SET1: config diff classifies added/removed/updated") {

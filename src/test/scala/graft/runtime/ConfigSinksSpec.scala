@@ -16,6 +16,17 @@ class ConfigSinksSpec extends SparkSpec {
       poll: Int = 30) =
     EnvironmentConfig("prod", provider, objs, eps, pollingIntervalSeconds = poll)
 
+  test("K7: kafkaFrame emits the native kafka sink frame (key/value/topic)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val batch = Seq((1L, "p1"), (2L, "p2")).toDF("id", "payload")
+    val frame = Sinks.kafkaFrame(batch, "graft-changes", "id",
+      to_json(struct(col("id"), col("payload"))))
+    assert(frame.columns.toSeq == Seq("key", "value", "topic"))
+    val rows = frame.as[(String, String, String)].collect().sortBy(_._1)
+    assert(rows.head == ("1", """{"id":1,"payload":"p1"}""", "graft-changes"))
+  }
+
   test("provider aliases normalize case-insensitively; unknown rejected") {
     assert(Config.normalizeProvider(" SqlServer ").contains("mssql"))
     assert(Config.normalizeProvider("PostgreSQL").contains("postgres"))
