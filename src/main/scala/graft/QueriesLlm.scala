@@ -603,6 +603,24 @@ object QueriesLlm {
         |       (h // 1048576) % 600 AS duration_s
         |FROM h60""".stripMargin)),
 
+    Q("mm_resize",
+      (s, d) => {
+        val media = Multimodal.asMedia(Tables.documents(s, d), "text", "image")
+        Multimodal.resizeStub(media, factor = 2)
+          .select(col("doc_id"), col("new_width"), col("new_height"),
+            col("resized_bytes"), col("resized_hash"))
+      },
+      Some("""WITH h60 AS (
+        |  SELECT doc_id, text, strlen(text) AS len,
+        |         CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(floor((h % 1024 + 64) / 2.0) AS BIGINT) AS new_width,
+        |       CAST(floor(((h // 1024) % 1024 + 64) / 2.0) AS BIGINT) AS new_height,
+        |       CAST(ceil(len / 2.0) AS BIGINT) AS resized_bytes,
+        |       sha256(substring(text, 1, CAST(ceil(len / 2.0) AS INTEGER))) AS resized_hash
+        |FROM h60""".stripMargin)),
+
     Q("mm_frame_sample",
       (s, d) => {
         val media = Multimodal.asMedia(Tables.documents(s, d), "text", "image")

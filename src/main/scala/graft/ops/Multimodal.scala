@@ -49,6 +49,21 @@ object Multimodal {
       .withColumn("frame_hash", sha2(col("frame"), 256))
   }
 
+  /** STUB resize: halve/scale the pseudo-dimensions and keep the leading
+    * `1/factor` of the payload bytes — stands in for a real image resampler
+    * behind the same (binary, metadata) → (binary, metadata) contract, so
+    * partitioning/schema behavior downstream is the production shape. */
+  def resizeStub(df: DataFrame, factor: Int): DataFrame =
+    df.withColumn("_meta", fakeDecode(col("media")))
+      .withColumn("new_width", floor(col("_meta.width") / factor).cast("long"))
+      .withColumn("new_height", floor(col("_meta.height") / factor).cast("long"))
+      .withColumn("resized",
+        col("media").substr(lit(1),
+          ceil(octet_length(col("media")) / lit(factor)).cast("int")))
+      .withColumn("resized_bytes", octet_length(col("resized")).cast("long"))
+      .withColumn("resized_hash", sha2(col("resized"), 256))
+      .drop("_meta")
+
   /** Feature extraction over frames: stubbed as the portable 60-bit hash of
     * the frame bytes (a real pipeline emits an embedding here). */
   def frameFeatures(frames: DataFrame): DataFrame =
