@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: the binary+metadata contracts must be
+  * deterministic and length-safe — a real codec swaps in behind the same
+  * shapes. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a" * 100), (2L, "xyz" * 40), (3L, "short")
+  ).toDF("doc_id", "text")
+
+  test("asMedia produces binary payload with byte size; decode meta is deterministic") {
+    val m = Multimodal.asMedia(docs, "text", "image")
+    val rows = m.select($"doc_id", $"media_type", $"media_bytes").collect()
+    assert(rows.forall(_.getString(1) == "image"))
+    assert(rows.map(r => (r.getLong(0), r.getInt(2))).toSet ==
+      Set((1L, 100), (2L, 120), (3L, 5)))
+    val meta1 = m.withColumn("meta", Multimodal.fakeDecode($"media")).select("meta.*").collect()
+    val meta2 = m.withColumn("meta", Multimodal.fakeDecode($"media")).select("meta.*").collect()
+    assert(meta1.sameElements(meta2))
+    meta1.foreach { r =>
+      assert(r.getLong(0) >= 64 && r.getLong(0) < 1088) // width in [64, 1088)
+      assert(r.getLong(1) >= 64 && r.getLong(1) < 1088)
+      assert(r.getLong(2) >= 0 && r.getLong(2) < 600)
+    }
+  }
+
+  test("sampleFrames yields n evenly spaced in-bounds frames with stable hashes") {
+    val m = Multimodal.asMedia(docs.filter($"doc_id" === 1), "text", "image")
+    val frames = Multimodal.sampleFrames(m, n = 4, frameBytes = 32)
+      .select($"frame_index", $"frame_offset", $"frame_hash").collect()
+    assert(frames.length == 4)
+    val offsets = frames.map(_.getInt(1)).sorted
+    assert(offsets.head == 0 && offsets.last == 68) // (100-32) spread over 3 gaps
+    assert(frames.map(_.getString(2)).distinct.length >= 1)
+  }
+
+  test("resizeStub halves dimensions and keeps the leading half of the payload") {
+    val m = Multimodal.asMedia(docs, "text", "image")
+    val r = Multimodal.resizeStub(m, factor = 2)
+      .join(m.withColumn("meta", Multimodal.fakeDecode($"media"))
+        .select($"doc_id", $"meta.width".as("w0"), $"meta.height".as("h0"),
+          $"media_bytes".as("b0")), Seq("doc_id"))
+    val rows = r.select($"new_width", $"w0", $"new_height", $"h0",
+      $"resized_bytes", $"b0").collect()
+    rows.foreach { x =>
+      assert(x.getLong(0) == x.getLong(1) / 2)
+      assert(x.getLong(2) == x.getLong(3) / 2)
+      assert(x.getLong(4) == (x.getInt(5) + 1) / 2)
+    }
+    // resized payload is a PREFIX of the original: re-hashing the truncated
+    // original must reproduce resized_hash
+    val check = Multimodal.resizeStub(m, factor = 2)
+      .withColumn("prefix_hash",
+        sha2($"media".substr(lit(1), ceil(octet_length($"media") / 2).cast("int")), 256))
+      .filter($"resized_hash" =!= $"prefix_hash")
+    assert(check.count() == 0)
+  }
+}
