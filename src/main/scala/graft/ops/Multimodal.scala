@@ -68,4 +68,31 @@ object Multimodal {
     * the frame bytes (a real pipeline emits an embedding here). */
   def frameFeatures(frames: DataFrame): DataFrame =
     frames.withColumn("feature", DedupOps.hash60(col("frame").cast("string")))
+
+  /** One decoded media row. */
+  final case class DecodedMedia(doc_id: Long, width: Long, height: Long,
+      frames: Int)
+
+  /** The batched-decode execution shape: `mapPartitions` with the (stub)
+    * codec opened ONCE per partition and reused for every row in it — the
+    * JVM analog of the `mapInPandas` batch contract, where codec/model init
+    * is the dominant per-row cost if done naively. `onCodecInit` is a test
+    * hook (production passes a real codec factory); rows stream through the
+    * iterator, so memory stays O(batch), not O(partition). */
+  def decodePartitioned(media: DataFrame, onCodecInit: () => Unit = () => ())(
+      implicit enc: org.apache.spark.sql.Encoder[DecodedMedia]): org.apache.spark.sql.Dataset[DecodedMedia] = {
+    val rows = media.select(col("doc_id").cast("long"), col("media"))
+    rows.mapPartitions { it =>
+      onCodecInit() // stands in for opening the codec/model handle
+      val codecSalt = 7L // per-handle state a real codec would carry
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        // stub decode: cheap deterministic pseudo-metadata from the bytes
+        val h = bytes.foldLeft(codecSalt)((acc, b) => acc * 31 + (b & 0xff))
+        DecodedMedia(id, math.floorMod(h, 1024) + 64,
+          math.floorMod(h >> 10, 1024) + 64, bytes.length / 32)
+      }
+    }(enc)
+  }
 }

@@ -39,6 +39,19 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getString(2)).distinct.length >= 1)
   }
 
+  test("decodePartitioned opens the codec once per partition, not per row") {
+    val many = (1L to 100L).map(i => (i, s"payload-$i-" + "x" * 64)).toDF("doc_id", "text")
+    val m = Multimodal.asMedia(many, "text", "image").repartition(4)
+    val acc = spark.sparkContext.longAccumulator("codecInits")
+    val out = Multimodal.decodePartitioned(m, () => acc.add(1)).collect()
+    assert(out.length == 100)
+    assert(acc.value == 4, s"codec must init per partition, got ${acc.value}")
+    // deterministic decode across runs
+    val again = Multimodal.decodePartitioned(m).collect()
+    assert(out.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
+    out.foreach(d => assert(d.width >= 64 && d.height >= 64 && d.frames >= 2))
+  }
+
   test("resizeStub halves dimensions and keeps the leading half of the payload") {
     val m = Multimodal.asMedia(docs, "text", "image")
     val r = Multimodal.resizeStub(m, factor = 2)
