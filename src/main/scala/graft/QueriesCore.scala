@@ -540,9 +540,16 @@ object QueriesCore {
       (s, d) => Windows.topN(Fixtures.pauses(Tables.events(s, d)), 20,
           col("created").desc, col("id").desc)
         .select(col("id"), col("scope"), tsSec(col("created")).as("created")),
-      Some(withCtes(OracleCtes.pauses)(
+      // ORDER BY must bind to the RAW timestamp (a same-named alias would
+      // shadow it and order by the second-truncated string, diverging from
+      // the Spark side on same-second ties) — so select top-20 first, then
+      // render.
+      Some(withCtes(OracleCtes.pauses,
+        """top_pauses AS (
+          |  SELECT id, scope, created FROM pauses
+          |  ORDER BY created DESC, id DESC LIMIT 20)""".stripMargin)(
         s"""SELECT id, scope, ${tsSecSql("created")} AS created
-          |FROM pauses ORDER BY created DESC, id DESC LIMIT 20""".stripMargin))),
+          |FROM top_pauses""".stripMargin))),
 
     Q("o5_oldest_first_delete",
       (s, d) => Windows.topN(Fixtures.exportFiles(Tables.events(s, d)), 5,

@@ -320,13 +320,16 @@ object QueriesLlm {
         val docs = Tables.documents(s, d)
         // Materialize the candidate set before verification: jaccard()
         // consumes `pairs` twice (the pairs themselves + the left-semi doc
-        // restriction), and without a persist the whole MinHash pipeline
-        // would be evaluated twice. At scale this persist is the
-        // checkpoint every find-then-verify pipeline places between the
-        // two phases.
+        // restriction), and without materialization the whole MinHash
+        // pipeline would be evaluated twice. localCheckpoint (not
+        // persist()) cuts the lineage eagerly AND lets the context cleaner
+        // reclaim the blocks once the DataFrame is unreachable — an
+        // unpersisted cache would leak into every later query of the
+        // session. It is the checkpoint every find-then-verify pipeline
+        // places between the two phases.
         val pairs = DedupOps.candidatePairs(
           DedupOps.lshBuckets(DedupOps.minhashSignature(docs, "doc_id", "text", 8), "doc_id"),
-          "doc_id").persist()
+          "doc_id").localCheckpoint()
         DedupOps.jaccard(pairs, docs, "doc_id", "text")
       },
       Some(withCtes(normDocsCte, shinglesCte, sigCte, bucketCte, pairsCte)(
@@ -390,7 +393,7 @@ object QueriesLlm {
       },
       Some {
         val planeDot = (j: Int) =>
-          s"CAST(list_sum(list_transform(range(1, 65), i -> v[i] * (((i-1)*31 + $j*17) % 7 - 3))) AS BIGINT)"
+          s"CAST(list_sum(list_transform(range(1, 65), i -> v[i] * (((i-1)*31 + $j*17) % 101 - 50))) AS BIGINT)"
         val bucketExpr = (0 until 4).map(j =>
           s"CASE WHEN ${planeDot(j)} >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
         s"""WITH quant AS (
@@ -508,7 +511,7 @@ object QueriesLlm {
     * `planes` hyperplanes (mirrors Similarity.lshKey / hyperplane). */
   private def duckBucketExpr(planes: Int): String = {
     val planeDot = (j: Int) =>
-      s"CAST(list_sum(list_transform(range(1, 65), i -> v[i] * (((i-1)*31 + $j*17) % 7 - 3))) AS BIGINT)"
+      s"CAST(list_sum(list_transform(range(1, 65), i -> v[i] * (((i-1)*31 + $j*17) % 101 - 50))) AS BIGINT)"
     (0 until planes).map(j =>
       s"CASE WHEN ${planeDot(j)} >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
   }
@@ -544,7 +547,7 @@ object QueriesLlm {
         // Per-band bucket: plane index J = band*8 + j, bit position j.
         def bandExpr(b: Int): String = {
           val planeDot = (jj: Int) =>
-            s"CAST(list_sum(list_transform(range(1, 65), i -> v[i] * (((i-1)*31 + $jj*17) % 7 - 3))) AS BIGINT)"
+            s"CAST(list_sum(list_transform(range(1, 65), i -> v[i] * (((i-1)*31 + $jj*17) % 101 - 50))) AS BIGINT)"
           (0 until 8).map(j =>
             s"CASE WHEN ${planeDot(b * 8 + j)} >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
         }
@@ -618,7 +621,8 @@ object QueriesLlm {
         |       CAST(floor((h % 1024 + 64) / 2.0) AS BIGINT) AS new_width,
         |       CAST(floor(((h // 1024) % 1024 + 64) / 2.0) AS BIGINT) AS new_height,
         |       CAST(ceil(len / 2.0) AS BIGINT) AS resized_bytes,
-        |       sha256(substring(text, 1, CAST(ceil(len / 2.0) AS INTEGER))) AS resized_hash
+        |       sha256(substring(hex(encode(text)), 1, 2 * CAST(ceil(len / 2.0) AS INTEGER)))
+        |         AS resized_hash
         |FROM h60""".stripMargin)),
 
     Q("mm_frame_sample",

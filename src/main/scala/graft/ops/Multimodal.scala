@@ -61,7 +61,11 @@ object Multimodal {
         col("media").substr(lit(1),
           ceil(octet_length(col("media")) / lit(factor)).cast("int")))
       .withColumn("resized_bytes", octet_length(col("resized")).cast("long"))
-      .withColumn("resized_hash", sha2(col("resized"), 256))
+      // Fingerprint the HEX of the slice, not the raw bytes: DuckDB's
+      // sha256 only accepts VARCHAR, so raw-byte hashing is only portable
+      // for ASCII payloads — hex is pure ASCII for ANY bytes in both
+      // engines (uppercase in both).
+      .withColumn("resized_hash", sha2(hex(col("resized")), 256))
       .drop("_meta")
 
   /** Feature extraction over frames: stubbed as the portable 60-bit hash of

@@ -82,9 +82,15 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: element i of plane j is
-    * `((i*31 + j*17) mod 7) - 3` — small ints, identical in any engine. */
+    * `((i*31 + j*17) mod 101) - 50` — small ints, identical in any engine.
+    * The modulus must dwarf the plane count: with a small modulus m the
+    * family is periodic in j with period m/gcd(17,m), so distinct j values
+    * can alias to the SAME hyperplane and extra planes/bands add no
+    * discrimination (the original mod-7 family made every 8-plane band
+    * identical). 101 is prime and > any plane count used here, so all
+    * planes are distinct. */
   def hyperplane(j: Int, dim: Int): Column =
-    array((0 until dim).map(i => lit(((i * 31 + j * 17) % 7 - 3).toLong)): _*)
+    array((0 until dim).map(i => lit(((i * 31 + j * 17) % 101 - 50).toLong)): _*)
 
   /** LSH bucket key: sign bits of the dot products with `planes`
     * hyperplanes (per-row HOF form; [[lshBucketOf]] is the codegen form
@@ -104,7 +110,7 @@ object Similarity {
       .select(col("vec_id"), col("_i"),
         round(col("_x").cast("double") * 1000).cast("long").as("_q"))
     val sums = (0 until planes).map { j =>
-      sum(col("_q") * (((col("_i") * 31 + j * 17) % 7) - 3)).as(s"_d$j")
+      sum(col("_q") * (((col("_i") * 31 + j * 17) % 101) - 50)).as(s"_d$j")
     }
     el.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
       .select(col("vec_id"),
@@ -149,7 +155,7 @@ object Similarity {
         round(col("_x").cast("double") * 1000).cast("long").as("_q"))
     val total = bands * planesPerBand
     val sums = (0 until total).map { j =>
-      sum(col("_q") * (((col("_i") * 31 + j * 17) % 7) - 3)).as(s"_d$j")
+      sum(col("_q") * (((col("_i") * 31 + j * 17) % 101) - 50)).as(s"_d$j")
     }
     val bandBucket = (b: Int) =>
       (0 until planesPerBand)

@@ -16,10 +16,7 @@ object TimeWindows {
     * aggregation keyed by (bucket, key). */
   def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
                      width: String): DataFrame =
-    events
-      .groupBy(window(col(tsCol), width).as("w"), col(keyCol))
-      .agg(count(lit(1)).as("events"))
-      .select(col("w.start").as("window_start"), col(keyCol), col("events"))
+    slidingCounts(events, tsCol, keyCol, width, width)
 
   /** Sliding counts: overlapping buckets via `window(ts, width, slide)` —
     * each event lands in `width/slide` windows (Spark expands them before

@@ -29,7 +29,10 @@ class RegisteredQueriesSpec extends SparkSpec {
       try {
         val df = q.run(spark, sfDir)
         assert(df.schema.nonEmpty)
-        df.limit(1).collect() // force execution of the full pipeline
+        // noop write forces EVERY partition and expression — limit(1)
+        // short-circuits after the first row and count() prunes
+        // projections, either of which would hide per-row runtime errors.
+        df.write.format("noop").mode("overwrite").save()
         None
       } catch {
         case e: Throwable => Some(s"${q.name}: ${e.getMessage.take(160)}")

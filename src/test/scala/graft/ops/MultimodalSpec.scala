@@ -69,7 +69,7 @@ class MultimodalSpec extends SparkSpec {
     // original must reproduce resized_hash
     val check = Multimodal.resizeStub(m, factor = 2)
       .withColumn("prefix_hash",
-        sha2($"media".substr(lit(1), ceil(octet_length($"media") / 2).cast("int")), 256))
+        sha2(hex($"media".substr(lit(1), ceil(octet_length($"media") / 2).cast("int"))), 256))
       .filter($"resized_hash" =!= $"prefix_hash")
     assert(check.count() == 0)
   }

@@ -74,7 +74,11 @@ def main():
         # hash identically through Python ints) but NOT HUGEINT, which falls
         # outside int64 — so normalize widths, keep HUGEINT distinct.
         def norm_type(t):
-            return "INT" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") else t
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+                return "INT"
+            if t in ("FLOAT", "REAL", "DOUBLE"):  # float32/float64 hash alike too
+                return "FLOAT"
+            return t
         o_typed = sorted(zip(o_cols, (norm_type(t) for t in o_types)))
         s_typed = sorted(zip(s_cols, (norm_type(t) for t in s_types)))
         if o_typed != s_typed:
