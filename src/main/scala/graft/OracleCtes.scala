@@ -12,13 +12,18 @@ package graft
   *    CAST, Spark truncates);
   *  - money sums are done in integer cents (CAST(round(x*100) AS BIGINT));
   *  - hashes are sha256 lowercase hex in both engines;
-  *  - timestamps that appear in output are CAST to VARCHAR (identical
-  *    rendering in both engines at microsecond precision);
+  *  - timestamps that appear in output go through date_trunc('second') then
+  *    CAST to VARCHAR (tsSec/tsSecSql — SECOND precision; and ORDER BY must
+  *    bind to the raw column, not the truncated alias);
   *  - arrays in output go through array_to_string.
   */
 object OracleCtes {
 
-  /** Mirrors Fixtures.outbox. */
+  /** Mirrors Fixtures.outbox. Payload columns are nulled for every
+    * D-operation row (operation is the catch-all for any event_type outside
+    * the I/U sets) — conditioning on `event_type = 'error'` instead would
+    * diverge from the Spark fixture if the driver data ever grows a sixth
+    * event_type. */
   val outbox: String =
     """outbox AS (
       |  SELECT event_id AS id,
@@ -27,9 +32,9 @@ object OracleCtes {
       |              WHEN event_type IN ('purchase','signup') THEN 'U'
       |              ELSE 'D' END AS operation,
       |         user_id AS session_id,
-      |         CASE WHEN event_type = 'error' THEN NULL ELSE ts END AS recorded_on,
-      |         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
-      |         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS props,
+      |         CASE WHEN event_type IN ('click','view','purchase','signup') THEN ts END AS recorded_on,
+      |         CASE WHEN event_type IN ('click','view','purchase','signup') THEN value END AS value,
+      |         CASE WHEN event_type IN ('click','view','purchase','signup') THEN props END AS props,
       |         CASE WHEN event_type IN ('purchase','signup') THEN
       |           CASE WHEN value > 100 THEN ['value','props'] ELSE ['value'] END
       |         END AS changed

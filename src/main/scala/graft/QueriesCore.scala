@@ -76,11 +76,16 @@ object QueriesCore {
             i => col("text").substr(i * 100 + 1, lit(100)))))
         Incremental.reassembleChunks(chunks, "doc_id", "pos", "col")
       },
+      // Chunk bound is PER-DOCUMENT (greatest(ceil(len/100), 1)) — a fixed
+      // range would silently truncate long documents, and the greatest(…,1)
+      // keeps the one-empty-chunk row Spark emits for empty text.
       Some("""WITH chunks AS (
         |  SELECT doc_id, i AS idx,
         |         substring(text, CAST(i*100+1 AS INTEGER), 100) AS chunk
-        |  FROM documents, range(0, 100) t(i)
-        |  WHERE doc_id < 100 AND i*100 < length(text))
+        |  FROM (
+        |    SELECT doc_id, text,
+        |           unnest(range(0, greatest(CAST(ceil(length(text)/100.0) AS BIGINT), 1))) AS i
+        |    FROM documents WHERE doc_id < 100))
         |SELECT doc_id, string_agg(chunk, '' ORDER BY idx) AS doc
         |FROM chunks GROUP BY doc_id""".stripMargin)),
 
@@ -427,13 +432,11 @@ object QueriesCore {
           |FROM dlq WHERE id < 200""".stripMargin))),
 
     Q("a5_window_counts",
+      // Calls the actual operator (not an inline copy) so the gate
+      // exercises Dlq.windowCounts itself.
       (s, d) => {
         val now = Fixtures.refNow
-        dlq(s, d).filter(col("timestamp") <= now).agg(
-          count(when(col("timestamp") >= now - expr("INTERVAL 1 HOUR"), 1)).as("last_1h"),
-          count(when(col("timestamp") >= now - expr("INTERVAL 24 HOUR"), 1)).as("last_24h"),
-          count(when(col("timestamp") >= now - expr("INTERVAL 7 DAY"), 1)).as("last_7d"),
-          count(lit(1)).as("total"))
+        Dlq.windowCounts(dlq(s, d).filter(col("timestamp") <= now), now)
       },
       Some(withCtes(OracleCtes.deadLetters)(
         s"""SELECT count(CASE WHEN "timestamp" >= $refNow - INTERVAL 1 HOUR THEN 1 END) AS last_1h,

@@ -633,13 +633,15 @@ object QueriesLlm {
             col("frame_offset").cast("long").as("frame_offset"),
             col("frame_hash"))
       },
+      // Offsets in BYTES (strlen) and frames sliced from the hex encoding —
+      // byte-exact for any payload, unlike char-based substring over text.
       Some("""WITH f AS (
-        |  SELECT doc_id, i, text,
-        |         CAST(floor(i * greatest(length(text) - 32, 1) / 3.0) AS BIGINT) AS off
+        |  SELECT doc_id, i, hex(encode(text)) AS hx, strlen(text) AS len,
+        |         CAST(floor(i * greatest(strlen(text) - 32, 0) / 3.0) AS BIGINT) AS off
         |  FROM documents, range(0, 4) t(i))
         |SELECT doc_id, i AS frame_index, off AS frame_offset,
-        |       sha256(substring(text, CAST(off + 1 AS INTEGER), 32)) AS frame_hash
-        |FROM f WHERE off + 32 <= length(text)""".stripMargin))
+        |       sha256(substring(hx, CAST(2*off + 1 AS INTEGER), 64)) AS frame_hash
+        |FROM f WHERE off + 32 <= len""".stripMargin))
   )
 
   def tpch: Seq[Q] = Seq(
@@ -766,8 +768,9 @@ object QueriesLlm {
     Q("t9_session_native",
       // Native session_window (streaming-capable) checked against a
       // gaps-and-islands oracle: session start = min ts, end = max ts +
-      // gap, new session when gap >= 1800 s (session_window expiry
-      // semantics — the >= matters on exact-gap ties).
+      // gap, new session when gap > 1800 s STRICTLY — session_window
+      // MERGES an event landing exactly on the previous window's end
+      // (verified empirically; an >= here would diverge on exact-gap ties).
       (s, d) => TimeWindows.nativeSessions(Tables.events(s, d), "ts", "user_id",
           "30 minutes")
         .select(col("user_id"),
@@ -776,7 +779,7 @@ object QueriesLlm {
       Some("""WITH gaps AS (
         |  SELECT user_id, ts, event_id,
         |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-        |                     OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+        |                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
         |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM events),

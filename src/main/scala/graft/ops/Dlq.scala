@@ -17,8 +17,9 @@ object Dlq {
     * failures collapse into one row (keeping the earliest, so replay order
     * is stable). Ref: DeadLetterService.cs:90-144,293-299.
     *
-    * Implemented as an aggregation rather than `dropDuplicates` so the
-    * surviving row is deterministic; one hash shuffle on the dedup key. */
+    * Implemented as a row_number window (hash partition + per-partition
+    * sort on the dedup key) rather than `dropDuplicates` so the surviving
+    * row is deterministic — the earliest id, not an arbitrary one. */
   def dedup(dlq: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("source_key"), col("data_hash"))
       .orderBy(col("id"))
@@ -81,7 +82,10 @@ object Dlq {
   /** P9 — the shared search predicate: `LIKE %term%` over object, error and
     * database (+ optional exact object). Ref: DeadLetterService.cs:272-291. */
   def search(dlq: DataFrame, term: String, objectName: Option[String] = None): DataFrame = {
-    val t = s"%$term%"
+    // Substring-contains semantics: LIKE metacharacters in the user's term
+    // must match literally ("100%" must not match every "100…").
+    val escaped = term.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    val t = s"%$escaped%"
     val byTerm = dlq.filter(
       col("tracking_object_name").like(t) ||
       col("error_message").like(t) ||

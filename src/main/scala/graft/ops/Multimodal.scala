@@ -42,11 +42,16 @@ object Multimodal {
     val idx = explode(sequence(lit(0), lit(n - 1)))
     df.withColumn("frame_index", idx)
       .withColumn("frame_offset",
-        (col("frame_index") * greatest(len - frameBytes, lit(1)) / lit(math.max(n - 1, 1))).cast("int"))
+        // span 0 when payload == frameBytes: all frames legitimately sit at
+        // offset 0 (a floor of 1 would push the last frame out of bounds
+        // and duplicate the rest)
+        (col("frame_index") * greatest(len - frameBytes, lit(0)) / lit(math.max(n - 1, 1))).cast("int"))
       .filter(col("frame_offset") + frameBytes <= len)
       .withColumn("frame",
         col("media").substr(col("frame_offset") + 1, lit(frameBytes)))
-      .withColumn("frame_hash", sha2(col("frame"), 256))
+      // hash the HEX of the slice — byte-portable to the DuckDB oracle for
+      // any payload (see resizeStub)
+      .withColumn("frame_hash", sha2(hex(col("frame")), 256))
   }
 
   /** STUB resize: halve/scale the pseudo-dimensions and keep the leading
@@ -71,7 +76,7 @@ object Multimodal {
   /** Feature extraction over frames: stubbed as the portable 60-bit hash of
     * the frame bytes (a real pipeline emits an embedding here). */
   def frameFeatures(frames: DataFrame): DataFrame =
-    frames.withColumn("feature", DedupOps.hash60(col("frame").cast("string")))
+    frames.withColumn("feature", DedupOps.hash60(hex(col("frame"))))
 
   /** One decoded media row. */
   final case class DecodedMedia(doc_id: Long, width: Long, height: Long,

@@ -111,8 +111,14 @@ object StateOps {
     * time. A plain env-equi-join with range residuals degenerates to
     * |env|² comparisons (measured: 84 s at sf0.1, and quadratic beyond);
     * banding keeps it linear in rows × bucket occupancy, which is the only
-    * shape that survives 100 TB. Pairs spanning several buckets are
-    * deduplicated with a final distinct on the (small) match set. */
+    * shape that survives 100 TB. Pairs spanning several buckets are kept
+    * only in the canonical bucket of the overlap start (a pure filter — no
+    * distinct() shuffle).
+    *
+    * Precondition: intervals are well-formed (`started_at <= ended_at`) —
+    * the canonical-bucket coverage proof relies on it. The probe fixture
+    * guarantees this (duration = floor(value*10) >= 0); filter malformed
+    * rows upstream if the source cannot. */
   def intervalOverlaps(probe: DataFrame, bucketSeconds: Long = 3600): DataFrame = {
     def side(p: String) = probe.select(col("env"), col("id").as(s"${p}_id"),
         col("started_at").as(s"${p}_start"), col("ended_at").as(s"${p}_end"))

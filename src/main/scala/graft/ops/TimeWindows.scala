@@ -37,7 +37,12 @@ object TimeWindows {
     *
     * `tieBreakCols` must make the ordering unique: two events with
     * identical (key, ts) otherwise get a nondeterministic lag order, and
-    * the session assignment can vary between runs (pass a unique id). */
+    * the session assignment can vary between runs (pass a unique id).
+    *
+    * Boundary semantics match [[nativeSessions]]/`session_window`
+    * (verified empirically): a gap of EXACTLY `gapSeconds` stays in the
+    * SAME session — session_window merges an event landing on the previous
+    * window's end; only a strictly larger gap splits. */
   def sessionize(events: DataFrame, tsCol: String, keyCol: String,
                  gapSeconds: Long, tieBreakCols: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

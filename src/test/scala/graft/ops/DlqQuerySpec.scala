@@ -27,6 +27,15 @@ class DlqQuerySpec extends SparkSpec {
     assert(narrowed.toSeq == Seq(3L))
   }
 
+  test("P9: LIKE metacharacters in the search term match literally") {
+    val tricky = Seq(
+      (1L, "o", "rate is 100%", "db"), (2L, "o", "rate is 100x", "db"),
+      (3L, "a_b", "m", "db"), (4L, "aXb", "m", "db")
+    ).toDF("id", "tracking_object_name", "error_message", "database_name")
+    assert(Dlq.search(tricky, "100%").select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(Dlq.search(tricky, "a_b").select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("A5: conditional window counts in one pass") {
     val got = Dlq.windowCounts(dlq.filter($"timestamp" <= now), now)
       .as[(Long, Long, Long, Long)].head()

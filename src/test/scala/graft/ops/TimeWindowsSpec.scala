@@ -45,4 +45,23 @@ class TimeWindowsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(stats == Set((1L, 1L, 2L, 600L), (1L, 2L, 1L, 0L), (2L, 1L, 1L, 0L)))
   }
+
+  test("a gap of EXACTLY the threshold MERGES, in both sessionize and session_window") {
+    // session_window merges an event landing on the previous window's end
+    // (verified empirically) — sessionize's strict > mirrors that, and a
+    // strictly larger gap splits in both.
+    val boundary = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:30:00")) // gap == 1800 s
+    ).toDF("user_id", "ts")
+    assert(TimeWindows.sessionize(boundary, "ts", "user_id", gapSeconds = 1800)
+      .select($"session_id").as[Long].collect().toSet == Set(1L))
+    assert(TimeWindows.nativeSessions(boundary, "ts", "user_id", "30 minutes").count() == 1)
+
+    val beyond = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:30:01")) // gap == 1801 s
+    ).toDF("user_id", "ts")
+    assert(TimeWindows.sessionize(beyond, "ts", "user_id", gapSeconds = 1800)
+      .select($"session_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(TimeWindows.nativeSessions(beyond, "ts", "user_id", "30 minutes").count() == 2)
+  }
 }
