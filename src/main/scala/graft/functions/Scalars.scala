@@ -77,27 +77,14 @@ object Scalars {
     * timestamp byte — level/OS fields zeroed by the JDK's GZIPOutputStream
     * defaults). Ref: Source/Helpers/Gzip.cs:9-18; used with base64() when a
     * broker embeds binary in a text body (MessageQueueService.cs:142-151). */
-  val gzipBytes: Array[Byte] => Array[Byte] = { (input: Array[Byte]) =>
-    if (input == null) null
-    else {
-      val bos = new java.io.ByteArrayOutputStream()
-      val gz = new java.util.zip.GZIPOutputStream(bos)
-      gz.write(input); gz.close()
-      bos.toByteArray
-    }
-  }
+  // Single codec implementation — graft.expressions.GzipCodec backs both
+  // the native Catalyst expressions and these UDF/driver-side entry points
+  // (two copies would drift on a fix to either).
+  val gzipBytes: Array[Byte] => Array[Byte] = (input: Array[Byte]) =>
+    if (input == null) null else graft.expressions.GzipCodec.compress(input)
 
-  val gunzipBytes: Array[Byte] => Array[Byte] = { (input: Array[Byte]) =>
-    if (input == null) null
-    else {
-      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(input))
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
-    }
-  }
+  val gunzipBytes: Array[Byte] => Array[Byte] = (input: Array[Byte]) =>
+    if (input == null) null else graft.expressions.GzipCodec.decompress(input)
 
   /** Register gzip/gunzip as SQL functions on a session. */
   def registerUdfs(spark: SparkSession): Unit = {
@@ -105,14 +92,11 @@ object Scalars {
     spark.udf.register("gunzip", gunzipBytes)
   }
 
-  def gzip(c: Column): Column = {
-    val f = udf(gzipBytes)
-    f(c)
-  }
-  def gunzip(c: Column): Column = {
-    val f = udf(gunzipBytes)
-    f(c)
-  }
+  private lazy val gzipUdf = udf(gzipBytes)
+  private lazy val gunzipUdf = udf(gunzipBytes)
+
+  def gzip(c: Column): Column = gzipUdf(c)
+  def gunzip(c: Column): Column = gunzipUdf(c)
 
   /** Compress-then-cap decision used by the broker sinks: compress when the
     * payload exceeds the threshold, then enforce the post-compression cap.

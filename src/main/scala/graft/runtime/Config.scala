@@ -63,7 +63,10 @@ object Config {
         errors += s"tracking object '${o.name}': no connection string for database key '${o.database}'"
     }
 
-    val dupObjects = env.trackingObjects.groupBy(_.name.toLowerCase).collect { case (n, xs) if xs.size > 1 => n }
+    // Null-safe: a null Name is already reported above; the dup check must
+    // not NPE on it.
+    val dupObjects = env.trackingObjects.groupBy(o => Option(o.name).getOrElse("").toLowerCase)
+      .collect { case (n, xs) if n.nonEmpty && xs.size > 1 => n }
     dupObjects.foreach(n => errors += s"duplicate tracking object name '$n'")
 
     env.endpoints.foreach { ep =>

@@ -30,10 +30,16 @@ final class KeyedPool[V](build: String => V, close: V => Unit = (_: V) => ()) {
   /** Evict one key (e.g. after a broken connection), closing the resource
     * if it was ever built (never construct just to close). A caller that
     * raced get() against evict() may hold a closed resource — the next use
-    * fails and re-enters through get(), same as the reference's caches. */
+    * fails and re-enters through get(), same as the reference's caches.
+    *
+    * Synchronizes on the cell: lazy-val init holds the cell's monitor, so
+    * an in-flight build completes before the close decision — otherwise an
+    * evict during construction would observe built=false, skip the close,
+    * and leak the just-built resource forever (removed from the map, so no
+    * later evict/closeAll can reach it). */
   def evict(key: String): Unit = {
     val cell = cells.remove(key)
-    if (cell != null && cell.built) close(cell.value)
+    if (cell != null) cell.synchronized { if (cell.built) close(cell.value) }
   }
 
   /** Close everything (shutdown flush path). */

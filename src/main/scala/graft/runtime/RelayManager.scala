@@ -21,6 +21,20 @@ final class RelayManager[H](
   private val gate = new ReentrantLock()
   private val running = scala.collection.mutable.Map[String, H]()
 
+  /** Stop with the configured budget (reference: 5 s per environment task,
+    * Program.cs:106-109): a wedged task must not block the lifecycle gate —
+    * and every start/stop of every other environment — forever. */
+  private def stopBounded(h: H): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try Await.result(Future(stopTask(h)), Duration(stopTimeoutMillis, "ms"))
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println(s"[relay-manager] stop exceeded ${stopTimeoutMillis} ms; abandoning task")
+    }
+  }
+
   def isRunning(name: String): Boolean = {
     gate.lock(); try running.contains(name.toLowerCase) finally gate.unlock()
   }
@@ -41,29 +55,37 @@ final class RelayManager[H](
   def stop(name: String): Boolean = {
     gate.lock()
     try running.remove(name.toLowerCase) match {
-      case Some(h) => stopTask(h); true
+      case Some(h) => stopBounded(h); true
       case None => false
     } finally gate.unlock()
   }
 
   /** Hot-reload reaction: removed → stop; updated → stop + start;
-    * added → start. All under the same gate. */
+    * added → start. All under the same gate. Removals are applied FIRST —
+    * a case-only rename of an environment file arrives as
+    * Added("prod") + Removed("Prod"), which share a lowercased key: Added
+    * first would be skipped as already-running and the Removed would then
+    * stop the live task, permanently parking the environment. */
   def applyDiff(changes: Seq[EnvLoader.Change]): Unit = {
     gate.lock()
-    try changes.foreach {
-      case EnvLoader.Removed(n) =>
-        running.remove(n.toLowerCase).foreach(stopTask)
-      case EnvLoader.Updated(n) =>
-        running.remove(n.toLowerCase).foreach(stopTask)
+    try {
+      changes.collect { case EnvLoader.Removed(n) => n }.foreach { n =>
+        running.remove(n.toLowerCase).foreach(stopBounded)
+      }
+      changes.collect { case EnvLoader.Updated(n) => n }.foreach { n =>
+        running.remove(n.toLowerCase).foreach(stopBounded)
         running(n.toLowerCase) = startTask(n)
-      case EnvLoader.Added(n) =>
+      }
+      changes.collect { case EnvLoader.Added(n) => n }.foreach { n =>
         if (!running.contains(n.toLowerCase)) running(n.toLowerCase) = startTask(n)
+      }
     } finally gate.unlock()
   }
 
-  /** Shutdown: stop everything (host budget is the caller's concern). */
+  /** Shutdown: stop everything (each stop individually bounded; the host's
+    * overall budget is the caller's concern). */
   def stopAll(): Unit = {
     gate.lock()
-    try { running.values.foreach(stopTask); running.clear() } finally gate.unlock()
+    try { running.values.foreach(stopBounded); running.clear() } finally gate.unlock()
   }
 }

@@ -13,12 +13,15 @@ object Resilience {
       * failure propagates. `sleep` injectable for tests. */
     def apply[T](retryable: Throwable => Boolean = _ => true,
                  sleep: Long => Unit = Thread.sleep)(f: => T): T = {
+      // A non-positive attempts config still runs once — the zero-iteration
+      // loop would otherwise `throw last` with last == null (NPE).
+      val n = math.max(1, attempts)
       var last: Throwable = null
       var i = 0
-      while (i < attempts) {
+      while (i < n) {
         try return f
         catch {
-          case e: Throwable if retryable(e) && i < attempts - 1 =>
+          case e: Throwable if retryable(e) && i < n - 1 =>
             last = e; sleep(delayMillis)
           case e: Throwable => throw e
         }

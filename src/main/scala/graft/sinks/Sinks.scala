@@ -132,9 +132,18 @@ object Sinks {
       case None => Left(ExportFailure(broker, s"unknown broker type '$broker'"))
       case Some(cap) =>
         val raw = payload.getBytes(StandardCharsets.UTF_8)
-        // ASB/SQS gzip (+base64 for text-body brokers) above the threshold
-        // before the cap check (MessageQueueService.cs:67-94,142-151).
-        val body = if (raw.length > CompressionThreshold) Scalars.gzipBytes(raw) else raw
+        // Compression is PER-BROKER (MessageQueueService.cs:67-94,142-151):
+        // ASB gzips then base64-wraps (text body — the cap must be checked
+        // against the base64-inflated size, ~4/3×, or the guard admits
+        // messages the broker rejects); SQS gzips binary; RabbitMQ /
+        // Event Hubs / Kafka publish raw bytes.
+        val body = broker.toLowerCase match {
+          case "azureservicebus" if raw.length > CompressionThreshold =>
+            java.util.Base64.getEncoder.encode(Scalars.gzipBytes(raw))
+          case "awssqs" if raw.length > CompressionThreshold =>
+            Scalars.gzipBytes(raw)
+          case _ => raw
+        }
         if (body.length > cap)
           Left(ExportFailure(broker, s"message ${body.length} B exceeds $broker cap $cap B"))
         else Right(body)

@@ -29,8 +29,12 @@ final class ParquetStateStore(spark: SparkSession, rootDir: String) {
     val p = pointer(name)
     if (Files.exists(p)) {
       val v = Files.readString(p).trim
-      val dir = tableRoot(name).resolve(v)
-      if (Files.exists(dir)) Some(dir) else None
+      // Defensive: an empty pointer would resolve to the table root itself.
+      if (v.isEmpty) None
+      else {
+        val dir = tableRoot(name).resolve(v)
+        if (Files.exists(dir)) Some(dir) else None
+      }
     } else None
   }
 
@@ -50,7 +54,16 @@ final class ParquetStateStore(spark: SparkSession, rootDir: String) {
     val dir = tableRoot(name).resolve(s"v$next")
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir.toString)
     val prev = currentDir(name)
-    Files.writeString(pointer(name), s"v$next")
+    // The pointer flip IS the commit, so it must be atomic: writeString
+    // truncates in place, and a crash mid-write would leave an empty or
+    // partial pointer — read() would then see an empty store and the next
+    // commit would snapshot WITHOUT all prior rows (total state loss).
+    // Write-temp + ATOMIC_MOVE makes the flip all-or-nothing.
+    val tmp = tableRoot(name).resolve(s"_CURRENT.tmp$next")
+    Files.writeString(tmp, s"v$next")
+    Files.move(tmp, pointer(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // GC everything except the new current and its immediate predecessor.
     val keep = Set(Some(dir), prev).flatten.map(_.getFileName.toString)
     val listing = Files.list(tableRoot(name))

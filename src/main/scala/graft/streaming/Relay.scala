@@ -89,10 +89,18 @@ final class ChangeRelay(
           fileSinkTemplate.foreach { tpl =>
             Sinks.writeFile(json, tpl, meta).left.foreach(f => failures += ((f, json)))
           }
-          config.endpoints.filter(_.kind == "http").foreach { ep =>
-            Sinks.prepareHttp(json, ep.target, meta, ep.headers, ep.enableCompression,
-                config.maxPayloadSizeBytes)
-              .left.foreach(f => failures += ((f, json)))
+          config.endpoints.foreach { ep =>
+            // EVERY configured endpoint participates in the fan-out — a
+            // skipped kind would lose its rows silently (the watermark
+            // still advances; only dead-lettered failures are re-driven).
+            val result = ep.kind match {
+              case "http" =>
+                Sinks.prepareHttp(json, ep.target, meta, ep.headers,
+                  ep.enableCompression, config.maxPayloadSizeBytes).map(_ => ())
+              case broker =>
+                Sinks.prepareBrokerMessage(broker, json, ep.headers).map(_ => ())
+            }
+            result.left.foreach(f => failures += ((f, json)))
           }
         }
         // K9 — every failure dead-letters with D1 dedup.
@@ -163,7 +171,11 @@ object ChangeRelay {
       .schema(schema)
       .parquet(outboxDir)
       .writeStream
-      .queryName(s"graft-relay-$envName")
+      // Named per (environment, object): the uniqueness invariant is one
+      // poller per tracked object — env-only naming would make an
+      // environment's SECOND object fail to start ("query with that name
+      // is already active").
+      .queryName(s"graft-relay-$envName-${obj.name}")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>

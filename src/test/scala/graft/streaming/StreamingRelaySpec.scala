@@ -52,7 +52,7 @@ class StreamingRelaySpec extends SparkSpec {
     val exports = Files.walk(root.resolve("exports"))
       .filter(Files.isRegularFile(_)).count()
     assert(exports == 2) // one file per non-empty micro-batch
-    assert(query.name == "graft-relay-prod") // T6 uniqueness key
+    assert(query.name == "graft-relay-prod-orders") // T6 uniqueness per (env, object)
 
     // T2 — checkpoint recovery: a RESTARTED query on the same checkpoint
     // must not reprocess already-committed files; a new file appended while
