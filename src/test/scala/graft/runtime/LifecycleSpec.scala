@@ -85,4 +85,16 @@ class LifecycleSpec extends SparkSpec {
     mgr.stopAll()
     assert(mgr.activeCount == 0)
   }
+
+  test("T6: case-only rename of a config file keeps the environment running") {
+    val mgr = new RelayManager[String](startTask = n => s"task-$n", stopTask = _ => ())
+    assert(mgr.start("Prod"))
+    // EnvLoader.diff is case-sensitive on names, so renaming Prod.json to
+    // prod.json yields Added + Removed that share a lowercased key; the
+    // manager must apply the removal FIRST, then restart under the new name.
+    mgr.applyDiff(Seq(EnvLoader.Added("prod"), EnvLoader.Removed("Prod")))
+    assert(mgr.isRunning("prod"), "case-only rename must not park the environment")
+    assert(mgr.activeCount == 1)
+    mgr.stopAll()
+  }
 }

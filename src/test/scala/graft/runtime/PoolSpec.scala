@@ -26,6 +26,29 @@ class PoolSpec extends SparkSpec {
     assert(builds.get() == 1)
   }
 
+  test("D2: evict during an in-flight build closes the resource once built (no leak)") {
+    val closed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val buildStarted = new CountDownLatch(1)
+    val finishBuild = new CountDownLatch(1)
+    val pool = new KeyedPool[String](
+      k => { buildStarted.countDown(); finishBuild.await(); s"c-$k" },
+      v => closed.add(v))
+    val exec = Executors.newFixedThreadPool(2)
+    val builder = exec.submit(new java.util.concurrent.Callable[String] {
+      def call(): String = pool.get("k")
+    })
+    buildStarted.await() // builder is inside build()
+    val evictor = exec.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = pool.evict("k") // must wait for the build, then close
+    })
+    finishBuild.countDown()
+    assert(builder.get(5, TimeUnit.SECONDS) == "c-k")
+    evictor.get(5, TimeUnit.SECONDS)
+    exec.shutdown()
+    assert(closed.toArray.toSeq == Seq("c-k"), "in-flight build must still be closed on evict")
+    assert(!pool.contains("k"))
+  }
+
   test("D2: eviction closes and allows rebuild; closeAll drains") {
     val closed = scala.collection.mutable.ArrayBuffer[String]()
     val pool = new KeyedPool[String](k => s"c-$k", v => closed += v)

@@ -98,6 +98,24 @@ class RelaySpec extends SparkSpec {
     assert(store.deadLetters.count() == 0)
   }
 
+  test("broker endpoints participate in the fan-out: a guard failure dead-letters") {
+    val dir = tmp()
+    val store = new ParquetStateStore(spark, dir.resolve("state").toString)
+    // Missing required connection field → prepareBrokerMessage fails →
+    // the failure must dead-letter (previously broker kinds were silently
+    // skipped while the watermark advanced: data loss with no DLQ row).
+    val broken = SinkEndpoint("mq1", "rabbitmq", "", headers = Map("HostName" -> ""))
+    val relay = new ChangeRelay(spark, store, cfg(Seq(broken)), None,
+      horizonOf = _ => 1000L)
+    store.setWatermark("prod", "orders", 0L)
+    val (_, v) = relay.runCycle(obj,
+      outboxDf(Seq((1L, 1L, "I", 1.0, """{"k":1}"""))), "20240115000000")
+    assert(v == 1L && store.getWatermark("prod", "orders").contains(1L))
+    assert(store.deadLetters.count() == 1, "broker guard failure must dead-letter")
+    val err = store.deadLetters.select("error_message").collect().head.getString(0)
+    assert(err.contains("missing required fields"))
+  }
+
   test("replay failure widens backoff and bumps attempts") {
     val dir = tmp()
     val store = new ParquetStateStore(spark, dir.resolve("state").toString)
