@@ -1,36 +1,17 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
   * A failed query is reported in an "errors" map and contributes nothing
-  * to the total (a broken query must never look like a fast success). */
+  * to the total (a broken query must never look like a fast success).
+  *
+  * Each query is forced through a noop write — `count()` would let the
+  * optimizer prune projection-ending queries down to a row count, timing
+  * none of the operator's actual work (the trap CLAUDE.md documents). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // Local test files are tiny (one ~15 MB parquet per table); split them
-      // so narrow per-row pipelines parallelize the same way real file
-      // splits do on a cluster.
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.sql.files.openCostInBytes", "1m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    def esc(s: String): String =
-      s.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
+    val spark = Harness.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
 
     // Untimed warmup: the first action pays JVM/codegen/classloading costs
     // (~5 s) that would otherwise be attributed to an arbitrary query.
@@ -39,25 +20,29 @@ object Bench {
     // Optional subset (comma-separated names) + repeat count for controlled
     // A/B timing — per-query noise on a loaded machine is ±50%, so single
     // runs of single queries are not comparable across invocations.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    if (selected.isEmpty)
+      errors("_selection") = s"SPARK_GRAFT_ONLY matched zero registered queries: ${only.getOrElse(Set.empty).mkString(",")}"
     (1 to repeat).flatMap(r => selected.map { case (n, f) =>
       (if (repeat > 1) s"$n#$r" else n, f)
     }).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
+    val esc = Harness.jsonEscape _
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum

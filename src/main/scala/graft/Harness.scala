@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared plumbing for the driver-facing mains (Verify/Bench/PlanAudit):
+  * ONE session configuration and ONE JSON escaper, so the correctness dump
+  * and the benchmark always measure the same engine configuration and emit
+  * driver-parseable JSON the same way. */
+object Harness {
+
+  /** The canonical local session: shuffle partitions = cores, small file
+    * splits (the test parquet is one ~15 MB file per table — split it so
+    * narrow pipelines parallelize like real file splits on a cluster),
+    * UTC, Graft extensions registered. */
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20) —
+    * a stray tab/CR in builder-authored SQL would otherwise break the
+    * driver's json.load and zero a round's correctness. */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+}

@@ -17,7 +17,12 @@ object Tables {
     * as a timestamp. Read nanos as long (legacy conf) and truncate to
     * microseconds with integer arithmetic (ns values exceed double's exact
     * range, so no float division) — the same truncation DuckDB applies, so
-    * oracle comparisons agree. */
+    * oracle comparisons agree.
+    *
+    * NOTE: the legacy conf is a SESSION-WIDE invariant once set (it is
+    * captured by scan relations at planning, so it cannot be safely
+    * set/restored around one read) — any later nanos-timestamp parquet in
+    * the same session will also read as long, deliberately. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events")

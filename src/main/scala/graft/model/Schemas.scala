@@ -118,13 +118,15 @@ final case class EnvironmentConfig(
     provider: String,                   // mssql | postgres (aliases normalized)
     trackingObjects: Seq[TrackingObject],
     endpoints: Seq[SinkEndpoint],
-    pollingIntervalSeconds: Int = 30,   // Environment.cs:53-54
-    retryCount: Int = 3,                // Environment.cs:68-72
+    // Defaults reference the single source of truth below — a re-stated
+    // literal here could drift from Defaults.* silently.
+    pollingIntervalSeconds: Int = Defaults.PollingIntervalSeconds, // Environment.cs:53-54
+    retryCount: Int = 3,                                           // Environment.cs:68-72
     retryDelaySeconds: Int = 5,
-    maxRecordsPerBatch: Int = 1000,     // Environment.cs:113-114
-    maxPayloadSizeBytes: Long = 5L * 1024 * 1024, // Environment.cs:110-111
-    deadLetterMaxReplayAttempts: Int = 5,         // Environment.cs:94-100
-    deadLetterReplayBackoffSeconds: Int = 60
+    maxRecordsPerBatch: Int = Defaults.MaxRecordsPerBatch,         // Environment.cs:113-114
+    maxPayloadSizeBytes: Long = Defaults.MaxPayloadSizeBytes,      // Environment.cs:110-111
+    deadLetterMaxReplayAttempts: Int = Defaults.DlqMaxReplayAttempts, // Environment.cs:94-100
+    deadLetterReplayBackoffSeconds: Int = Defaults.DlqBackoffBaseSeconds
 )
 
 /** Operational defaults mirroring BASELINE.md — the engine honors these. */

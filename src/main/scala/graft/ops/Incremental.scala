@@ -70,9 +70,16 @@ object Incremental {
 
   /** S8 — seed / start-from-now: record the current max version, emit no
     * rows. Ref: 02-stored-procedure.postgres.table.sql:34-41;
-    * ChangeTrackingBackgroundService.cs:470-479. */
-  def seed(changes: DataFrame, idCol: String = "id"): DataFrame =
-    changes.agg(coalesce(max(col(idCol)), lit(0L)).as("version"))
+    * ChangeTrackingBackgroundService.cs:470-479.
+    *
+    * `horizon` must be the SAME transaction horizon the sync path gates on:
+    * seeding from the raw max(id) could watermark past a row inside an
+    * in-flight transaction, permanently skipping it once that transaction
+    * commits — the exact hazard the horizon gate exists to prevent. */
+  def seed(changes: DataFrame, idCol: String = "id",
+           horizon: Long = Long.MaxValue): DataFrame =
+    changes.filter(col("xact_id") < horizon)
+      .agg(coalesce(max(col(idCol)), lit(0L)).as("version"))
       .withColumn("sync_type", lit("Seed"))
 
   /** S2 — CLOB chunk reassembly: SQL Server streams large JSON as ~2k-char

@@ -41,7 +41,10 @@ final class OutboxSource(outbox: () => DataFrame,
   override def fetch(spark: SparkSession, fromVersion: Long, mode: SyncMode.Value): DataFrame = {
     val df = outbox()
     mode match {
-      case SyncMode.Seed => Incremental.seed(df)
+      // Seed gates on the same horizon as Sync: an un-gated seed could
+      // watermark past an in-flight transaction's rows and skip them
+      // forever once that transaction commits.
+      case SyncMode.Seed => Incremental.seed(df, horizon = horizonOf(df))
       case SyncMode.Sync =>
         Incremental.incrementalRead(df, fromVersion, horizonOf(df))
     }

@@ -44,8 +44,10 @@ final class ChangeRelay(
       case Some(v) => v
       case None if obj.initialSyncMode.equalsIgnoreCase("Full") => 0L
       case None =>
-        // Seed: record the frontier, emit nothing this cycle (S8).
-        val seeded = Incremental.seed(changes).select("version").as[Long].head()
+        // Seed: record the HORIZON-GATED frontier, emit nothing (S8) — an
+        // un-gated seed could skip rows of in-flight transactions forever.
+        val seeded = Incremental.seed(changes, horizon = horizonOf(changes))
+          .select("version").as[Long].head()
         store.setWatermark(config.name, obj.name, seeded)
         return (0L, seeded)
     }
