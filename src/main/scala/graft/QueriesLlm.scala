@@ -113,12 +113,15 @@ object QueriesLlm {
 
     Q("llm_langid",
       (s, d) => {
-        val scores = TextOps.langScores(col("text"))
-        val df = Tables.documents(s, d)
-        scores.foldLeft(df) { case (acc, (lang, c)) =>
+        // Tokenize ONCE (Generate barrier), then score all languages over
+        // the materialized array — the text-based form re-runs the
+        // normalize regex chain once per language per row.
+        val based = TextOps.withNormToks(Tables.documents(s, d), "text")
+        val scores = TextOps.langScoresFromToks(col("_toks"))
+        scores.foldLeft(based) { case (acc, (lang, c)) =>
           acc.withColumn(s"s_$lang", c.cast("long"))
         }
-          .withColumn("predicted", TextOps.predictedLang(col("text")))
+          .withColumn("predicted", TextOps.predictedLangFromToks(col("_toks")))
           .select(col("doc_id") +: col("predicted") +:
             TextOps.LangMarkers.keys.toSeq.sorted.map(l => col(s"s_$l")): _*)
       },
@@ -163,8 +166,8 @@ object QueriesLlm {
           |FROM tok_docs""".stripMargin))),
 
     Q("llm_lang_rollup",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.predictedLang(col("text")).as("predicted"))
+      (s, d) => TextOps.withNormToks(Tables.documents(s, d), "text")
+        .select(col("doc_id"), TextOps.predictedLangFromToks(col("_toks")).as("predicted"))
         .groupBy(col("predicted"))
         .agg(count(lit(1)).as("docs")),
       Some {

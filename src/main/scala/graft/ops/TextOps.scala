@@ -37,21 +37,33 @@ object TextOps {
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), t => t.isin(Stopwords: _*)))
 
+  /** Materialize `_norm` (normalized text) and `_toks` (token array) as
+    * ATTRIBUTES via two single-row Generate barriers. Every multi-feature
+    * consumer must go through this: CollapseProject re-inlines a shared
+    * normalize/tokenize projection into each consuming expression, so the
+    * two-regex chain would otherwise run once PER FEATURE per row
+    * (measured ~4× the steady-state cost of llm_quality). */
+  def withNormToks(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("*"), explode(array(normalize(col(textCol)))).as("_norm"))
+      .select(col("*"), explode(array(split(col("_norm"), " "))).as("_toks"))
+
   /** Quality features: chars, words, mean word length, punctuation ratio,
     * stopword ratio — the length/punct/stopword heuristics of C4-style
-    * cleaning, one narrow pass. */
+    * cleaning, one narrow pass over materialized norm/tokens. */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokenCount(t)
+    val based = withNormToks(df, textCol)
+    val toks = when(length(col("_norm")) === 0, 0).otherwise(size(col("_toks")))
     val punct = length(t) - length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))
-    df.withColumn("n_chars_m", length(t))
+    based.withColumn("n_chars_m", length(t))
       .withColumn("n_words", toks)
       .withColumn("punct_chars", punct)
-      .withColumn("stop_words", stopwordCount(t))
+      .withColumn("stop_words", size(filter(col("_toks"), x => x.isin(Stopwords: _*))))
       .withColumn("mean_word_len",
-        when(toks > 0, (length(normalize(t)) - toks + 1).cast("double") / toks))
+        when(toks > 0, (length(col("_norm")) - toks + 1).cast("double") / toks))
       .withColumn("stop_ratio",
         when(toks > 0, col("stop_words").cast("double") / toks))
+      .drop("_norm", "_toks")
   }
 
   /** Language ID by stopword-hit scoring across per-language marker lists —
@@ -64,10 +76,22 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "zh" -> Seq("de", "shi", "le", "wo", "zai"))
 
-  def langScores(text: Column): Seq[(String, Column)] =
+  /** Per-language scores over an already-materialized token array (see
+    * [[withNormToks]]) — the text-based overload re-tokenizes once per
+    * language. */
+  def langScoresFromToks(toks: Column): Seq[(String, Column)] =
     LangMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      lang -> size(filter(tokens(text), t => t.isin(words: _*)))
+      lang -> size(filter(toks, t => t.isin(words: _*)))
     }
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langScoresFromToks(tokens(text))
+
+  def predictedLangFromToks(toks: Column): Column = {
+    val scores = langScoresFromToks(toks)
+    val best = scores.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
+    getFieldAs(greatest(best: _*), "l")
+  }
 
   def predictedLang(text: Column): Column = {
     val scores = langScores(text)
