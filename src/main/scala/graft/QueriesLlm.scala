@@ -80,9 +80,15 @@ object QueriesLlm {
 
   def text: Seq[Q] = Seq(
     Q("llm_token_count",
-      (s, d) => Tables.documents(s, d).select(col("doc_id"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextOps.approxBpeCount(col("text")).cast("long").as("n_bpe")),
+      (s, d) => {
+        // Materialized norm/tokens: tokenCount + approxBpeCount would
+        // otherwise re-inline the normalize chain ~4x per row.
+        val based = TextOps.withNormToks(Tables.documents(s, d), "text")
+        val nTokens = when(length(col("_norm")) === 0, 0)
+          .otherwise(size(col("_toks"))).cast("long")
+        based.select(col("doc_id"), nTokens.as("n_tokens"),
+          greatest(nTokens, ceil(length(col("text")) / 4.0).cast("long")).as("n_bpe"))
+      },
       Some(withCtes(normDocsCte)(
         """SELECT doc_id,
           |       CAST(len(toks) AS BIGINT) AS n_tokens,
