@@ -599,11 +599,10 @@ object QueriesLlm {
       // same binary→struct column shape).
       (s, d) => {
         val media = Multimodal.asMedia(Tables.documents(s, d), "text", "image")
-        media.withColumn("meta", Multimodal.fakeDecode(col("media")))
+        Multimodal.decodeMeta(media)
           .select(col("doc_id"), col("media_type"),
             col("media_bytes").cast("long").as("media_bytes"),
-            col("meta.width").as("width"), col("meta.height").as("height"),
-            col("meta.duration_s").as("duration_s"))
+            col("width"), col("height"), col("duration_s"))
       },
       Some("""WITH h60 AS (
         |  SELECT doc_id, strlen(text) AS media_bytes,

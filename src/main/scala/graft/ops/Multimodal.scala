@@ -34,6 +34,17 @@ object Multimodal {
       pmod(shiftright(h, 20), lit(600L)).as("duration_s"))
   }
 
+  /** [[fakeDecode]] over a whole frame with the payload hash materialized
+    * ONCE per row (Generate barrier) — the Column form re-evaluates the
+    * sha-256 chain per accessed struct field under CollapseProject. */
+  def decodeMeta(df: DataFrame): DataFrame =
+    df.select(col("*"),
+        explode(array(DedupOps.hash60(col("media").cast("string")))).as("_h"))
+      .withColumn("width", pmod(col("_h"), lit(1024L)) + 64)
+      .withColumn("height", pmod(shiftright(col("_h"), 10), lit(1024L)) + 64)
+      .withColumn("duration_s", pmod(shiftright(col("_h"), 20), lit(600L)))
+      .drop("_h")
+
   /** Deterministic frame sampling: `n` evenly spaced byte-offset "frames"
     * from the binary payload (each frame = a fixed-size slice), the shape a
     * real video pipeline uses (frame index + payload slice per row). */
