@@ -425,9 +425,9 @@ object QueriesCore {
       Some(withCtes(OracleCtes.deadLetters)(
         s"""SELECT id, CAST(attempts + 1 AS INTEGER) AS attempts,
           |       CASE WHEN environment_name IS NULL THEN 31536000
-          |            ELSE least(21600, CAST(floor(60 * power(2, attempts + 1)) AS BIGINT))
+          |            ELSE least(21600, CAST(floor(60 * power(2, attempts)) AS BIGINT))
           |       END AS backoff_seconds,
-          |       ${tsSecSql(s"$refNow + INTERVAL (CASE WHEN environment_name IS NULL THEN 31536000 ELSE least(21600, CAST(floor(60 * power(2, attempts + 1)) AS BIGINT)) END) SECOND")}
+          |       ${tsSecSql(s"$refNow + INTERVAL (CASE WHEN environment_name IS NULL THEN 31536000 ELSE least(21600, CAST(floor(60 * power(2, attempts)) AS BIGINT)) END) SECOND")}
           |         AS next_attempt
           |FROM dlq WHERE id < 200""".stripMargin))),
 

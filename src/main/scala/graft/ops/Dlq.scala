@@ -52,12 +52,15 @@ object Dlq {
 
   /** T5 — the failed-replay state transition: attempts+1, next attempt after
     * backoff; unroutable rows (no environment) are parked for a year.
+    * The backoff uses the PRE-increment attempt count (the reference passes
+    * `record.Attempts` as the row had it going in — "the first failure waits
+    * one base delay", DeadLetterReplayService.cs:134-141).
     * Ref: DeadLetterReplayService.cs:75-141, park at :109-115. */
   def retryState(dlq: DataFrame, now: Column, baseSeconds: Int = 60): DataFrame =
     dlq
       .withColumn("backoff_seconds",
         when(col("environment_name").isNull, lit(365L * 24 * 3600))
-          .otherwise(backoffSeconds(col("attempts") + 1, baseSeconds)))
+          .otherwise(backoffSeconds(col("attempts"), baseSeconds)))
       .withColumn("attempts", (col("attempts") + 1).cast("int"))
       .withColumn("next_attempt",
         (now.cast("long") + col("backoff_seconds")).cast("timestamp"))

@@ -175,7 +175,10 @@ object Similarity {
     * never all-pairs work). */
   def embeddingNearDupMultiband(corpus: DataFrame, minCos: Double,
                                 bands: Int = 3, planesPerBand: Int = 8): DataFrame = {
-    val bb = lshBandBuckets(corpus, bands, planesPerBand)
+    // Materialize the band/bucket keys once: the self-join below would
+    // otherwise re-run the posexplode + bands×planes aggregate per side
+    // (self-joins re-evaluate the shared subtree — see DedupOps scaladoc).
+    val bb = lshBandBuckets(corpus, bands, planesPerBand).localCheckpoint(eager = false)
     val pairs = bb.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
       .join(bb.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
         Seq("band", "bucket"))

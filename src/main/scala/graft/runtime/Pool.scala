@@ -13,15 +13,28 @@ final class KeyedPool[V](build: String => V, close: V => Unit = (_: V) => ()) {
 
   private final class Lazy {
     @volatile var built = false
+    @volatile var closed = false
     lazy val value: V = { val v = build(pendingKey); built = true; v }
     @volatile var pendingKey: String = _
   }
 
   /** Get-or-create: concurrent callers for the same key all observe the
-    * same instance; `build` runs at most once per key (single-flight). */
+    * same instance; `build` runs at most once per key (single-flight).
+    *
+    * Re-checks membership after forcing the lazy build: if evict() removed
+    * the cell while the build was pending (it saw built=false and skipped
+    * the close), the just-built resource would be unreachable by any later
+    * evict/closeAll — so the builder closes it itself and retries through
+    * a fresh cell. The `closed` flag makes the close decision idempotent
+    * between this path and evict()'s. */
   def get(key: String): V = {
-    val cell = cells.computeIfAbsent(key, k => { val l = new Lazy; l.pendingKey = k; l })
-    cell.value
+    while (true) {
+      val cell = cells.computeIfAbsent(key, k => { val l = new Lazy; l.pendingKey = k; l })
+      val v = cell.value
+      if (cells.get(key) eq cell) return v
+      cell.synchronized { if (!cell.closed) { cell.closed = true; close(v) } }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def contains(key: String): Boolean = cells.containsKey(key)
@@ -39,7 +52,9 @@ final class KeyedPool[V](build: String => V, close: V => Unit = (_: V) => ()) {
     * later evict/closeAll can reach it). */
   def evict(key: String): Unit = {
     val cell = cells.remove(key)
-    if (cell != null) cell.synchronized { if (cell.built) close(cell.value) }
+    if (cell != null) cell.synchronized {
+      if (cell.built && !cell.closed) { cell.closed = true; close(cell.value) }
+    }
   }
 
   /** Close everything (shutdown flush path). */

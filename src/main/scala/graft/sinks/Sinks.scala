@@ -133,15 +133,13 @@ object Sinks {
       case Some(cap) =>
         val raw = payload.getBytes(StandardCharsets.UTF_8)
         // Compression is PER-BROKER (MessageQueueService.cs:67-94,142-151):
-        // ASB gzips then base64-wraps (text body — the cap must be checked
-        // against the base64-inflated size, ~4/3×, or the guard admits
-        // messages the broker rejects); SQS gzips binary; RabbitMQ /
-        // Event Hubs / Kafka publish raw bytes.
+        // ASB and SQS both carry STRING bodies, so both gzip then
+        // base64-wrap — the cap must be checked against the base64-inflated
+        // wire size (~4/3×), or the guard admits messages the broker
+        // rejects; RabbitMQ / Event Hubs / Kafka publish raw bytes.
         val body = broker.toLowerCase match {
-          case "azureservicebus" if raw.length > CompressionThreshold =>
+          case "azureservicebus" | "awssqs" if raw.length > CompressionThreshold =>
             java.util.Base64.getEncoder.encode(Scalars.gzipBytes(raw))
-          case "awssqs" if raw.length > CompressionThreshold =>
-            Scalars.gzipBytes(raw)
           case _ => raw
         }
         if (body.length > cap)

@@ -157,9 +157,16 @@ object ChangeRelay {
 
   /** T1/T6 — the Structured-Streaming wrapper: watch an outbox directory as
     * a file stream and run the relay per micro-batch at the configured
-    * cadence. One StreamingQuery per environment, named for uniqueness
-    * (never two pollers per environment — the reference's stress
-    * invariant). */
+    * cadence. One StreamingQuery per (environment, object), named for
+    * uniqueness (never two pollers for the same tracked object — the
+    * reference's stress invariant). Callers MUST pass a distinct
+    * `checkpointDir` per (environment, object) to match: two queries
+    * sharing a checkpoint corrupt each other's offset log. */
+  /** checkpointDir → queryName for live queries; guards against two
+    * different queries sharing one offset log. Entries for stopped queries
+    * are purged lazily on the next start. */
+  private val activeCheckpoints = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def streamFromOutboxDir(
       spark: SparkSession,
       relay: ChangeRelay,
@@ -168,7 +175,14 @@ object ChangeRelay {
       schema: org.apache.spark.sql.types.StructType,
       checkpointDir: String,
       envName: String,
-      intervalSeconds: Int = graft.model.Defaults.PollingIntervalSeconds): StreamingQuery =
+      intervalSeconds: Int = graft.model.Defaults.PollingIntervalSeconds): StreamingQuery = {
+    val queryName = s"graft-relay-$envName-${obj.name}"
+    val activeNames = spark.streams.active.map(_.name).toSet
+    activeCheckpoints.entrySet().removeIf(e => !activeNames.contains(e.getValue))
+    val prev = activeCheckpoints.putIfAbsent(checkpointDir, queryName)
+    require(prev == null || prev == queryName,
+      s"checkpointLocation '$checkpointDir' is already used by active query '$prev' — " +
+        "each (environment, object) stream needs its own checkpoint dir")
     spark.readStream
       .schema(schema)
       .parquet(outboxDir)
@@ -177,7 +191,7 @@ object ChangeRelay {
       // poller per tracked object — env-only naming would make an
       // environment's SECOND object fail to start ("query with that name
       // is already active").
-      .queryName(s"graft-relay-$envName-${obj.name}")
+      .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -187,4 +201,5 @@ object ChangeRelay {
         ()
       }
       .start()
+  }
 }

@@ -10,8 +10,9 @@ import java.sql.Timestamp
   * round-trip per batch.
   *
   * Semantics mirror the batch DLQ operators (`graft.ops.Dlq.retryState`;
-  * reference Source/Services/DeadLetterReplayService.cs:137-141): each
-  * failure doubles the backoff from 60 s, capped at 6 h; a success clears
+  * reference Source/Services/DeadLetterReplayService.cs:134-141): the first
+  * failure waits one base delay (60 s) and each further failure doubles it,
+  * capped at 6 h; a success clears
   * the key's state; reaching `maxAttempts` flags the key as given up.
   * State is keyed by source key only — O(live failing keys), not O(events)
   * — and removed eagerly on resolution, so the store stays bounded by the
@@ -45,8 +46,9 @@ object StatefulRetry {
               s = RetryState(0, 0L)
             } else {
               val attempts = s.attempts + 1
+              // Pre-increment count drives the delay: first failure = base.
               val backoff = math.min(MaxBackoffSeconds,
-                baseBackoffSeconds << math.min(attempts, 30))
+                baseBackoffSeconds << math.min(attempts - 1, 30))
               val next = a.ts.getTime / 1000 + backoff
               out += RetryDecision(key, attempts, backoff, next,
                 gaveUp = attempts >= maxAttempts, resolved = false)

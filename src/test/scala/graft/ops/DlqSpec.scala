@@ -43,7 +43,7 @@ class DlqSpec extends SparkSpec {
     ).toDF("id", "attempts", "environment_name")
     val got = Dlq.retryState(df, lit(t0)).orderBy("id")
       .select($"attempts", $"backoff_seconds").as[(Int, Long)].collect()
-    assert(got(0) == ((2, 240L)))                 // 60 * 2^2
+    assert(got(0) == ((2, 120L)))                 // 60 * 2^1 (pre-increment)
     assert(got(1) == ((3, 365L * 24 * 3600)))     // parked
   }
 

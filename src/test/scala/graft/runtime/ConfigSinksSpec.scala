@@ -109,6 +109,12 @@ class ConfigSinksSpec extends SparkSpec {
     // Tiny payload is left uncompressed.
     val tiny = Sinks.prepareBrokerMessage("kafka", "{}", Map("topic" -> "t"))
     assert(tiny.toOption.get.sameElements("{}".getBytes("UTF-8")))
+    // SQS carries a STRING body like ASB: gzip + base64, cap checked on the
+    // base64-inflated wire size, and the payload round-trips.
+    val sqs = Sinks.prepareBrokerMessage("awssqs", compressible, Map("QueueUrl" -> "u"))
+    val roundTrip = graft.functions.Scalars.gunzipBytes(
+      java.util.Base64.getDecoder.decode(sqs.toOption.get))
+    assert(new String(roundTrip, "UTF-8") == compressible)
   }
 
   test("K8: circuit breaker opens after 3 failures and closes after the window") {

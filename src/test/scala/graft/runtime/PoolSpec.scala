@@ -26,12 +26,17 @@ class PoolSpec extends SparkSpec {
     assert(builds.get() == 1)
   }
 
-  test("D2: evict during an in-flight build closes the resource once built (no leak)") {
+  test("D2: evict during an in-flight build closes exactly one copy and get() returns a live one") {
     val closed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val builds = new AtomicInteger(0)
     val buildStarted = new CountDownLatch(1)
     val finishBuild = new CountDownLatch(1)
     val pool = new KeyedPool[String](
-      k => { buildStarted.countDown(); finishBuild.await(); s"c-$k" },
+      k => {
+        val n = builds.incrementAndGet()
+        if (n == 1) { buildStarted.countDown(); finishBuild.await() }
+        s"c-$k-$n"
+      },
       v => closed.add(v))
     val exec = Executors.newFixedThreadPool(2)
     val builder = exec.submit(new java.util.concurrent.Callable[String] {
@@ -41,12 +46,21 @@ class PoolSpec extends SparkSpec {
     val evictor = exec.submit(new java.util.concurrent.Callable[Unit] {
       def call(): Unit = pool.evict("k") // must wait for the build, then close
     })
+    // Release the build only once the evictor has removed the cell (it then
+    // blocks on the cell monitor) — otherwise the builder can win the
+    // membership re-check before the evictor even runs.
+    while (pool.contains("k")) Thread.sleep(1)
     finishBuild.countDown()
-    assert(builder.get(5, TimeUnit.SECONDS) == "c-k")
+    // The evicted first build is closed exactly once (by whichever of
+    // evict()/get() loses the race), and get() retries through a fresh
+    // cell — never returning an unreachable/closed resource.
+    assert(builder.get(5, TimeUnit.SECONDS) == "c-k-2")
     evictor.get(5, TimeUnit.SECONDS)
     exec.shutdown()
-    assert(closed.toArray.toSeq == Seq("c-k"), "in-flight build must still be closed on evict")
-    assert(!pool.contains("k"))
+    assert(closed.toArray.toSeq == Seq("c-k-1"), "evicted in-flight build must be closed exactly once")
+    assert(pool.contains("k"), "the retried build stays pooled (reachable by later evict/closeAll)")
+    pool.closeAll()
+    assert(closed.toArray.toSeq == Seq("c-k-1", "c-k-2"))
   }
 
   test("D2: eviction closes and allows rebuild; closeAll drains") {

@@ -130,7 +130,7 @@ class RelaySpec extends SparkSpec {
     val row = store.deadLetters.head()
     assert(row.getAs[Int]("attempts") == 1)
     assert(row.getAs[java.sql.Timestamp]("next_attempt")
-      .equals(java.sql.Timestamp.valueOf("2024-01-15 00:02:00"))) // 60*2^1
+      .equals(java.sql.Timestamp.valueOf("2024-01-15 00:01:00"))) // 60*2^0: first failure waits one base delay
   }
 
   test("pause holds the object; resume releases it; reset re-seeds") {

@@ -34,12 +34,12 @@ class StatefulRetrySpec extends SparkSpec {
       val rows = spark.sql(
         "SELECT sourceKey, attempts, backoffSeconds, resolved FROM retry_stream")
         .as[(String, Int, Long, Boolean)].collect().toSet
-      // k1: 1st→120 s, 2nd→240 s, 3rd (next batch)→480 s
-      assert(rows.contains(("k1", 1, 120L, false)))
-      assert(rows.contains(("k1", 2, 240L, false)))
-      assert(rows.contains(("k1", 3, 480L, false)))
+      // k1: 1st→60 s (one base delay), 2nd→120 s, 3rd (next batch)→240 s
+      assert(rows.contains(("k1", 1, 60L, false)))
+      assert(rows.contains(("k1", 2, 120L, false)))
+      assert(rows.contains(("k1", 3, 240L, false)))
       // k2: fail, resolve, then a FRESH attempt 1
-      assert(rows.contains(("k2", 1, 120L, false)))
+      assert(rows.contains(("k2", 1, 60L, false)))
       assert(rows.contains(("k2", 0, 0L, true)))
       assert(rows.count { case (k, a, _, _) => k == "k2" && a == 1 } == 1) // set: same row
       val k2Fresh = spark.sql(
@@ -56,6 +56,6 @@ class StatefulRetrySpec extends SparkSpec {
       .collect().sortBy(_.attempts)
     assert(out.map(_.backoffSeconds).max == MaxBackoffSeconds)
     assert(out.filter(_.gaveUp).map(_.attempts).min == 5)
-    assert(out.take(3).map(_.backoffSeconds).toSeq == Seq(120L, 240L, 480L))
+    assert(out.take(3).map(_.backoffSeconds).toSeq == Seq(60L, 120L, 240L))
   }
 }
