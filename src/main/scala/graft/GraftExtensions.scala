@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{GzipCompress, GzipDecompress}
+import graft.expressions.{GzipCompress, GzipDecompress, KmvMins}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are callable from SQL in any session configured with
@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("gzip_decompress"),
       new ExpressionInfo(classOf[GzipDecompress].getName, "gzip_decompress"),
       (children: Seq[Expression]) => GzipDecompress(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_mins"),
+      new ExpressionInfo(classOf[KmvMins].getName, "kmv_mins"),
+      (children: Seq[Expression]) => KmvMins(children(0), children(1))))
   }
 }

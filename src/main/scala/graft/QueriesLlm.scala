@@ -829,5 +829,162 @@ object QueriesLlm {
         |FROM sess GROUP BY 1, 2""".stripMargin))
   )
 
-  def all: Seq[Q] = text ++ dedup ++ ann ++ embDedup ++ multimodal ++ tpch ++ timeWindows
+  /** Pipeline extensions beyond the reference: cardinality sketching,
+    * point-in-time as-of join, deterministic sampling/splitting, TF-IDF
+    * term salience, audio-style hop-window framing. */
+  def pipeline: Seq[Q] = Seq(
+    Q("sk_kmv_distinct",
+      // KMV distinct-user estimate per event type via the native
+      // TypedImperativeAggregate (bounded k-long state, map-side partials).
+      // 150 true distincts per group > k=64, so the (k-1)/R_k estimator
+      // branch is live (fewer than k falls back to the exact set size).
+      (s, d) => Sketches.kmvDistinct(Tables.events(s, d), Seq("event_type"),
+          DedupOps.hash60(col("user_id").cast("string")), k = 64)
+        .select(col("event_type"), col("n_mins"), col("distinct_est")),
+      // 1152921504606846976 = 2^60 (the hash space); 63·2^60 is exactly
+      // representable in binary64, so both engines compute the identical
+      // IEEE quotient before floor.
+      Some("""WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |         CAST('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hh,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT g.event_type,
+        |       CAST(least(g.n, 64) AS INTEGER) AS n_mins,
+        |       CAST(CASE WHEN g.n < 64 THEN g.n
+        |                 ELSE floor(63.0 * 1152921504606846976.0 / k.kth) END AS BIGINT) AS distinct_est
+        |FROM (SELECT event_type, max(n) AS n FROM r GROUP BY 1) g
+        |LEFT JOIN (SELECT event_type, CAST(hh AS DOUBLE) AS kth FROM r WHERE rn = 64) k
+        |  USING (event_type)""".stripMargin)),
+
+    Q("j7_asof_join",
+      // Point-in-time-correct lookup: each purchase joined to the user's
+      // latest signup event at-or-before the purchase timestamp. The right
+      // side is deduped to one row per (user, ts) first (max event_id) so
+      // "the" as-of row is well-defined in both engines.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("signup_event_id"))
+        AsOf.asofJoin(purchases, signups, Seq("user_id"), "ts", "ts")
+          .select(col("event_id"), col("user_id"), tsSec(col("ts")).as("ts"),
+            col("asof_signup_event_id"), tsSec(col("asof_ts")).as("asof_ts"))
+      },
+      Some(s"""WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |su AS (
+        |  SELECT user_id, ts, max(event_id) AS signup_event_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, ${tsSecSql("p.ts")} AS ts,
+        |       su.signup_event_id AS asof_signup_event_id,
+        |       ${tsSecSql("su.ts")} AS asof_ts
+        |FROM p ASOF LEFT JOIN su ON p.user_id = su.user_id AND p.ts >= su.ts""".stripMargin)),
+
+    Q("llm_stable_sample",
+      // Content-addressed 50% sample + 10% test split: membership is a pure
+      // function of doc_id (independent salts), so appending data never
+      // flips an existing row between train and test.
+      (s, d) => Sampling.trainTestSplit(
+          Sampling.stableSample(Tables.documents(s, d), "doc_id", 500),
+          "doc_id", 100)
+        .select(col("doc_id"), col("split_bucket"), col("split")),
+      Some("""WITH b AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(sha256('sample:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS sb,
+        |         CAST('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS split_bucket
+        |  FROM documents)
+        |SELECT doc_id, split_bucket,
+        |       CASE WHEN split_bucket < 100 THEN 'test' ELSE 'train' END AS split
+        |FROM b WHERE sb < 500""".stripMargin)),
+
+    Q("llm_stratified_sample",
+      // Deterministic per-language quota: 50 docs per stratum drawn by
+      // smallest hash (every stratum has >50 docs at sf0.01, so the rank
+      // filter bites in each).
+      (s, d) => Sampling.stratifiedQuota(Tables.documents(s, d), "lang", "doc_id", 50)
+        .select(col("lang"), col("doc_id"), col("draw_rank")),
+      Some("""WITH h AS (
+        |  SELECT lang, doc_id,
+        |         CAST('0x' || substr(sha256('strat:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS INTEGER) AS draw_rank
+        |  FROM h)
+        |SELECT lang, doc_id, draw_rank FROM r WHERE draw_rank <= 50""".stripMargin)),
+
+    Q("llm_tfidf_top",
+      // Top-3 salient terms per document by tf·idf rank. Integer score
+      // (tf·10^6 div df) sidesteps ln(): libm transcendentals are not
+      // bit-identical across engines, integer division is. Document
+      // frequency is a tiny vocab table → broadcast join; the shared token
+      // subtree is materialized once (consumed by BOTH aggregations).
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = TextOps.withNormToks(Tables.documents(s, d), "text")
+          .select(col("doc_id"), explode(col("_toks")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .localCheckpoint()
+        val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_ppm").desc, col("tok"))
+        tf.join(broadcast(dfreq), Seq("tok"))
+          .withColumn("score_ppm", expr("tf * 1000000 div df"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("tok"), col("tf"), col("df"),
+            col("score_ppm"))
+      },
+      Some(withCtes(normDocsCte)(
+        """SELECT doc_id, rn, tok, tf, df, score_ppm FROM (
+          |  SELECT sc.*,
+          |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, tok) AS INTEGER) AS rn
+          |  FROM (
+          |    WITH tok2 AS (
+          |      SELECT doc_id, unnest(toks) AS tok FROM tok_docs),
+          |    tok3 AS (SELECT doc_id, tok FROM tok2 WHERE length(tok) > 0),
+          |    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok3 GROUP BY 1, 2),
+          |    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok3 GROUP BY 1)
+          |    SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+          |           tf.tf * 1000000 // dfreq.df AS score_ppm
+          |    FROM tf JOIN dfreq USING (tok)) sc) r
+          |WHERE rn <= 3""".stripMargin))),
+
+    Q("mm_audio_energy",
+      // Hop-windowed framing (64-byte frames every 32 bytes) with a stub
+      // per-frame energy, rolled up per doc. Window count is per-row from
+      // the payload length; docs under one frame (min doc is 48 chars)
+      // legitimately produce no rows in either engine.
+      (s, d) => {
+        val media = Multimodal.asMedia(Tables.documents(s, d), "text", "audio")
+        Multimodal.frameWindows(media, frameBytes = 64, hop = 32)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(col("energy")).as("energy_sum"),
+            max(col("energy")).as("energy_max"))
+      },
+      Some("""WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         unnest(range(0, CAST(floor((strlen(text) - 64) / 32.0) + 1 AS BIGINT))) AS i
+        |  FROM documents WHERE strlen(text) >= 64),
+        |f AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(sha256(substring(hx, CAST(64 * i + 1 AS INTEGER), 128)), 1, 15) AS BIGINT) % 10000 AS energy
+        |  FROM m)
+        |SELECT doc_id, count(*) AS n_frames,
+        |       CAST(sum(energy) AS BIGINT) AS energy_sum,
+        |       max(energy) AS energy_max
+        |FROM f GROUP BY doc_id""".stripMargin))
+  )
+
+  def all: Seq[Q] = text ++ dedup ++ ann ++ embDedup ++ multimodal ++ tpch ++
+    timeWindows ++ pipeline
 }

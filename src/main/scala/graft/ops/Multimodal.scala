@@ -89,6 +89,35 @@ object Multimodal {
   def frameFeatures(frames: DataFrame): DataFrame =
     frames.withColumn("feature", DedupOps.hash60(hex(col("frame"))))
 
+  /** Hop-windowed frames over a binary payload — the STFT-style framing an
+    * audio pipeline applies before feature extraction: overlapping
+    * `frameBytes`-wide windows every `hop` bytes. Window count is computed
+    * PER ROW from the payload length (a fixed cap would silently truncate
+    * long payloads — the oracle-mirror rule in CLAUDE.md). The per-frame
+    * "energy" is stubbed as the portable hash of the slice mod 10k (a real
+    * pipeline computes RMS over decoded samples behind this same
+    * binary→rows contract). */
+  def frameWindows(df: DataFrame, frameBytes: Int, hop: Int): DataFrame = {
+    require(frameBytes > 0 && hop > 0, "frameBytes and hop must be positive")
+    val len = octet_length(col("media"))
+    // integer window count: floor((len - frame)/hop) + 1 when len >= frame
+    val nWin = when(len >= frameBytes,
+      floor((len - lit(frameBytes)).cast("double") / hop).cast("int") + 1)
+      .otherwise(0)
+    df.withColumn("_nwin", nWin)
+      // guard the sequence: Spark sequence(0, -1) DESCENDS instead of
+      // being empty, so short payloads must take the empty-array branch
+      .withColumn("frame_index",
+        explode(when(col("_nwin") > 0, sequence(lit(0), col("_nwin") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("frame_offset", col("frame_index") * hop)
+      .withColumn("frame",
+        col("media").substr(col("frame_offset") + 1, lit(frameBytes)))
+      // hash the HEX of the slice — byte-portable for any payload
+      .withColumn("energy", pmod(DedupOps.hash60(hex(col("frame"))), lit(10000L)))
+      .drop("_nwin")
+  }
+
   /** One decoded media row. */
   final case class DecodedMedia(doc_id: Long, width: Long, height: Long,
       frames: Int)

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Every decision is
+  * content-addressed (a sha-derived hash of the row id, never `rand()`), so
+  * membership is stable across runs, engines, cluster topology, AND data
+  * growth — re-running the pipeline after appending new documents never
+  * flips an existing row between train and test (the leakage bug
+  * `df.sample`/`randomSplit` reintroduce on every re-run). All pure
+  * narrow column work: no shuffle for sample/split, one bounded
+  * per-stratum shuffle for the quota. */
+object Sampling {
+
+  /** Deterministic bucket in [0, buckets) for an id — uniform via the
+    * 60-bit sha hash; `salt` decouples independent decisions (the sample
+    * bucket and the split bucket of one row must not correlate). */
+  def bucketOf(id: Column, salt: String, buckets: Int = 1000): Column =
+    pmod(DedupOps.hash60(concat(lit(salt + ":"), id.cast("string"))),
+      lit(buckets.toLong))
+
+  /** Keep rows whose bucket falls below `permille` (≈ permille/1000 of the
+    * data). Pure filter — pushes down to the scan, no shuffle. */
+  def stableSample(df: DataFrame, idCol: String, permille: Int,
+                   salt: String = "sample"): DataFrame =
+    df.filter(bucketOf(col(idCol), salt) < permille)
+
+  /** Label rows test/val/train by an independent hash bucket. Adding data
+    * never relabels existing rows. */
+  def trainTestSplit(df: DataFrame, idCol: String, testPermille: Int,
+                     valPermille: Int = 0, salt: String = "split"): DataFrame =
+    df.withColumn("split_bucket", bucketOf(col(idCol), salt))
+      .withColumn("split",
+        when(col("split_bucket") < testPermille, "test")
+          .when(col("split_bucket") < testPermille + valPermille, "val")
+          .otherwise("train"))
+
+  /** Exactly `n` rows per stratum, picked by smallest hash (a deterministic
+    * "random" draw; ties broken by id). One shuffle on the stratum; the
+    * window sorts each stratum — for strata too large to sort, pre-filter
+    * with `stableSample` at a few × n/|stratum| first so the sort input
+    * stays bounded. */
+  def stratifiedQuota(df: DataFrame, stratumCol: String, idCol: String,
+                      n: Int, salt: String = "strat"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(DedupOps.hash60(concat(lit(salt + ":"), col(idCol).cast("string"))),
+        col(idCol))
+    df.withColumn("draw_rank", row_number().over(w))
+      .filter(col("draw_rank") <= n)
+  }
+}

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distinct-count sketching over grouped data (the cardinality probe a
+  * 100 TB profiling pass runs per column/group without holding distinct
+  * sets). Built on the native [[graft.expressions.KmvMins]] aggregate —
+  * bounded k-long state per group, map-side partial aggregation, and a
+  * deterministic sha-derived hash so the estimate is engine-portable
+  * (unlike HLL, whose registers are engine-private). */
+object Sketches {
+
+  /** KMV estimate scale: hashes are uniform in [0, 2^60) (DedupOps.hash60). */
+  val HashSpace: Double = math.pow(2, 60)
+
+  /** Distinct-count estimate per group: exact when a group has fewer than
+    * `k` distinct values (the sketch IS the set), else the KMV estimator
+    * `(k-1) * 2^60 / kth_min`. `hashCol` must be a deterministic uniform
+    * 60-bit hash of the counted value (use [[DedupOps.hash60]]). */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], hashCol: Column,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, "kmv k must be >= 2")
+    val grouped = df
+      .select(groupCols.map(col) :+ hashCol.as("_h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"kmv_mins(_h, $k)").as("_mins"))
+    grouped
+      .withColumn("n_mins", size(col("_mins")))
+      .withColumn("distinct_est",
+        when(col("n_mins") < k, col("n_mins").cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble * HashSpace)
+            / element_at(col("_mins"), k).cast("double")).cast("long")))
+      .drop("_mins")
+  }
+}

@@ -39,6 +39,20 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getString(2)).distinct.length >= 1)
   }
 
+  test("frameWindows: per-row hop window count, in-bounds slices, empty under one frame") {
+    val m = Multimodal.asMedia(docs, "text", "audio")
+    val f = Multimodal.frameWindows(m, frameBytes = 64, hop = 32)
+      .select($"doc_id", $"frame_index", $"frame_offset", $"energy").collect()
+    val byDoc = f.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    // doc1: len 100 → floor((100-64)/32)+1 = 2; doc2: len 120 → 2; doc3: len 5 → none
+    assert(byDoc == Map(1L -> 2, 2L -> 2))
+    assert(f.forall(r => r.getInt(2) == r.getInt(1) * 32))
+    assert(f.forall(r => { val e = r.getLong(3); e >= 0 && e < 10000 }))
+    // exactly one frame when len == frameBytes (offset 0 only)
+    val exact = Multimodal.asMedia(Seq((9L, "z" * 64)).toDF("doc_id", "text"), "text", "audio")
+    assert(Multimodal.frameWindows(exact, 64, 32).count() == 1)
+  }
+
   test("decodePartitioned opens the codec once per partition, not per row") {
     val many = (1L to 100L).map(i => (i, s"payload-$i-" + "x" * 64)).toDF("doc_id", "text")
     val m = Multimodal.asMedia(many, "text", "image").repartition(4)

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stable sample: deterministic, and appending data never changes membership") {
+    val base = (1L to 1000L).toDF("id")
+    val s1 = Sampling.stableSample(base, "id", 300).select($"id").as[Long].collect().toSet
+    val s2 = Sampling.stableSample(base, "id", 300).select($"id").as[Long].collect().toSet
+    assert(s1 == s2, "same data → same sample")
+    // grow the table: previously sampled ids must all still be sampled
+    val grown = (1L to 2000L).toDF("id")
+    val s3 = Sampling.stableSample(grown, "id", 300).select($"id").as[Long].collect().toSet
+    assert(s1.subsetOf(s3), "membership is content-addressed, not positional")
+    // and the rate is roughly right
+    assert(math.abs(s1.size - 300.0) / 300.0 < 0.25, s"rate off: ${s1.size}/1000 vs 30%")
+  }
+
+  test("train/test split: labels partition the data and use an independent hash") {
+    val df = Sampling.trainTestSplit((1L to 1000L).toDF("id"), "id",
+      testPermille = 100, valPermille = 50)
+    val counts = df.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 1000)
+    assert(counts("test") > 50 && counts("test") < 160)
+    assert(counts("val") > 20 && counts("val") < 90)
+    // independence from the sample hash: the test rows are not the rows a
+    // stableSample with the same permille would pick
+    val testIds = df.filter($"split" === "test").select($"id").as[Long].collect().toSet
+    val sampleIds = Sampling.stableSample((1L to 1000L).toDF("id"), "id", 100)
+      .select($"id").as[Long].collect().toSet
+    assert(testIds != sampleIds, "salts must decouple the two decisions")
+  }
+
+  test("stratified quota: exactly n per stratum, deterministic draw") {
+    val df = (1L to 500L).map(i => (s"s${i % 4}", i)).toDF("stratum", "id")
+    val q = Sampling.stratifiedQuota(df, "stratum", "id", 30)
+    val counts = q.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet == Set(30L), s"every stratum capped at 30: $counts")
+    val draw1 = q.select($"id").as[Long].collect().toSet
+    val draw2 = Sampling.stratifiedQuota(df, "stratum", "id", 30)
+      .select($"id").as[Long].collect().toSet
+    assert(draw1 == draw2, "the draw is deterministic")
+    // rank is 1..n within each stratum
+    val ranks = q.filter($"stratum" === "s0").select($"draw_rank").as[Int].collect().sorted
+    assert(ranks.toSeq == (1 to 30))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KMV: exact when distinct < k, estimator within theory bound when over") {
+    // 2000 values over 800 distinct ids in group 'big'; 10 distinct in 'small'
+    val df = ((1 to 2000).map(i => ("big", (i % 800).toString)) ++
+      (1 to 50).map(i => ("small", (i % 10).toString)))
+      .toDF("g", "v")
+    val outMap = Sketches.kmvDistinct(df, Seq("g"), DedupOps.hash60($"v"), k = 64)
+      .select($"g", $"n_mins", $"distinct_est").collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(outMap("small") == ((10, 10L)), "under-k group must be exact")
+    val (nBig, estBig) = outMap("big")
+    assert(nBig == 64)
+    // KMV relative error ~ 1/sqrt(k-2) ≈ 12.7%; allow 4 sigma
+    assert(math.abs(estBig - 800.0) / 800.0 < 0.5, s"estimate $estBig too far from 800")
+  }
+
+  test("KMV: estimate is independent of partitioning (partial merge correct)") {
+    val df = (1 to 5000).map(i => ("g", (i % 1234).toString)).toDF("g", "v")
+    val est1 = Sketches.kmvDistinct(df.repartition(1), Seq("g"), DedupOps.hash60($"v"))
+      .select($"distinct_est").as[Long].head()
+    val est16 = Sketches.kmvDistinct(df.repartition(16), Seq("g"), DedupOps.hash60($"v"))
+      .select($"distinct_est").as[Long].head()
+    assert(est1 == est16, "merging k-min sets across partitions must be lossless")
+  }
+
+  test("KMV: plan aggregates partially below the exchange (bounded shuffle)") {
+    val df = (1 to 100).map(i => ("g", i.toString)).toDF("g", "v")
+    val plan = Sketches.kmvDistinct(df, Seq("g"), DedupOps.hash60($"v"))
+      .queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
+    // pass before the shuffle: at most k longs per (partition, group) move.
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n$plan")
+    assert("partial_kmv_mins|partial kmv_mins|Partial".r.findFirstIn(plan).isDefined,
+      s"expected a partial aggregation mode in:\n$plan")
+  }
+
+  test("kmv_mins is callable from SQL via the session extensions") {
+    val out = spark.sql(
+      "SELECT kmv_mins(h, 4) AS mins FROM (SELECT CAST(id * 10 AS BIGINT) AS h FROM range(100))")
+      .select(explode($"mins")).as[Long].collect()
+    assert(out.toSeq == Seq(0L, 10L, 20L, 30L), "k smallest distinct hashes, ascending")
+  }
+}
