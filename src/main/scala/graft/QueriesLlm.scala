@@ -324,6 +324,33 @@ object QueriesLlm {
           |FROM bucket_docs a JOIN bucket_docs b
           |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin))),
 
+    Q("dedup_clusters",
+      // Pairwise candidates → dedup clusters: connected components of the
+      // MinHash-LSH pair graph by iterative min-label propagation, checked
+      // against a DuckDB RECURSIVE transitive-closure oracle (an oracle
+      // with a COMPLETELY different algorithm — closure enumeration vs
+      // propagation — agreeing on every component).
+      (s, d) => {
+        val pairs = DedupOps.candidatePairs(
+          DedupOps.lshBuckets(
+            DedupOps.minhashSignature(Tables.documents(s, d), "doc_id", "text", 8),
+            "doc_id"),
+          "doc_id").localCheckpoint() // consumed twice inside the loop seed
+        DedupOps.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      },
+      Some("WITH RECURSIVE " +
+        Seq(normDocsCte, shinglesCte, sigCte, bucketCte, pairsCte).mkString(",\n") + ",\n" +
+        """edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pair_docs
+          |  UNION SELECT id_b, id_a FROM pair_docs),
+          |reach(node, label) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
+          |SELECT node AS doc_id, min(label) AS cluster_id
+          |FROM reach GROUP BY node""".stripMargin)),
+
     Q("dedup_jaccard",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -931,9 +958,12 @@ object QueriesLlm {
         val toks = TextOps.withNormToks(Tables.documents(s, d), "text")
           .select(col("doc_id"), explode(col("_toks")).as("tok"))
           .filter(length(col("tok")) > 0)
-          .localCheckpoint()
         val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        val dfreq = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+          // tf rows are distinct per (doc, tok), so document frequency is a
+          // plain count over tf — ONE pass over the exploded tokens instead
+          // of materializing them for two aggregations
+          .localCheckpoint()
+        val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score_ppm").desc, col("tok"))
         tf.join(broadcast(dfreq), Seq("tok"))

@@ -199,6 +199,46 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("inter"), col("union_"), col("jaccard"))
   }
 
+  /** Connected components over an undirected pair graph — the step that
+    * turns pairwise near-dup candidates into DEDUP CLUSTERS (keep one doc
+    * per component). Iterative min-label propagation: each round every node
+    * takes the min label among itself and its neighbours; fixpoint after
+    * `diameter` rounds (near-dup clusters are shallow — a handful of
+    * rounds). Each round is one join + one groupBy(min) — all map-side
+    * combinable — with the lineage cut per round (`localCheckpoint`), so
+    * the plan never grows with iterations. The driver-side loop only reads
+    * a 1-row convergence probe per round, never the labels.
+    *
+    * At extreme scale replace the propagation with alternating
+    * large-star/small-star rounds (same dataflow primitives, fewer rounds
+    * on high-diameter graphs); LSH dup graphs rarely need it. Output has
+    * one row per node APPEARING IN `pairs` — singletons are their own
+    * cluster by definition and can be unioned back with label = id. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrLabels = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+      val next = labels.unionByName(nbrLabels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.withColumnRenamed("label", "old_label"), Seq("node"))
+        .filter(col("label") =!= col("old_label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash (16-bit, portable): explode tokens, take each token's 60-bit
     * hash, sum ±1 per bit position, reassemble the sign bits. Two narrow
     * passes + one groupBy on the doc id. */

@@ -64,6 +64,25 @@ class DedupSimilaritySpec extends SparkSpec {
     (3L, Array(-1.0f, 0.0f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("connected components: multi-hop chains collapse to the min id, components stay separate") {
+    // chain 1-2-3-4-5 (diameter 4 → needs >1 propagation round) + pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(n => got(n) == 1L), s"chain must collapse to 1: $got")
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got.size == 7, "one row per node appearing in pairs")
+  }
+
+  test("connected components: label order is independent of pair orientation") {
+    val a = Seq((5L, 3L), (3L, 9L)).toDF("id_a", "id_b")
+    val b = Seq((3L, 5L), (9L, 3L)).toDF("id_a", "id_b")
+    val ga = DedupOps.connectedComponents(a, "id_a", "id_b").as[(Long, Long)].collect().toSet
+    val gb = DedupOps.connectedComponents(b, "id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ga == gb && ga.forall(_._2 == 3L))
+  }
+
   test("quantized dot product is exact") {
     val got = vecs.filter($"vec_id" === 1)
       .select(Similarity.qdot(
