@@ -351,6 +351,85 @@ object QueriesLlm {
           |SELECT node AS doc_id, min(label) AS cluster_id
           |FROM reach GROUP BY node""".stripMargin)),
 
+    Q("dedup_cc_survivors",
+      // The full near-dup dedup pipeline as one operator: MinHash → LSH →
+      // candidate pairs → connected components → drop every document whose
+      // cluster elected a different representative. Singletons (never in a
+      // pair) survive untouched; the anti-join probes only the loser set.
+      (s, d) => DedupOps.nearDupSurvivors(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("lang")),
+      Some("WITH RECURSIVE " +
+        Seq(normDocsCte, shinglesCte, sigCte, bucketCte, pairsCte).mkString(",\n") + ",\n" +
+        """edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pair_docs
+          |  UNION SELECT id_b, id_a FROM pair_docs),
+          |reach(node, label) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+          |losers AS (
+          |  SELECT node FROM reach GROUP BY node HAVING min(label) <> node)
+          |SELECT d.doc_id, d.lang
+          |FROM documents d LEFT JOIN losers l ON d.doc_id = l.node
+          |WHERE l.node IS NULL""".stripMargin)),
+
+    Q("llm_segment_dedup",
+      // Cross-document boilerplate removal: aligned 8-token segments
+      // occurring in >1 distinct document are dropped from every document
+      // and the text is reassembled in segment order (in-group array_sort —
+      // the a3 ordered-fold pattern, no global sort).
+      (s, d) => DedupOps.dropBoilerplateSegments(
+        Tables.documents(s, d), "doc_id", "text", segTokens = 8, maxDocs = 1),
+      Some(withCtes(normDocsCte)(
+        """SELECT d.doc_id,
+          |       coalesce(a.cleaned_text, '') AS cleaned_text,
+          |       CAST(coalesce(a.n_segs, 0) AS BIGINT) AS n_segs,
+          |       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+          |FROM documents d LEFT JOIN (
+          |  WITH seg0 AS (
+          |    SELECT doc_id, toks,
+          |           unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i
+          |    FROM tok_docs WHERE length(norm) > 0),
+          |  seg AS (
+          |    SELECT doc_id, i AS seg_idx,
+          |           array_to_string(list_slice(toks, CAST(i*8+1 AS BIGINT), CAST(i*8+8 AS BIGINT)), ' ') AS segment
+          |    FROM seg0),
+          |  cnt AS (SELECT segment, count(DISTINCT doc_id) AS ndocs FROM seg GROUP BY 1)
+          |  SELECT s.doc_id,
+          |         CAST(count(*) AS BIGINT) AS n_segs,
+          |         CAST(sum(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          |         coalesce(string_agg(CASE WHEN c.ndocs <= 1 THEN s.segment END, ' ' ORDER BY s.seg_idx), '') AS cleaned_text
+          |  FROM seg s JOIN cnt c USING (segment)
+          |  GROUP BY 1) a USING (doc_id)""".stripMargin))),
+
+    Q("llm_decontam",
+      // Eval-leakage check: per train document, the ppm of its distinct
+      // 3-token shingles that occur anywhere in the content-addressed 10%
+      // test split; flagged at >= 50%. Overlap in integer ppm — no float
+      // division to diverge between engines.
+      (s, d) => DedupOps.decontaminate(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_shingles"), col("n_matched"),
+          col("overlap_ppm"), col("contaminated")),
+      Some("WITH " +
+        Seq(normDocsCte, shinglesCte).mkString(",\n") + """,
+          |b AS (
+          |  SELECT doc_id, shingles,
+          |         CAST('0x' || substr(sha256('contam:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS bucket
+          |  FROM shingle_docs),
+          |tr0 AS (SELECT doc_id, unnest(shingles) AS h FROM b WHERE bucket >= 100),
+          |te0 AS (SELECT unnest(shingles) AS h FROM b WHERE bucket < 100),
+          |trd AS (SELECT DISTINCT doc_id, h FROM tr0),
+          |ted AS (SELECT DISTINCT h FROM te0)
+          |SELECT trd.doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_shingles,
+          |       CAST(sum(CASE WHEN ted.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+          |       CAST(sum(CASE WHEN ted.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+          |            // count(*) AS BIGINT) AS overlap_ppm,
+          |       sum(CASE WHEN ted.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+          |            // count(*) >= 500000 AS contaminated
+          |FROM trd LEFT JOIN ted USING (h)
+          |GROUP BY 1""".stripMargin)),
+
     Q("dedup_jaccard",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -239,6 +239,106 @@ object DedupOps {
     labels
   }
 
+  /** End-to-end near-dup deduplication: documents that lose their
+    * connected-component election (their cluster label is a different doc)
+    * are dropped; everything else — cluster representatives AND singletons
+    * that never appeared in a candidate pair — survives. The anti-join runs
+    * on the (tiny) loser set, never the corpus: LSH leaves a vanishing
+    * fraction of documents in any pair, so the corpus-side work is one
+    * hash semi-join probe. */
+  def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String,
+                       numPerms: Int = 8): DataFrame = {
+    val pairs = candidatePairs(
+      lshBuckets(minhashSignature(docs, idCol, textCol, numPerms), idCol,
+        numPerms),
+      idCol).localCheckpoint() // consumed twice seeding the CC loop
+    val losers = connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** One row per fixed-size token segment: (idCol, seg_idx, segment). The
+    * cross-document unit for boilerplate removal — "lines" when the corpus
+    * has real line structure (split on newline upstream), aligned
+    * `segTokens`-token windows otherwise. Same codegen index-explode shape
+    * as [[shingleHashRows]]; documents with empty normalized text emit no
+    * rows. */
+  def segmentRows(docs: DataFrame, idCol: String, textCol: String,
+                  segTokens: Int = 8): DataFrame =
+    docs.repartition(col(idCol))
+      .select(col(idCol), TextOps.normalize(col(textCol)).as("_norm"))
+      .filter(length(col("_norm")) > 0)
+      .select(col(idCol), split(col("_norm"), " ").as("_toks"))
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0),
+          ceil(size(col("_toks")) / segTokens.toDouble).cast("long") - 1)).as("seg_idx"))
+      .select(col(idCol), col("seg_idx"),
+        concat_ws(" ", slice(col("_toks"),
+          (col("seg_idx") * segTokens + 1).cast("int"), lit(segTokens))).as("segment"))
+
+  /** Cross-document boilerplate removal (the CCNet/C4 "dedup repeated
+    * lines across the corpus" pass): segments appearing in more than
+    * `maxDocs` DISTINCT documents are dropped from every document, and the
+    * text is reassembled from the surviving segments in order.
+    *
+    * Dataflow at scale: one countDistinct groupBy keyed by the segment
+    * (map-side partial into a distinct pre-aggregate), one hash join back
+    * to the segment rows, one per-doc ordered fold (in-group `array_sort`,
+    * no global sort — the a3 pattern). Returns every input document —
+    * fully-boilerplate or empty docs come back with empty `cleaned_text`. */
+  def dropBoilerplateSegments(docs: DataFrame, idCol: String, textCol: String,
+                              segTokens: Int = 8, maxDocs: Int = 1): DataFrame = {
+    val segs = segmentRows(docs, idCol, textCol, segTokens)
+    val counts = segs.groupBy(col("segment"))
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+    val perDoc = segs.join(counts, Seq("segment"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("ndocs") > maxDocs, 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips nulls → only surviving segments enter the fold
+        array_join(transform(
+          array_sort(collect_list(when(col("ndocs") <= maxDocs,
+            struct(col("seg_idx"), col("segment"))))),
+          x => x.getField("segment")), " ").as("cleaned_text"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** Train/test decontamination: for each train document, the fraction of
+    * its distinct shingles that also occur anywhere in the test split
+    * (n-gram-overlap contamination, the standard eval-leakage check).
+    * Splits are content-addressed ([[Sampling.bucketOf]]) so membership is
+    * stable; overlap is reported in integer ppm (portable — no float
+    * division) with the flag at `thresholdPpm`.
+    *
+    * Scale: the test-side distinct shingle set is a fraction of the corpus
+    * — broadcast it when it fits (the default here), fall back to a hash
+    * join on the shingle when it doesn't. Either way no doc×doc work. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    testPermille: Int = 100, salt: String = "contam",
+                    thresholdPpm: Long = 500000L,
+                    broadcastTest: Boolean = true): DataFrame = {
+    val bucket = Sampling.bucketOf(col(idCol), salt)
+    val trainShingles = shingleHashRows(docs.filter(bucket >= testPermille),
+      idCol, textCol).select(col(idCol), col("_h")).distinct()
+    val testShingles0 = shingleHashRows(docs.filter(bucket < testPermille),
+      idCol, textCol).select(col("_h")).distinct()
+    val testShingles = (if (broadcastTest) broadcast(testShingles0)
+                        else testShingles0).withColumn("_m", lit(1L))
+    trainShingles.join(testShingles, Seq("_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_m"), lit(0L))).as("n_matched"))
+      .withColumn("overlap_ppm", expr("n_matched * 1000000 div n_shingles"))
+      .withColumn("contaminated", col("overlap_ppm") >= thresholdPpm)
+  }
+
   /** SimHash (16-bit, portable): explode tokens, take each token's 60-bit
     * hash, sum ±1 per bit position, reassemble the sign bits. Two narrow
     * passes + one groupBy on the doc id. */

@@ -83,6 +83,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ga == gb && ga.forall(_._2 == 3L))
   }
 
+  test("near-dup survivors: losers dropped, reps and singletons kept") {
+    val got = DedupOps.nearDupSurvivors(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!got.contains(2L), "exact dup of doc 1 must lose the election")
+    assert(got.contains(1L), "cluster representative survives")
+    assert(got.contains(4L) && got.contains(5L), "singletons survive")
+  }
+
+  test("segment dedup: shared segments removed, order preserved, all docs returned") {
+    // 8-token segments: docs 1 and 2 share segment [a..h]; doc 1 keeps its
+    // unique tail, doc 3 is untouched, doc 4 is empty text.
+    val segDocs = Seq(
+      (1L, "a b c d e f g h tail one"),
+      (2L, "a b c d e f g h other two"),
+      (3L, "totally unique words in here"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dropBoilerplateSegments(segDocs, "doc_id", "text",
+      segTokens = 8, maxDocs = 1)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("tail one", 2L, 1L)))
+    assert(got(2L) == (("other two", 2L, 1L)))
+    assert(got(3L) == (("totally unique words in here", 1L, 0L)))
+    assert(got(4L) == (("", 0L, 0L)), "empty doc still returned")
+  }
+
+  test("decontamination: copied test doc flags 100%, unique train doc 0") {
+    import graft.ops.Sampling
+    // Find real bucket assignments (content-addressed — cannot be chosen),
+    // then plant a train doc that copies a test doc verbatim.
+    val ids = (0L until 50L).toDF("id")
+      .withColumn("b", Sampling.bucketOf($"id", "contam"))
+      .as[(Long, Long)].collect()
+    val testId = ids.find(_._2 < 100).get._1
+    val trainIds = ids.filter(_._2 >= 100).map(_._1).take(2)
+    val contamDocs = Seq(
+      (testId, "alpha beta gamma delta epsilon zeta"),
+      (trainIds(0), "alpha beta gamma delta epsilon zeta"), // verbatim copy
+      (trainIds(1), "nothing shared with that held out set")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.decontaminate(contamDocs, "doc_id", "text")
+      .select($"doc_id", $"overlap_ppm", $"contaminated")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(trainIds(0)) == ((1000000L, true)))
+    assert(got(trainIds(1)) == ((0L, false)))
+    assert(!got.contains(testId), "test docs are not scored")
+  }
+
   test("quantized dot product is exact") {
     val got = vecs.filter($"vec_id" === 1)
       .select(Similarity.qdot(
