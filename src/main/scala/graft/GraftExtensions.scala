@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{GzipCompress, GzipDecompress, KmvMins}
+import graft.expressions.{CmsCounts, GzipCompress, GzipDecompress, KmvMins}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are callable from SQL in any session configured with
@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kmv_mins"),
       new ExpressionInfo(classOf[KmvMins].getName, "kmv_mins"),
       (children: Seq[Expression]) => KmvMins(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_counts"),
+      new ExpressionInfo(classOf[CmsCounts].getName, "cms_counts"),
+      (children: Seq[Expression]) => CmsCounts(children(0), children(1), children(2))))
   }
 }

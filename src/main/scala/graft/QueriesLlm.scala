@@ -1067,6 +1067,73 @@ object QueriesLlm {
           |    FROM tf JOIN dfreq USING (tok)) sc) r
           |WHERE rn <= 3""".stripMargin))),
 
+    Q("sk_cms_freq",
+      // Count-Min frequency sketch (native TypedImperativeAggregate:
+      // fixed depth×width grid, map-side partials, element-wise merge).
+      // The top-20 exact token counts are read back from the grid — the
+      // estimate is the min across depth cells and can only overcount,
+      // and the whole grid is reproduced bucket-by-bucket in the oracle.
+      (s, d) => {
+        val toks = TextOps.withNormToks(Tables.documents(s, d), "text")
+          .select(explode(col("_toks")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .withColumn("_h", DedupOps.hash60(col("tok")))
+          .localCheckpoint() // consumed by BOTH the sketch and the exact counts
+        val cms = Sketches.cmsSketch(toks, Nil, col("_h"))
+        val top = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("exact_cnt"), min(col("_h")).as("_h"))
+          .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+        top.crossJoin(broadcast(cms))
+          .withColumn("est_cnt", Sketches.cmsEstimate(col("_h"), col("cms")))
+          .select(col("tok"), col("exact_cnt"), col("est_cnt"))
+      },
+      Some(withCtes(normDocsCte)(
+        """SELECT t.tok, CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+          |       CAST(min(b.cnt) AS BIGINT) AS est_cnt
+          |FROM (
+          |  WITH tk AS (SELECT unnest(toks) AS tok FROM tok_docs),
+          |  tk2 AS (SELECT tok, CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT) AS h
+          |          FROM tk WHERE length(tok) > 0)
+          |  SELECT tok, count(*) AS exact_cnt, min(h) AS h
+          |  FROM tk2 GROUP BY 1 ORDER BY exact_cnt DESC, tok LIMIT 20) t
+          |CROSS JOIN (SELECT * FROM (VALUES (0,3,12289),(1,5,24578),(2,7,36867),(3,9,49156)) AS v(d,a,b)) p
+          |JOIN (
+          |  WITH tk AS (SELECT unnest(toks) AS tok FROM tok_docs),
+          |  tk2 AS (SELECT tok, CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT) AS h
+          |          FROM tk WHERE length(tok) > 0)
+          |  SELECT p2.d, ((p2.a * (k.h % 2147483647) + p2.b) % 2147483647) % 512 AS bucket,
+          |         count(*) AS cnt
+          |  FROM tk2 k CROSS JOIN (SELECT * FROM (VALUES (0,3,12289),(1,5,24578),(2,7,36867),(3,9,49156)) AS v(d,a,b)) p2
+          |  GROUP BY 1, 2) b
+          |  ON b.d = p.d AND b.bucket = ((p.a * (t.h % 2147483647) + p.b) % 2147483647) % 512
+          |GROUP BY 1, 2""".stripMargin))),
+
+    Q("scale_bloom_prune",
+      // Broadcast Bloom-filter semi-join prune: high-value orders (~10% of
+      // orders) build a 2^16-bit filter; lineitem is pruned by a pure
+      // literal-array bit-probe predicate BEFORE the exact join. No false
+      // negatives, so the oracle is simply the plain join — the bloom is
+      // invisible in the result, visible in the scan volume.
+      (s, d) => {
+        val hi = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        BloomPrune.prunedJoin(Tables.lineitem(s, d), hi,
+            "l_orderkey", "o_orderkey", mBits = 1 << 16, k = 3)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity")).cast("long").as("qty"),
+            sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .as("revenue_cents"))
+      },
+      Some(s"""SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(l_quantity) AS BIGINT) AS qty,
+        |       CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000
+        |GROUP BY 1""".stripMargin)),
+
     Q("mm_audio_energy",
       // Hop-windowed framing (64-byte frames every 32 bytes) with a stub
       // per-frame energy, rolled up per doc. Window count is per-row from

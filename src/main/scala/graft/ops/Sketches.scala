@@ -14,6 +14,33 @@ object Sketches {
   /** KMV estimate scale: hashes are uniform in [0, 2^60) (DedupOps.hash60). */
   val HashSpace: Double = math.pow(2, 60)
 
+  /** Count-Min sketch over `hashCol` (a [[DedupOps.hash60]] hash of the
+    * counted value): one row per group with the `depth·width` counter grid.
+    * Point estimates read the grid with [[cmsEstimate]]. */
+  def cmsSketch(df: DataFrame, groupCols: Seq[String], hashCol: Column,
+                depth: Int = 4, width: Int = 512): DataFrame = {
+    val keyed = df.select(groupCols.map(col) :+ hashCol.as("_h"): _*)
+    val agged =
+      if (groupCols.isEmpty) keyed.agg(expr(s"cms_counts(_h, $depth, $width)").as("cms"))
+      else keyed.groupBy(groupCols.map(col): _*)
+        .agg(expr(s"cms_counts(_h, $depth, $width)").as("cms"))
+    agged
+  }
+
+  /** Min-over-depths point estimate for a value's hash against a CMS grid
+    * column — the same integer permutation family the aggregate uses, so
+    * this is exactly the counter each depth row incremented. */
+  def cmsEstimate(hashCol: Column, cms: Column, depth: Int = 4,
+                  width: Int = 512): Column = {
+    val P = DedupOps.MersennePrime31
+    val hm = hashCol % P
+    val cells = (0 until depth).map { d =>
+      val bucket = ((lit(2L * d + 3) * hm + lit(12289L * (d + 1))) % P) % width
+      element_at(cms, (lit(d.toLong * width) + bucket + 1L).cast("int"))
+    }
+    least(cells: _*)
+  }
+
   /** Distinct-count estimate per group: exact when a group has fewer than
     * `k` distinct values (the sketch IS the set), else the KMV estimator
     * `(k-1) * 2^60 / kth_min`. `hashCol` must be a deterministic uniform

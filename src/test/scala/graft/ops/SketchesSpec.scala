@@ -41,6 +41,45 @@ class SketchesSpec extends SparkSpec {
       s"expected a partial aggregation mode in:\n$plan")
   }
 
+  test("CMS: estimates only overcount, exact when width avoids collisions") {
+    // 3 tokens with known counts, width 512 → collisions vanishingly unlikely
+    val df = (Seq.fill(100)("alpha") ++ Seq.fill(40)("beta") ++ Seq.fill(7)("gamma"))
+      .toDF("tok").withColumn("_h", DedupOps.hash60($"tok"))
+    val cms = Sketches.cmsSketch(df, Nil, $"_h")
+    val got = df.groupBy($"tok").agg(min($"_h").as("_h"), count(lit(1)).as("exact"))
+      .crossJoin(cms)
+      .withColumn("est", Sketches.cmsEstimate($"_h", $"cms"))
+      .select($"tok", $"exact", $"est").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    got.foreach { case (tok, (exact, est)) =>
+      assert(est >= exact, s"$tok: CMS must never undercount")
+      assert(est == exact, s"$tok: no collisions expected at this width")
+    }
+  }
+
+  test("CMS: grid is independent of partitioning and sums to depth*N") {
+    val df = (1 to 3000).map(i => (i % 97).toString).toDF("tok")
+      .withColumn("_h", DedupOps.hash60($"tok"))
+    val g1 = Sketches.cmsSketch(df.repartition(1), Nil, $"_h", depth = 4, width = 64)
+      .select($"cms").as[Seq[Long]].head()
+    val g16 = Sketches.cmsSketch(df.repartition(16), Nil, $"_h", depth = 4, width = 64)
+      .select($"cms").as[Seq[Long]].head()
+    assert(g1 == g16, "element-wise merge must be order/partition independent")
+    (0 until 4).foreach { d =>
+      assert(g1.slice(d * 64, (d + 1) * 64).sum == 3000L,
+        s"depth row $d must count every input exactly once")
+    }
+  }
+
+  test("cms_counts is callable from SQL and plans a partial ObjectHashAggregate") {
+    val df = spark.sql(
+      "SELECT cms_counts(CAST(id % 5 AS BIGINT), 2, 8) AS cms FROM range(1000)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n$plan")
+    val grid = df.select(explode($"cms")).as[Long].collect()
+    assert(grid.length == 16 && grid.sum == 2000L)
+  }
+
   test("kmv_mins is callable from SQL via the session extensions") {
     val out = spark.sql(
       "SELECT kmv_mins(h, 4) AS mins FROM (SELECT CAST(id * 10 AS BIGINT) AS h FROM range(100))")
