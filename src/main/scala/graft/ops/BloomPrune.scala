@@ -20,18 +20,19 @@ import org.apache.spark.sql.functions._
   * cooperate; this operator makes the same trick explicit, deterministic,
   * and available to any key expression.
   *
-  * Hashing is the engine's portable family: 60-bit sha-derived base hash,
-  * integer permutations per probe — deterministic across runs and engines.
+  * Hashing: `xxhash64(seed_i, key)` per probe — deterministic across runs,
+  * and deliberately NOT the engine's sha-based portable family: the filter
+  * never appears in any result (the oracle is the plain join), so it can
+  * use the cheapest codegen'd hash Spark has. sha2 here would cost k
+  * digest evaluations per fact row in the scan's hot loop for a property
+  * (cross-engine reproducibility) nothing observes.
   */
 object BloomPrune {
 
-  private val P = DedupOps.MersennePrime31
-
-  /** Per-probe bit position of a key: `((a_i·(h mod p) + b_i) mod p) mod m`. */
-  private def bitPos(keyCol: Column, i: Int, mBits: Int): Column = {
-    val (a, b) = (2L * i + 3, 12289L * (i + 1)) // DedupOps.permParams family
-    ((lit(a) * (DedupOps.hash60(keyCol.cast("string")) % P) + lit(b)) % P) % mBits
-  }
+  /** Per-probe bit position of a key: `xxhash64(i, key) mod m` (pmod — the
+    * raw hash is signed). */
+  private def bitPos(keyCol: Column, i: Int, mBits: Int): Column =
+    pmod(xxhash64(lit(i), keyCol), lit(mBits.toLong))
 
   /** Build the filter's 64-bit words distributed-side: explode each key's
     * `k` bit positions, OR-fold per word with a map-side-combined `bit_or`

@@ -223,17 +223,24 @@ object DedupOps {
       .withColumn("label", col("node")).localCheckpoint()
     var converged = false
     var i = 0
+    // Convergence probe: labels are per-node non-increasing, so the label
+    // SUM is strictly decreasing until the fixpoint — an unchanged sum
+    // means an unchanged labeling. One map-side-combined aggregate per
+    // round (decimal: immune to int64 overflow at any id scale), instead
+    // of a join of consecutive labelings.
+    var prevSum: java.math.BigDecimal = null
     while (!converged && i < maxIters) {
       val nbrLabels = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("label"))
       val next = labels.unionByName(nbrLabels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.withColumnRenamed("label", "old_label"), Seq("node"))
-        .filter(col("label") =!= col("old_label")).limit(1).count()
+      val sum = next.agg(org.apache.spark.sql.functions.sum(
+        col("label").cast("decimal(38,0)")).as("s")).head().getDecimal(0)
       labels = next
-      converged = changed == 0
+      converged = (sum == null && prevSum == null) ||
+        (sum != null && prevSum != null && sum.compareTo(prevSum) == 0)
+      prevSum = sum
       i += 1
     }
     labels
