@@ -1067,6 +1067,69 @@ object QueriesLlm {
           |    FROM tf JOIN dfreq USING (tok)) sc) r
           |WHERE rn <= 3""".stripMargin))),
 
+    Q("llm_pii_redact",
+      // PII scrubbing: emails / phone shapes / long digit runs replaced by
+      // typed tags, with per-doc match counts. The corpus has no real PII,
+      // so deterministic synthetic PII is injected from doc_id
+      // (Fixtures-style) — both engines inject and redact identically.
+      (s, d) => {
+        val raw = Tables.documents(s, d).select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("raw_text"))
+        raw.select(col("doc_id"),
+          TextOps.redactPii(col("raw_text")).as("redacted"),
+          regexp_count(col("raw_text"), lit(TextOps.EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("raw_text"), lit(TextOps.PhoneRe)).cast("long").as("n_phones"))
+      },
+      Some(s"""WITH raw AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS raw_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(raw_text,
+        |         '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+        |         '${TextOps.PhoneRe}', '<PHONE>', 'g'),
+        |         '${TextOps.LongNumRe}', '<NUM>', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(raw_text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(raw_text, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones
+        |FROM raw""".stripMargin)),
+
+    Q("llm_chunk_windows",
+      // Model-input chunking: 32-token windows every 16 tokens (~60-token
+      // docs → ~3 chunks each), tail always covered, at least one chunk per
+      // non-empty doc.
+      (s, d) => TextOps.chunkWindows(Tables.documents(s, d), "doc_id", "text",
+        window = 32, stride = 16),
+      Some(withCtes(normDocsCte)(
+        """SELECT doc_id, i AS chunk_idx,
+          |       array_to_string(list_slice(toks, CAST(i*16+1 AS BIGINT), CAST(i*16+32 AS BIGINT)), ' ') AS chunk,
+          |       CAST(least(len(toks) - i*16, 32) AS BIGINT) AS n_chunk_tokens
+          |FROM (
+          |  SELECT doc_id, toks,
+          |         unnest(range(CAST(ceil(greatest(len(toks) - 32, 0) / 16.0) AS BIGINT) + 1)) AS i
+          |  FROM tok_docs WHERE length(norm) > 0)""".stripMargin))),
+
+    Q("llm_seq_pack",
+      // Contiguous token-stream packing per language: each doc's first
+      // token lands in training sequence seq_idx at seq_offset. Packing is
+      // per-stratum by design — no global single-partition sort at scale.
+      (s, d) => TextOps.packStream(Tables.documents(s, d), "lang", "doc_id",
+        "text", seqLen = 512),
+      Some(withCtes(normDocsCte)(
+        """SELECT d.lang, t.doc_id,
+          |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          |       CAST((sum(len(t.toks)) OVER w - len(t.toks)) // 512 AS BIGINT) AS seq_idx,
+          |       CAST((sum(len(t.toks)) OVER w - len(t.toks)) % 512 AS BIGINT) AS seq_offset
+          |FROM tok_docs t JOIN documents d USING (doc_id)
+          |WINDOW w AS (PARTITION BY d.lang ORDER BY t.doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin))),
+
     Q("sk_cms_freq",
       // Count-Min frequency sketch (native TypedImperativeAggregate:
       // fixed depth×width grid, map-side partials, element-wise merge).

@@ -110,4 +110,68 @@ object TextOps {
     * portable across engines). */
   def fingerprint(text: Column): Column =
     substring(sha2(normalize(text), 256), 1, 16)
+
+  /** PII redaction patterns — deliberately simple character classes so the
+    * same regex means the same thing under Java regex (Spark) and RE2
+    * (DuckDB/the oracle). Order matters: emails first (they contain
+    * digits), then phone shapes, then long digit runs. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+  val LongNumRe = "[0-9]{9,}"
+
+  /** Redact emails / phone-shaped / long-digit-run substrings with typed
+    * placeholder tags. Pure codegen'd regexp_replace chain — one narrow
+    * pass, scales embarrassingly. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      LongNumRe, "<NUM>")
+
+  /** Sliding token windows for model-input chunking: windows of `window`
+    * tokens every `stride` tokens, starts at 0, stride, … until the tail is
+    * covered (`1 + ceil(max(0, n-window)/stride)` chunks; every document
+    * yields at least one). Same codegen index-explode shape as the
+    * shingling path — the token array is materialized once per doc under a
+    * Generate barrier, chunk text/length are flat column expressions. */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   window: Int = 128, stride: Int = 64): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need window >= stride >= 1")
+    df.repartition(col(idCol))
+      .select(col(idCol), normalize(col(textCol)).as("_norm"))
+      .filter(length(col("_norm")) > 0)
+      .select(col(idCol), split(col("_norm"), " ").as("_toks"))
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0),
+          ceil(greatest(size(col("_toks")) - window, lit(0)) / stride.toDouble)
+            .cast("long"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", slice(col("_toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(window))).as("chunk"),
+        least(size(col("_toks")) - col("chunk_idx") * stride, lit(window))
+          .cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Contiguous token-stream packing (concat-then-split training prep):
+    * documents are laid end-to-end per `partCol` stratum in `idCol` order
+    * and each is assigned the `seqLen`-token training sequence its first
+    * token lands in, plus its offset inside that sequence. One window per
+    * stratum — packing is deliberately per-stratum (language, shard, …) so
+    * no global single-partition sort exists at scale. */
+  def packStream(df: DataFrame, partCol: String, idCol: String,
+                 textCol: String, seqLen: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val based = withNormToks(df, textCol)
+    val n = when(length(col("_norm")) === 0, 0L)
+      .otherwise(size(col("_toks")).cast("long"))
+    based.select(col(partCol), col(idCol), n.as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_idx", expr(s"(_cum - n_tokens) div ${seqLen}L"))
+      .withColumn("seq_offset", expr(s"(_cum - n_tokens) % ${seqLen}L"))
+      .drop("_cum")
+  }
 }
