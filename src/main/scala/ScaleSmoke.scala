@@ -30,6 +30,13 @@ object ScaleSmoke {
     t("minhash signatures")(DedupOps.minhashSignature(docs, "doc_id", "text", 8).count())
     t("lsh candidate pairs")(DedupOps.candidatePairs(
       DedupOps.lshBuckets(DedupOps.minhashSignature(docs, "doc_id", "text", 8), "doc_id"), "doc_id").count())
+    t("near-dup survivors (CC)")(DedupOps.nearDupSurvivors(docs, "doc_id", "text").count())
+    // filter on cleaned_text length forces the ordered fold (a bare count
+    // lets Catalyst prune the reassembly entirely — measured 0.2 s vs real)
+    t("segment dedup")(DedupOps.dropBoilerplateSegments(docs, "doc_id", "text")
+      .filter(length(col("cleaned_text")) >= 0).count())
+    t("decontaminate")(DedupOps.decontaminate(docs, "doc_id", "text").count())
+    t("chunk windows")(graft.ops.TextOps.chunkWindows(docs, "doc_id", "text").count())
     val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val emb = emb0.crossJoin(spark.range(4).withColumnRenamed("id", "c"))
       .select((col("vec_id") + col("c") * 1000000).as("vec_id"), col("embedding"))

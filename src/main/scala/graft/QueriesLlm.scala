@@ -326,12 +326,13 @@ object QueriesLlm {
 
     Q("dedup_clusters",
       // Pairwise candidates → dedup clusters: connected components of the
-      // MinHash-LSH pair graph by iterative min-label propagation, checked
-      // against a DuckDB RECURSIVE transitive-closure oracle (an oracle
-      // with a COMPLETELY different algorithm — closure enumeration vs
-      // propagation — agreeing on every component).
+      // MinHash-LSH collision graph by iterative min-label propagation,
+      // checked against a DuckDB RECURSIVE transitive-closure oracle over
+      // the ALL-PAIRS graph (different algorithm AND different edge set —
+      // the Spark side walks linear star edges, the oracle enumerates the
+      // quadratic closure; components must still agree exactly).
       (s, d) => {
-        val pairs = DedupOps.candidatePairs(
+        val pairs = DedupOps.bucketStarEdges(
           DedupOps.lshBuckets(
             DedupOps.minhashSignature(Tables.documents(s, d), "doc_id", "text", 8),
             "doc_id"),

@@ -174,6 +174,22 @@ object DedupOps {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
 
+  /** Star edges per LSH bucket: one edge (bucket-min id → member) instead
+    * of the full in-bucket pair expansion. Connectivity-equivalent to
+    * [[candidatePairs]] — every pair in a bucket is linked through the
+    * bucket's hub — at Σ bucket_size edges instead of Σ bucket_size², so
+    * this is the input for CLUSTERING (connected components), where only
+    * reachability matters. Verification (Jaccard) still needs real pairs.
+    * A 20-document duplicate clique costs 19 edges here vs 190 pairs. */
+  def bucketStarEdges(buckets: DataFrame, idCol: String): DataFrame = {
+    val hubs = buckets.groupBy(col("band"), col("bucket"))
+      .agg(min(col(idCol)).as("id_a"))
+    buckets.join(hubs, Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("id_a"))
+      .select(col("id_a"), col(idCol).as("id_b"))
+      .distinct()
+  }
+
   /** n-gram Jaccard similarity for candidate verification: |A∩B| / |A∪B|
     * over distinct shingle-HASH sets (collision probability ~2^-31 — and
     * mirrored exactly in the oracle). Run on LSH candidates only; the set
@@ -255,7 +271,11 @@ object DedupOps {
     * hash semi-join probe. */
   def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String,
                        numPerms: Int = 8): DataFrame = {
-    val pairs = candidatePairs(
+    // Star edges, not pairs: clustering only needs reachability, and the
+    // star form keeps a k-document duplicate clique at k-1 edges instead
+    // of k·(k-1)/2 pairs — the difference between linear and quadratic
+    // work on the pathological "many copies of one document" corpus.
+    val pairs = bucketStarEdges(
       lshBuckets(minhashSignature(docs, idCol, textCol, numPerms), idCol,
         numPerms),
       idCol).localCheckpoint() // consumed twice seeding the CC loop

@@ -83,6 +83,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ga == gb && ga.forall(_._2 == 3L))
   }
 
+  test("star edges are connectivity-equivalent to all-pairs candidates") {
+    val buckets = DedupOps.lshBuckets(
+      DedupOps.minhashSignature(docs, "doc_id", "text", 8), "doc_id")
+    val viaPairs = DedupOps.connectedComponents(
+      DedupOps.candidatePairs(buckets, "doc_id"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val viaStars = DedupOps.connectedComponents(
+      DedupOps.bucketStarEdges(buckets, "doc_id"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(viaPairs == viaStars, "same nodes, same components, fewer edges")
+  }
+
   test("near-dup survivors: losers dropped, reps and singletons kept") {
     val got = DedupOps.nearDupSurvivors(docs, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
