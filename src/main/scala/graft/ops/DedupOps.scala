@@ -316,7 +316,11 @@ object DedupOps {
     * fully-boilerplate or empty docs come back with empty `cleaned_text`. */
   def dropBoilerplateSegments(docs: DataFrame, idCol: String, textCol: String,
                               segTokens: Int = 8, maxDocs: Int = 1): DataFrame = {
-    val segs = segmentRows(docs, idCol, textCol, segTokens)
+    // Materialized once: consumed by BOTH the boilerplate counts and the
+    // join back — without the lineage cut the tokenize+explode subtree is
+    // recomputed per consumer (the dedup_jaccard pattern, visible as two
+    // full Generate subtrees in the physical plan).
+    val segs = segmentRows(docs, idCol, textCol, segTokens).localCheckpoint()
     val counts = segs.groupBy(col("segment"))
       .agg(countDistinct(col(idCol)).as("ndocs"))
     val perDoc = segs.join(counts, Seq("segment"))
