@@ -1068,6 +1068,27 @@ object QueriesLlm {
           |    FROM tf JOIN dfreq USING (tok)) sc) r
           |WHERE rn <= 3""".stripMargin))),
 
+    Q("llm_dup_ngram_frac",
+      // Within-document repetition at n-gram granularity (the Gopher-style
+      // "fraction of text in duplicated n-grams" quality gate, here over
+      // 3-token shingle occurrences): ppm of a doc's shingle slots whose
+      // shingle occurs more than once in that doc.
+      (s, d) => DedupOps.shingleHashRows(Tables.documents(s, d), "doc_id", "text")
+        .groupBy(col("doc_id"), col("_h")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_shingles"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac_ppm", expr("n_dup * 1000000 div n_shingles")),
+      Some("WITH " + Seq(normDocsCte, shinglesCte).mkString(",\n") + """,
+        |occ AS (SELECT doc_id, unnest(shingles) AS h FROM shingle_docs),
+        |pc AS (SELECT doc_id, h, count(*) AS c FROM occ GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_shingles,
+        |       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup,
+        |       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000000
+        |            // sum(c) AS BIGINT) AS dup_frac_ppm
+        |FROM pc GROUP BY 1""".stripMargin)),
+
     Q("llm_pii_redact",
       // PII scrubbing: emails / phone shapes / long digit runs replaced by
       // typed tags, with per-doc match counts. The corpus has no real PII,
