@@ -1068,6 +1068,39 @@ object QueriesLlm {
           |    FROM tf JOIN dfreq USING (tok)) sc) r
           |WHERE rn <= 3""".stripMargin))),
 
+    Q("llm_incremental_dedup",
+      // Batch-over-batch dedup: the corpus split into "yesterday" (bucket
+      // < 500) and "today"; today's batch is deduped within itself (min id
+      // per fingerprint) and against yesterday's committed fingerprints.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bucket = Sampling.bucketOf(col("doc_id"), "batchsplit")
+        val yesterday = docs.filter(bucket < 500)
+        val seen = yesterday
+          .select(TextOps.fingerprint(col("text")).as("fingerprint")).distinct()
+        val (survivors, _) = DedupOps.incrementalDedup(
+          docs.filter(bucket >= 500), seen, "doc_id", "text")
+        survivors.select(col("doc_id"), col("fingerprint"))
+      },
+      Some(withCtes(normDocsCte)(
+        """SELECT b2.doc_id, b2.fingerprint FROM (
+          |  SELECT doc_id, substr(sha256(norm), 1, 16) AS fingerprint
+          |  FROM norm_docs
+          |  WHERE CAST('0x' || substr(sha256('batchsplit:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 >= 500) b2
+          |JOIN (
+          |  SELECT fingerprint, min(doc_id) AS doc_id
+          |  FROM (SELECT doc_id, substr(sha256(norm), 1, 16) AS fingerprint
+          |        FROM norm_docs
+          |        WHERE CAST('0x' || substr(sha256('batchsplit:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 >= 500)
+          |  GROUP BY 1) keep
+          |  ON b2.fingerprint = keep.fingerprint AND b2.doc_id = keep.doc_id
+          |LEFT JOIN (
+          |  SELECT DISTINCT substr(sha256(norm), 1, 16) AS fingerprint
+          |  FROM norm_docs
+          |  WHERE CAST('0x' || substr(sha256('batchsplit:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 500) seen
+          |  ON b2.fingerprint = seen.fingerprint
+          |WHERE seen.fingerprint IS NULL""".stripMargin))),
+
     Q("llm_dup_ngram_frac",
       // Within-document repetition at n-gram granularity (the Gopher-style
       // "fraction of text in duplicated n-grams" quality gate, here over

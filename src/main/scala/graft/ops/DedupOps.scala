@@ -341,6 +341,33 @@ object DedupOps {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** Incremental (batch-over-batch) exact dedup — the daily-increment
+    * pipeline shape: a new crawl batch is deduplicated against every
+    * PREVIOUSLY COMMITTED fingerprint, and within itself (min id wins).
+    * Returns (survivors-with-fingerprint, updated fingerprint set) — the
+    * caller commits the set back to its state store (e.g.
+    * [[graft.state.Stores]]-style parquet with pointer commit) so the next
+    * batch sees it.
+    *
+    * Scale: one groupBy on the 16-hex fingerprint within the batch, one
+    * anti-join against the seen set (hash join keyed by fingerprint —
+    * batch-sized, not corpus-sized, probe side). The seen set union stays
+    * distinct-by-construction (survivor fingerprints are new by the
+    * anti-join, unique by the in-batch election). */
+  def incrementalDedup(newDocs: DataFrame, seenFingerprints: DataFrame,
+                       idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val fp = newDocs.withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
+    val firstPerFp = fp.groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol))
+    val survivors = fp
+      .join(firstPerFp, Seq("fingerprint", idCol), "left_semi")
+      .join(seenFingerprints, Seq("fingerprint"), "left_anti")
+      .localCheckpoint() // consumed by the caller AND the seen-set union
+    val updatedSeen = seenFingerprints
+      .unionByName(survivors.select(col("fingerprint")))
+    (survivors, updatedSeen)
+  }
+
   /** Train/test decontamination: for each train document, the fraction of
     * its distinct shingles that also occur anywhere in the test split
     * (n-gram-overlap contamination, the standard eval-leakage check).

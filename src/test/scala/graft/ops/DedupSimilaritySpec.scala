@@ -122,6 +122,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(4L) == (("", 0L, 0L)), "empty doc still returned")
   }
 
+  test("incremental dedup: later batches drop docs seen in earlier commits") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("fingerprint")
+    val batch1 = Seq((1L, "first doc text"), (2L, "second doc text")).toDF("doc_id", "text")
+    val (s1, seen1) = DedupOps.incrementalDedup(batch1, empty, "doc_id", "text")
+    assert(s1.count() == 2 && seen1.count() == 2)
+    val batch2 = Seq(
+      (10L, "first doc text"),   // dup of batch-1 doc 1 -> dropped
+      (11L, "brand new text"),   // fresh -> kept
+      (12L, "same within batch"),
+      (13L, "same within batch") // in-batch dup -> min id 12 kept
+    ).toDF("doc_id", "text")
+    // round-trip the committed set through parquet like a real state store
+    val dir = java.nio.file.Files.createTempDirectory("seen").toString
+    seen1.write.mode("overwrite").parquet(dir)
+    val (s2, seen2) = DedupOps.incrementalDedup(batch2,
+      spark.read.parquet(dir), "doc_id", "text")
+    assert(s2.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 12L))
+    assert(seen2.count() == 4, "committed set grows only by fresh fingerprints")
+  }
+
   test("decontamination: copied test doc flags 100%, unique train doc 0") {
     import graft.ops.Sampling
     // Find real bucket assignments (content-addressed — cannot be chosen),
