@@ -10,10 +10,17 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Local-iteration subset (same contract as Bench): run only the named
     // queries, leaving other queries' previous dumps in outDir untouched.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+    // An empty or fully-misspelled selection is an ERROR, not a no-op run —
+    // running zero queries would let the checker greenlight stale dumps.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    if (selected.isEmpty) {
+      System.err.println(s"[verify] SPARK_GRAFT_ONLY matched no queries: ${only.getOrElse(Set())}")
+      spark.stop(); sys.exit(2)
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -65,7 +65,11 @@ case class CmsCounts(
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val hm = v.asInstanceOf[Long] % P
+      // floorMod: the SQL surface accepts any BIGINT (xxhash64 is negative
+      // half the time); a signed % would index out of bounds at d=0 and
+      // silently corrupt the previous depth row at d>=1. Non-negative
+      // inputs (the engine's hash60) are unaffected.
+      val hm = java.lang.Math.floorMod(v.asInstanceOf[Long], P)
       var d = 0
       while (d < depth) {
         val bucket = (((2L * d + 3) * hm + 12289L * (d + 1)) % P % width).toInt

@@ -37,7 +37,11 @@ object AsOf {
         col(leftTs).as("_ats"), lit(1).as("_side"),
         struct(left.columns.map(col): _*).as("_lrow"),
         lit(null).cast(rStructType).as("_rrow")): _*)
-    val r = right.select(
+    // A NULL right timestamp can never be "at or before" anything (SQL
+    // comparison semantics — the oracle's `l.ts >= r.ts` is never true for
+    // NULL r.ts), but the window's nulls-first ordering would make such a
+    // row the earliest state and hand it to every left row. Drop them.
+    val r = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("_ats"), lit(0).as("_side"),
         lit(null).cast(lStructType).as("_lrow"),

@@ -259,6 +259,13 @@ object DedupOps {
       prevSum = sum
       i += 1
     }
+    // Unconverged labels are silently WRONG labels (a >maxIters-diameter
+    // chain would split one component in two) — refuse to return them.
+    // LSH graphs on star edges are hub-flattened (tiny diameter); a graph
+    // that trips this wants more rounds or the large-star/small-star form.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds; " +
+        "raise maxIters (diameter exceeds it) or switch to star-contraction")
     labels
   }
 

@@ -33,9 +33,9 @@ object Sketches {
   def cmsEstimate(hashCol: Column, cms: Column, depth: Int = 4,
                   width: Int = 512): Column = {
     val P = DedupOps.MersennePrime31
-    val hm = hashCol % P
+    val hm = pmod(hashCol, lit(P)) // mirror the aggregate's floorMod
     val cells = (0 until depth).map { d =>
-      val bucket = ((lit(2L * d + 3) * hm + lit(12289L * (d + 1))) % P) % width
+      val bucket = pmod(lit(2L * d + 3) * hm + lit(12289L * (d + 1)), lit(P)) % width
       element_at(cms, (lit(d.toLong * width) + bucket + 1L).cast("int"))
     }
     least(cells: _*)

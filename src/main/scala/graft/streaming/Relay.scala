@@ -177,12 +177,33 @@ object ChangeRelay {
       envName: String,
       intervalSeconds: Int = graft.model.Defaults.PollingIntervalSeconds): StreamingQuery = {
     val queryName = s"graft-relay-$envName-${obj.name}"
-    val activeNames = spark.streams.active.map(_.name).toSet
-    activeCheckpoints.entrySet().removeIf(e => !activeNames.contains(e.getValue))
-    val prev = activeCheckpoints.putIfAbsent(checkpointDir, queryName)
-    require(prev == null || prev == queryName,
-      s"checkpointLocation '$checkpointDir' is already used by active query '$prev' — " +
-        "each (environment, object) stream needs its own checkpoint dir")
+    // Purge + claim + START under one lock: without it, a concurrent
+    // caller's purge can evict a claim whose query has not yet reached
+    // spark.streams.active, letting two queries share one offset log —
+    // exactly the corruption this guard exists to prevent.
+    activeCheckpoints.synchronized {
+      val activeNames = spark.streams.active.map(_.name).toSet
+      activeCheckpoints.entrySet().removeIf(e => !activeNames.contains(e.getValue))
+      val prev = activeCheckpoints.putIfAbsent(checkpointDir, queryName)
+      require(prev == null || prev == queryName,
+        s"checkpointLocation '$checkpointDir' is already used by active query '$prev' — " +
+          "each (environment, object) stream needs its own checkpoint dir")
+      try startQuery(spark, relay, obj, outboxDir, schema, checkpointDir,
+        queryName, intervalSeconds)
+      catch { case e: Throwable =>
+        activeCheckpoints.remove(checkpointDir, queryName); throw e }
+    }
+  }
+
+  private def startQuery(
+      spark: SparkSession,
+      relay: ChangeRelay,
+      obj: TrackingObject,
+      outboxDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpointDir: String,
+      queryName: String,
+      intervalSeconds: Int): StreamingQuery = {
     spark.readStream
       .schema(schema)
       .parquet(outboxDir)

@@ -33,6 +33,18 @@ class AsOfSpec extends SparkSpec {
     assert(got.size == 5, "every left row survives exactly once")
   }
 
+  test("a NULL right timestamp is never an as-of match") {
+    val left = Seq((1L, "u1", ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      ("u1", None: Option[Timestamp], 100L),             // NULL ts — never matches
+      ("u1", Some(ts("2024-01-01 11:00:00")), 200L)      // after the left row
+    ).toDF("user_id", "ts", "state_id")
+    val got = AsOf.asofJoin(left, right, Seq("user_id"), "ts", "ts")
+      .select($"event_id", $"asof_state_id").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).isEmpty,
+      "nulls-first ordering must not surface a NULL-ts right row as earliest state")
+  }
+
   test("as-of join matches the naive max-per-row computation on random data") {
     val rnd = new scala.util.Random(42)
     val left = (1 to 300).map(i =>

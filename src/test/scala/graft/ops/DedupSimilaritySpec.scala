@@ -75,6 +75,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.size == 7, "one row per node appearing in pairs")
   }
 
+  test("connected components: refuses to return unconverged labels") {
+    // a 12-node path needs ~11 propagation rounds; maxIters=3 must throw,
+    // not silently split the component
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(chain, "id_a", "id_b", maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connected components: label order is independent of pair orientation") {
     val a = Seq((5L, 3L), (3L, 9L)).toDF("id_a", "id_b")
     val b = Seq((3L, 5L), (9L, 3L)).toDF("id_a", "id_b")

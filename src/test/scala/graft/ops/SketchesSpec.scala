@@ -71,6 +71,19 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("CMS: negative hashes (xxhash64 SQL use) index correctly, estimate agrees") {
+    val df = spark.sql(
+      "SELECT xxhash64(CAST(id % 7 AS STRING)) AS h FROM range(700)")
+    val cms = Sketches.cmsSketch(df, Nil, $"h", depth = 4, width = 64)
+    val grid = cms.select($"cms").as[Seq[Long]].head()
+    (0 until 4).foreach(d => assert(grid.slice(d * 64, (d + 1) * 64).sum == 700L,
+      s"depth $d must count all rows — negative buckets would corrupt rows"))
+    val est = df.distinct().crossJoin(cms)
+      .select(Sketches.cmsEstimate($"h", $"cms", depth = 4, width = 64))
+      .as[Long].collect()
+    assert(est.forall(_ >= 100L), "each of 7 values occurs 100x; min cell >= exact")
+  }
+
   test("cms_counts is callable from SQL and plans a partial ObjectHashAggregate") {
     val df = spark.sql(
       "SELECT cms_counts(CAST(id % 5 AS BIGINT), 2, 8) AS cms FROM range(1000)")
