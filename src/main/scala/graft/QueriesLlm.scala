@@ -78,6 +78,23 @@ object QueriesLlm {
       |  FROM bucket_docs a JOIN bucket_docs b
       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared oracle for both CC algorithms: DuckDB RECURSIVE transitive
+    * closure over the ALL-PAIRS collision graph — a third, independent
+    * algorithm that must agree with min-label propagation AND star
+    * contraction on every component. */
+  private val clustersOracleSql: String =
+    "WITH RECURSIVE " +
+      Seq(normDocsCte, shinglesCte, sigCte, bucketCte, pairsCte).mkString(",\n") + ",\n" +
+      """edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pair_docs
+        |  UNION SELECT id_b, id_a FROM pair_docs),
+        |reach(node, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
+        |SELECT node AS doc_id, min(label) AS cluster_id
+        |FROM reach GROUP BY node""".stripMargin
+
   def text: Seq[Q] = Seq(
     Q("llm_token_count",
       (s, d) => {
@@ -340,17 +357,22 @@ object QueriesLlm {
         DedupOps.connectedComponents(pairs, "id_a", "id_b")
           .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       },
-      Some("WITH RECURSIVE " +
-        Seq(normDocsCte, shinglesCte, sigCte, bucketCte, pairsCte).mkString(",\n") + ",\n" +
-        """edges AS (
-          |  SELECT id_a AS src, id_b AS dst FROM pair_docs
-          |  UNION SELECT id_b, id_a FROM pair_docs),
-          |reach(node, label) AS (
-          |  SELECT src, src FROM edges
-          |  UNION
-          |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
-          |SELECT node AS doc_id, min(label) AS cluster_id
-          |FROM reach GROUP BY node""".stripMargin)),
+      Some(clustersOracleSql)),
+
+    Q("dedup_clusters_star",
+      // Same clustering by the HIGH-DIAMETER-safe algorithm: alternating
+      // large-star/small-star contraction (O(log²n) rounds worst case vs
+      // propagation's O(diameter)), against the same closure oracle.
+      (s, d) => {
+        val pairs = DedupOps.bucketStarEdges(
+          DedupOps.lshBuckets(
+            DedupOps.minhashSignature(Tables.documents(s, d), "doc_id", "text", 8),
+            "doc_id"),
+          "doc_id")
+        DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      },
+      Some(clustersOracleSql)),
 
     Q("dedup_cc_survivors",
       // The full near-dup dedup pipeline as one operator: MinHash → LSH →

@@ -404,6 +404,77 @@ object DedupOps {
       .withColumn("contaminated", col("overlap_ppm") >= thresholdPpm)
   }
 
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    * HIGH-DIAMETER-safe alternative to [[connectedComponents]]: label
+    * propagation needs `diameter` rounds, star contraction O(log²n) worst
+    * case and a handful in practice, because each round rewires nodes
+    * directly to their neighborhood minimum instead of walking one hop.
+    *
+    * Per round each star is one groupBy(min) + one join — the same
+    * shuffle primitives as propagation, same output contract: (node,
+    * label = component min) for every node appearing in `pairs`.
+    * Convergence is detected by a (count, Σa, Σb) signature of the
+    * canonical edge set going stable across a full round, then PROVEN by a
+    * final star-shape assertion (every non-root has exactly one neighbor:
+    * its root; roots never appear as a larger endpoint) — a signature
+    * collision cannot return wrong labels, only an exception. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIters: Int = 25): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var edges = canon(pairs.select(col(aCol).as("a"), col(bCol).as("b")))
+      .localCheckpoint()
+    def directed(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+    def signature(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)), sum(col("a").cast("decimal(38,0)")),
+        sum(col("b").cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+    }
+    var sig = signature(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val d = directed(edges)
+      // large-star: every neighbor v > u links to u's neighborhood min
+      val mins = d.groupBy(col("a")).agg(min(col("b")).as("_mn"))
+        .select(col("a").as("_u"), least(col("a"), col("_mn")).as("_m"))
+      val large = canon(d.filter(col("b") > col("a"))
+        .join(mins, d("a") === col("_u"))
+        .select(col("b").as("a"), col("_m").as("b"))).localCheckpoint()
+      // small-star: every neighbor v <= u (and u itself) links to the min
+      // of u's small neighborhood
+      val dl = directed(large)
+      val sm = dl.filter(col("b") <= col("a"))
+      val smins = sm.groupBy(col("a")).agg(min(col("b")).as("_m"))
+        .select(col("a").as("_u"), col("_m"))
+      val next = canon(
+        sm.join(smins, sm("a") === col("_u"))
+          .select(col("b").as("a"), col("_m").as("b"))
+          .union(smins.select(col("_u").as("a"), col("_m").as("b"))))
+        .localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      i += 1
+    }
+    // star-shape proof: each larger endpoint has exactly one (root)
+    // neighbor, and no root also hangs off another star
+    val badLeaf = edges.groupBy(col("b")).agg(countDistinct(col("a")).as("n"))
+      .filter(col("n") > 1).limit(1).count()
+    val badRoot = edges.select(col("a")).distinct()
+      .join(edges.select(col("b")).distinct(),
+        col("a") === col("b"), "left_semi").limit(1).count()
+    if (!converged || badLeaf > 0 || badRoot > 0) throw new IllegalStateException(
+      s"connectedComponentsStar not a star set after $i rounds " +
+        s"(converged=$converged badLeaf=$badLeaf badRoot=$badRoot)")
+    edges.select(col("b").as("node"), col("a").as("label"))
+      .union(edges.select(col("a").as("node"), col("a").as("label")).distinct())
+  }
+
   /** SimHash (16-bit, portable): explode tokens, take each token's 60-bit
     * hash, sum ±1 per bit position, reassemble the sign bits. Two narrow
     * passes + one groupBy on the doc id. */

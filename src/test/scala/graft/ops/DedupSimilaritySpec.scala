@@ -93,6 +93,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ga == gb && ga.forall(_._2 == 3L))
   }
 
+  test("star-contraction CC agrees with propagation CC on random graphs") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val prop = DedupOps.connectedComponents(pairs, "id_a", "id_b", maxIters = 60)
+      .as[(Long, Long)].collect().toSet
+    val star = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(star == prop)
+  }
+
+  test("star-contraction CC handles a deep chain within a few rounds") {
+    // a 40-node path: propagation needs ~39 rounds, star contraction ~log n
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponentsStar(chain, "id_a", "id_b", maxIters = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 40 && got.values.forall(_ == 1L),
+      "whole path collapses to min label 1")
+  }
+
   test("star edges are connectivity-equivalent to all-pairs candidates") {
     val buckets = DedupOps.lshBuckets(
       DedupOps.minhashSignature(docs, "doc_id", "text", 8), "doc_id")
