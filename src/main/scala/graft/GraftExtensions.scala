@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CmsCounts, GzipCompress, GzipDecompress, KmvMins}
+import graft.expressions.{CmsCounts, GzipCompress, GzipDecompress, KmvMins, TopKPairs}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are callable from SQL in any session configured with
@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cms_counts"),
       new ExpressionInfo(classOf[CmsCounts].getName, "cms_counts"),
       (children: Seq[Expression]) => CmsCounts(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+      (children: Seq[Expression]) => TopKPairs(children(0), children(1), children(2))))
   }
 }

@@ -1248,6 +1248,26 @@ object QueriesLlm {
           |  ON b.d = p.d AND b.bucket = ((p.a * (t.h % 2147483647) + p.b) % 2147483647) % 512
           |GROUP BY 1, 2""".stripMargin))),
 
+    Q("sk_topk_agg",
+      // Bounded-state top-k: the native topk_pairs aggregate keeps the 3
+      // best (value-cents, user) pairs per event type with k-pair state —
+      // vs the window form, which shuffles and sorts every row. Oracle is
+      // the equivalent DISTINCT + row_number window.
+      (s, d) => Sketches.topK(Tables.events(s, d), Seq("event_type"),
+          cents(col("value")), col("user_id"), 3)
+        .select(col("event_type"), col("rank"), col("score").as("score_cents"),
+          col("id").as("user_id")),
+      Some(s"""WITH p AS (
+        |  SELECT DISTINCT event_type, ${centsSql("value")} AS score, user_id
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, score, user_id,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |              ORDER BY score DESC, user_id) AS BIGINT) AS rank
+        |  FROM p)
+        |SELECT event_type, rank, score AS score_cents, user_id
+        |FROM r WHERE rank <= 3""".stripMargin)),
+
     Q("scale_bloom_prune",
       // Broadcast Bloom-filter semi-join prune: high-value orders (~10% of
       // orders) build a 2^16-bit filter; lineitem is pruned by a pure

@@ -41,6 +41,27 @@ object Sketches {
     least(cells: _*)
   }
 
+  /** Per-group top-k of DISTINCT (score, id) pairs via the bounded-state
+    * native aggregate — the scale-correct form of `row_number() <= k`:
+    * the shuffle carries at most k pairs per (partition, group) instead of
+    * sorting every row of every group. Returns one row per kept pair with
+    * a 1-based rank (score DESC, id ASC). */
+  def topK(df: DataFrame, groupCols: Seq[String], scoreCol: Column,
+           idCol: Column, k: Int): DataFrame = {
+    require(k >= 1, "topK k must be >= 1")
+    val agged = df
+      .select(groupCols.map(col) :+ scoreCol.cast("long").as("_s")
+        :+ idCol.cast("long").as("_i"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"topk_pairs(_s, _i, $k)").as("_top"))
+    agged
+      .select(groupCols.map(col) :+ posexplode(col("_top")).as(Seq("_pos", "_p")): _*)
+      .select(groupCols.map(col)
+        :+ (col("_pos") + 1).cast("long").as("rank")
+        :+ col("_p.score").as("score")
+        :+ col("_p.id").as("id"): _*)
+  }
+
   /** Distinct-count estimate per group: exact when a group has fewer than
     * `k` distinct values (the sketch IS the set), else the KMV estimator
     * `(k-1) * 2^60 / kth_min`. `hashCol` must be a deterministic uniform

@@ -93,6 +93,31 @@ class SketchesSpec extends SparkSpec {
     assert(grid.length == 16 && grid.sum == 2000L)
   }
 
+  test("topK: k best distinct pairs, deterministic ties, partition-invariant") {
+    val df = Seq(
+      ("g", 50L, 7L), ("g", 50L, 3L),   // score tie → smaller id first
+      ("g", 90L, 1L), ("g", 10L, 9L),
+      ("g", 90L, 1L),                   // exact dup pair → counted once
+      ("h", 5L, 2L)
+    ).toDF("grp", "s", "i")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.topK(d, Seq("grp"), $"s", $"i", 3)
+        .as[(String, Long, Long, Long)].collect().toSet
+    val got = run(df)
+    assert(got == Set(
+      ("g", 1L, 90L, 1L), ("g", 2L, 50L, 3L), ("g", 3L, 50L, 7L),
+      ("h", 1L, 5L, 2L)))
+    assert(run(df.repartition(7)) == got, "merge across partitions is lossless")
+  }
+
+  test("topk_pairs plans a partial ObjectHashAggregate (bounded shuffle)") {
+    val df = (1 to 100).map(i => ("g", i.toLong, i.toLong)).toDF("grp", "_s", "_i")
+    val plan = df.groupBy($"grp").agg(expr("topk_pairs(_s, _i, 5)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial"),
+      s"expected partial ObjectHashAggregate in:\n$plan")
+  }
+
   test("kmv_mins is callable from SQL via the session extensions") {
     val out = spark.sql(
       "SELECT kmv_mins(h, 4) AS mins FROM (SELECT CAST(id * 10 AS BIGINT) AS h FROM range(100))")
