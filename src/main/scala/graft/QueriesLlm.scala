@@ -589,6 +589,45 @@ object QueriesLlm {
         |SELECT query_id, rank, vec_id, score, cid AS cluster
         |FROM ranked WHERE rank <= 10""".stripMargin)),
 
+    Q("ann_pq_topk",
+      // Product-quantization ANN: 64-dim vectors → 4 subspace codes from an
+      // 8-entry codebook; scoring is a sum of broadcast lookup-table dots
+      // (asymmetric distance), never the raw corpus floats. The whole
+      // encode+score path is int64 arithmetic, mirrored cell-for-cell in
+      // the oracle.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), 10)
+      },
+      Some("""WITH el AS (
+        |  SELECT vec_id, i // 16 AS s, i % 16 AS j,
+        |         CAST(round(CAST(embedding[CAST(i+1 AS INTEGER)] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, embedding, unnest(range(64)) AS i FROM embeddings)),
+        |cb AS (SELECT vec_id AS code, s, j, q AS cq FROM el WHERE vec_id < 8),
+        |dists AS (
+        |  SELECT v.vec_id, v.s, c.code, sum((v.q - c.cq)*(v.q - c.cq)) AS d2
+        |  FROM el v JOIN cb c ON v.s = c.s AND v.j = c.j
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |lut AS (
+        |  SELECT q.vec_id AS query_id, q.s, c.code, sum(q.q * c.cq) AS pd
+        |  FROM el q JOIN cb c ON q.s = c.s AND q.j = c.j
+        |  WHERE q.vec_id < 5
+        |  GROUP BY 1, 2, 3),
+        |approx AS (
+        |  SELECT l.query_id, v.vec_id, CAST(sum(l.pd) AS BIGINT) AS score
+        |  FROM codes v JOIN lut l ON v.s = l.s AND v.code = l.code
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rank, vec_id, score FROM (
+        |  SELECT query_id, vec_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+        |  FROM approx WHERE vec_id <> query_id) WHERE rank <= 10""".stripMargin)),
+
     Q("ann_ivf_kmeans",
       // Production centroid path: one deterministic Lloyd refinement of the
       // first-4 seeds, then the same IVF probe/re-rank — the oracle mirrors

@@ -294,6 +294,58 @@ object Similarity {
         col("cid").as("cluster"))
   }
 
+  /** Product-quantization ANN: each vector is encoded as `m` sub-space
+    * codes (nearest codebook entry by quantized L2, ties to the lowest
+    * code), and a query scores a corpus vector as the SUM of per-subspace
+    * dot-product LOOKUPS (asymmetric distance computation) — never
+    * touching the original corpus floats.
+    *
+    * The scale story is memory, not just shuffle: the corpus representation
+    * is m small ints per vector instead of `dim` floats (here 4 codes vs 64
+    * floats — a 16-64× shrink), so a billion-vector index fits where raw
+    * vectors cannot, and the scoring join moves (vec_id, s, code) rows
+    * against a BROADCAST query lookup table of |Q|·m·ksub entries. Codebook
+    * here = the first `ksub` corpus vectors' sub-vectors (deterministic →
+    * oracle-checkable; production plugs per-subspace k-means into the same
+    * plan, exactly as [[ivfTopKWith]] does for coarse centroids).
+    *
+    * Everything is quantized int64 arithmetic: encode = argmin Σ(q-c)²,
+    * score = Σ LUT dots — bit-identical in any engine. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, ksub: Int = 8, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, "dim must divide into m subspaces")
+    val dsub = dim / m
+    def subEl(df: DataFrame, idName: String): DataFrame = df
+      .repartition(col("vec_id"))
+      .select(col("vec_id").as(idName), posexplode(col("embedding")).as(Seq("_i", "_x")))
+      .select(col(idName), expr(s"_i div $dsub").as("s"), expr(s"_i % $dsub").as("j"),
+        round(col("_x").cast("double") * 1000).cast("long").as("q"))
+    val cb = subEl(corpus.filter(col("vec_id") < ksub), "code")
+      .withColumnRenamed("q", "cq")
+    val dists = subEl(corpus, "vec_id")
+      .join(broadcast(cb), Seq("s", "j"))
+      .groupBy(col("vec_id"), col("s"), col("code"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+    // encode: nearest codebook entry per (vector, subspace) — map-side
+    // argmin aggregate, ties to the lowest code (the max_by/min_by pattern)
+    val codes = dists.groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    val lut = subEl(queries, "query_id")
+      .join(broadcast(cb), Seq("s", "j"))
+      .groupBy(col("query_id"), col("s"), col("code"))
+      .agg(sum(col("q") * col("cq")).as("pd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("score"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+  }
+
   /** ANN top-k via hyperplane LSH: candidates share the query's bucket.
     * One hash shuffle on the bucket key; per-bucket exact re-rank. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -195,6 +195,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!got.contains(testId), "test docs are not scored")
   }
 
+  test("PQ top-k: codebook vectors are their own codes; duplicates tie exactly") {
+    // dim=4, m=2 subspaces, codebook = first 2 vectors. Vector 3 duplicates
+    // vector 0, vector 4 is near vector 1.
+    val pq = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f, 1.0f, 0.0f)),   // exact dup of 0
+      (4L, Array(0.1f, 0.9f, 0.0f, 1.0f))    // near 1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(pq, pq.filter($"vec_id" === 0), k = 3,
+      m = 2, ksub = 2, dim = 4)
+      .orderBy($"rank").as[(Long, Long, Long, Long)].collect()
+    // dup of the query's own codes scores highest; scores of 0's dup equal
+    // what the query would score against itself (same codes)
+    assert(got.head._3 == 3L, s"nearest must be the duplicate, got $got")
+    val scores = got.map(r => r._3 -> r._4).toMap
+    assert(scores(3L) > scores(4L) && scores(4L) > scores(1L) || scores(4L) == scores(1L),
+      s"ranking must follow code similarity, got $got")
+  }
+
   test("quantized dot product is exact") {
     val got = vecs.filter($"vec_id" === 1)
       .select(Similarity.qdot(
