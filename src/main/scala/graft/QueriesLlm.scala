@@ -628,6 +628,46 @@ object QueriesLlm {
         |              ORDER BY score DESC, vec_id) AS BIGINT) AS rank
         |  FROM approx WHERE vec_id <> query_id) WHERE rank <= 10""".stripMargin)),
 
+    Q("llm_cluster_sample",
+      // Cluster-balanced (diversity) sampling: assign each embedding to its
+      // nearest centroid (broadcast argmax — the IVF assignment), then draw
+      // a deterministic 10-vector quota per cluster by content-addressed
+      // hash rank. The curation op that keeps a training mix from collapsing
+      // onto the densest region of embedding space.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cent = broadcast(emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv")))
+        val assigned = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+          .crossJoin(cent)
+          .withColumn("_cscore", Similarity.qdot(col("v"), col("cv")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("_cscore"), -col("cid"))).as("cluster"))
+        Sampling.stratifiedQuota(assigned, "cluster", "vec_id", 10, salt = "clsamp")
+          .select(col("cluster"), col("vec_id"), col("draw_rank"))
+      },
+      Some("""WITH quant AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM quant WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.vec_id, c.cid,
+        |         list_sum(list_transform(range(len(q.v)), i -> q.v[i+1] * c.cv[i+1])) AS cscore
+        |  FROM quant q CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |ranked AS (
+        |  SELECT cluster, vec_id,
+        |         CAST(row_number() OVER (PARTITION BY cluster ORDER BY
+        |           CAST('0x' || substr(sha256('clsamp:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |           vec_id) AS INTEGER) AS draw_rank
+        |  FROM assigned)
+        |SELECT cluster, vec_id, draw_rank FROM ranked WHERE draw_rank <= 10""".stripMargin)),
+
     Q("ann_ivf_kmeans",
       // Production centroid path: one deterministic Lloyd refinement of the
       // first-4 seeds, then the same IVF probe/re-rank — the oracle mirrors

@@ -173,6 +173,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(seen2.count() == 4, "committed set grows only by fresh fingerprints")
   }
 
+  test("segment dedup identity: with no boilerplate threshold hit, text reassembles exactly") {
+    // random word docs, all unique → nothing removed; the ordered fold must
+    // reproduce the normalized text byte-for-byte for every segment size
+    val rnd = new scala.util.Random(3)
+    val docs = (1L to 30L).map { i =>
+      (i, (0 until rnd.nextInt(40) + 1).map(_ => s"w${rnd.nextInt(5000)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    Seq(1, 3, 8, 64).foreach { seg =>
+      val bad = DedupOps.dropBoilerplateSegments(docs, "doc_id", "text",
+          segTokens = seg, maxDocs = Int.MaxValue)
+        .join(docs, Seq("doc_id"))
+        .filter(col("cleaned_text") =!= TextOps.normalize(col("text")))
+        .count()
+      assert(bad == 0, s"segTokens=$seg must reassemble identity")
+    }
+  }
+
   test("decontamination: copied test doc flags 100%, unique train doc 0") {
     import graft.ops.Sampling
     // Find real bucket assignments (content-addressed — cannot be chosen),
