@@ -78,6 +78,16 @@ object QueriesLlm {
       |  FROM bucket_docs a JOIN bucket_docs b
       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared Spark-side collision graph for both CC algorithms — ONE
+    * definition so the two variants can never silently cluster different
+    * graphs while sharing one oracle. */
+  private def lshStarPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    DedupOps.bucketStarEdges(
+      DedupOps.lshBuckets(
+        DedupOps.minhashSignature(Tables.documents(s, d), "doc_id", "text", 8),
+        "doc_id"),
+      "doc_id")
+
   /** Shared oracle for both CC algorithms: DuckDB RECURSIVE transitive
     * closure over the ALL-PAIRS collision graph — a third, independent
     * algorithm that must agree with min-label propagation AND star
@@ -349,11 +359,8 @@ object QueriesLlm {
       // the Spark side walks linear star edges, the oracle enumerates the
       // quadratic closure; components must still agree exactly).
       (s, d) => {
-        val pairs = DedupOps.bucketStarEdges(
-          DedupOps.lshBuckets(
-            DedupOps.minhashSignature(Tables.documents(s, d), "doc_id", "text", 8),
-            "doc_id"),
-          "doc_id").localCheckpoint() // consumed twice inside the loop seed
+        val pairs = lshStarPairs(s, d)
+          .localCheckpoint() // consumed twice inside the loop seed
         DedupOps.connectedComponents(pairs, "id_a", "id_b")
           .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       },
@@ -363,15 +370,8 @@ object QueriesLlm {
       // Same clustering by the HIGH-DIAMETER-safe algorithm: alternating
       // large-star/small-star contraction (O(log²n) rounds worst case vs
       // propagation's O(diameter)), against the same closure oracle.
-      (s, d) => {
-        val pairs = DedupOps.bucketStarEdges(
-          DedupOps.lshBuckets(
-            DedupOps.minhashSignature(Tables.documents(s, d), "doc_id", "text", 8),
-            "doc_id"),
-          "doc_id")
-        DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
-          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      },
+      (s, d) => DedupOps.connectedComponentsStar(lshStarPairs(s, d), "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id")),
       Some(clustersOracleSql)),
 
     Q("dedup_cc_survivors",

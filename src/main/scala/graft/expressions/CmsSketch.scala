@@ -50,13 +50,13 @@ case class CmsCounts(
     else if (child.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"cms_counts expects a BIGINT hash, got ${child.dataType.catalogString}")
-    else {
-      val d = depthExpr.eval().asInstanceOf[Number].intValue()
-      val w = widthExpr.eval().asInstanceOf[Number].intValue()
-      if (d < 1 || d > 16 || w < 2 || d.toLong * w > (1 << 24))
-        TypeCheckResult.TypeCheckFailure(
-          "cms_counts needs 1 <= depth <= 16, width >= 2, depth*width <= 2^24")
-      else TypeCheckResult.TypeCheckSuccess
+    else (depthExpr.eval(), widthExpr.eval()) match { // null would NPE intValue()
+      case (d: Number, w: Number)
+        if d.intValue() >= 1 && d.intValue() <= 16 && w.intValue() >= 2 &&
+          d.longValue() * w.longValue() <= (1 << 24) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "cms_counts needs non-null constants: 1 <= depth <= 16, width >= 2, depth*width <= 2^24")
     }
 
   override def createAggregationBuffer(): Array[Long] =

@@ -48,9 +48,10 @@ case class KmvMins(
     else if (child.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"kmv_mins expects a BIGINT hash, got ${child.dataType.catalogString}")
-    else if (kExpr.eval().asInstanceOf[Number].intValue() < 2)
-      TypeCheckResult.TypeCheckFailure("kmv_mins k must be >= 2")
-    else TypeCheckResult.TypeCheckSuccess
+    else kExpr.eval() match { // null k would NPE through intValue()
+      case n: Number if n.intValue() >= 2 => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("kmv_mins k must be a non-null constant >= 2")
+    }
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()

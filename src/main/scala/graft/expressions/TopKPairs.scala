@@ -30,9 +30,16 @@ case class TopKPairs(
 
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
 
-  // score DESC, id ASC; TreeSet iterates in this order, worst element last
-  private val ord: Ordering[(Long, Long)] =
-    Ordering.by[(Long, Long), (Long, Long)](p => (-p._1, p._2))
+  // score DESC, id ASC; TreeSet iterates in this order, worst element last.
+  // Explicit compares, not Ordering.by(-score): negation overflows for
+  // Long.MinValue (-MinValue == MinValue) and would rank the worst score
+  // first.
+  private val ord: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    override def compare(x: (Long, Long), y: (Long, Long)): Int = {
+      val s = java.lang.Long.compare(y._1, x._1)
+      if (s != 0) s else java.lang.Long.compare(x._2, y._2)
+    }
+  }
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr, kExpr)
   override def nullable: Boolean = false
@@ -48,9 +55,10 @@ case class TopKPairs(
       TypeCheckResult.TypeCheckFailure(
         s"topk_pairs expects (BIGINT score, BIGINT id), got " +
           s"(${scoreExpr.dataType.catalogString}, ${idExpr.dataType.catalogString})")
-    else if (kExpr.eval().asInstanceOf[Number].intValue() < 1)
-      TypeCheckResult.TypeCheckFailure("topk_pairs k must be >= 1")
-    else TypeCheckResult.TypeCheckSuccess
+    else kExpr.eval() match { // null k would NPE through intValue()
+      case n: Number if n.intValue() >= 1 => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("topk_pairs k must be a non-null constant >= 1")
+    }
 
   override def createAggregationBuffer(): java.util.TreeSet[(Long, Long)] =
     new java.util.TreeSet[(Long, Long)](ord)

@@ -471,8 +471,16 @@ object DedupOps {
     if (!converged || badLeaf > 0 || badRoot > 0) throw new IllegalStateException(
       s"connectedComponentsStar not a star set after $i rounds " +
         s"(converged=$converged badLeaf=$badLeaf badRoot=$badRoot)")
-    edges.select(col("b").as("node"), col("a").as("label"))
+    val starLabels = edges.select(col("b").as("node"), col("a").as("label"))
       .union(edges.select(col("a").as("node"), col("a").as("label")).distinct())
+    // canon() drops self-loops, so a node whose only pairs are (n, n) has
+    // no star edge — restore it as its own singleton cluster to keep the
+    // "every node appearing in pairs" contract propagation honors.
+    val allNodes = pairs.select(col(aCol).as("node"))
+      .union(pairs.select(col(bCol).as("node"))).distinct()
+    starLabels.unionByName(
+      allNodes.join(starLabels.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("label", col("node")))
   }
 
   /** SimHash (16-bit, portable): explode tokens, take each token's 60-bit

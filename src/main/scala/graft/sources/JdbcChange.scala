@@ -19,9 +19,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Dialect wire settings mirror the reference's
   * `Source/Data/SqlDialect.cs:50-58` (Packet Size 32768, `SET TEXTSIZE`
-  * for unbounded CLOB reads, 30 s connect timeout). No live database
-  * exists in this environment, so the spec asserts the option map — Spark
-  * does not connect until an action runs. */
+  * for unbounded CLOB reads, 30 s connect timeout — the mssql connection
+  * properties come from `Config.MssqlDefaults`, the same map the config
+  * validator uses). NOTE: `load()` is NOT lazy — Spark's JDBC relation
+  * resolves the schema over a live connection at load() time, so assemble
+  * readers only where a database is reachable. No database exists in this
+  * environment; the spec asserts the pure option map. */
 object JdbcChangeSource {
 
   final case class JdbcSourceConfig(
@@ -68,10 +71,20 @@ object JdbcChangeSource {
       "numPartitions" -> cfg.numPartitions.toString,
       "fetchsize" -> cfg.fetchSize.toString,
       "queryTimeout" -> "300") // reference's command timeout (BASELINE.md)
-    base ++ sessionInit(provider).map("sessionInitStatement" -> _)
+    // Unreserved options pass through to the driver as connection
+    // properties: the reference's mssql wire defaults (Packet Size,
+    // Connect Timeout), with the config's timeout winning over the default.
+    val wire = graft.runtime.Config.normalizeProvider(provider) match {
+      case Some("mssql") => graft.runtime.Config.mergeConnectionProps(
+        Map("Connect Timeout" -> cfg.connectTimeoutSeconds.toString),
+        graft.runtime.Config.MssqlDefaults)
+      case _ => Map.empty[String, String]
+    }
+    base ++ wire ++ sessionInit(provider).map("sessionInitStatement" -> _)
   }
 
-  /** Assemble the reader. Lazy — nothing connects until an action. */
+  /** Assemble the reader. NOT lazy: `load()` resolves the schema over a
+    * live connection (`SELECT ... WHERE 1=0`) before any action runs. */
   def read(spark: SparkSession, cfg: JdbcSourceConfig, provider: String,
            fromVersion: Long, horizon: Long, upperBound: Long): DataFrame =
     spark.read.format("jdbc")

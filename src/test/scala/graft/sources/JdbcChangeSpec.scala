@@ -26,19 +26,18 @@ class JdbcChangeSpec extends SparkSpec {
     assert(!o.contains("sessionInitStatement"), "postgres needs no TEXTSIZE init")
   }
 
-  test("mssql gets the reference's TEXTSIZE session init; empty delta keeps bounds legal") {
+  test("mssql gets the reference's wire defaults; empty delta keeps bounds legal") {
     val o = options(cfg, "sqlserver", fromVersion = 500L, horizon = 500L,
       upperBound = 500L)
     assert(o("sessionInitStatement") == "SET TEXTSIZE 2147483647")
+    assert(o("Packet Size") == "32768", "SqlDialect.cs packet size default")
+    assert(o("Connect Timeout") == "30", "config timeout flows into the wire props")
     assert(o("lowerBound").toLong < o("upperBound").toLong,
       "JDBC requires lowerBound < upperBound even when no new rows exist")
   }
 
-  test("reader assembles lazily without a live database") {
-    // format("jdbc").options(...).load() must not connect until an action
-    val e = intercept[Exception] {
-      read(spark, cfg, "postgres", 0L, 10L, 10L).count()
-    }
-    assert(e != null, "a connection attempt (and only that) fails offline")
+  test("a tuned connect timeout overrides the dialect default") {
+    val o = options(cfg.copy(connectTimeoutSeconds = 5), "mssql", 0L, 10L, 10L)
+    assert(o("Connect Timeout") == "5" && o("Packet Size") == "32768")
   }
 }
