@@ -14,6 +14,14 @@ object Verify {
     // running zero queries would let the checker greenlight stale dumps.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // ANY unknown requested name is an error, not just an all-unknown list:
+    // 'llm_decontam,llm_decontamm' silently running the valid half would let
+    // the checker compare the typo'd query's stale dump and greenlight it.
+    val unknown = only.map(_ -- SparkEntry.queries.keySet).getOrElse(Set.empty)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[verify] SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+      spark.stop(); sys.exit(2)
+    }
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     if (selected.isEmpty) {

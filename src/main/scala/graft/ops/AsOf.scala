@@ -41,7 +41,13 @@ object AsOf {
     // comparison semantics — the oracle's `l.ts >= r.ts` is never true for
     // NULL r.ts), but the window's nulls-first ordering would make such a
     // row the earliest state and hand it to every left row. Drop them.
-    val r = right.filter(col(rightTs).isNotNull).select(
+    // Likewise NULL KEYS: SQL equality never matches NULL = NULL, but
+    // Window.partitionBy groups NULL keys into one partition, so a NULL-key
+    // right row would feed state to NULL-key left rows. Drop those too
+    // (left NULL-key rows stay, with asof_* = null — join semantics).
+    val rightNonNull = keys.map(col(_).isNotNull).reduceOption(_ && _)
+      .map(cond => right.filter(cond)).getOrElse(right)
+    val r = rightNonNull.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("_ats"), lit(0).as("_side"),
         lit(null).cast(lStructType).as("_lrow"),

@@ -30,7 +30,14 @@ import org.apache.spark.sql.functions._
 object BloomPrune {
 
   /** Per-probe bit position of a key: `xxhash64(i, key) mod m` (pmod — the
-    * raw hash is signed). */
+    * raw hash is signed).
+    *
+    * CONTRACT: xxhash64 is input-TYPE-sensitive (INT 5 and BIGINT 5 hash
+    * differently), so build-side and probe-side key columns must have the
+    * same dataType or the filter produces false NEGATIVES. [[prunedJoin]]
+    * enforces this by casting both sides to string when types differ;
+    * callers of [[buildWords]]/[[mightContain]] directly own the same
+    * obligation. */
   private def bitPos(keyCol: Column, i: Int, mBits: Int): Column =
     pmod(xxhash64(lit(i), keyCol), lit(mBits.toLong))
 
@@ -73,8 +80,14 @@ object BloomPrune {
     * filter only removes rows the join would drop anyway. */
   def prunedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
-    val words = buildWords(small, col(smallKey), mBits, k)
-    big.filter(mightContain(col(bigKey), words, k))
+    // xxhash64 is type-sensitive: an INT build key and BIGINT probe key hash
+    // to different bits, silently dropping matching rows. Same-type keys take
+    // the zero-cost path; mixed types canonicalize both sides to string.
+    val sameType = big.schema(bigKey).dataType == small.schema(smallKey).dataType
+    val buildKey = if (sameType) col(smallKey) else col(smallKey).cast("string")
+    val probeKey = if (sameType) col(bigKey) else col(bigKey).cast("string")
+    val words = buildWords(small, buildKey, mBits, k)
+    big.filter(mightContain(probeKey, words, k))
       .join(small, col(bigKey) === col(smallKey))
   }
 }

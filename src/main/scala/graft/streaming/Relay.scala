@@ -191,7 +191,13 @@ object ChangeRelay {
       try startQuery(spark, relay, obj, outboxDir, schema, checkpointDir,
         queryName, intervalSeconds)
       catch { case e: Throwable =>
-        activeCheckpoints.remove(checkpointDir, queryName); throw e }
+        // Roll back only a claim THIS call inserted (prev == null). When
+        // prev == queryName the claim belongs to a still-live query —
+        // startQuery then throws "name already active", and evicting the
+        // live claim here would let a later (env, object) with the same
+        // checkpointDir pass the guard and corrupt the running offset log.
+        if (prev == null) activeCheckpoints.remove(checkpointDir, queryName)
+        throw e }
     }
   }
 

@@ -45,6 +45,22 @@ class AsOfSpec extends SparkSpec {
       "nulls-first ordering must not surface a NULL-ts right row as earliest state")
   }
 
+  test("a NULL-key right row never matches (SQL equality, not partition grouping)") {
+    val left = Seq(
+      (1L, None: Option[String], ts("2024-01-01 10:00:00")), // NULL-key left row
+      (2L, Some("u1"), ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (None: Option[String], ts("2024-01-01 09:00:00"), 100L), // NULL key — never matches
+      (Some("u1"), ts("2024-01-01 09:00:00"), 200L)
+    ).toDF("user_id", "ts", "state_id")
+    val got = AsOf.asofJoin(left, right, Seq("user_id"), "ts", "ts")
+      .select($"event_id", $"asof_state_id").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).isEmpty, "NULL = NULL is not a match — left row keeps asof_* = null")
+    assert(got(2L).contains(200L), "non-null keys unaffected")
+    assert(got.size == 2, "NULL-key left rows still survive exactly once")
+  }
+
   test("as-of join matches the naive max-per-row computation on random data") {
     val rnd = new scala.util.Random(42)
     val left = (1 to 300).map(i =>

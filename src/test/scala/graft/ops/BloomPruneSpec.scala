@@ -32,6 +32,16 @@ class BloomPruneSpec extends SparkSpec {
     assert(onSmall == 5, "every inserted key must test positive")
   }
 
+  test("mixed-type keys (INT probe vs BIGINT build) keep the no-false-negative contract") {
+    // xxhash64 is type-sensitive: without canonicalization, INT 3 on the big
+    // side and BIGINT 3 on the small side hash to different bits and the
+    // matching rows silently vanish from the pruned join.
+    val bigInt32 = (1 to 5000).map(i => (i, s"v$i")).toDF("k", "payload") // k: INT
+    val pruned = BloomPrune.prunedJoin(bigInt32, small, "k", "sk", mBits = 1 << 12)
+      .select($"k").as[Int].collect().toSet
+    assert(pruned == Set(3, 999, 1500, 4242, 4999))
+  }
+
   test("probe predicate stays in whole-stage codegen (no UDF, no shuffle)") {
     val words = BloomPrune.buildWords(small, $"sk", mBits = 1 << 12)
     val plan = big.filter(BloomPrune.mightContain($"k", words))

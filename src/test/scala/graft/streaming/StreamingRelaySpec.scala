@@ -70,4 +70,40 @@ class StreamingRelaySpec extends SparkSpec {
       .filter(Files.isRegularFile(_)).count()
     assert(exportsAfter == 3) // exactly one new export, nothing replayed
   }
+
+  test("a failed duplicate start does not evict the live query's checkpoint claim") {
+    val root = Files.createTempDirectory("graft-claim")
+    val outboxDir = root.resolve("outbox").toString
+    val store = new ParquetStateStore(spark, root.resolve("state").toString)
+    val obj = TrackingObject("orders", "db0", "t", "sp")
+    val cfg = EnvironmentConfig("claimenv", "postgres", Seq(obj), Nil)
+    val relay = new ChangeRelay(spark, store, cfg, None, horizonOf = _ => 10000L)
+    store.setWatermark("claimenv", "orders", 0L)
+    Seq((1L, 1L, "I", 1.0, "{}")).toDF("id", "xact_id", "operation", "value", "props")
+      .withColumn("changed", lit(null).cast("array<string>"))
+      .coalesce(1).write.parquet(outboxDir)
+
+    val ckpt = root.resolve("ckpt").toString
+    val live = ChangeRelay.streamFromOutboxDir(
+      spark, relay, obj, outboxDir, outboxSchema, ckpt, "claimenv", intervalSeconds = 1)
+    try {
+      // Re-invoking the SAME (env, object) passes the claim check (prev ==
+      // queryName) but startQuery throws "name already active"...
+      intercept[Exception] {
+        ChangeRelay.streamFromOutboxDir(
+          spark, relay, obj, outboxDir, outboxSchema, ckpt, "claimenv", intervalSeconds = 1)
+      }
+      // ...and the failure must NOT have removed the live query's claim: a
+      // DIFFERENT (env, object) reusing the same checkpointDir still trips
+      // the guard instead of corrupting the live offset log.
+      val other = TrackingObject("customers", "db0", "t", "sp")
+      val ex = intercept[IllegalArgumentException] {
+        ChangeRelay.streamFromOutboxDir(
+          spark, new ChangeRelay(spark, store,
+            EnvironmentConfig("claimenv", "postgres", Seq(other), Nil), None, _ => 10000L),
+          other, outboxDir, outboxSchema, ckpt, "claimenv", intervalSeconds = 1)
+      }
+      assert(ex.getMessage.contains("already used"))
+    } finally live.stop()
+  }
 }
