@@ -126,21 +126,30 @@ final class ParquetStateStore(spark: SparkSession, rootDir: String) {
   /** K9/D1 — append failures with exactly-once-per-payload semantics:
     * a (source_key, data_hash) already present is skipped (T4).
     *
-    * Id assignment uses an unpartitioned window — fine here by design: an
-    * append is one cycle's failures (bounded by batch caps), never a
-    * data-scale frame. */
+    * Id assignment is maxId + a dense offset in (source_key, data_hash)
+    * order — computed WITHOUT a single-partition window: range-partition +
+    * in-partition sort reproduces the total order, and `zipWithIndex`
+    * assigns dense offsets with one small per-partition count job. Same
+    * deterministic ids as a global `row_number`, no all-rows-to-one-task
+    * sort if a failure storm ever makes an append data-scale. */
   def appendDeadLetters(rows: DataFrame): Unit = {
     val existing = deadLetters
     val maxId = existing.agg(coalesce(max("id"), lit(0L))).collect()(0).getLong(0)
     val batchW = org.apache.spark.sql.expressions.Window
       .partitionBy("source_key", "data_hash").orderBy("error_message")
-    val fresh = rows
+    val deduped = rows
       // D1 holds WITHIN the incoming batch too: several sinks failing on the
       // same payload produce one dead letter (first by error_message).
       .withColumn("_rn", row_number().over(batchW)).filter(col("_rn") === 1).drop("_rn")
       .join(existing.select("source_key", "data_hash"), Seq("source_key", "data_hash"), "left_anti")
-      .withColumn("id", lit(maxId) + row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("source_key", "data_hash")))
+    val ordered = deduped
+      .repartitionByRange(col("source_key"), col("data_hash"))
+      .sortWithinPartitions("source_key", "data_hash")
+    val withIdSchema = ordered.schema.add("id", org.apache.spark.sql.types.LongType, nullable = false)
+    val fresh = spark.createDataFrame(
+        ordered.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (maxId + i + 1)) },
+        withIdSchema)
       .withColumn("attempts", lit(0))
       .withColumn("next_attempt", lit(null).cast("timestamp"))
     commit("dead_letters", existing.unionByName(fresh.select(existing.columns.map(col): _*)))

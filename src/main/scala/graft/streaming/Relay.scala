@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.model.{EnvironmentConfig, TrackingObject}
 import graft.ops.{Dlq, Envelope, Incremental, StateOps, Windows}
-import graft.sinks.{ExportFailure, ExportMeta, Sinks}
+import graft.sinks.{ExportMeta, Sinks}
 import graft.state.ParquetStateStore
 
 /** The change-relay pipeline: one polling cycle per tracked object —
@@ -26,6 +26,11 @@ final class ChangeRelay(
     horizonOf: DataFrame => Long = ChangeRelay.defaultHorizon) {
 
   import spark.implicits._
+
+  /** Observability: envelopes of the last non-empty cycle that were fanned
+    * out INSIDE a Spark task (TaskContext present) — the distributed-export
+    * invariant a spec can assert against the envelope count. */
+  @volatile var lastCycleExecutorEnvelopes: Long = 0L
 
   /** One micro-batch cycle for one object over the current change table.
     * Returns (rows exported, new watermark). */
@@ -69,8 +74,8 @@ final class ChangeRelay(
         lit("value"), col("value").cast("string"),
         lit("props"), col("props"))).as("payload"))
 
-    // One action for the row count; the envelope collect below is the only
-    // other job over the batch (no separate isEmpty probe).
+    // One action for the row count; the export job below is the only other
+    // job over the batch (no separate isEmpty probe).
     val batchRows = batch.count()
     val exported =
       if (batchRows == 0) 0L
@@ -79,43 +84,42 @@ final class ChangeRelay(
           Windows.numberBatches(rows, "g", "version", config.maxRecordsPerBatch)
             .withColumn("g", concat(col("g"), lit("#"), col("batch"))),
           "g")
-        val payloads = envelopes.select("g", "envelope_json").as[(String, String)].collect()
-        // (failure, the failing payload) — each dead letter carries ITS OWN
-        // envelope so replay re-sends exactly what failed
+        // One group (the object) per cycle, so total batches is exactly the
+        // upstream numbering's ceil(rows / cap) — derivable from the count
+        // already taken, no extra job.
+        val totalBatches =
+          ((batchRows + config.maxRecordsPerBatch - 1) / config.maxRecordsPerBatch).toInt
+        // EXECUTOR-side fan-out: envelopes never collect to the driver. Each
+        // partition invokes the sink guards per envelope row and returns only
+        // (error, payload) failures — a full initial sync (S7) of a large
+        // table streams through executors instead of materializing every
+        // JSON string in driver memory. The closure captures an ExportPlan
+        // of plain values, never `this` (the relay holds the session/store).
+        val plan = ChangeRelay.ExportPlan(config.name, obj.name, obj.database,
+          nowUtc, totalBatches, fileSinkTemplate, config.endpoints,
+          config.maxPayloadSizeBytes)
+        val acc = spark.sparkContext.longAccumulator("graft.relay.envelopesExportedOnExecutors")
+        val failures = envelopes.select("g", "envelope_json").as[(String, String)]
+          .mapPartitions(it => ChangeRelay.exportPartition(plan, it, acc))
+          .toDF("error_message", "data")
+        // Materialize exactly once: this job runs the sink fan-out on the
+        // executors; only failure rows persist (executor-cached), so the
+        // isEmpty probe and the dead-letter append never re-run the export.
+        val failDf = failures.localCheckpoint(true)
+        // K9 — every failure dead-letters with D1 dedup. Each dead letter
+        // carries ITS OWN envelope so replay re-sends exactly what failed
         // (DeadLetterService.cs stores the Data JSON per failure).
-        val failures = scala.collection.mutable.ArrayBuffer[(ExportFailure, String)]()
-        payloads.foreach { case (g, json) =>
-          val batchNo = g.substring(g.lastIndexOf('#') + 1).toInt
-          val meta = ExportMeta(config.name, obj.name, obj.database, nowUtc,
-            batchNo, payloads.length)
-          fileSinkTemplate.foreach { tpl =>
-            Sinks.writeFile(json, tpl, meta).left.foreach(f => failures += ((f, json)))
-          }
-          config.endpoints.foreach { ep =>
-            // EVERY configured endpoint participates in the fan-out — a
-            // skipped kind would lose its rows silently (the watermark
-            // still advances; only dead-lettered failures are re-driven).
-            val result = ep.kind match {
-              case "http" =>
-                Sinks.prepareHttp(json, ep.target, meta, ep.headers,
-                  ep.enableCompression, config.maxPayloadSizeBytes).map(_ => ())
-              case broker =>
-                Sinks.prepareBrokerMessage(broker, json, ep.headers).map(_ => ())
-            }
-            result.left.foreach(f => failures += ((f, json)))
-          }
-        }
-        // K9 — every failure dead-letters with D1 dedup.
-        if (failures.nonEmpty) {
-          val fdf = failures.toSeq
-            .map { case (f, json) => (s"${config.name}_${obj.name}_${obj.database}",
-              obj.name, config.name, obj.database, f.error, json) }
-            .toDF("source_key", "tracking_object_name", "environment_name",
-              "database_name", "error_message", "data")
+        if (!failDf.isEmpty) {
+          val fdf = failDf
+            .withColumn("source_key", lit(s"${config.name}_${obj.name}_${obj.database}"))
+            .withColumn("tracking_object_name", lit(obj.name))
+            .withColumn("environment_name", lit(config.name))
+            .withColumn("database_name", lit(obj.database))
             .withColumn("data_hash", sha2(col("data"), 256))
             .withColumn("timestamp", current_timestamp())
           store.appendDeadLetters(fdf)
         }
+        lastCycleExecutorEnvelopes = acc.value
         batchRows
       }
 
@@ -146,6 +150,52 @@ final class ChangeRelay(
 }
 
 object ChangeRelay {
+
+  /** Everything the executor-side export closure needs, captured by VALUE —
+    * never the relay instance (it holds the SparkSession and state store). */
+  final case class ExportPlan(
+      environment: String,
+      objectName: String,
+      database: String,
+      nowUtc: String,
+      totalBatches: Int,
+      fileSinkTemplate: Option[String],
+      endpoints: Seq[graft.model.SinkEndpoint],
+      maxPayloadSizeBytes: Long)
+
+  /** Fan one partition of `(g, envelope_json)` rows out to every configured
+    * sink, executor-side. Emits only the failures as (error, payload) — the
+    * at-least-once contract (T2) means a retried task may re-invoke sinks,
+    * exactly like the reference's retry loop; dedup happens at the DLQ (D1)
+    * and at idempotent consumers, never by suppressing the send. */
+  private[streaming] def exportPartition(
+      plan: ExportPlan,
+      it: Iterator[(String, String)],
+      executorEnvelopes: org.apache.spark.util.LongAccumulator): Iterator[(String, String)] =
+    it.flatMap { case (g, json) =>
+      if (org.apache.spark.TaskContext.get() != null) executorEnvelopes.add(1)
+      val batchNo = g.substring(g.lastIndexOf('#') + 1).toInt
+      val meta = ExportMeta(plan.environment, plan.objectName, plan.database,
+        plan.nowUtc, batchNo, plan.totalBatches)
+      val fileFailures = plan.fileSinkTemplate.toSeq.flatMap { tpl =>
+        Sinks.writeFile(json, tpl, meta).left.toSeq.map(f => (f.error, json))
+      }
+      // EVERY configured endpoint participates in the fan-out — a skipped
+      // kind would lose its rows silently (the watermark still advances;
+      // only dead-lettered failures are re-driven).
+      val endpointFailures = plan.endpoints.flatMap { ep =>
+        val result = ep.kind match {
+          case "http" =>
+            Sinks.prepareHttp(json, ep.target, meta, ep.headers,
+              ep.enableCompression, plan.maxPayloadSizeBytes).map(_ => ())
+          case broker =>
+            Sinks.prepareBrokerMessage(broker, json, ep.headers).map(_ => ())
+        }
+        result.left.toSeq.map(f => (f.error, json))
+      }
+      fileFailures ++ endpointFailures
+    }
+
   /** Default horizon: one past the max committed xact — everything visible
     * commits; the gate only matters when the caller passes the true
     * in-flight horizon (tests do). */

@@ -179,6 +179,26 @@ class RelaySpec extends SparkSpec {
     assert(store.deadLetters.count() == 1) // both endpoint failures collapse (D1)
   }
 
+  test("a 10k-envelope cycle fans out on executors, never materializing payloads on the driver") {
+    val dir = tmp()
+    val store = new ParquetStateStore(spark, dir.resolve("state").toString)
+    // cap=1 record/batch → one envelope per row → 10,000 envelopes. A
+    // successful (large-cap) http endpoint exercises the full guard path.
+    val ok = SinkEndpoint("ep1", "http", "http://x/{object}/{batch}")
+    val relay = new ChangeRelay(spark, store,
+      cfg(Seq(ok)).copy(maxRecordsPerBatch = 1), None, horizonOf = _ => 100000L)
+    store.setWatermark("prod", "orders", 0L)
+    val big = outboxDf((1L to 10000L).map(i => (i, i, "I", i.toDouble, s"""{"k":$i}""")))
+    val (n, v) = relay.runCycle(obj, big, "20240115000000")
+    assert(n == 10000L && v == 10000L)
+    // The distributed-export invariant: every envelope was fanned out INSIDE
+    // a Spark task (TaskContext present) — a driver-side collect loop would
+    // leave this at 0.
+    assert(relay.lastCycleExecutorEnvelopes == 10000L,
+      s"expected 10000 executor-side envelope exports, saw ${relay.lastCycleExecutorEnvelopes}")
+    assert(store.deadLetters.count() == 0)
+  }
+
   test("state store: snapshot commit survives re-read and GC keeps history bounded") {
     val dir = tmp()
     val store = new ParquetStateStore(spark, dir.resolve("state").toString)
