@@ -159,15 +159,24 @@ object DedupOps {
     * One groupBy on (band, bucket) then in-bucket pair expansion — the
     * signature pipeline is evaluated once (a bucket self-join would
     * recompute it per side) and work is bounded by Σ bucket_size², never
-    * all-pairs. At extreme corpus scale, degenerate mega-buckets (a shingle
-    * half the corpus shares) should be dropped before expansion — they
-    * carry no near-dup signal; the reference cap is a policy choice left to
-    * the caller. */
-  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame =
+    * all-pairs.
+    *
+    * `maxBucket` is the skew guard: a degenerate mega-bucket (a shingle
+    * half the corpus shares) would expand to size² pairs in ONE task — at
+    * 100 TB a single hot key that never finishes. Buckets above the cap
+    * carry no near-dup signal (they collide on corpus-common content, not
+    * similarity), so they are dropped BEFORE expansion; the count of
+    * dropped buckets is surfaced as an observed metric
+    * (`graft.lsh.candidate_pairs` / `mega_buckets_dropped` — no extra job,
+    * readable from any QueryExecutionListener). */
+  def candidatePairs(buckets: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame =
     buckets
       .groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .observe("graft.lsh.candidate_pairs",
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("mega_buckets_dropped"))
+      .filter(size(col("ids")) <= maxBucket)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
@@ -180,10 +189,19 @@ object DedupOps {
     * bucket's hub — at Σ bucket_size edges instead of Σ bucket_size², so
     * this is the input for CLUSTERING (connected components), where only
     * reachability matters. Verification (Jaccard) still needs real pairs.
-    * A 20-document duplicate clique costs 19 edges here vs 190 pairs. */
-  def bucketStarEdges(buckets: DataFrame, idCol: String): DataFrame = {
+    * A 20-document duplicate clique costs 19 edges here vs 190 pairs.
+    *
+    * Same `maxBucket` skew guard as [[candidatePairs]] (star edges are
+    * linear in bucket size, but a mega-bucket would still weld half the
+    * corpus into one bogus cluster); dropped-bucket count observed as
+    * `graft.lsh.star_edges` / `mega_buckets_dropped`. */
+  def bucketStarEdges(buckets: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
     val hubs = buckets.groupBy(col("band"), col("bucket"))
-      .agg(min(col(idCol)).as("id_a"))
+      .agg(min(col(idCol)).as("id_a"), count(lit(1)).as("_n"))
+      .observe("graft.lsh.star_edges",
+        sum(when(col("_n") > maxBucket, 1L).otherwise(0L)).as("mega_buckets_dropped"))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
     buckets.join(hubs, Seq("band", "bucket"))
       .filter(col(idCol) =!= col("id_a"))
       .select(col("id_a"), col(idCol).as("id_b"))

@@ -125,6 +125,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaPairs == viaStars, "same nodes, same components, fewer edges")
   }
 
+  test("mega-bucket skew guard: a 10k-member bucket is dropped, other components unchanged") {
+    // One degenerate bucket (10k members — expansion would be ~50M pairs in
+    // one task) plus two healthy buckets. The guard must drop the mega
+    // bucket in bounded time and leave the healthy components identical.
+    val mega = (1L to 10000L).map(i => (i, 0, "mega"))
+    val healthy = Seq((20001L, 1, "b1"), (20002L, 1, "b1"),
+      (20003L, 2, "b2"), (20004L, 2, "b2"), (20005L, 2, "b2"))
+    val buckets = (mega ++ healthy).toDF("doc_id", "band", "bucket")
+
+    // Observed metrics populate on the QueryExecution that ran — collect on
+    // the dataset whose queryExecution we then read.
+    val pairs = DedupOps.candidatePairs(buckets, "doc_id", maxBucket = 1000)
+    val gotPairs = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == Set((20001L, 20002L), (20003L, 20004L),
+      (20003L, 20005L), (20004L, 20005L)), "only healthy-bucket pairs survive")
+    val observedPairs = pairs.queryExecution.observedMetrics("graft.lsh.candidate_pairs")
+    assert(observedPairs.getAs[Long]("mega_buckets_dropped") == 1L)
+
+    val stars = DedupOps.bucketStarEdges(buckets, "doc_id", maxBucket = 1000)
+    val gotStars = stars.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotStars == Set((20001L, 20002L), (20003L, 20004L), (20003L, 20005L)))
+    assert(stars.queryExecution.observedMetrics("graft.lsh.star_edges")
+      .getAs[Long]("mega_buckets_dropped") == 1L)
+
+    // Connectivity equivalence holds on the surviving (non-degenerate) part.
+    val viaPairs = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val viaStars = DedupOps.connectedComponents(stars, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(viaPairs == viaStars)
+  }
+
   test("near-dup survivors: losers dropped, reps and singletons kept") {
     val got = DedupOps.nearDupSurvivors(docs, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
