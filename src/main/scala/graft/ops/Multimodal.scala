@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata alongside.
   *
   * The Spark-side contract is real — schema, batching, partitioning,
-  * deterministic frame sampling — while the media decode itself is STUBBED
-  * (this container ships no image/audio codecs): [[fakeDecode]] derives
-  * deterministic pseudo-metadata from the bytes. A production deployment
-  * swaps `fakeDecode` for a real codec behind the same column contract
-  * (binary in → struct out), keeping every downstream operator unchanged.
+  * deterministic frame sampling. For IMAGES the decode is real too:
+  * [[realDecodeMeta]] (header-only metadata) and [[realResize]] (pixel
+  * decode → resample → re-encode) run on `javax.imageio`, which ships in
+  * the JRE. [[fakeDecode]] remains for the ORACLE-checked queries (DuckDB
+  * cannot decode images) and for audio/video, whose codecs this container
+  * does not ship; both paths share the same column contract (binary in →
+  * struct out), so downstream operators are unchanged whichever decodes.
   */
 object Multimodal {
 
@@ -121,6 +123,83 @@ object Multimodal {
   /** One decoded media row. */
   final case class DecodedMedia(doc_id: Long, width: Long, height: Long,
       frames: Int)
+
+  /** One REAL image-decode result; `ok = false` carries undecodable
+    * payloads through instead of failing the job (a 100 TB corpus always
+    * contains corrupt media — a throwing decode would kill the stage). */
+  final case class DecodedImage(doc_id: Long, width: Int, height: Int,
+      format: String, ok: Boolean)
+
+  /** One REAL resize result: re-encoded PNG bytes + new dimensions. */
+  final case class ResizedImage(doc_id: Long, width: Int, height: Int,
+      resized: Array[Byte], ok: Boolean)
+
+  /** REAL image metadata decode via `javax.imageio` (in the JRE — no added
+    * dependency): PNG/BMP/GIF/JPEG headers parsed per row. Header-ONLY —
+    * `ImageReader.getWidth/getHeight` read the header, never the pixel
+    * planes, which is the right cost model for metadata extraction over a
+    * media corpus (pixels are only decoded by [[realResize]] when a
+    * transform genuinely needs them). Same `mapPartitions` shape as
+    * [[decodePartitioned]]; [[fakeDecode]] remains for the oracle-checked
+    * queries (DuckDB cannot decode images). */
+  def realDecodeMeta(media: DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[DecodedImage]): org.apache.spark.sql.Dataset[DecodedImage] =
+    media.select(col("doc_id").cast("long"), col("media")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (readers.hasNext) {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, true, true)
+                DecodedImage(id, reader.getWidth(0), reader.getHeight(0),
+                  reader.getFormatName.toLowerCase, ok = true)
+              } finally reader.dispose()
+            } else DecodedImage(id, -1, -1, "unknown", ok = false)
+          } finally iis.close()
+        } catch {
+          case _: Exception => DecodedImage(id, -1, -1, "error", ok = false)
+        }
+      }
+    }(enc)
+
+  /** REAL pixel decode + resize + re-encode: `ImageIO.read` → scaled draw
+    * onto a fresh raster → PNG bytes. Pure raster work — headless-safe, no
+    * display required. The (binary, metadata) → (binary, metadata) contract
+    * matches [[resizeStub]], so downstream operators are unchanged when the
+    * real path swaps in. */
+  def realResize(media: DataFrame, factor: Int)(
+      implicit enc: org.apache.spark.sql.Encoder[ResizedImage]): org.apache.spark.sql.Dataset[ResizedImage] = {
+    require(factor >= 1, "factor must be >= 1")
+    media.select(col("doc_id").cast("long"), col("media")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) ResizedImage(id, -1, -1, Array.emptyByteArray, ok = false)
+          else {
+            val w = math.max(1, img.getWidth / factor)
+            val h = math.max(1, img.getHeight / factor)
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedImage(id, w, h, bos.toByteArray, ok = true)
+          }
+        } catch {
+          case _: Exception => ResizedImage(id, -1, -1, Array.emptyByteArray, ok = false)
+        }
+      }
+    }(enc)
+  }
 
   /** The batched-decode execution shape: `mapPartitions` with the (stub)
     * codec opened ONCE per partition and reused for every row in it — the

@@ -66,6 +66,52 @@ class MultimodalSpec extends SparkSpec {
     out.foreach(d => assert(d.width >= 64 && d.height >= 64 && d.frames >= 2))
   }
 
+  // Deterministic in-memory fixture images: pure-JVM BufferedImage +
+  // ImageIO.write, no files, no external codecs.
+  private def fixtureImage(w: Int, h: Int, seed: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 17 + seed) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("realDecodeMeta parses actual PNG and BMP headers; garbage rows survive as ok=false") {
+    val payloads = Seq(
+      (1L, fixtureImage(20, 12, 1, "png")),
+      (2L, fixtureImage(7, 33, 2, "bmp")),
+      (3L, "not an image at all".getBytes("UTF-8")))
+    val df = payloads.toDF("doc_id", "media")
+    val got = Multimodal.realDecodeMeta(df).collect().map(d => d.doc_id -> d).toMap
+    assert(got(1L) == Multimodal.DecodedImage(1L, 20, 12, "png", ok = true))
+    assert(got(2L).width == 7 && got(2L).height == 33 && got(2L).ok)
+    assert(got(2L).format.contains("bmp"))
+    assert(!got(3L).ok && got(3L).width == -1, "undecodable payload must not fail the job")
+  }
+
+  test("realResize decodes actual pixels, halves dimensions, re-encodes valid PNG") {
+    // A solid-color image: any resampling filter must preserve the color
+    // exactly, so the pixel check is interpolation-independent.
+    val solid = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val color = 0x336699
+    for (x <- 0 until 16; y <- 0 until 8) solid.setRGB(x, y, color)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(solid, "png", bos)
+    val df = Seq((1L, bos.toByteArray), (2L, "garbage".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+
+    val got = Multimodal.realResize(df, factor = 2).collect().map(d => d.doc_id -> d).toMap
+    assert(got(1L).ok && got(1L).width == 8 && got(1L).height == 4)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got(1L).resized))
+    assert(back.getWidth == 8 && back.getHeight == 4, "resized bytes are a real PNG")
+    assert((back.getRGB(3, 2) & 0xffffff) == color, "decoded pixel keeps the source color")
+    assert(!got(2L).ok, "garbage payload carries through as ok=false")
+  }
+
   test("resizeStub halves dimensions and keeps the leading half of the payload") {
     val m = Multimodal.asMedia(docs, "text", "image")
     val r = Multimodal.resizeStub(m, factor = 2)
