@@ -29,9 +29,58 @@ object Config {
     defaults.filterNot { case (k, _) => userKeys.contains(k.toLowerCase) } ++ user
   }
 
+  /** One fully-populated dialect — every field the pipeline assumes, so a
+    * provider added later has to earn its place rather than quietly
+    * skipping half the contract (the reference holds all dialects to this
+    * via its parity suite, SqlDialectParityTests.cs:10-196). */
+  final case class SqlDialect(
+      name: String,
+      /** Per-connection session prep, or None when the dialect needs none
+        * (SqlDialect.cs:50 mssql TEXTSIZE+ANSI_WARNINGS; :66 pg null). */
+      sessionInit: Option[String],
+      /** Server-side watermark query; None means the dialect has no server
+        * watermark and MUST be seedable through the procedure
+        * (SqlDialect.cs:51 vs :68). */
+      currentVersionSql: Option[String],
+      /** Procedure-call template, `{proc}` = procedure name, `?` = the ONE
+        * shared JSON parameter (JDBC analog of `@json`;
+        * SqlDialect.cs:52,70). */
+      callTemplate: String,
+      /** Wire defaults; user config always wins (SqlDialect.cs:120-143). */
+      connectionDefaults: Map[String, String]) {
+    def callSql(procName: String): String = callTemplate.replace("{proc}", procName)
+  }
+
+  /** The dialect registry (SqlDialect.cs:45-76). Connection-default KEY
+    * names are per-driver: ADO.NET-style for mssql (the testable pinned
+    * surface), pgJDBC property names for postgres (`ApplicationName`,
+    * `connectTimeout`) since that is the driver a Spark deployment loads. */
+  val SqlDialects: Map[String, SqlDialect] = Map(
+    "mssql" -> SqlDialect(
+      name = "mssql",
+      sessionInit = Some("SET TEXTSIZE 2147483647; SET ANSI_WARNINGS OFF"),
+      currentVersionSql = Some("SELECT CHANGE_TRACKING_CURRENT_VERSION()"),
+      callTemplate = "EXEC {proc} @Parameter = ?",
+      connectionDefaults = Map(
+        "Application Name" -> "graft",
+        "Packet Size" -> "32768",
+        "Connect Timeout" -> "30")),
+    "postgres" -> SqlDialect(
+      name = "postgres",
+      sessionInit = None,             // no TEXTSIZE equivalent; json arrives whole
+      currentVersionSql = None,       // no server watermark → seed via procedure
+      callTemplate = "SELECT * FROM {proc}(?::jsonb)",
+      connectionDefaults = Map(
+        "ApplicationName" -> "graft",
+        "connectTimeout" -> "30")))
+
+  /** Resolve an alias to its registered dialect. */
+  def dialect(provider: String): Option[SqlDialect] =
+    normalizeProvider(provider).flatMap(SqlDialects.get)
+
   /** Dialect connection defaults (SqlDialect.cs:50-58). */
-  val MssqlDefaults: Map[String, String] = Map(
-    "Packet Size" -> "32768", "Connect Timeout" -> "30")
+  val MssqlDefaults: Map[String, String] = SqlDialects("mssql").connectionDefaults
+  val PostgresDefaults: Map[String, String] = SqlDialects("postgres").connectionDefaults
 
   /** Validate one environment, mirroring the reference's rule set:
     * provider known, names present, connection strings resolvable,
@@ -110,7 +159,8 @@ object Config {
 
   /** T8/S8 invariant from the dialect parity suite: a dialect without a
     * server-side watermark must be seedable through the procedure
-    * (SqlDialectParityTests.cs:141-153). */
+    * (SqlDialectParityTests.cs:141-153). Derived from the registry, not a
+    * name list — a dialect added later inherits the invariant. */
   def requiresSeedMode(provider: String): Boolean =
-    normalizeProvider(provider).contains("postgres")
+    dialect(provider).exists(_.currentVersionSql.isEmpty)
 }

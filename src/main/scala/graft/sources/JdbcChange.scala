@@ -46,12 +46,11 @@ object JdbcChangeSource {
     s"(SELECT * FROM ${cfg.table} WHERE ${cfg.versionCol} > $fromVersion " +
       s"AND ${cfg.xactCol} < $horizon) AS delta"
 
-  /** Per-dialect session initialization, from the reference's dialect
-    * defaults (`SqlDialect.cs:50-58`). */
+  /** Per-dialect session initialization, from the dialect registry
+    * (`SqlDialect.cs:50-58`): mssql gets TEXTSIZE + ANSI_WARNINGS, postgres
+    * needs none (json/text returns arrive whole). */
   def sessionInit(provider: String): Option[String] =
-    graft.runtime.Config.normalizeProvider(provider).collect {
-      case "mssql" => "SET TEXTSIZE 2147483647"
-    }
+    graft.runtime.Config.dialect(provider).flatMap(_.sessionInit)
 
   /** The complete option map for `spark.read.format("jdbc")`. Pure and
     * deterministic — the testable surface. */
@@ -72,13 +71,17 @@ object JdbcChangeSource {
       "fetchsize" -> cfg.fetchSize.toString,
       "queryTimeout" -> "300") // reference's command timeout (BASELINE.md)
     // Unreserved options pass through to the driver as connection
-    // properties: the reference's mssql wire defaults (Packet Size,
-    // Connect Timeout), with the config's timeout winning over the default.
-    val wire = graft.runtime.Config.normalizeProvider(provider) match {
-      case Some("mssql") => graft.runtime.Config.mergeConnectionProps(
-        Map("Connect Timeout" -> cfg.connectTimeoutSeconds.toString),
-        graft.runtime.Config.MssqlDefaults)
-      case _ => Map.empty[String, String]
+    // properties: EVERY dialect's wire defaults from the registry, with the
+    // config's timeout winning over the default. The timeout KEY is
+    // per-driver (ADO.NET "Connect Timeout" vs pgJDBC "connectTimeout").
+    val wire = graft.runtime.Config.dialect(provider) match {
+      case Some(d) =>
+        val timeoutKey =
+          if (d.name == "mssql") "Connect Timeout" else "connectTimeout"
+        graft.runtime.Config.mergeConnectionProps(
+          Map(timeoutKey -> cfg.connectTimeoutSeconds.toString),
+          d.connectionDefaults)
+      case None => Map.empty[String, String]
     }
     base ++ wire ++ sessionInit(provider).map("sessionInitStatement" -> _)
   }

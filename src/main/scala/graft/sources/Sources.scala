@@ -72,8 +72,5 @@ object ProcedureCall {
     s"""{"fromVersion":$fromVersion,"mode":"${if (mode == SyncMode.Seed) "seed" else "sync"}"}"""
 
   def callSql(provider: String, procName: String): Option[String] =
-    graft.runtime.Config.normalizeProvider(provider).map {
-      case "mssql" => s"EXEC $procName @Parameter = ?"
-      case "postgres" => s"SELECT * FROM $procName(?::jsonb)"
-    }
+    graft.runtime.Config.dialect(provider).map(_.callSql(procName))
 }
