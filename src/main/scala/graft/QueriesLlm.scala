@@ -628,6 +628,58 @@ object QueriesLlm {
         |              ORDER BY score DESC, vec_id) AS BIGINT) AS rank
         |  FROM approx WHERE vec_id <> query_id) WHERE rank <= 10""".stripMargin)),
 
+    Q("ann_pq_trained",
+      // Trained-codebook PQ: one deterministic per-subspace Lloyd round on
+      // the first-8 seed, then the same encode + ADC scoring. The oracle
+      // mirrors the full subspace iteration (L2 argmin assignment,
+      // floor(avg+0.5) means, empty-code fallback) in SQL.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.pqTopKTrained(emb, emb.filter(col("vec_id") < 5), 10)
+      },
+      Some("""WITH el AS (
+        |  SELECT vec_id, i // 16 AS s, i % 16 AS j,
+        |         CAST(round(CAST(embedding[CAST(i+1 AS INTEGER)] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, embedding, unnest(range(64)) AS i FROM embeddings)),
+        |cb0 AS (SELECT vec_id AS code, s, j, q AS cq FROM el WHERE vec_id < 8),
+        |a0 AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT v.vec_id, v.s, c.code,
+        |           row_number() OVER (PARTITION BY v.vec_id, v.s
+        |             ORDER BY sum((v.q - c.cq)*(v.q - c.cq)), c.code) AS rn
+        |    FROM el v JOIN cb0 c ON v.s = c.s AND v.j = c.j
+        |    GROUP BY v.vec_id, v.s, c.code) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT a.s, a.code, e.j, CAST(floor(avg(e.q) + 0.5) AS BIGINT) AS cq_new
+        |  FROM a0 a JOIN el e ON e.vec_id = a.vec_id AND e.s = a.s
+        |  GROUP BY 1, 2, 3),
+        |cb AS (
+        |  SELECT c.code, c.s, c.j, coalesce(m.cq_new, c.cq) AS cq
+        |  FROM cb0 c LEFT JOIN m1 m ON m.s = c.s AND m.code = c.code AND m.j = c.j),
+        |dists AS (
+        |  SELECT v.vec_id, v.s, c.code, sum((v.q - c.cq)*(v.q - c.cq)) AS d2
+        |  FROM el v JOIN cb c ON v.s = c.s AND v.j = c.j
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |lut AS (
+        |  SELECT q.vec_id AS query_id, q.s, c.code, sum(q.q * c.cq) AS pd
+        |  FROM el q JOIN cb c ON q.s = c.s AND q.j = c.j
+        |  WHERE q.vec_id < 5
+        |  GROUP BY 1, 2, 3),
+        |approx AS (
+        |  SELECT l.query_id, v.vec_id, CAST(sum(l.pd) AS BIGINT) AS score
+        |  FROM codes v JOIN lut l ON v.s = l.s AND v.code = l.code
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rank, vec_id, score FROM (
+        |  SELECT query_id, vec_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+        |  FROM approx WHERE vec_id <> query_id) WHERE rank <= 10""".stripMargin)),
+
     Q("llm_cluster_sample",
       // Cluster-balanced (diversity) sampling: assign each embedding to its
       // nearest centroid (broadcast argmax — the IVF assignment), then draw

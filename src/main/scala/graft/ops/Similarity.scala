@@ -313,26 +313,38 @@ object Similarity {
     * score = Σ LUT dots — bit-identical in any engine. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 4, ksub: Int = 8, dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(dim % m == 0, "dim must divide into m subspaces")
-    val dsub = dim / m
-    def subEl(df: DataFrame, idName: String): DataFrame = df
-      .repartition(col("vec_id"))
-      .select(col("vec_id").as(idName), posexplode(col("embedding")).as(Seq("_i", "_x")))
-      .select(col(idName), expr(s"_i div $dsub").as("s"), expr(s"_i % $dsub").as("j"),
-        round(col("_x").cast("double") * 1000).cast("long").as("q"))
-    val cb = subEl(corpus.filter(col("vec_id") < ksub), "code")
-      .withColumnRenamed("q", "cq")
-    val dists = subEl(corpus, "vec_id")
-      .join(broadcast(cb), Seq("s", "j"))
+    pqTopKWith(corpus, queries,
+      subElements(corpus.filter(col("vec_id") < ksub), "code", dim / m)
+        .withColumnRenamed("q", "cq"), k, dim / m)
+  }
+
+  /** Quantized SUB-vector elements as rows: (id, s = subspace, j = index
+    * within subspace, q) — the shared layout of PQ encode, LUT build, and
+    * codebook training. */
+  private def subElements(df: DataFrame, idName: String, dsub: Int): DataFrame = df
+    .repartition(col("vec_id"))
+    .select(col("vec_id").as(idName), posexplode(col("embedding")).as(Seq("_i", "_x")))
+    .select(col(idName), expr(s"_i div $dsub").as("s"), expr(s"_i % $dsub").as("j"),
+      round(col("_x").cast("double") * 1000).cast("long").as("q"))
+
+  /** [[pqTopK]] against an EXPLICIT codebook — (code, s, j, cq) rows, e.g.
+    * from [[pqCodebooks]]. The codebook is broadcast on both the encode and
+    * LUT sides; everything else is identical to the seeded path. */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+                 k: Int, dsub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = broadcast(codebook)
+    val dists = subElements(corpus, "vec_id", dsub)
+      .join(cb, Seq("s", "j"))
       .groupBy(col("vec_id"), col("s"), col("code"))
       .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
     // encode: nearest codebook entry per (vector, subspace) — map-side
     // argmin aggregate, ties to the lowest code (the max_by/min_by pattern)
     val codes = dists.groupBy(col("vec_id"), col("s"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-    val lut = subEl(queries, "query_id")
-      .join(broadcast(cb), Seq("s", "j"))
+    val lut = subElements(queries, "query_id", dsub)
+      .join(cb, Seq("s", "j"))
       .groupBy(col("query_id"), col("s"), col("code"))
       .agg(sum(col("q") * col("cq")).as("pd"))
     val w = Window.partitionBy(col("query_id"))
@@ -345,6 +357,53 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
   }
+
+  /** TRAINED PQ codebooks: per-subspace Lloyd refinement of the first-ksub
+    * seed, exactly [[kmeansCentroids]] mirrored into each subspace — but by
+    * quantized L2 (PQ encodes by distance, not dot product). All `m`
+    * subspaces train simultaneously: assignment is one argmin aggregate
+    * over (vec_id, s) keyed rows, new entries are one (s, code, j) mean —
+    * both partial-aggregated, nothing all-pairs. Deterministic
+    * (floor(avg+0.5) means, ties to the lowest code, empty codes keep their
+    * previous entry), so a trained ranking is oracle-checkable. Returns
+    * (code, s, j, cq) rows for [[pqTopKWith]]. */
+  def pqCodebooks(corpus: DataFrame, m: Int = 4, ksub: Int = 8, dim: Int = 64,
+                  iterations: Int = 1): DataFrame = {
+    require(dim % m == 0, "dim must divide into m subspaces")
+    val dsub = dim / m
+    val el = subElements(corpus, "vec_id", dsub)
+    var cb = subElements(corpus.filter(col("vec_id") < ksub), "code", dsub)
+      .withColumnRenamed("q", "cq")
+    for (_ <- 0 until iterations) {
+      val assign = el
+        .join(broadcast(cb), Seq("s", "j"))
+        .groupBy(col("vec_id"), col("s"), col("code"))
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      val means = el
+        .join(assign, Seq("vec_id", "s"))
+        .groupBy(col("s"), col("code"), col("j"))
+        .agg(floor(avg(col("q")) + 0.5).cast("long").as("cq_new"))
+      // Preserve entries whose code emptied (left join keeps the old).
+      cb = cb.join(means, Seq("s", "code", "j"), "left_outer")
+        .select(col("code"), col("s"), col("j"),
+          coalesce(col("cq_new"), col("cq")).as("cq"))
+    }
+    cb
+  }
+
+  /** Production PQ path: train per-subspace codebooks, then encode + score
+    * with them. Same plan as [[pqTopK]]; only the codebook differs. */
+  def pqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+                    m: Int = 4, ksub: Int = 8, dim: Int = 64,
+                    iterations: Int = 1): DataFrame =
+    pqTopKWith(corpus, queries,
+      // localCheckpoint: the codebook subtree feeds BOTH the encode and the
+      // LUT broadcast — without it the Lloyd iteration recomputes per
+      // consumer (the round-4 shared-subtree rule).
+      pqCodebooks(corpus, m, ksub, dim, iterations).localCheckpoint(true),
+      k, dim / m)
 
   /** ANN top-k via hyperplane LSH: candidates share the query's bucket.
     * One hash shuffle on the bucket key; per-bucket exact re-rank. */

@@ -77,6 +77,37 @@ class IvfMultibandSpec extends SparkSpec {
     assert(res.groupBy(col("query_id")).count().collect().forall(_.getLong(1) <= 3))
   }
 
+  test("trained PQ codebooks: deterministic, zero iterations = seed, recall vs brute force measured") {
+    val cb0 = Similarity.pqCodebooks(emb, iterations = 0)
+    val cb1a = Similarity.pqCodebooks(emb, iterations = 1)
+    val cb1b = Similarity.pqCodebooks(emb, iterations = 1)
+    // deterministic across runs; zero iterations reproduces the seeded book
+    assert(cb1a.exceptAll(cb1b).isEmpty && cb1b.exceptAll(cb1a).isEmpty)
+    val seeded = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), 10)
+    val viaCb0 = Similarity.pqTopKWith(emb, emb.filter(col("vec_id") < 5), cb0, 10, dsub = 16)
+    assert(seeded.exceptAll(viaCb0).isEmpty && viaCb0.exceptAll(seeded).isEmpty,
+      "iterations=0 codebook must reproduce pqTopK exactly")
+    // training actually moves the codebook
+    assert(cb1a.exceptAll(cb0).count() > 0, "one Lloyd round must change some entries")
+
+    // Recall@10 against exact brute force, seeded vs trained.
+    def recall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .select(col("query_id"), col("vec_id"))
+      val hit = approx.select(col("query_id"), col("vec_id"))
+        .join(exact, Seq("query_id", "vec_id"), "left_semi").count()
+      hit.toDouble / exact.count()
+    }
+    val rSeed = recall(seeded)
+    val rTrained = recall(Similarity.pqTopKTrained(emb, emb.filter(col("vec_id") < 5), 10))
+    info(f"PQ recall@10: seeded=$rSeed%.3f trained=$rTrained%.3f")
+    // Lloyd fits the codebook to the corpus distribution; at worst it must
+    // stay in the same quality band as the arbitrary first-8 seed.
+    assert(rTrained >= rSeed - 0.1,
+      f"trained recall $rTrained%.3f fell more than 0.1 below seeded $rSeed%.3f")
+    assert(rTrained > 0.0)
+  }
+
   test("ivfTopK never returns a worse top-1 than the probed lists contain") {
     // Construct the ground truth restricted to the probed clusters by
     // re-deriving assignment exactly as ivfTopK does, then check top-1.
