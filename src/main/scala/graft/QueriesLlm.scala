@@ -45,6 +45,29 @@ object QueriesLlm {
       |  FROM tok_docs)""".stripMargin
   }
 
+  /** Shared by llm_decontam and its forced-shuffle twin llm_decontam_hash:
+    * the join strategy must never change the result, so both check against
+    * the identical SQL. */
+  private val decontamOracleSql: String = "WITH " +
+    Seq(normDocsCte, shinglesCte).mkString(",\n") + """,
+      |b AS (
+      |  SELECT doc_id, shingles,
+      |         CAST('0x' || substr(sha256('contam:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS bucket
+      |  FROM shingle_docs),
+      |tr0 AS (SELECT doc_id, unnest(shingles) AS h FROM b WHERE bucket >= 100),
+      |te0 AS (SELECT unnest(shingles) AS h FROM b WHERE bucket < 100),
+      |trd AS (SELECT DISTINCT doc_id, h FROM tr0),
+      |ted AS (SELECT DISTINCT h FROM te0)
+      |SELECT trd.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_shingles,
+      |       CAST(sum(CASE WHEN ted.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |       CAST(sum(CASE WHEN ted.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+      |            // count(*) AS BIGINT) AS overlap_ppm,
+      |       sum(CASE WHEN ted.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+      |            // count(*) >= 500000 AS contaminated
+      |FROM trd LEFT JOIN ted USING (h)
+      |GROUP BY 1""".stripMargin
+
   /** DuckDB minhash signature columns sig_0..sig_7 (mirrors
     * DedupOps.minhashSignature with permParams(8)). */
   private val sigSelect: String = {
@@ -429,29 +452,22 @@ object QueriesLlm {
       // Eval-leakage check: per train document, the ppm of its distinct
       // 3-token shingles that occur anywhere in the content-addressed 10%
       // test split; flagged at >= 50%. Overlap in integer ppm — no float
-      // division to diverge between engines.
+      // division to diverge between engines. Auto-selects the broadcast
+      // path here (the split is provably small).
       (s, d) => DedupOps.decontaminate(Tables.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_shingles"), col("n_matched"),
           col("overlap_ppm"), col("contaminated")),
-      Some("WITH " +
-        Seq(normDocsCte, shinglesCte).mkString(",\n") + """,
-          |b AS (
-          |  SELECT doc_id, shingles,
-          |         CAST('0x' || substr(sha256('contam:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS bucket
-          |  FROM shingle_docs),
-          |tr0 AS (SELECT doc_id, unnest(shingles) AS h FROM b WHERE bucket >= 100),
-          |te0 AS (SELECT unnest(shingles) AS h FROM b WHERE bucket < 100),
-          |trd AS (SELECT DISTINCT doc_id, h FROM tr0),
-          |ted AS (SELECT DISTINCT h FROM te0)
-          |SELECT trd.doc_id,
-          |       CAST(count(*) AS BIGINT) AS n_shingles,
-          |       CAST(sum(CASE WHEN ted.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-          |       CAST(sum(CASE WHEN ted.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
-          |            // count(*) AS BIGINT) AS overlap_ppm,
-          |       sum(CASE WHEN ted.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
-          |            // count(*) >= 500000 AS contaminated
-          |FROM trd LEFT JOIN ted USING (h)
-          |GROUP BY 1""".stripMargin)),
+      Some(decontamOracleSql)),
+
+    Q("llm_decontam_hash",
+      // The shuffle-join twin: identical semantics with the broadcast
+      // FORCED OFF — the fallback a huge test split takes. Oracle-checked
+      // against the same SQL to prove the strategy never changes results.
+      (s, d) => DedupOps.decontaminate(Tables.documents(s, d), "doc_id", "text",
+          broadcastTest = Some(false))
+        .select(col("doc_id"), col("n_shingles"), col("n_matched"),
+          col("overlap_ppm"), col("contaminated")),
+      Some(decontamOracleSql)),
 
     Q("dedup_jaccard",
       (s, d) => {

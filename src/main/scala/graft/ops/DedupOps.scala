@@ -401,18 +401,31 @@ object DedupOps {
     * division) with the flag at `thresholdPpm`.
     *
     * Scale: the test-side distinct shingle set is a fraction of the corpus
-    * — broadcast it when it fits (the default here), fall back to a hash
-    * join on the shingle when it doesn't. Either way no doc×doc work. */
+    * — broadcast it when it fits, fall back to a hash join on the shingle
+    * when it doesn't. Either way no doc×doc work.
+    *
+    * Strategy selection: `broadcastTest = None` (the default) AUTO-selects
+    * from the test-split row count, probed with a LIMIT-bounded count that
+    * reads at most `broadcastMaxTestDocs + 1` rows — never the corpus, and
+    * cheap even when the split is huge. A typical eval split broadcasts; a
+    * misconfigured permille that captures half the corpus falls back to
+    * the shuffle join instead of OOMing every executor on the broadcast. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     testPermille: Int = 100, salt: String = "contam",
                     thresholdPpm: Long = 500000L,
-                    broadcastTest: Boolean = true): DataFrame = {
+                    broadcastTest: Option[Boolean] = None,
+                    broadcastMaxTestDocs: Long = 1000000L): DataFrame = {
     val bucket = Sampling.bucketOf(col(idCol), salt)
+    val testDocs = docs.filter(bucket < testPermille)
+    val useBroadcast = broadcastTest.getOrElse {
+      val probe = math.min(broadcastMaxTestDocs, Int.MaxValue - 1L).toInt
+      testDocs.limit(probe + 1).count() <= probe
+    }
     val trainShingles = shingleHashRows(docs.filter(bucket >= testPermille),
       idCol, textCol).select(col(idCol), col("_h")).distinct()
-    val testShingles0 = shingleHashRows(docs.filter(bucket < testPermille),
+    val testShingles0 = shingleHashRows(testDocs,
       idCol, textCol).select(col("_h")).distinct()
-    val testShingles = (if (broadcastTest) broadcast(testShingles0)
+    val testShingles = (if (useBroadcast) broadcast(testShingles0)
                         else testShingles0).withColumn("_m", lit(1L))
     trainShingles.join(testShingles, Seq("_h"), "left")
       .groupBy(col(idCol))

@@ -242,6 +242,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(trainIds(0)) == ((1000000L, true)))
     assert(got(trainIds(1)) == ((0L, false)))
     assert(!got.contains(testId), "test docs are not scored")
+
+    // Auto-strategy: broadcast when the test split is at/below the doc cap,
+    // shuffle join above it — and both plans compute identical results.
+    def planOf(broadcastMax: Long): (String, Map[Long, Long]) = {
+      val df = DedupOps.decontaminate(contamDocs, "doc_id", "text",
+        broadcastMaxTestDocs = broadcastMax)
+      (df.queryExecution.analyzed.toString,
+        df.select($"doc_id", $"overlap_ppm").as[(Long, Long)].collect().toMap)
+    }
+    val (broadcastPlan, broadcastRes) = planOf(broadcastMax = 1000L)
+    val (shufflePlan, shuffleRes) = planOf(broadcastMax = 0L)
+    assert(broadcastPlan.contains("ResolvedHint"),
+      s"small split must carry the broadcast hint:\n$broadcastPlan")
+    assert(!shufflePlan.contains("ResolvedHint"),
+      s"split above the cap must NOT broadcast:\n$shufflePlan")
+    assert(broadcastRes == shuffleRes, "join strategy must never change results")
   }
 
   test("PQ top-k: codebook vectors are their own codes; duplicates tie exactly") {
