@@ -2,25 +2,39 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.ops.{DedupOps, Similarity}
 
-/** Scale smoke: replicate documents 20x (100k docs) and embeddings 4x (200k
-  * vectors) and check the dedup/ANN pipelines scale ~linearly. */
+/** Scale smoke: replicate documents and embeddings by env-set factors and
+  * check the dedup/ANN pipelines scale ~linearly in corpus size.
+  *
+  * `SCALE_DOC_COPIES` (default 20 → 100k docs at sf0.1) and
+  * `SCALE_EMB_COPIES` (default 4 → 8k vectors); the round-5 growth check
+  * runs 20/4 vs 200/16 (1M docs / 32k vectors) and compares stage times.
+  *
+  * Fixture shape matters for what the numbers MEAN: copies 0 and 1 keep
+  * identical text (one true duplicate pair per base doc) while every other
+  * copy gets its tokens SALTED with the copy number, so no shingle matches
+  * across variant copies. That keeps duplicate-clique size scale-INVARIANT
+  * (always 2): growth factors then measure the engine's scaling, not the
+  * quadratic blowup of ever-larger identical-copy cliques the data would
+  * otherwise inject (Σ bucket² with bucket ∝ copies). Embedding copies stay
+  * exact replicas — vector near-dup output grows ~copies² per base vector
+  * BY CONSTRUCTION there, so its time is judged against output rows, and
+  * the row counts are printed for exactly that. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
+    val docCopies = sys.env.getOrElse("SCALE_DOC_COPIES", "20").toInt
+    val embCopies = sys.env.getOrElse("SCALE_EMB_COPIES", "4").toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
     val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val n0 = docs0.count()
-    // 20 copies, each with shifted ids; even copies keep identical text
-    // (real duplicates for the pipeline to find).
-    val copies = spark.range(20).withColumnRenamed("id", "copy")
+    val copies = spark.range(docCopies).withColumnRenamed("id", "copy")
     val docs = docs0.crossJoin(copies)
-      .select((col("doc_id") + col("copy") * 1000000).as("doc_id"),
-        when(col("copy") % 2 === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" variant "), col("copy"))).as("text"))
+      .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"),
+        when(col("copy") < 2, col("text"))
+          .otherwise(array_join(transform(split(col("text"), " "),
+            t => concat(lit("c"), col("copy"), t)), " ")).as("text"))
     docs.cache(); val n = docs.count()
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val r = f
@@ -38,8 +52,8 @@ object ScaleSmoke {
     t("decontaminate")(DedupOps.decontaminate(docs, "doc_id", "text").count())
     t("chunk windows")(graft.ops.TextOps.chunkWindows(docs, "doc_id", "text").count())
     val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    val emb = emb0.crossJoin(spark.range(4).withColumnRenamed("id", "c"))
-      .select((col("vec_id") + col("c") * 1000000).as("vec_id"), col("embedding"))
+    val emb = emb0.crossJoin(spark.range(embCopies).withColumnRenamed("id", "c"))
+      .select((col("vec_id") + col("c") * 10000000L).as("vec_id"), col("embedding"))
     emb.cache(); val m = emb.count()
     t(s"embedding near-dup ($m)")(Similarity.embeddingNearDup(emb, 0.2).count())
     t(s"multiband near-dup ($m)")(
