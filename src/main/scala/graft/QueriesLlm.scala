@@ -1291,6 +1291,48 @@ object QueriesLlm {
         |            // sum(c) AS BIGINT) AS dup_frac_ppm
         |FROM pc GROUP BY 1""".stripMargin)),
 
+    Q("llm_dup_spans",
+      // Corpus-level repetition: the 50 most-duplicated 8-token spans seen
+      // in more than one document, with occurrence/document counts and the
+      // lowest containing doc id as a locator. The (n_occ, n_docs, span)
+      // ordering is total, so the limit boundary is deterministic.
+      (s, d) => DedupOps.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        width = 8, topK = 50),
+      Some("WITH " + normDocsCte + """,
+        |sp AS (
+        |  SELECT doc_id,
+        |         list_transform(range(len(toks) - 7),
+        |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |             || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]) AS spans
+        |  FROM tok_docs WHERE len(toks) >= 8),
+        |occ AS (SELECT doc_id, unnest(spans) AS span FROM sp),
+        |g AS (
+        |  SELECT span,
+        |         CAST(count(*) AS BIGINT) AS n_occ,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |         CAST(min(doc_id) AS BIGINT) AS first_doc
+        |  FROM occ GROUP BY 1)
+        |SELECT span, n_occ, n_docs, first_doc
+        |FROM g WHERE n_docs > 1
+        |ORDER BY n_occ DESC, n_docs DESC, span
+        |LIMIT 50""".stripMargin)),
+
+    Q("llm_source_dup",
+      // Boilerplate weight per source: ppm of each source's shingle
+      // occurrences whose shingle appears in >1 document corpus-wide — the
+      // feed-ranking signal before sampling a training mix.
+      (s, d) => DedupOps.sourceDupRollup(Tables.documents(s, d), "doc_id", "text", "source"),
+      Some("WITH " + Seq(normDocsCte, shinglesCte).mkString(",\n") + """,
+        |occ AS (SELECT doc_id, unnest(shingles) AS h FROM shingle_docs),
+        |nd AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM occ GROUP BY 1)
+        |SELECT d.source,
+        |       CAST(count(*) AS BIGINT) AS n_shingle_occ,
+        |       CAST(sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_occ,
+        |       CAST(sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS dup_ppm
+        |FROM occ JOIN nd USING (h) JOIN documents d USING (doc_id)
+        |GROUP BY 1""".stripMargin)),
+
     Q("llm_pii_redact",
       // PII scrubbing: emails / phone shapes / long digit runs replaced by
       // typed tags, with per-doc match counts. The corpus has no real PII,

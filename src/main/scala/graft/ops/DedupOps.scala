@@ -393,6 +393,66 @@ object DedupOps {
     (survivors, updatedSeen)
   }
 
+  /** Cross-document duplicated n-gram SPANS — corpus-level repetition
+    * analysis (the "find the boilerplate sentences everyone shares" pass a
+    * training-data audit runs; cf. Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): every `width`-token window,
+    * grouped across the WHOLE corpus, keeping spans seen in more than one
+    * document; top-k by occurrence count.
+    *
+    * Scale shape: one Generate per doc (index-explode, flat `element_at`
+    * expressions — no HOF lambdas, same codegen rationale as
+    * [[shingleHashRows]]), one map-side-combined groupBy, then a
+    * TakeOrdered top-k (no global sort shuffle — each partition keeps k,
+    * the driver merges). The span STRING is the group key because the span
+    * must be REPORTED: grouping by a hash would need a join back to
+    * recover the text, i.e. a second corpus pass. Work is linear in corpus
+    * token count. The (n_occ, n_docs, span) ordering is total, so the
+    * limit boundary is deterministic — oracle-checkable. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      width: Int = 8, topK: Int = 50): DataFrame = {
+    require(width >= 2, "a span needs at least 2 tokens")
+    val span = concat_ws(" ",
+      (1 to width).map(o => expr(s"element_at(_toks, _idx + $o)")): _*)
+    docs.repartition(col(idCol))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= width)
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0), size(col("_toks")) - width)).as("_idx"))
+      .select(col(idCol), span.as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_occ").desc, col("n_docs").desc, col("span"))
+      .limit(topK)
+  }
+
+  /** Per-SOURCE duplication rollup: for each source, the ppm of its
+    * shingle OCCURRENCES whose shingle appears in more than one document
+    * corpus-wide — the signal that ranks feeds/crawls by boilerplate
+    * weight before sampling a training mix.
+    *
+    * Two linear passes over the shingle rows (occurrence list, per-shingle
+    * doc counts) hash-joined on the shingle hash, then one rollup on the
+    * source — no doc×doc work. The shingle pass is materialized once
+    * (localCheckpoint): both the doc-count aggregate and the occurrence
+    * join consume it, and without the cut the plan re-runs the
+    * shingle+sha pass per consumer (the round-4 shared-subtree rule). */
+  def sourceDupRollup(docs: DataFrame, idCol: String, textCol: String,
+                      srcCol: String): DataFrame = {
+    val occ = shingleHashRows(docs, idCol, textCol).localCheckpoint()
+    val perShingleDocs = occ.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+    occ.join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
+      .join(perShingleDocs, Seq("_h"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_shingle_occ"),
+        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_dup_occ"))
+      .withColumn("dup_ppm", expr("n_dup_occ * 1000000 div n_shingle_occ"))
+  }
+
   /** Train/test decontamination: for each train document, the fraction of
     * its distinct shingles that also occur anywhere in the test split
     * (n-gram-overlap contamination, the standard eval-leakage check).

@@ -260,6 +260,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(broadcastRes == shuffleRes, "join strategy must never change results")
   }
 
+  test("duplicated spans: cross-doc spans surface; within-doc and unique spans don't") {
+    val spanDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta tail one"),
+      (2L, "prefix alpha beta gamma delta epsilon zeta eta theta"), // shares the 8-token span
+      (3L, "solo solo solo solo solo solo solo solo"),              // one doc only
+      (4L, "completely different words that never repeat anywhere else at all")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.duplicatedSpans(spanDocs, "doc_id", "text", width = 8, topK = 10)
+      .collect()
+    assert(got.forall(_.getAs[Long]("n_docs") > 1), "only cross-doc spans survive")
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val row = got.find(_.getString(0) == shared)
+    assert(row.isDefined, s"shared span missing from ${got.map(_.getString(0)).toSeq}")
+    assert(row.get.getAs[Long]("n_occ") == 2 && row.get.getAs[Long]("n_docs") == 2
+      && row.get.getAs[Long]("first_doc") == 1L)
+    assert(!got.exists(_.getString(0).contains("solo")),
+      "a span confined to one document is not corpus duplication")
+  }
+
+  test("source dup rollup: boilerplate-heavy source saturates, unique source at zero") {
+    val srcDocs = Seq(
+      (1L, "the same boilerplate sentence appears here", "feedA"),
+      (2L, "the same boilerplate sentence appears here", "feedA"),
+      (3L, "entirely unique content alpha beta gamma", "feedB")
+    ).toDF("doc_id", "text", "source")
+    val got = DedupOps.sourceDupRollup(srcDocs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_shingle_occ"), r.getAs[Long]("dup_ppm")))).toMap
+    assert(got("feedA")._2 == 1000000L, "every feedA shingle is shared across its two docs")
+    assert(got("feedB")._2 == 0L)
+    assert(got("feedA")._1 == 8L, "2 docs x 4 shingles of a 6-token text")
+  }
+
   test("PQ top-k: codebook vectors are their own codes; duplicates tie exactly") {
     // dim=4, m=2 subspaces, codebook = first 2 vectors. Vector 3 duplicates
     // vector 0, vector 4 is near vector 1.
