@@ -251,6 +251,32 @@ object ChangeRelay {
     }
   }
 
+  /** T5 streaming flavor — the dead-letter replay loop as a Structured
+    * Streaming query: a rate source is the timer (the Spark-idiomatic
+    * analog of the reference's delay-loop background service,
+    * `DeadLetterReplayService.cs:42-60`), and each trigger runs one
+    * [[ChangeRelay.replayCycle]] — due batch, attempt, delete on success /
+    * widen backoff on failure. `attempt` is injectable exactly as in the
+    * batch flavor, so endpoint recovery is testable. The replay cadence is
+    * independent of the change-relay cadence, matching the reference's
+    * separate hosted service. */
+  def streamReplay(
+      spark: SparkSession,
+      relay: ChangeRelay,
+      attempt: String => Boolean,
+      intervalSeconds: Int,
+      queryName: String): StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .queryName(queryName)
+      .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        relay.replayCycle(attempt,
+          new java.sql.Timestamp(System.currentTimeMillis()))
+        ()
+      }
+      .start()
+
   private def startQuery(
       spark: SparkSession,
       relay: ChangeRelay,

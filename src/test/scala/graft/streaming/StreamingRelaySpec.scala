@@ -71,6 +71,36 @@ class StreamingRelaySpec extends SparkSpec {
     assert(exportsAfter == 3) // exactly one new export, nothing replayed
   }
 
+  test("streaming replay drains the DLQ once the endpoint recovers") {
+    val root = Files.createTempDirectory("graft-replay")
+    val store = new ParquetStateStore(spark, root.resolve("state").toString)
+    val cfg = EnvironmentConfig("prod", "postgres",
+      Seq(TrackingObject("orders", "db0", "t", "sp")), Nil)
+    val relay = new ChangeRelay(spark, store, cfg, None)
+    store.appendDeadLetters(
+      Seq(("k1", "orders", "prod", "db0", "h1", "{}", "boom"))
+        .toDF("source_key", "tracking_object_name", "environment_name",
+          "database_name", "data_hash", "data", "error_message")
+        .withColumn("timestamp", current_timestamp()))
+    assert(store.deadLetters.count() == 1)
+
+    // Healthy endpoint: the first replay tick must drain the row. (Failure
+    // backoff is covered by the batch-flavor RelaySpec — the 60 s backoff
+    // base makes a multi-attempt streaming test pointlessly slow.)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = ChangeRelay.streamReplay(spark, relay,
+      attempt = { _ => attempts.incrementAndGet(); true },
+      intervalSeconds = 1, queryName = "graft-replay-prod")
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (store.deadLetters.count() > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      assert(store.deadLetters.count() == 0,
+        s"DLQ not drained by the streaming replay loop (${attempts.get()} attempts)")
+      assert(attempts.get() >= 1)
+    } finally query.stop()
+  }
+
   test("a failed duplicate start does not evict the live query's checkpoint claim") {
     val root = Files.createTempDirectory("graft-claim")
     val outboxDir = root.resolve("outbox").toString
