@@ -167,4 +167,16 @@ final class ParquetStateStore(spark: SparkSession, rootDir: String) {
 
   def dueDeadLetters(maxAttempts: Int, batchSize: Int = 25): DataFrame =
     Dlq.replayBatch(Dlq.dueFilter(deadLetters, maxAttempts, current_timestamp()), batchSize)
+
+  /** Purge dead letters older than the retention window (reference
+    * DeadLetterService.cs:148-159). Returns the purged count; the snapshot
+    * is only rewritten when something was actually purged. */
+  def purgeExpiredDeadLetters(now: java.sql.Timestamp,
+      retentionDays: Int = graft.model.Defaults.DlqRetentionDays): Long = {
+    val before = deadLetters
+    val kept = Dlq.purgeExpired(before, lit(now), retentionDays)
+    val purged = before.count() - kept.count()
+    if (purged > 0) commit("dead_letters", kept)
+    purged
+  }
 }

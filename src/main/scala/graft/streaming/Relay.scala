@@ -129,10 +129,14 @@ final class ChangeRelay(
     (exported, newVersion)
   }
 
-  /** §3.2 — dead-letter replay cycle: due batch, attempt, delete on
-    * success / widen backoff on failure (T5). `attempt` is injectable so
-    * tests can simulate endpoint recovery. */
+  /** §3.2 — dead-letter replay cycle: retention purge, then due batch,
+    * attempt, delete on success / widen backoff on failure (T5). `attempt`
+    * is injectable so tests can simulate endpoint recovery. Purge runs
+    * FIRST so a letter past retention is never re-attempted — the
+    * reference purges in the same service loop
+    * (DeadLetterService.cs:148-159). */
   def replayCycle(attempt: String => Boolean, nowUtc: java.sql.Timestamp): (Long, Long) = {
+    store.purgeExpiredDeadLetters(nowUtc)
     val due = store.dueDeadLetters(config.deadLetterMaxReplayAttempts,
       graft.model.Defaults.DlqReplayBatchSize).collect()
     val (ok, bad) = due.partition(r => attempt(r.getAs[String]("source_key")))

@@ -133,6 +133,29 @@ class RelaySpec extends SparkSpec {
       .equals(java.sql.Timestamp.valueOf("2024-01-15 00:01:00"))) // 60*2^0: first failure waits one base delay
   }
 
+  test("replay purges letters past retention before attempting anything") {
+    val dir = tmp()
+    val store = new ParquetStateStore(spark, dir.resolve("state").toString)
+    val old = java.sql.Timestamp.valueOf("2023-10-01 00:00:00")   // > 60 days before now
+    val freshTs = java.sql.Timestamp.valueOf("2024-01-14 00:00:00") // 1 day before now
+    val rows = Seq(
+      ("k-old", "orders", "prod", "db0", "h-old", "{}", "boom", old),
+      ("k-new", "orders", "prod", "db0", "h-new", "{}", "boom", freshTs))
+      .toDF("source_key", "tracking_object_name", "environment_name",
+        "database_name", "data_hash", "data", "error_message", "timestamp")
+    store.appendDeadLetters(rows)
+    assert(store.deadLetters.count() == 2)
+
+    val attempted = scala.collection.mutable.ArrayBuffer[String]()
+    val relay = new ChangeRelay(spark, store, cfg(), None)
+    val (ok, bad) = relay.replayCycle(
+      k => { attempted += k; true }, java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    // The expired letter was purged, never attempted; the fresh one replayed.
+    assert(!attempted.contains("k-old"), "expired letter must not be re-attempted")
+    assert(ok == 1 && bad == 0)
+    assert(store.deadLetters.count() == 0)
+  }
+
   test("pause holds the object; resume releases it; reset re-seeds") {
     val dir = tmp()
     val store = new ParquetStateStore(spark, dir.resolve("state").toString)
