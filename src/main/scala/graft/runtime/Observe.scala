@@ -45,4 +45,48 @@ object Observe {
   /** Pauses newest-first (O6). */
   def pauses(store: ParquetStateStore): DataFrame =
     store.pauses.orderBy(col("paused_at").desc, col("scope"))
+
+  /** The DLQ monitor's stateful loop (DeadLetterMonitor.cs:44-140): each
+    * tick checks the queue against the threshold and fires `alert` — but at
+    * most once per cooldown window — and re-runs the retention purge on its
+    * own (longer) cadence, because "the start-up purge never comes round
+    * again on a long-running service" (the reference's own comment).
+    * `clock` injectable for tests; state is single-threaded per monitor,
+    * like the reference's single ExecuteAsync loop. Alert payload = the
+    * [[dlqSummary]] row plus the top offenders, mirroring the reference's
+    * log shape. */
+  final class DlqMonitor(
+      store: ParquetStateStore,
+      threshold: Int = 100,
+      alert: String => Unit = s => System.err.println(s"[dlq-monitor] $s"),
+      clock: () => Long = () => System.currentTimeMillis(),
+      alertCooldownMillis: Long = 60L * 60 * 1000,
+      purgeIntervalMillis: Long = 24L * 60 * 60 * 1000) {
+
+    // Option, not a MinValue sentinel: `now - Long.MinValue` overflows
+    // negative and would suppress the very first alert forever.
+    private var lastAlert: Option[Long] = None
+    private var lastPurge = clock()
+
+    /** One monitor tick. Returns (alerted, purged count). */
+    def tick(): (Boolean, Long) = {
+      val nowMs = clock()
+      val total = store.deadLetters.count()
+      val alerted =
+        if (total >= threshold && lastAlert.forall(nowMs - _ > alertCooldownMillis)) {
+          val offenders = worstOffenders(store).collect()
+            .map(r => s"${r.get(0)}: ${r.get(1)} failures").mkString("; ")
+          alert(s"dead letter queue threshold exceeded: total=$total " +
+            s"(threshold=$threshold) top=[$offenders]")
+          lastAlert = Some(nowMs)
+          true
+        } else false
+      val purged =
+        if (nowMs - lastPurge >= purgeIntervalMillis) {
+          lastPurge = nowMs
+          store.purgeExpiredDeadLetters(new java.sql.Timestamp(nowMs))
+        } else 0L
+      (alerted, purged)
+    }
+  }
 }
