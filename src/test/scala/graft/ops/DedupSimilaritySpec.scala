@@ -279,6 +279,29 @@ class DedupSimilaritySpec extends SparkSpec {
       "a span confined to one document is not corpus duplication")
   }
 
+  test("duplicated spans match the naive computation on random corpora") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val randomDocs = (1 to 40).map { i =>
+      (i.toLong, (0 until (4 + rnd.nextInt(12))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = DedupOps.duplicatedSpans(randomDocs.toDF("doc_id", "text"),
+        "doc_id", "text", width = 4, topK = 1000)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_occ"), r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc")))).toMap
+    // Naive: every 4-token window per doc, aggregated in plain Scala.
+    val windows = randomDocs.flatMap { case (id, text) =>
+      val t = text.split(" ")
+      if (t.length < 4) Seq.empty
+      else (0 to t.length - 4).map(i => (t.slice(i, i + 4).mkString(" "), id))
+    }
+    val naive = windows.groupBy(_._1).collect {
+      case (span, occ) if occ.map(_._2).distinct.size > 1 =>
+        span -> ((occ.size.toLong, occ.map(_._2).distinct.size.toLong, occ.map(_._2).min))
+    }
+    assert(got == naive, s"operator disagrees with naive on ${got.size} vs ${naive.size} spans")
+  }
+
   test("source dup rollup: boilerplate-heavy source saturates, unique source at zero") {
     val srcDocs = Seq(
       (1L, "the same boilerplate sentence appears here", "feedA"),
