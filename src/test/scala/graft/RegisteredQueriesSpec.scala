@@ -53,4 +53,44 @@ class RegisteredQueriesSpec extends SparkSpec {
     }
     assert(drifted.isEmpty, drifted.mkString("\n"))
   }
+
+  /** Queries ALLOWED an unpartitioned window: control-table-only surfaces
+    * whose inputs are bounded by construction (documented at their
+    * definitions) — global pagination/orderings over the DLQ and file
+    * listings, never data-scale frames. (Global SCALAR aggregates are not
+    * in scope: their single-partition exchange moves one partial row per
+    * upstream partition, which is the correct scale shape.) */
+  private val globalWindowAllowed = Set(
+    "w1_pagination", "o1_replay_batch", "o2_ordered_listing",
+    "o3_log_sort_desc", "o4_newest_files", "o5_oldest_first_delete",
+    "o6_pauses_newest", "p9_dlq_search", "s2_clob_reassembly",
+    "f9_log_fold", "a3_ordered_fold")
+
+  /** The ONE sanctioned ScalaUDF: gzip (SURVEY §2.12 requires a UDF
+    * registration; a codegen'd native Expression variant also exists). */
+  private val udfAllowed = Set("f5_gzip_roundtrip")
+
+  test("plan lint: no cartesian products, no interpreted UDFs, no data-scale global windows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val violations = SparkEntry.allQueries.flatMap { q =>
+      val phys = q.run(spark, sfDir).queryExecution.sparkPlan
+      val bad = Seq.newBuilder[String]
+      if (phys.collectWithSubqueries { case c: CartesianProductExec => c }.nonEmpty)
+        bad += s"${q.name}: CartesianProduct (unbounded pair explosion at scale)"
+      val globalWindows = phys.collectWithSubqueries {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (globalWindows.nonEmpty && !globalWindowAllowed(q.name))
+        bad += s"${q.name}: unpartitioned window on a non-control-table query " +
+          "(single-partition sort of the whole input)"
+      val planStr = phys.toString
+      if (planStr.contains("BatchEvalPython"))
+        bad += s"${q.name}: Python UDF in the plan"
+      if (planStr.contains("ScalaUDF") && !udfAllowed(q.name))
+        bad += s"${q.name}: ScalaUDF outside the sanctioned gzip query"
+      bad.result()
+    }
+    assert(violations.isEmpty, "scale-rule violations:\n" + violations.mkString("\n"))
+  }
 }
