@@ -62,8 +62,16 @@ final class ChangeRelay(
     // A2 — watermark through the same gate as the rows. Never regress: a
     // late-replayed micro-batch (e.g. an old file re-surfacing in the file
     // stream) can carry only ids below the stored watermark.
-    val newVersion = math.max(fromVersion,
-      Incremental.gatedWatermark(changes, fromVersion, horizon).as[Long].head())
+    //
+    // ONE aggregate job carries BOTH the row count and the new watermark:
+    // a gated id ≤ fromVersion can never lift max(fromVersion, ·), so
+    // max(fromVersion, max(id) over batch) ≡ max(fromVersion,
+    // gatedWatermark(changes)) — and the count rides in the same map-side
+    // partial reduction. One fewer full pass over the change table per
+    // cycle (at a large initial sync, a third of the read I/O).
+    val stats = batch
+      .agg(count(lit(1)), coalesce(max(col("id")), lit(fromVersion))).head()
+    val newVersion = math.max(fromVersion, stats.getLong(1))
 
     val rows = batch.select(
       lit(obj.name).as("g"),
@@ -74,9 +82,7 @@ final class ChangeRelay(
         lit("value"), col("value").cast("string"),
         lit("props"), col("props"))).as("payload"))
 
-    // One action for the row count; the export job below is the only other
-    // job over the batch (no separate isEmpty probe).
-    val batchRows = batch.count()
+    val batchRows = stats.getLong(0)
     val exported =
       if (batchRows == 0) 0L
       else {
