@@ -23,6 +23,30 @@ object Windows {
         ceil(count(lit(1)).over(Window.partitionBy(col(groupCol))) / lit(n.toDouble)).cast("int"))
   }
 
+  /** [[numberBatches]] for ONE group at DATA scale — the relay's case: a
+    * cycle numbers a single tracked object's rows, so the per-group window
+    * above degenerates to one partition holding the entire batch (a full
+    * initial sync serialized through one task's sort). Range-partition +
+    * in-partition sort + `zipWithIndex` produces the identical dense
+    * `orderCol` ordering distributed (the DLQ-id pattern); `totalRows`
+    * comes from the caller, which already counted the batch — no extra
+    * count job beyond zipWithIndex's internal partition-size pass over the
+    * (already shuffled) sorted data. */
+  def numberBatchesRange(rows: DataFrame, orderCol: String, n: Int,
+                         totalRows: Long): DataFrame = {
+    require(n > 0, "batch size must be positive")
+    val spark = rows.sparkSession
+    val total = ((totalRows + n - 1) / n).toInt
+    val ordered = rows.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
+    val schema = ordered.schema
+      .add("batch", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("total_batches", org.apache.spark.sql.types.IntegerType, nullable = false)
+    spark.createDataFrame(
+      ordered.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i / n).toInt :+ total) },
+      schema)
+  }
+
   /** A8/W3/O5 — size-capped directory cleanup: keep newest files whose
     * cumulative size fits the cap, delete the rest oldest-first.
     * Ref: ExportService.cs:333-361 (cap Environment.cs:62-63). */

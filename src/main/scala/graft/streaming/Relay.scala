@@ -86,8 +86,11 @@ final class ChangeRelay(
     val exported =
       if (batchRows == 0) 0L
       else {
+        // numberBatchesRange, not the W2 window: a cycle numbers ONE
+        // object's rows, so the per-group window would put the whole batch
+        // (a full initial sync) in a single task's sort.
         val envelopes = Envelope.encode(
-          Windows.numberBatches(rows, "g", "version", config.maxRecordsPerBatch)
+          Windows.numberBatchesRange(rows, "version", config.maxRecordsPerBatch, batchRows)
             .withColumn("g", concat(col("g"), lit("#"), col("batch"))),
           "g")
         // One group (the object) per cycle, so total batches is exactly the
