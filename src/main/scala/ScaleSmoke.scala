@@ -51,6 +51,33 @@ object ScaleSmoke {
       .filter(length(col("cleaned_text")) >= 0).count())
     t("decontaminate")(DedupOps.decontaminate(docs, "doc_id", "text").count())
     t("chunk windows")(graft.ops.TextOps.chunkWindows(docs, "doc_id", "text").count())
+    // The relay's export path at data scale: one full-sync cycle over an
+    // outbox of `n/10` rows through encode → batch-number → executor-side
+    // fan-out (a guarded HTTP endpoint; no files — disk would dominate).
+    // Exercises the round-5 distributed shapes: fused count+watermark
+    // aggregate, range-partitioned batch numbering, mapPartitions export.
+    locally {
+      import graft.model.{EnvironmentConfig, SinkEndpoint, TrackingObject}
+      val relayRows = n / 10
+      val outbox = spark.range(relayRows).select(
+        (col("id") + 1).as("id"), (col("id") + 1).as("xact_id"),
+        lit("I").as("operation"), (col("id") % 997).cast("double").as("value"),
+        concat(lit("""{"k":"""), col("id"), lit("}")).as("props"),
+        lit(null).cast("array<string>").as("changed"))
+      val root = java.nio.file.Files.createTempDirectory("graft-relay-smoke")
+      val store = new graft.state.ParquetStateStore(spark, root.resolve("state").toString)
+      val obj = TrackingObject("orders", "db0", "t", "sp")
+      val cfg = EnvironmentConfig("prod", "postgres", Seq(obj),
+        Seq(SinkEndpoint("ep1", "http", "http://x/{object}/{batch}")))
+      val relay = new graft.streaming.ChangeRelay(spark, store, cfg, None,
+        horizonOf = _ => Long.MaxValue)
+      store.setWatermark("prod", "orders", 0L)
+      t(s"relay full-sync cycle ($relayRows rows)") {
+        val (exported, _) = relay.runCycle(obj, outbox, "20240115000000")
+        exported
+      }
+    }
+
     val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val emb = emb0.crossJoin(spark.range(embCopies).withColumnRenamed("id", "c"))
       .select((col("vec_id") + col("c") * 10000000L).as("vec_id"), col("embedding"))
