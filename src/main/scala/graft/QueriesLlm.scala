@@ -68,6 +68,30 @@ object QueriesLlm {
       |FROM trd LEFT JOIN ted USING (h)
       |GROUP BY 1""".stripMargin
 
+  /** Shared language-ID oracle fragments (mirror TextOps.langScoresFromToks
+    * / predictedLangFromToks): per-language marker-hit counts, and the
+    * tie-to-lexicographically-largest CASE chain (greatest(struct)
+    * semantics on the Spark side). Used by llm_langid and its confusion
+    * rollup. */
+  private val langScoredCte: String = {
+    val markers = TextOps.LangMarkers.toSeq.sortBy(_._1)
+    val scoreCols = markers.map { case (lang, words) =>
+      s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n         ")
+    s"""scored AS (
+      |  SELECT doc_id,
+      |         $scoreCols
+      |  FROM tok_docs)""".stripMargin
+  }
+
+  private val langCaseChain: String = {
+    val langs = TextOps.LangMarkers.keys.toSeq.sorted
+    langs.reverse.map { l =>
+      val others = langs.filter(_ != l)
+      s"WHEN s_$l >= greatest(${others.map("s_" + _).mkString(",")}) THEN '$l'"
+    }.mkString(" ")
+  }
+
   /** DuckDB minhash signature columns sig_0..sig_7 (mirrors
     * DedupOps.minhashSignature with permParams(8)). */
   private val sigSelect: String = {
@@ -181,27 +205,38 @@ object QueriesLlm {
           .select(col("doc_id") +: col("predicted") +:
             TextOps.LangMarkers.keys.toSeq.sorted.map(l => col(s"s_$l")): _*)
       },
-      Some {
-        val markers = TextOps.LangMarkers.toSeq.sortBy(_._1)
-        val scoreCols = markers.map { case (lang, words) =>
-          s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$lang"
-        }.mkString(",\n         ")
-        // Tie-break: highest score wins; ties go to the lexicographically
-        // largest language code (greatest(struct) semantics on the Spark side).
-        val langsDesc = markers.map(_._1).reverse
-        val caseChain = langsDesc.map { l =>
-          val others = markers.map(_._1).filter(_ != l)
-          s"WHEN s_$l >= greatest(${others.map("s_" + _).mkString(",")}) THEN '$l'"
-        }.mkString(" ")
-        withCtes(normDocsCte,
-          s"""scored AS (
-            |  SELECT doc_id,
-            |         $scoreCols
-            |  FROM tok_docs)""".stripMargin)(
-          s"""SELECT doc_id, CASE $caseChain END AS predicted,
-            |       ${markers.map(m => "s_" + m._1).mkString(", ")}
-            |FROM scored""".stripMargin)
-      }),
+      Some(withCtes(normDocsCte, langScoredCte)(
+        s"""SELECT doc_id, CASE $langCaseChain END AS predicted,
+          |       ${TextOps.LangMarkers.keys.toSeq.sorted.map("s_" + _).mkString(", ")}
+          |FROM scored""".stripMargin))),
+
+    Q("llm_langid_confusion",
+      // Language-ID EVALUATION: confusion counts of the n-gram heuristic's
+      // prediction vs the labeled `lang` column, with each cell's ppm share
+      // of its labeled row — the accuracy readout a curation pipeline
+      // watches when the heuristic gates a training mix.
+      (s, d) => {
+        val based = TextOps.withNormToks(Tables.documents(s, d), "text")
+          .withColumn("predicted", TextOps.predictedLangFromToks(col("_toks")))
+        val counts = based
+          .groupBy(col("lang").as("labeled"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+        val totals = counts.groupBy(col("labeled")).agg(sum(col("n_docs")).as("_t"))
+        counts.join(totals, Seq("labeled"))
+          .withColumn("share_ppm", expr("n_docs * 1000000 div _t"))
+          .drop("_t")
+      },
+      Some(withCtes(normDocsCte, langScoredCte,
+        s"""pred AS (
+          |  SELECT doc_id, CASE $langCaseChain END AS predicted FROM scored)""".stripMargin,
+        """cm AS (
+          |  SELECT d.lang AS labeled, p.predicted, CAST(count(*) AS BIGINT) AS n_docs
+          |  FROM pred p JOIN documents d USING (doc_id)
+          |  GROUP BY 1, 2)""".stripMargin)(
+        """SELECT cm.labeled, cm.predicted, cm.n_docs,
+          |       CAST(cm.n_docs * 1000000 // t.t AS BIGINT) AS share_ppm
+          |FROM cm JOIN (SELECT labeled, sum(n_docs) AS t FROM cm GROUP BY 1) t
+          |  USING (labeled)""".stripMargin))),
 
     Q("llm_quality_filter",
       // C4-style keep/drop decision composed from the quality features:
