@@ -42,16 +42,43 @@ object Sinks {
   }
 
   /** K1 — file sink: one pretty-printed JSON file per batch at the
-    * templated path; directories auto-created. The payload is one polling
-    * cycle, capped upstream by MaxRecordsPerBatch/MaxPayloadSizeBytes, so
-    * the driver-side write is bounded by construction (the same reason the
-    * reference can hold the batch in memory — ExportService.cs:156-197). */
+    * templated path; directories auto-created. The payload is one batch,
+    * capped upstream by MaxRecordsPerBatch/MaxPayloadSizeBytes, so each
+    * write is bounded by construction (the same reason the reference can
+    * hold the batch in memory — ExportService.cs:156-197).
+    *
+    * NOTE: this variant writes through `java.nio` — LOCAL filesystem of
+    * whichever process runs it. The relay invokes sinks on EXECUTORS, so
+    * cluster deployments must point the template at storage every executor
+    * shares, or use [[writeFileHadoop]], which resolves the template
+    * through the Hadoop FileSystem API (`hdfs://`, `s3a://`, `file://`). */
   def writeFile(envelopeJson: String, pathTemplate: String, m: ExportMeta): Either[ExportFailure, String] =
     try {
       val path = renderTemplate(pathTemplate, m, java.util.UUID.randomUUID().toString, urlEscape = false)
       val p = Paths.get(path)
       if (p.getParent != null) Files.createDirectories(p.getParent)
       Files.write(p, prettyJson(envelopeJson).getBytes(StandardCharsets.UTF_8))
+      Right(path)
+    } catch {
+      case e: Exception => Left(ExportFailure("file", e.getMessage))
+    }
+
+  /** [[writeFile]] through the Hadoop FileSystem API — the cluster-correct
+    * K1: the templated path's SCHEME selects the storage (`hdfs://`,
+    * `s3a://`, `file://`...), so executor-side writes land on shared
+    * storage instead of executor-local disk. Overwrite semantics match the
+    * local variant (the template's {guid}/{timestamp} placeholders make
+    * collisions a configuration choice, as in the reference). */
+  def writeFileHadoop(envelopeJson: String, pathTemplate: String, m: ExportMeta,
+                      hadoopConf: org.apache.hadoop.conf.Configuration =
+                        new org.apache.hadoop.conf.Configuration()): Either[ExportFailure, String] =
+    try {
+      val path = renderTemplate(pathTemplate, m, java.util.UUID.randomUUID().toString, urlEscape = false)
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(hadoopConf)
+      val out = fs.create(hPath, true)
+      try out.write(prettyJson(envelopeJson).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
       Right(path)
     } catch {
       case e: Exception => Left(ExportFailure("file", e.getMessage))

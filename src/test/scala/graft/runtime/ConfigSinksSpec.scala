@@ -145,4 +145,17 @@ class ConfigSinksSpec extends SparkSpec {
     assert(p.contains("\"a\": [") && p.contains("\"c\": \"x,y\"")) // comma inside string untouched
     assert(p.linesIterator.size > 5)
   }
+
+  test("K1 Hadoop-FS variant writes the identical payload through a file:// scheme") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hfs")
+    val m = graft.sinks.ExportMeta("prod", "orders", "db0", "20240101000000", 0, 1)
+    val tpl = s"file://$dir/{object}-{batch}.json"
+    val got = Sinks.writeFileHadoop("""{"k":1}""", tpl, m)
+    assert(got.isRight, s"hadoop write failed: $got")
+    val written = java.nio.file.Files.readString(dir.resolve("orders-0.json"))
+    assert(written == Sinks.prettyJson("""{"k":1}"""),
+      "payload must match the local variant byte for byte")
+    // an unresolvable scheme fails into the Either, never throws (DLQ path)
+    assert(Sinks.writeFileHadoop("""{"k":1}""", "nosuchscheme://x/{object}", m).isLeft)
+  }
 }
