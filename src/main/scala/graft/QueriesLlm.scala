@@ -1305,6 +1305,44 @@ object QueriesLlm {
           |  ON b2.fingerprint = seen.fingerprint
           |WHERE seen.fingerprint IS NULL""".stripMargin))),
 
+    Q("llm_incremental_neardedup",
+      // Online near-dup admission: "yesterday" (split < 500) commits its
+      // LSH band buckets; "today" is admitted doc-by-doc against that set
+      // plus fresh-bucket hub election within the batch. The greedy
+      // analog of dedup_cc_survivors for batch-over-batch ingestion.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val split = Sampling.bucketOf(col("doc_id"), "ndsplit")
+        val seen = DedupOps.lshBuckets(
+          DedupOps.minhashSignature(docs.filter(split < 500), "doc_id", "text", 8),
+          "doc_id").select(col("band"), col("bucket")).distinct()
+        val (survivors, _) = DedupOps.incrementalNearDedup(
+          docs.filter(split >= 500), seen, "doc_id", "text")
+        survivors.select(col("doc_id"))
+      },
+      Some("WITH " + Seq(normDocsCte, shinglesCte, sigCte, bucketCte).mkString(",\n") + """,
+        |split AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(sha256('ndsplit:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS sb
+        |  FROM norm_docs),
+        |seen AS (
+        |  SELECT DISTINCT band, bucket FROM bucket_docs JOIN split USING (doc_id) WHERE sb < 500),
+        |today AS (
+        |  SELECT b.doc_id, b.band, b.bucket FROM bucket_docs b JOIN split USING (doc_id) WHERE sb >= 500),
+        |collided AS (SELECT DISTINCT doc_id FROM today JOIN seen USING (band, bucket)),
+        |freshhubs AS (
+        |  SELECT band, bucket, min(doc_id) AS hub FROM today t
+        |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.band = t.band AND s.bucket = t.bucket)
+        |  GROUP BY 1, 2),
+        |intralosers AS (
+        |  SELECT DISTINCT t.doc_id FROM today t
+        |  JOIN freshhubs f ON t.band = f.band AND t.bucket = f.bucket AND t.doc_id <> f.hub),
+        |losers AS (SELECT doc_id FROM collided UNION SELECT doc_id FROM intralosers)
+        |SELECT d.doc_id
+        |FROM (SELECT DISTINCT doc_id FROM today) d
+        |LEFT JOIN losers l USING (doc_id)
+        |WHERE l.doc_id IS NULL""".stripMargin)),
+
     Q("llm_dup_ngram_frac",
       // Within-document repetition at n-gram granularity (the Gopher-style
       // "fraction of text in duplicated n-grams" quality gate, here over

@@ -393,6 +393,45 @@ object DedupOps {
     (survivors, updatedSeen)
   }
 
+  /** Incremental NEAR-dup dedup — the ONLINE variant of
+    * [[nearDupSurvivors]], for batch-over-batch ingestion: a new batch is
+    * admitted against a committed (band, bucket) set instead of
+    * re-clustering the whole corpus. A new doc loses if ANY of its LSH
+    * band buckets was already committed (near-dup of an earlier doc), or
+    * if it shares a FRESH bucket with a lower-id batchmate (the bucket hub
+    * admits, the rest defer to it — [[bucketStarEdges]]' greedy analog).
+    * Returns (survivors, updatedSeen); the caller persists `updatedSeen`
+    * exactly like [[incrementalDedup]]'s fingerprint set.
+    *
+    * Scale: the state is one row per DISTINCT (band, bucket) — bands ×
+    * corpus-distinct-signatures, not corpus rows — and every step is a
+    * semi/anti hash join on the bucket key; nothing re-reads committed
+    * batches. Greedy-online semantics match what a streaming curation
+    * pipeline can actually promise: admission is decided against the
+    * state AT ARRIVAL (a later better representative cannot retroactively
+    * evict an admitted doc). */
+  def incrementalNearDedup(newDocs: DataFrame, seenBuckets: DataFrame,
+                           idCol: String, textCol: String,
+                           numPerms: Int = 8, bands: Int = 4): (DataFrame, DataFrame) = {
+    // Three consumers of the bucket frame (collision probe, fresh-hub
+    // election, seen-set union) — materialize once or the signature
+    // pipeline re-runs per consumer.
+    val buckets = lshBuckets(minhashSignature(newDocs, idCol, textCol, numPerms),
+      idCol, numPerms, bands).localCheckpoint()
+    val seen = seenBuckets.select(col("band"), col("bucket"))
+    val collided = buckets.join(seen, Seq("band", "bucket"), "left_semi")
+      .select(col(idCol)).distinct()
+    val freshHubs = buckets.join(seen, Seq("band", "bucket"), "left_anti")
+      .groupBy(col("band"), col("bucket")).agg(min(col(idCol)).as("_hub"))
+    val intraLosers = buckets.join(freshHubs, Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("_hub")).select(col(idCol)).distinct()
+    val losers = collided.unionByName(intraLosers).distinct()
+    val survivors = newDocs.join(losers, Seq(idCol), "left_anti").localCheckpoint()
+    val updatedSeen = seen
+      .unionByName(buckets.select(col("band"), col("bucket"))).distinct()
+    (survivors, updatedSeen)
+  }
+
   /** Cross-document duplicated n-gram SPANS — corpus-level repetition
     * analysis (the "find the boilerplate sentences everyone shares" pass a
     * training-data audit runs; cf. Lee et al., "Deduplicating Training

@@ -260,6 +260,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(broadcastRes == shuffleRes, "join strategy must never change results")
   }
 
+  test("incremental near-dedup: committed buckets reject near-dups, hubs admit batchmates' losers") {
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated content about streaming engines")
+    ).toDF("doc_id", "text")
+    val empty = Seq.empty[(Int, String)].toDF("band", "bucket")
+    val (s1, seen1) = DedupOps.incrementalNearDedup(batch1, empty, "doc_id", "text")
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "first batch of distinct docs fully admits")
+
+    val batch2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // near/exact dup of committed 1
+      (11L, "fresh novel text nothing has ever bucketed before"),
+      (12L, "fresh novel text nothing has ever bucketed before")  // intra-batch dup of 11
+    ).toDF("doc_id", "text")
+    val (s2, seen2) = DedupOps.incrementalNearDedup(batch2, seen1, "doc_id", "text")
+    val got = s2.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(11L), s"expected only the fresh hub to admit, got $got")
+    // the admitted hub's buckets are now committed: a third batch dup loses
+    val batch3 = Seq((20L, "fresh novel text nothing has ever bucketed before"))
+      .toDF("doc_id", "text")
+    val (s3, _) = DedupOps.incrementalNearDedup(batch3, seen2, "doc_id", "text")
+    assert(s3.count() == 0, "state advanced: batch-2 admission blocks batch-3 dups")
+  }
+
   test("duplicated spans: cross-doc spans surface; within-doc and unique spans don't") {
     val spanDocs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta tail one"),
