@@ -1305,6 +1305,50 @@ object QueriesLlm {
           |  ON b2.fingerprint = seen.fingerprint
           |WHERE seen.fingerprint IS NULL""".stripMargin))),
 
+    Q("llm_mix_report",
+      // The training-mix dashboard rollup: per (lang, source) cell — doc
+      // count, token sum, quality-pass count and rate in ppm. One pass,
+      // one partial-aggregated groupBy; the quality predicate is the
+      // llm_quality_filter gate inlined so the report and the filter can
+      // never drift apart.
+      (s, d) => {
+        val based = TextOps.withNormToks(Tables.documents(s, d), "text")
+        val nTokens = when(length(col("_norm")) === 0, 0L)
+          .otherwise(size(col("_toks")).cast("long"))
+        val meanWordLen = (length(col("_norm")) - size(col("_toks")) + 1)
+          .cast("double") / size(col("_toks"))
+        val punctRatio = (length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+          .cast("double") / length(col("text"))
+        val keep = size(col("_toks")) >= 10 &&
+          meanWordLen >= 2.0 && meanWordLen <= 12.0 && punctRatio < 0.2
+        based
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(nTokens).as("n_tokens"),
+            sum(when(keep, 1L).otherwise(0L)).as("n_keep"))
+          .withColumn("keep_ppm", expr("n_keep * 1000000 div n_docs"))
+      },
+      Some(withCtes(normDocsCte)(
+        """SELECT lang, source,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+          |       CAST(sum(CASE WHEN len(toks) >= 10
+          |                 AND (CAST(length(norm) - len(toks) + 1 AS DOUBLE) / len(toks)) >= 2.0
+          |                 AND (CAST(length(norm) - len(toks) + 1 AS DOUBLE) / len(toks)) <= 12.0
+          |                 AND (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+          |                      / length(text)) < 0.2
+          |            THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+          |       CAST(sum(CASE WHEN len(toks) >= 10
+          |                 AND (CAST(length(norm) - len(toks) + 1 AS DOUBLE) / len(toks)) >= 2.0
+          |                 AND (CAST(length(norm) - len(toks) + 1 AS DOUBLE) / len(toks)) <= 12.0
+          |                 AND (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+          |                      / length(text)) < 0.2
+          |            THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS keep_ppm
+          |FROM (SELECT t.doc_id, t.text, d.lang, d.source, t.norm, t.toks
+          |      FROM tok_docs t JOIN documents d USING (doc_id))
+          |GROUP BY 1, 2""".stripMargin))),
+
     Q("llm_incremental_neardedup",
       // Online near-dup admission: "yesterday" (split < 500) commits its
       // LSH band buckets; "today" is admitted doc-by-doc against that set
