@@ -771,6 +771,45 @@ object QueriesLlm {
         |  FROM assigned)
         |SELECT cluster, vec_id, draw_rank FROM ranked WHERE draw_rank <= 10""".stripMargin)),
 
+    Q("ann_quantization_error",
+      // Index-quality readout: per assigned cluster, member count and mean
+      // quantized squared-L2 to the centroid (floored to int64) — the
+      // metric that says when IVF/PQ codebooks need retraining. Broadcast
+      // argmax assignment (same plan as the IVF corpus side) + one
+      // partial-aggregated rollup; no window, no pairs.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cent = broadcast(emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv")))
+        val qd2 = Similarity.qdist2(col("v"), col("cv"))
+        emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+          .crossJoin(cent)
+          .withColumn("_cscore", Similarity.qdot(col("v"), col("cv")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("cid"), qd2.as("d2")),
+            struct(col("_cscore"), -col("cid"))).as("_a"))
+          .select(col("_a.cid").as("cluster"), col("_a.d2").as("d2"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            floor(avg(col("d2"))).cast("long").as("mean_d2"))
+      },
+      Some("""WITH quant AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM quant WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT vec_id, cid, d2 FROM (
+        |    SELECT q.vec_id, c.cid,
+        |           CAST(list_sum(list_transform(range(1,65), i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))) AS BIGINT) AS d2,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*c.cv[i])) AS BIGINT) DESC, c.cid) AS rn
+        |    FROM quant q CROSS JOIN cent c) WHERE rn = 1)
+        |SELECT cid AS cluster,
+        |       CAST(count(*) AS BIGINT) AS n_members,
+        |       CAST(floor(avg(d2)) AS BIGINT) AS mean_d2
+        |FROM assign GROUP BY 1""".stripMargin)),
+
     Q("ann_ivf_kmeans",
       // Production centroid path: one deterministic Lloyd refinement of the
       // first-4 seeds, then the same IVF probe/re-rank — the oracle mirrors
