@@ -252,9 +252,15 @@ object Similarity {
           // oracle mirrors this expression exactly).
           transform(col("_im"), x => floor(x.getField("_m") + 0.5).cast("long")).as("cv"))
       // Preserve centroids whose cluster emptied (left join keeps the old).
+      // localCheckpoint: the refined table is k rows but its lineage scans
+      // the full quantized corpus; [[ivfTopKWith]] consumes centroids in TWO
+      // broadcast builds (corpus assign + query probes), so an un-truncated
+      // Lloyd subtree would re-run the corpus scan per consumer — and per
+      // extra iteration the lineage would re-run all prior rounds.
       cent = cent.select(col("cid"), col("cv").as("_old"))
         .join(means, Seq("cid"), "left_outer")
         .select(col("cid"), coalesce(col("cv"), col("_old")).as("cv"))
+        .localCheckpoint(true)
     }
     cent
   }
