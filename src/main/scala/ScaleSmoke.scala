@@ -36,9 +36,13 @@ object ScaleSmoke {
           .otherwise(array_join(transform(split(col("text"), " "),
             t => concat(lit("c"), col("copy"), t)), " ")).as("text"))
     docs.cache(); val n = docs.count()
+    // SCALE_ONLY=substr1,substr2 runs only matching stages (A/B iteration).
+    val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSeq)
     def t(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scale] $name%-26s ${(System.nanoTime()-t0)/1e9}%7.2f s  ($r rows over $n docs)")
+      if (only.forall(_.exists(name.contains))) {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[scale] $name%-26s ${(System.nanoTime()-t0)/1e9}%7.2f s  ($r rows over $n docs)")
+      }
     }
     t("exact dedup")(DedupOps.exactDedup(docs, "doc_id", "text").count())
     t("minhash signatures")(DedupOps.minhashSignature(docs, "doc_id", "text", 8).count())
@@ -50,6 +54,14 @@ object ScaleSmoke {
     t("segment dedup")(DedupOps.dropBoilerplateSegments(docs, "doc_id", "text")
       .filter(length(col("cleaned_text")) >= 0).count())
     t("decontaminate")(DedupOps.decontaminate(docs, "doc_id", "text").count())
+    // A/B of the duplicated-spans shuffle-key trade-off: hash-keyed two-pass
+    // (8-byte shuffle keys + candidate-only text recovery) vs string-keyed
+    // single-pass. count() is safe here: the orderBy+limit forces the full
+    // aggregation either way.
+    t("dup spans (hash 2-pass)")(
+      DedupOps.duplicatedSpans(docs, "doc_id", "text").count())
+    t("dup spans (string 1-pass)")(
+      DedupOps.duplicatedSpansByString(docs, "doc_id", "text").count())
     t("chunk windows")(graft.ops.TextOps.chunkWindows(docs, "doc_id", "text").count())
     // The relay's export path at data scale: one full-sync cycle over an
     // outbox of `n/10` rows through encode → batch-number → executor-side

@@ -218,9 +218,13 @@ object QueriesLlm {
       (s, d) => {
         val based = TextOps.withNormToks(Tables.documents(s, d), "text")
           .withColumn("predicted", TextOps.predictedLangFromToks(col("_toks")))
+        // Checkpointed: the |langs|²-row matrix feeds BOTH the output join
+        // and the per-label totals — without the cut the tokenize+predict
+        // scan of every document runs once per consumer.
         val counts = based
           .groupBy(col("lang").as("labeled"), col("predicted"))
           .agg(count(lit(1)).as("n_docs"))
+          .localCheckpoint(true)
         val totals = counts.groupBy(col("labeled")).agg(sum(col("n_docs")).as("_t"))
         counts.join(totals, Seq("labeled"))
           .withColumn("share_ppm", expr("n_docs * 1000000 div _t"))

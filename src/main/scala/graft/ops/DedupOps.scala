@@ -220,8 +220,12 @@ object DedupOps {
     // (at 100 TB that second full pass would dominate the entire job).
     val candidateIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    // Materialized once: the shingle sets feed BOTH sides of the pair join;
+    // un-checkpointed, the semi-join + shingling aggregate runs per side.
+    // Bounded by the candidate set (vanishing vs the corpus), so the
+    // materialization is small by construction.
     val sets = shingleHashSets(docs.join(candidateIds, Seq(idCol), "left_semi"),
-      idCol, textCol)
+      idCol, textCol).localCheckpoint()
     def side(n: String) = sets
       .withColumnRenamed(idCol, s"id_$n").withColumnRenamed("shset", s"set_$n")
     pairs
@@ -439,18 +443,71 @@ object DedupOps {
     * grouped across the WHOLE corpus, keeping spans seen in more than one
     * document; top-k by occurrence count.
     *
-    * Scale shape: one Generate per doc (index-explode, flat `element_at`
-    * expressions — no HOF lambdas, same codegen rationale as
-    * [[shingleHashRows]]), one map-side-combined groupBy, then a
-    * TakeOrdered top-k (no global sort shuffle — each partition keeps k,
-    * the driver merges). The span STRING is the group key because the span
-    * must be REPORTED: grouping by a hash would need a join back to
-    * recover the text, i.e. a second corpus pass. Work is linear in corpus
-    * token count. The (n_occ, n_docs, span) ordering is total, so the
-    * limit boundary is deterministic — oracle-checkable. */
+    * Scale shape — TWO HASH-KEYED LINEAR PASSES: mostly-unique spans
+    * survive map-side partial aggregation as one shuffle row each, so the
+    * first corpus-wide groupBy keys on the seeded 8-byte `xxhash64` of the
+    * span instead of the ~50-byte span string (≈6× fewer shuffle bytes at
+    * the stage that dominates). The top-k candidate hashes (plus every
+    * hash TIED at the k-th (n_occ, n_docs) — so the final span-ordered
+    * boundary is identical to the string-keyed form's) are then broadcast
+    * into a second linear scan that recovers span text and exact counts.
+    * Grouping pass 2 by the TEXT also disambiguates any hash collision at
+    * the counting level; a collision can only inflate a candidate's
+    * pass-1 rank, never evict a true top-k span below the tie-inclusive
+    * threshold (~2⁻⁶⁴·|spans|² — the repo-wide accepted rate). Each pass
+    * is one Generate (index-explode, flat `element_at` expressions — no
+    * HOF lambdas, same codegen rationale as [[shingleHashRows]]) + one
+    * map-side-combined groupBy; top-k via TakeOrdered (no global sort).
+    * The second Generate re-scan is BY DESIGN: materializing the
+    * corpus-width span rows to share them would cost more than the
+    * linear re-read (allowlisted in the registry plan lint).
+    * [[duplicatedSpansByString]] keeps the single-pass string-keyed form
+    * for the ScaleSmoke A/B. Measured at 1M docs (ScaleSmoke, local[32]):
+    * 18.6 s hash-keyed vs 22.2 s string-keyed (−16%); the shuffle-byte
+    * win grows with span width and corpus size. */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       width: Int = 8, topK: Int = 50): DataFrame = {
     require(width >= 2, "a span needs at least 2 tokens")
+    val rows = spanRows(docs, idCol, textCol, width)
+    val hashed = rows.select(col(idCol),
+      xxhash64(lit(SpanHashSeed), col("span")).as("_h"))
+    val byHash = hashed
+      .groupBy(col("_h"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      // Materialized once: the k-th-rank probe AND the candidate filter
+      // both consume it; bounded by DUPLICATED span hashes (n_docs > 1),
+      // a vanishing fraction of the corpus — re-running the corpus-wide
+      // pass-1 aggregate per consumer would not be.
+      .localCheckpoint()
+    // The weakest (n_occ, n_docs) among the top-k hashes; keeping
+    // everything at-or-above it keeps all boundary ties. NULL (no
+    // qualifying hash at all) keeps nothing — vacuously right.
+    val kth = byHash.orderBy(col("n_occ").desc, col("n_docs").desc).limit(topK)
+      .agg(min(struct(col("n_occ"), col("n_docs"))).as("_kth"))
+    val candidates = byHash.crossJoin(broadcast(kth))
+      .filter(struct(col("n_occ"), col("n_docs")) >= col("_kth"))
+      .select(col("_h"))
+    spanRows(docs, idCol, textCol, width)
+      .withColumn("_h", xxhash64(lit(SpanHashSeed), col("span")))
+      .join(broadcast(candidates), Seq("_h"), "left_semi")
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_occ").desc, col("n_docs").desc, col("span"))
+      .limit(topK)
+  }
+
+  /** Seed for the internal span hash (round-4 rule a: oracle-invisible
+    * hashes are seeded xxhash64, never sha). */
+  private val SpanHashSeed = 0x5bd1e995
+
+  /** One row per `width`-token window: (idCol, span). Shared by both
+    * [[duplicatedSpans]] passes and the string-keyed reference form. */
+  private def spanRows(docs: DataFrame, idCol: String, textCol: String,
+                       width: Int): DataFrame = {
     val span = concat_ws(" ",
       (1 to width).map(o => expr(s"element_at(_toks, _idx + $o)")): _*)
     docs.repartition(col(idCol))
@@ -459,6 +516,16 @@ object DedupOps {
       .select(col(idCol), col("_toks"),
         explode(sequence(lit(0), size(col("_toks")) - width)).as("_idx"))
       .select(col(idCol), span.as("span"))
+  }
+
+  /** The single-pass STRING-KEYED form of [[duplicatedSpans]] — one corpus
+    * groupBy keyed by the span text. Identical output; kept as the
+    * ScaleSmoke A/B reference for the shuffle-byte trade-off documented on
+    * the two-pass form. */
+  def duplicatedSpansByString(docs: DataFrame, idCol: String, textCol: String,
+                              width: Int = 8, topK: Int = 50): DataFrame = {
+    require(width >= 2, "a span needs at least 2 tokens")
+    spanRows(docs, idCol, textCol, width)
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col(idCol)).as("n_docs"),
@@ -554,7 +621,12 @@ object DedupOps {
     def canon(df: DataFrame): DataFrame = df
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    var edges = canon(pairs.select(col(aCol).as("a"), col(bCol).as("b")))
+    // One materialization of the input edge list: it seeds the contraction
+    // AND rebuilds the node set at the end (canon drops self-loops, so the
+    // node set cannot be recovered from the contracted edges) — without the
+    // cut the caller's whole candidate pipeline runs once per consumer.
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    var edges = canon(p)
       .localCheckpoint()
     def directed(e: DataFrame): DataFrame =
       e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -601,13 +673,17 @@ object DedupOps {
     if (!converged || badLeaf > 0 || badRoot > 0) throw new IllegalStateException(
       s"connectedComponentsStar not a star set after $i rounds " +
         s"(converged=$converged badLeaf=$badLeaf badRoot=$badRoot)")
+    // Checkpointed: the label table feeds the output union AND the
+    // singleton anti-join below — the distinct would otherwise re-shuffle
+    // per consumer.
     val starLabels = edges.select(col("b").as("node"), col("a").as("label"))
       .union(edges.select(col("a").as("node"), col("a").as("label")).distinct())
+      .localCheckpoint()
     // canon() drops self-loops, so a node whose only pairs are (n, n) has
     // no star edge — restore it as its own singleton cluster to keep the
     // "every node appearing in pairs" contract propagation honors.
-    val allNodes = pairs.select(col(aCol).as("node"))
-      .union(pairs.select(col(bCol).as("node"))).distinct()
+    val allNodes = p.select(col("a").as("node"))
+      .union(p.select(col("b").as("node"))).distinct()
     starLabels.unionByName(
       allNodes.join(starLabels.select(col("node")), Seq("node"), "left_anti")
         .withColumn("label", col("node")))

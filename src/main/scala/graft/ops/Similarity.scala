@@ -324,9 +324,13 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 4, ksub: Int = 8, dim: Int = 64): DataFrame = {
     require(dim % m == 0, "dim must divide into m subspaces")
+    // Checkpoint the seeded codebook: pqTopKWith broadcasts it on BOTH the
+    // encode and LUT sides, and the m·ksub·dsub-row table is trivial to
+    // materialize vs re-running its filtered scan + explode per consumer
+    // (the trained path three definitions down already does the same).
     pqTopKWith(corpus, queries,
       subElements(corpus.filter(col("vec_id") < ksub), "code", dim / m)
-        .withColumnRenamed("q", "cq"), k, dim / m)
+        .withColumnRenamed("q", "cq").localCheckpoint(true), k, dim / m)
   }
 
   /** Quantized SUB-vector elements as rows: (id, s = subspace, j = index

@@ -70,6 +70,57 @@ class RegisteredQueriesSpec extends SparkSpec {
     * registration; a codegen'd native Expression variant also exists). */
   private val udfAllowed = Set("f5_gzip_roundtrip")
 
+  /** Queries ALLOWED a duplicated expensive subtree: bucketed SELF-JOINS,
+    * where both sides derive from one keyed table. The shuffle below the
+    * duplicate is canonically identical on both sides (AQE reuses the
+    * exchange), so the recompute is one in-memory final-agg pass per side —
+    * cheaper at corpus scale than materializing the whole keyed table,
+    * which is what a checkpoint would do. Everything else that computes a
+    * subtree twice must localCheckpoint it (round-4 rule d; bitten twice:
+    * r4 dedup survivors, r5 ann_ivf_kmeans). */
+  private val dupSubtreeAllowed = Set(
+    // banded interval self-join: both sides explode the same probe onto
+    // time buckets; materializing the exploded table costs MORE than the
+    // second linear scan+explode, and the bucket-key shuffle is the shape
+    // that survives 100 TB (StateOps.intervalOverlaps).
+    "j5_interval_overlap",
+    // bucketed embedding self-join: both sides derive from the keyed
+    // corpus; the shuffle below the duplicate is canonically identical
+    // (AQE reuses the exchange), so the recompute is one in-memory
+    // final-agg pass per side — cheaper than materializing a second
+    // corpus-scale copy (Similarity.embeddingNearDup).
+    "dedup_embedding",
+    // two-pass hash-keyed span mining: pass 2 re-runs the linear span
+    // Generate to recover candidate text — by design, since materializing
+    // the corpus-width span rows would cost more than the second linear
+    // scan (DedupOps.duplicatedSpans).
+    "llm_dup_spans")
+
+  test("plan lint v2: no duplicated expensive subtrees (shared work must be checkpointed)") {
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def expensive(p: SparkPlan): Boolean = p match {
+      case _: GenerateExec | _: BaseAggregateExec | _: BaseJoinExec => true
+      case _ => false
+    }
+    val violations = SparkEntry.allQueries.flatMap { q =>
+      val phys = q.run(spark, sfDir).queryExecution.sparkPlan
+      val dupCanons = phys.collectWithSubqueries { case p if expensive(p) => p }
+        .groupBy(_.canonicalized).filter(_._2.size >= 2).keys.toSeq
+      // Report only MAXIMAL duplicated subtrees: a duplicated aggregate
+      // inside a duplicated join is the same root cause once.
+      val maximal = dupCanons.filterNot(c =>
+        dupCanons.exists(o => (o ne c) && o != c && o.find(_ == c).isDefined))
+      if (maximal.nonEmpty && !dupSubtreeAllowed(q.name))
+        Some(s"${q.name}: ${maximal.size} duplicated expensive subtree(s), e.g. " +
+          maximal.head.nodeName + " — a shared DataFrame consumed by 2+ plan " +
+          "branches recomputes per consumer; localCheckpoint it")
+      else None
+    }
+    assert(violations.isEmpty, "duplicated-subtree violations:\n" + violations.mkString("\n"))
+  }
+
   test("plan lint: no cartesian products, no interpreted UDFs, no data-scale global windows") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.joins.CartesianProductExec

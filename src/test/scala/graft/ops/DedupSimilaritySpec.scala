@@ -327,6 +327,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == naive, s"operator disagrees with naive on ${got.size} vs ${naive.size} spans")
   }
 
+  test("duplicated spans: hash-keyed two-pass equals string-keyed form at a tied boundary") {
+    // Tiny vocab → many spans share identical (n_occ, n_docs), so a small
+    // topK lands INSIDE a tie group — exactly the boundary where a
+    // hash-ordered candidate cut would diverge from the span-ordered
+    // contract if the tie-inclusive threshold were wrong.
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("a", "b", "c")
+    val docs = (1 to 60).map { i =>
+      (i.toLong, (0 until (5 + rnd.nextInt(10))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (k <- Seq(1, 3, 7, 1000)) {
+      val hashed = DedupOps.duplicatedSpans(docs, "doc_id", "text", width = 3, topK = k)
+        .collect().map(_.toSeq).toSeq
+      val strung = DedupOps.duplicatedSpansByString(docs, "doc_id", "text", width = 3, topK = k)
+        .collect().map(_.toSeq).toSeq
+      assert(hashed == strung, s"forms diverge at topK=$k")
+    }
+  }
+
   test("source dup rollup: boilerplate-heavy source saturates, unique source at zero") {
     val srcDocs = Seq(
       (1L, "the same boilerplate sentence appears here", "feedA"),
