@@ -987,6 +987,29 @@ object QueriesLlm {
         |         AS resized_hash
         |FROM h60""".stripMargin)),
 
+    Q("mm_real_decode",
+      // REAL javax.imageio decode, oracle-checked: executors synthesize
+      // deterministic PNGs (plus every 7th id as an undecodable text
+      // payload), realDecodeMeta parses the actual headers, and DuckDB —
+      // which cannot decode images — just replays the generative formula.
+      // A decode that misreads a header lands off the formula and fails
+      // the hash compare.
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.syntheticImages(Tables.documents(s, d))
+        Multimodal.realDecodeMeta(media).toDF()
+          .select(col("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("format"), col("ok"))
+      },
+      Some("""SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 16 + doc_id % 32 END AS width,
+        |       CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 16 + doc_id % 24 END AS height,
+        |       CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'png' END AS format,
+        |       doc_id % 7 <> 0 AS ok
+        |FROM documents""".stripMargin)),
+
     Q("mm_frame_sample",
       (s, d) => {
         val media = Multimodal.asMedia(Tables.documents(s, d), "text", "image")

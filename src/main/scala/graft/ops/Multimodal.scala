@@ -124,6 +124,47 @@ object Multimodal {
   final case class DecodedMedia(doc_id: Long, width: Long, height: Long,
       frames: Int)
 
+  /** One synthetic media row. */
+  final case class SyntheticMedia(doc_id: Long, media: Array[Byte])
+
+  /** EXECUTOR-SIDE deterministic PNG synthesis keyed on the id column:
+    * width = 16 + id % 32, height = 16 + id % 24, pixels an id-seeded
+    * gradient, encoded by `ImageIO.write` on the executors. Every
+    * `corruptMod`-th id instead carries plain UTF-8 text — a deterministic
+    * UNDECODABLE payload, so the ok=false carry-through of
+    * [[realDecodeMeta]] is oracle-checkable too. The generative formula IS
+    * the recorded truth: the DuckDB oracle for `mm_real_decode` derives the
+    * same dimensions arithmetically and never decodes an image — the
+    * engine's `javax.imageio` decode must land on the formula's answer. */
+  def syntheticImages(df: DataFrame, idCol: String = "doc_id",
+      corruptMod: Int = 7)(
+      implicit enc: org.apache.spark.sql.Encoder[SyntheticMedia]): DataFrame =
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        if (corruptMod > 0 && id % corruptMod == 0)
+          SyntheticMedia(id, s"corrupt payload $id".getBytes("UTF-8"))
+        else {
+          val w = 16 + (id % 32).toInt
+          val h = 16 + (id % 24).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var x = 0
+          while (x < w) {
+            var y = 0
+            while (y < h) {
+              img.setRGB(x, y, (x * 31 + y * 17 + id.toInt) & 0xffffff)
+              y += 1
+            }
+            x += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          SyntheticMedia(id, bos.toByteArray)
+        }
+      }
+    }(enc).toDF()
+
   /** One REAL image-decode result; `ok = false` carries undecodable
     * payloads through instead of failing the job (a 100 TB corpus always
     * contains corrupt media — a throwing decode would kill the stage). */
