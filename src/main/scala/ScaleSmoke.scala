@@ -90,6 +90,42 @@ object ScaleSmoke {
       }
     }
 
+    // Control-state I/O at 32 tracked objects, tiny data ON PURPOSE: rows
+    // are small enough that watermark/pause table I/O dominates, so this
+    // measures exactly the thing that must NOT scale with object count.
+    // The per-object loop commits the O(objects) watermark table once per
+    // object (O(objects²) row writes per cycle); the batched cycle reads
+    // state once and commits once. Reported rows = store snapshot commits.
+    locally {
+      import graft.model.{EnvironmentConfig, SinkEndpoint, TrackingObject}
+      val objs = (0 until 32).map(i => TrackingObject(s"obj$i", "db0", "t", "sp"))
+      val cfg = EnvironmentConfig("prod", "postgres", objs,
+        Seq(SinkEndpoint("ep1", "http", "http://x/{object}/{batch}")))
+      val outbox = spark.range(200).select(
+        (col("id") + 1).as("id"), (col("id") + 1).as("xact_id"),
+        lit("I").as("operation"), (col("id") % 97).cast("double").as("value"),
+        concat(lit("""{"k":"""), col("id"), lit("}")).as("props"),
+        lit(null).cast("array<string>").as("changed")).cache()
+      outbox.count()
+      def fresh(): (graft.state.ParquetStateStore, graft.streaming.ChangeRelay) = {
+        val root = java.nio.file.Files.createTempDirectory("graft-relay-32")
+        val store = new graft.state.ParquetStateStore(spark, root.resolve("state").toString)
+        store.setWatermarks(objs.map(o => ("prod", o.name, 0L)))
+        (store, new graft.streaming.ChangeRelay(spark, store, cfg, None,
+          horizonOf = _ => Long.MaxValue))
+      }
+      t("relay 32-obj per-object commits") {
+        val (store, relay) = fresh()
+        objs.foreach(o => relay.runCycle(o, outbox, "20240115000000"))
+        store.commitCount
+      }
+      t("relay 32-obj batched cycle") {
+        val (store, relay) = fresh()
+        relay.runCycles(objs.map(_ -> outbox), "20240115000000")
+        store.commitCount
+      }
+    }
+
     val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val emb = emb0.crossJoin(spark.range(embCopies).withColumnRenamed("id", "c"))
       .select((col("vec_id") + col("c") * 10000000L).as("vec_id"), col("embedding"))

@@ -46,9 +46,15 @@ final class ParquetStateStore(spark: SparkSession, rootDir: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** Snapshot commits performed by this store instance — an observability
+    * counter specs assert per-cycle state-I/O invariants against (e.g. one
+    * watermark commit per multi-object cycle, not one per object). */
+  @volatile var commitCount: Long = 0L
+
   /** Commit a new snapshot: write v{n+1}, flip the pointer, GC old
     * versions (keeping one previous for concurrent readers). */
   def commit(name: String, df: DataFrame): Unit = {
+    commitCount += 1
     Files.createDirectories(tableRoot(name))
     val next = System.nanoTime().toString
     val dir = tableRoot(name).resolve(s"v$next")
@@ -82,9 +88,21 @@ final class ParquetStateStore(spark: SparkSession, rootDir: String) {
   def watermarks: DataFrame = read("watermarks", Schemas.watermarkSchema)
 
   /** J6 — the `INSERT … ON CONFLICT DO UPDATE` upsert. */
-  def setWatermark(env: String, obj: String, version: Long): Unit = {
+  def setWatermark(env: String, obj: String, version: Long): Unit =
+    setWatermarks(Seq((env, obj, version)))
+
+  /** J6 batched — the whole cycle's watermark advances in ONE snapshot
+    * commit. The per-object form rewrites the O(objects) table once per
+    * object per cycle — O(objects²) row writes per cycle; batching makes
+    * per-cycle watermark I/O one read + one write regardless of how many
+    * tracked objects advanced ([[graft.streaming.ChangeRelay.runCycles]]
+    * collects the cycle's advances and lands here). One `watermarkUpsert`
+    * merge handles the whole batch — update wins per (env, object),
+    * untouched rows survive. */
+  def setWatermarks(updates: Seq[(String, String, Long)]): Unit = {
+    if (updates.isEmpty) return
     import spark.implicits._
-    val update = Seq((env, obj, version))
+    val update = updates
       .toDF("environment_name", "object_name", "last_version")
       .withColumn("last_updated", current_timestamp())
     commit("watermarks", StateOps.watermarkUpsert(watermarks, update))

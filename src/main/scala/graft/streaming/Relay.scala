@@ -34,18 +34,60 @@ final class ChangeRelay(
 
   /** One micro-batch cycle for one object over the current change table.
     * Returns (rows exported, new watermark). */
-  def runCycle(obj: TrackingObject, changes: DataFrame, nowUtc: String): (Long, Long) = {
+  def runCycle(obj: TrackingObject, changes: DataFrame, nowUtc: String): (Long, Long) =
+    cycleCore(obj, changes, nowUtc,
+      lookup = o => store.getWatermark(config.name, o),
+      commitWm = (o, v) => store.setWatermark(config.name, o, v),
+      isPaused = (envScope, objScope) =>
+        store.pauses.filter(col("scope").isin(envScope, objScope)).limit(1).count() > 0)
+
+  /** EVERY tracked object of the environment in one polling cycle — the
+    * reference's per-cycle object loop (ChangeTrackingBackgroundService.cs
+    * ExecuteAsync iterates `environment.TrackingObjects` each interval) —
+    * with per-cycle CONTROL-STATE I/O made O(1) in the object count: the
+    * watermark and pause tables are each read ONCE up front, and every
+    * object's watermark advance lands in a single batched
+    * [[ParquetStateStore.setWatermarks]] snapshot commit at the end
+    * (per-object [[runCycle]] commits per call — O(objects) rewrites of an
+    * O(objects) table per cycle). At-least-once (T2) is unchanged: the
+    * batched commit still happens only AFTER every object's export attempt;
+    * a crash mid-cycle loses only un-committed advances, which re-poll —
+    * re-export, never loss. Returns per-object (rows exported, watermark). */
+  def runCycles(objects: Seq[(TrackingObject, DataFrame)],
+      nowUtc: String): Map[String, (Long, Long)] = {
+    val wm = store.watermarks
+      .select("environment_name", "object_name", "last_version").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pausedScopes = store.pauses.select("scope").as[String].collect().toSet
+    // Deferred advances, visible to later lookups in the same cycle.
+    val pending = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val results = objects.map { case (obj, changes) =>
+      obj.name -> cycleCore(obj, changes, nowUtc,
+        lookup = o => pending.get(o).orElse(wm.get((config.name, o))),
+        commitWm = (o, v) => pending(o) = v,
+        isPaused = (envScope, objScope) =>
+          pausedScopes.contains(envScope) || pausedScopes.contains(objScope))
+    }.toMap
+    store.setWatermarks(pending.toSeq.map { case (o, v) => (config.name, o, v) })
+    results
+  }
+
+  /** The cycle body with the control-state accesses injected, so the
+    * per-object and batched-cycle drivers share one implementation. */
+  private def cycleCore(obj: TrackingObject, changes: DataFrame, nowUtc: String,
+      lookup: String => Option[Long],
+      commitWm: (String, Long) => Unit,
+      isPaused: (String, String) => Boolean): (Long, Long) = {
     // P7 — pause scopes short-circuit before any work.
     val envScope = s"env:${config.name.toLowerCase}"
     val objScope = s"obj:${config.name.toLowerCase}/${obj.name.toLowerCase}"
-    val paused = store.pauses.filter(col("scope").isin(envScope, objScope)).limit(1).count() > 0
-    if (paused) {
-      val fv = store.getWatermark(config.name, obj.name).getOrElse(0L)
+    if (isPaused(envScope, objScope)) {
+      val fv = lookup(obj.name).getOrElse(0L)
       return (0L, fv)
     }
 
     // T8/S7/S8 — missing watermark re-initializes per InitialSyncMode.
-    val fromVersion = store.getWatermark(config.name, obj.name) match {
+    val fromVersion = lookup(obj.name) match {
       case Some(v) => v
       case None if obj.initialSyncMode.equalsIgnoreCase("Full") => 0L
       case None =>
@@ -53,7 +95,7 @@ final class ChangeRelay(
         // un-gated seed could skip rows of in-flight transactions forever.
         val seeded = Incremental.seed(changes, horizon = horizonOf(changes))
           .select("version").as[Long].head()
-        store.setWatermark(config.name, obj.name, seeded)
+        commitWm(obj.name, seeded)
         return (0L, seeded)
     }
 
@@ -134,7 +176,7 @@ final class ChangeRelay(
 
     // T2 — advance AFTER the export attempt, regardless of sink failures.
     if (newVersion > fromVersion)
-      store.setWatermark(config.name, obj.name, newVersion)
+      commitWm(obj.name, newVersion)
     (exported, newVersion)
   }
 

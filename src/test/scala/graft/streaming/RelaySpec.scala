@@ -68,6 +68,38 @@ class RelaySpec extends SparkSpec {
     assert(store.getWatermark("prod", "orders").contains(4L))
   }
 
+  test("batched multi-object cycle: ONE watermark commit, per-object semantics unchanged") {
+    val dir = tmp()
+    val store = new ParquetStateStore(spark, dir.resolve("state").toString)
+    val objs = (0 until 5).map(i => TrackingObject(s"o$i", "db0", "t", "sp"))
+    val fresh = TrackingObject("o5fresh", "db0", "t", "sp") // no watermark → seed path
+    val config = EnvironmentConfig("prod", "postgres", objs :+ fresh, Nil)
+    val exportTpl = dir.resolve("exports").toString + "/{object}/c-{batch}.json"
+    val relay = new ChangeRelay(spark, store, config, Some(exportTpl),
+      horizonOf = _ => 1000L)
+    store.setWatermarks(objs.map(o => ("prod", o.name, 0L)))
+    store.pause("obj:prod/o3", "maintenance", "ops")
+
+    val base = store.commitCount
+    val feeds = objs.zipWithIndex.map { case (o, i) =>
+      o -> outboxDf(Seq((i + 1L, 10L, "I", 1.0, s"""{"k":$i}""")))
+    } :+ (fresh -> outboxDf(Seq((7L, 10L, "I", 7.0, """{"k":7}"""), (8L, 11L, "U", 8.0, """{"k":8}"""))))
+    val res = relay.runCycles(feeds, "20240115000000")
+
+    // The whole cycle's advances — four exports + one seed — land in ONE
+    // snapshot commit; per-object runCycle would have committed five times.
+    assert(store.commitCount == base + 1,
+      s"expected one commit for the cycle, got ${store.commitCount - base}")
+    assert(res("o3") == (0L, 0L), "paused object must hold")
+    for (i <- Seq(0, 1, 2, 4))
+      assert(res(s"o$i") == (1L, i + 1L), s"o$i exported its row and advanced")
+    assert(res("o5fresh") == (0L, 8L), "seed records the frontier, emits nothing")
+    for (i <- Seq(0, 1, 2, 4))
+      assert(store.getWatermark("prod", s"o$i").contains(i + 1L))
+    assert(store.getWatermark("prod", "o3").contains(0L))
+    assert(store.getWatermark("prod", "o5fresh").contains(8L))
+  }
+
   test("at-least-once: failed sink dead-letters but the watermark still advances") {
     val dir = tmp()
     val store = new ParquetStateStore(spark, dir.resolve("state").toString)
