@@ -63,6 +63,21 @@ object ScaleSmoke {
     t("dup spans (string 1-pass)")(
       DedupOps.duplicatedSpansByString(docs, "doc_id", "text").count())
     t("chunk windows")(graft.ops.TextOps.chunkWindows(docs, "doc_id", "text").count())
+    // Skew A/B for the per-source rollup: a ~50-token boilerplate header on
+    // 10% of docs makes its shingles ~10% of ALL occurrences — the hot-key
+    // shape. The structured form joins (shingle, source) aggregates; the
+    // occurrence-grain reference piles the hot shingles into single tasks.
+    locally {
+      val bp = (1 to 48).map(i => s"boilerplate$i").mkString(" ")
+      val srcDocs = docs
+        .withColumn("src", concat(lit("feed"), pmod(col("doc_id"), lit(20))))
+        .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(lit(bp + " "), col("text"))).otherwise(col("text")))
+      t("source rollup (struct)")(
+        DedupOps.sourceDupRollup(srcDocs, "doc_id", "text", "src").count())
+      t("source rollup (by-occ)")(
+        DedupOps.sourceDupRollupByOcc(srcDocs, "doc_id", "text", "src").count())
+    }
     // The relay's export path at data scale: one full-sync cycle over an
     // outbox of `n/10` rows through encode → batch-number → executor-side
     // fan-out (a guarded HTTP endpoint; no files — disk would dominate).

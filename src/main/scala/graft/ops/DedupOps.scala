@@ -540,14 +540,51 @@ object DedupOps {
     * corpus-wide — the signal that ranks feeds/crawls by boilerplate
     * weight before sampling a training mix.
     *
-    * Two linear passes over the shingle rows (occurrence list, per-shingle
-    * doc counts) hash-joined on the shingle hash, then one rollup on the
-    * source — no doc×doc work. The shingle pass is materialized once
-    * (localCheckpoint): both the doc-count aggregate and the occurrence
-    * join consume it, and without the cut the plan re-runs the
-    * shingle+sha pass per consumer (the round-4 shared-subtree rule). */
+    * Scale shape — SKEW-IMMUNE BY STRUCTURE: the occurrence list is
+    * pre-aggregated to one row per (shingle, source) BEFORE it joins the
+    * per-shingle doc counts, so the `_h` join never sees occurrence rows
+    * at all. Boilerplate shingles are hot by definition (a header half a
+    * crawl shares can be 10% of ALL occurrences); joining at occurrence
+    * grain would pile every hot-key row into one task — the mega-partition
+    * AQE's OptimizeSkewedJoin exists to split. Here the hot shingle
+    * contributes at most |sources| rows to the join and the skew is
+    * absorbed by the map-side combine of a plain count (each mapper emits
+    * one row per (shingle, source) it saw — no reducer hot key, no AQE
+    * dependence). countDistinct's distinct expansion is likewise
+    * partial-merged map-side after its uniform (_h, id) shuffle, so no
+    * stage anywhere concentrates a hot shingle. Rollup arithmetic moves to
+    * sums of the pre-counts: sum(n_occ) ≡ count(*), sum(n_occ | _nd>1) ≡
+    * count of dup occurrences — output identical to occurrence grain
+    * ([[sourceDupRollupByOcc]] keeps that form for the ScaleSmoke A/B;
+    * measured at 1M docs with a 10%-of-occurrences mega-shingle:
+    * see BENCHNOTES).
+    *
+    * The shingle pass is materialized once (localCheckpoint): both the
+    * doc-count aggregate and the (shingle, source) aggregate consume it
+    * (round-4 shared-subtree rule). */
   def sourceDupRollup(docs: DataFrame, idCol: String, textCol: String,
                       srcCol: String): DataFrame = {
+    val occ = shingleHashRows(docs, idCol, textCol).localCheckpoint()
+    val perShingleDocs = occ.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+    val perShingleSource = occ
+      .join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
+      .groupBy(col("_h"), col(srcCol))
+      .agg(count(lit(1)).as("_n_occ"))
+    perShingleSource.join(perShingleDocs, Seq("_h"))
+      .groupBy(col(srcCol))
+      .agg(sum(col("_n_occ")).as("n_shingle_occ"),
+        sum(when(col("_nd") > 1, col("_n_occ")).otherwise(0L)).as("n_dup_occ"))
+      .withColumn("dup_ppm", expr("n_dup_occ * 1000000 div n_shingle_occ"))
+  }
+
+  /** The OCCURRENCE-GRAIN form of [[sourceDupRollup]] — per-shingle doc
+    * counts joined onto every occurrence row, then one rollup. Identical
+    * output; kept as the ScaleSmoke A/B reference for the skew trade-off
+    * documented on the structured form (a hot shingle lands all its
+    * occurrence rows in one join task here). */
+  def sourceDupRollupByOcc(docs: DataFrame, idCol: String, textCol: String,
+                           srcCol: String): DataFrame = {
     val occ = shingleHashRows(docs, idCol, textCol).localCheckpoint()
     val perShingleDocs = occ.groupBy(col("_h"))
       .agg(countDistinct(col(idCol)).as("_nd"))

@@ -360,6 +360,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got("feedA")._1 == 8L, "2 docs x 4 shingles of a 6-token text")
   }
 
+  test("source dup rollup: skew-immune form equals occurrence-grain form under a mega-shingle") {
+    // One boilerplate sentence shared by 40% of docs — its shingles are the
+    // hot keys that would pile every occurrence row into one join task at
+    // occurrence grain. The structured form must (a) produce identical
+    // output and (b) join ONLY pre-aggregated inputs, plan-pinned below.
+    val rnd = new scala.util.Random(41)
+    val bp = "subscribe to our newsletter for updates terms of service apply"
+    val docs = (1 to 200).map { i =>
+      val tail = (0 until 6).map(_ => s"w${rnd.nextInt(5000)}").mkString(" ")
+      val text = if (i % 5 < 2) s"$bp $tail" else tail
+      (i.toLong, text, s"feed${i % 4}")
+    }.toDF("doc_id", "text", "source")
+    val fast = DedupOps.sourceDupRollup(docs, "doc_id", "text", "source")
+    val slow = DedupOps.sourceDupRollupByOcc(docs, "doc_id", "text", "source")
+    assert(fast.orderBy("source").collect().toSeq ==
+      slow.orderBy("source").collect().toSeq, "forms must be value-identical")
+
+    // Plan pin: the _h join consumes AGGREGATES on both sides (hot shingle
+    // ≤ |sources| rows), i.e. some join has an aggregate in BOTH child
+    // subtrees — exactly what the occurrence-grain form lacks.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def aggOnBothSides(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.sparkPlan.collect { case j: BaseJoinExec => j }.exists(j =>
+        j.children.forall(_.exists(_.isInstanceOf[BaseAggregateExec])))
+    assert(aggOnBothSides(fast), "structured form must join pre-aggregated sides")
+    assert(!aggOnBothSides(slow), "occurrence-grain reference keeps raw rows on one side")
+  }
+
   test("PQ top-k: codebook vectors are their own codes; duplicates tie exactly") {
     // dim=4, m=2 subspaces, codebook = first 2 vectors. Vector 3 duplicates
     // vector 0, vector 4 is near vector 1.
