@@ -996,7 +996,10 @@ object QueriesLlm {
       // the hash compare.
       (s, d) => {
         import s.implicits._
-        val media = Multimodal.syntheticImages(Tables.documents(s, d))
+        // A fifth of the corpus: enough rows to prove executor-side decode
+        // at every sf, without PNG synthesis dominating the bench.
+        val media = Multimodal.syntheticImages(
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 0))
         Multimodal.realDecodeMeta(media).toDF()
           .select(col("doc_id"),
             col("width").cast("long").as("width"),
@@ -1008,7 +1011,7 @@ object QueriesLlm {
         |       CASE WHEN doc_id % 7 = 0 THEN -1 ELSE 16 + doc_id % 24 END AS height,
         |       CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'png' END AS format,
         |       doc_id % 7 <> 0 AS ok
-        |FROM documents""".stripMargin)),
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin)),
 
     Q("mm_frame_sample",
       (s, d) => {
