@@ -63,20 +63,20 @@ object ScaleSmoke {
     t("dup spans (string 1-pass)")(
       DedupOps.duplicatedSpansByString(docs, "doc_id", "text").count())
     t("chunk windows")(graft.ops.TextOps.chunkWindows(docs, "doc_id", "text").count())
-    // Skew A/B for the per-source rollup: a ~50-token boilerplate header on
-    // 10% of docs makes its shingles ~10% of ALL occurrences — the hot-key
-    // shape. The structured form joins (shingle, source) aggregates; the
-    // occurrence-grain reference piles the hot shingles into single tasks.
+    // Per-source rollup under a hot-key fixture: a ~50-token boilerplate
+    // header on 10% of docs concentrates those shingles' occurrence rows
+    // into few `_h` join partitions (AQE skew-split territory at scale).
     locally {
       val bp = (1 to 48).map(i => s"boilerplate$i").mkString(" ")
       val srcDocs = docs
         .withColumn("src", concat(lit("feed"), pmod(col("doc_id"), lit(20))))
         .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 0,
           concat(lit(bp + " "), col("text"))).otherwise(col("text")))
-      t("source rollup (struct)")(
-        DedupOps.sourceDupRollup(srcDocs, "doc_id", "text", "src").count())
-      t("source rollup (by-occ)")(
-        DedupOps.sourceDupRollupByOcc(srcDocs, "doc_id", "text", "src").count())
+      // threshold 5000: the bp shingles (~10k occurrences at 100k docs,
+      // ~100k at 1M) go hot; ordinary dup shingles stay cold.
+      t("source rollup")(
+        DedupOps.sourceDupRollup(srcDocs, "doc_id", "text", "src",
+          hotOccThreshold = 5000L).count())
     }
     // The relay's export path at data scale: one full-sync cycle over an
     // outbox of `n/10` rows through encode → batch-number → executor-side

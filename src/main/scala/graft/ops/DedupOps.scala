@@ -540,57 +540,79 @@ object DedupOps {
     * corpus-wide — the signal that ranks feeds/crawls by boilerplate
     * weight before sampling a training mix.
     *
-    * Scale shape — SKEW-IMMUNE BY STRUCTURE: the occurrence list is
-    * pre-aggregated to one row per (shingle, source) BEFORE it joins the
-    * per-shingle doc counts, so the `_h` join never sees occurrence rows
-    * at all. Boilerplate shingles are hot by definition (a header half a
-    * crawl shares can be 10% of ALL occurrences); joining at occurrence
-    * grain would pile every hot-key row into one task — the mega-partition
-    * AQE's OptimizeSkewedJoin exists to split. Here the hot shingle
-    * contributes at most |sources| rows to the join and the skew is
-    * absorbed by the map-side combine of a plain count (each mapper emits
-    * one row per (shingle, source) it saw — no reducer hot key, no AQE
-    * dependence). countDistinct's distinct expansion is likewise
-    * partial-merged map-side after its uniform (_h, id) shuffle, so no
-    * stage anywhere concentrates a hot shingle. Rollup arithmetic moves to
-    * sums of the pre-counts: sum(n_occ) ≡ count(*), sum(n_occ | _nd>1) ≡
-    * count of dup occurrences — output identical to occurrence grain
-    * ([[sourceDupRollupByOcc]] keeps that form for the ScaleSmoke A/B;
-    * measured at 1M docs with a 10%-of-occurrences mega-shingle:
-    * see BENCHNOTES).
+    * Linear passes over the shingle rows hash-joined on the shingle hash,
+    * then one rollup on the source — no doc×doc work. The shingle pass is
+    * materialized once (localCheckpoint, round-4 shared-subtree rule).
     *
-    * The shingle pass is materialized once (localCheckpoint): both the
-    * doc-count aggregate and the (shingle, source) aggregate consume it
-    * (round-4 shared-subtree rule). */
+    * HOT-KEY HANDLING IS A TWO-PATH JOIN, not AQE: boilerplate shingles
+    * are hot by definition (a crawl header can be 1% of all occurrences),
+    * and the count join's build side is an AGGREGATE — AQE's
+    * OptimizeSkewedJoin only matches SMJ(Sort(ShuffleRead), ...), so it
+    * structurally DECLINES to split here (verified in DedupSimilaritySpec
+    * by forcing the skew thresholds and watching the single-join form
+    * keep its mega-partition). Instead: exact hot keys from a skew-safe
+    * count(*) (map-side combine → one row per mapper per key), hot
+    * occurrences joined MAP-ONLY against the broadcast hot-count table,
+    * cold occurrences hash-joined with every hot key removed from both
+    * sides. Every shuffle in the operator is skew-free by construction,
+    * deterministically — no runtime re-plan dependence. With no key above
+    * `hotOccThreshold` the hot branches are empty and the cost over the
+    * plain join is one extra map-side-combined aggregate pass.
+    *
+    * Two other "improvements" were built, MEASURED AT TWO SCALES, and
+    * REJECTED (full numbers in BENCHNOTES round 6) — kept as design
+    * record:
+    *   - pre-aggregating occurrences to (shingle, source) before the
+    *     join: −17% at 100k docs, then 10× WORSE at 1M (673 vs 66 s).
+    *     Mostly-unique (shingle, source) keys defeat partial aggregation —
+    *     the hash maps grow to tens of millions of entries, reduce
+    *     nothing, and spill.
+    *   - left-semi filtering occurrences against only `_nd > 1` shingles
+    *     before counting: a stage probe showed 99.85% of occurrence rows
+    *     SURVIVE the filter on natural text (3-token shingles repeat
+    *     across documents pervasively), so the "filter" pays two extra
+    *     occurrence-scale shuffles to remove nothing.
+    * Both died on the same lesson: an optimization premised on a data
+    * property ("shingles are mostly unique to a doc") must VERIFY that
+    * property at scale before it ships — the 100k-doc measurement alone
+    * endorsed both. */
   def sourceDupRollup(docs: DataFrame, idCol: String, textCol: String,
-                      srcCol: String): DataFrame = {
+                      srcCol: String,
+                      hotOccThreshold: Long = 2000000L): DataFrame = {
     val occ = shingleHashRows(docs, idCol, textCol).localCheckpoint()
-    val perShingleDocs = occ.groupBy(col("_h"))
-      .agg(countDistinct(col(idCol)).as("_nd"))
-    val perShingleSource = occ
-      .join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
-      .groupBy(col("_h"), col(srcCol))
-      .agg(count(lit(1)).as("_n_occ"))
-    perShingleSource.join(perShingleDocs, Seq("_h"))
-      .groupBy(col(srcCol))
-      .agg(sum(col("_n_occ")).as("n_shingle_occ"),
-        sum(when(col("_nd") > 1, col("_n_occ")).otherwise(0L)).as("n_dup_occ"))
-      .withColumn("dup_ppm", expr("n_dup_occ * 1000000 div n_shingle_occ"))
-  }
-
-  /** The OCCURRENCE-GRAIN form of [[sourceDupRollup]] — per-shingle doc
-    * counts joined onto every occurrence row, then one rollup. Identical
-    * output; kept as the ScaleSmoke A/B reference for the skew trade-off
-    * documented on the structured form (a hot shingle lands all its
-    * occurrence rows in one join task here). */
-  def sourceDupRollupByOcc(docs: DataFrame, idCol: String, textCol: String,
-                           srcCol: String): DataFrame = {
-    val occ = shingleHashRows(docs, idCol, textCol).localCheckpoint()
-    val perShingleDocs = occ.groupBy(col("_h"))
-      .agg(countDistinct(col(idCol)).as("_nd"))
-    occ.join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
-      .join(perShingleDocs, Seq("_h"))
-      .groupBy(col(srcCol))
+    // EXACT hot-key detection is itself skew-safe: a plain count(*)
+    // partial-aggregates map-side, so the mega-shingle contributes one row
+    // per mapper to its shuffle, never a hot reduce partition. The hot set
+    // (Zipf head above the threshold) is tiny — checkpoint it and
+    // broadcast it everywhere below.
+    val hotKeys = occ.groupBy(col("_h")).agg(count(lit(1)).as("_no"))
+      .filter(col("_no") >= hotOccThreshold).select(col("_h"))
+      .localCheckpoint()
+    // Hot/cold split happens ON THE CHECKPOINT LEAF via map-only
+    // broadcast filters, so each branch re-reads a local materialization
+    // (the lint's sanctioned duplicated-subtree shape — the "recompute"
+    // is a scan, never a shuffle). countDistinct's distinct expansion
+    // shuffles uniform (_h, id) pairs and partial-merges before the _h
+    // shuffle, so both count aggregates are skew-safe; the hot one
+    // additionally collapses to ≤|hot| rows per mapper.
+    val occHot = occ.join(broadcast(hotKeys), Seq("_h"))
+    val occCold = occ.join(broadcast(hotKeys), Seq("_h"), "left_anti")
+    def docCounts(part: DataFrame) = part
+      .groupBy(col("_h")).agg(countDistinct(col(idCol)).as("_nd"))
+    val srcOf = docs.select(col(idCol), col(srcCol))
+    // Cold path: the big 1:1 hash join with every hot key REMOVED from
+    // both sides — no partition can dwarf the median. Hot path: map-only
+    // broadcast join (a hot shingle's occurrence rows never shuffle on
+    // `_h` at all). The two id-joins cover DISJOINT row sets — two joins,
+    // one join's worth of data. AQE cannot rescue the single-join form:
+    // its OptimizeSkewedJoin only matches SMJ(Sort(ShuffleRead), ...),
+    // and this join's build side is an aggregate — verified by forcing
+    // the skew thresholds in DedupSimilaritySpec and watching it decline.
+    val joined = occCold.join(docCounts(occCold), Seq("_h"))
+      .join(srcOf, Seq(idCol))
+      .unionByName(occHot.join(broadcast(docCounts(occHot)), Seq("_h"))
+        .join(srcOf, Seq(idCol)))
+    joined.groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_shingle_occ"),
         sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_dup_occ"))
       .withColumn("dup_ppm", expr("n_dup_occ * 1000000 div n_shingle_occ"))

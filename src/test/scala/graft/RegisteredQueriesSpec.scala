@@ -94,7 +94,13 @@ class RegisteredQueriesSpec extends SparkSpec {
     // Generate to recover candidate text — by design, since materializing
     // the corpus-width span rows would cost more than the second linear
     // scan (DedupOps.duplicatedSpans).
-    "llm_dup_spans")
+    "llm_dup_spans",
+    // two-path hot/cold skew join: the hot and cold branches each re-apply
+    // a MAP-ONLY broadcast filter to the checkpointed shingle leaf (count
+    // input + join input) — the "recompute" is a local scan, never a
+    // shuffle, and materializing each branch would copy occurrence-scale
+    // data (DedupOps.sourceDupRollup).
+    "llm_source_dup")
 
   test("plan lint v2: no duplicated expensive subtrees (shared work must be checkpointed)") {
     import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}

@@ -360,33 +360,108 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got("feedA")._1 == 8L, "2 docs x 4 shingles of a 6-token text")
   }
 
-  test("source dup rollup: skew-immune form equals occurrence-grain form under a mega-shingle") {
-    // One boilerplate sentence shared by 40% of docs — its shingles are the
-    // hot keys that would pile every occurrence row into one join task at
-    // occurrence grain. The structured form must (a) produce identical
-    // output and (b) join ONLY pre-aggregated inputs, plan-pinned below.
-    val rnd = new scala.util.Random(41)
-    val bp = "subscribe to our newsletter for updates terms of service apply"
-    val docs = (1 to 200).map { i =>
-      val tail = (0 until 6).map(_ => s"w${rnd.nextInt(5000)}").mkString(" ")
-      val text = if (i % 5 < 2) s"$bp $tail" else tail
-      (i.toLong, text, s"feed${i % 4}")
-    }.toDF("doc_id", "text", "source")
-    val fast = DedupOps.sourceDupRollup(docs, "doc_id", "text", "source")
-    val slow = DedupOps.sourceDupRollupByOcc(docs, "doc_id", "text", "source")
-    assert(fast.orderBy("source").collect().toSeq ==
-      slow.orderBy("source").collect().toSeq, "forms must be value-identical")
+  test("source dup rollup: hot shingles take the broadcast path; AQE alone cannot split the count join") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    // plan.collect does NOT descend into query stages (their plan is an
+    // innerChild), so walk the adaptive tree explicitly. Inspect the
+    // Dataset that actually RAN (round-5 observe lesson: a derived
+    // orderBy has its own never-executed QueryExecution).
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other.children.flatMap(walk)
+    })
+    // Only substantial stages: a near-empty control exchange (e.g. the
+    // 4-row final rollup) has a ~zero median and would read as "skewed".
+    def worstSkew(nodes: Seq[SparkPlan]): Double = nodes.collect {
+      case s: ShuffleQueryStageExec
+        if s.mapStats.exists(m => m.bytesByPartitionId.length > 1 &&
+          m.bytesByPartitionId.sum > 32768) =>
+        val sizes = s.mapStats.get.bytesByPartitionId
+        sizes.max.toDouble / math.max(1L, sizes.sorted.apply(sizes.length / 2))
+    }.max
 
-    // Plan pin: the _h join consumes AGGREGATES on both sides (hot shingle
-    // ≤ |sources| rows), i.e. some join has an aggregate in BOTH child
-    // subtrees — exactly what the occurrence-grain form lacks.
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.joins.BaseJoinExec
-    def aggOnBothSides(df: org.apache.spark.sql.DataFrame): Boolean =
-      df.queryExecution.sparkPlan.collect { case j: BaseJoinExec => j }.exists(j =>
-        j.children.forall(_.exists(_.isInstanceOf[BaseAggregateExec])))
-    assert(aggOnBothSides(fast), "structured form must join pre-aggregated sides")
-    assert(!aggOnBothSides(slow), "occurrence-grain reference keeps raw rows on one side")
+    // ONE dominant shingle type: a single repeated token makes every
+    // 3-window of the hot text hash identically, so all its occurrence
+    // rows share one `_h`; the non-hot base is kept thin so the hot
+    // partition dwarfs the median even after LZ4 crushes the repetitive
+    // hot rows.
+    val rnd = new scala.util.Random(41)
+    val hotText = Seq.fill(62)("buy").mkString(" ")
+    val docs = (1 to 2000).map { i =>
+      val tail = (0 until 5).map(_ => s"w${rnd.nextInt(1000000)}").mkString(" ")
+      val text = if (i % 2 == 0) hotText else tail
+      (i.toLong, text, s"feed${i % 4}")
+    }.toDF("doc_id", "text", "source").localCheckpoint()
+
+    // Reference: the plain single-join form (occurrences x per-shingle
+    // counts) - the shape the operator abandoned BECAUSE AQE cannot split
+    // a join whose build side is an aggregate.
+    def singleJoin(d: DataFrame): DataFrame = {
+      val occ = DedupOps.shingleHashRows(d, "doc_id", "text").localCheckpoint()
+      val perShingleDocs = occ.groupBy($"_h").agg(countDistinct($"doc_id").as("_nd"))
+      occ.join(d.select($"doc_id", $"source"), Seq("doc_id"))
+        .join(perShingleDocs, Seq("_h"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_shingle_occ"),
+          sum(when($"_nd" > 1, 1L).otherwise(0L)).as("n_dup_occ"))
+        .withColumn("dup_ppm", expr("n_dup_occ * 1000000 div n_shingle_occ"))
+    }
+    val expected = singleJoin(docs).collect().toSeq.sortBy(_.getString(0))
+
+    // (1) AQE declination: with the skew thresholds forced low enough
+    // that the mega-partition is flagrant, OptimizeSkewedJoin still
+    // leaves the single-join form unsplit (its build side is an
+    // aggregate, not a ShuffleRead) - the structural gap the two-path
+    // operator exists to close.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      val sj = singleJoin(docs)
+      sj.collect()
+      val nodes = walk(sj.queryExecution.executedPlan)
+      val ratio = worstSkew(nodes)
+      assert(ratio > 2.0,
+        s"fixture must actually present a mega-partition (max/median $ratio)")
+      assert(!nodes.exists { case j: SortMergeJoinExec => j.isSkewJoin; case _ => false },
+        "expected AQE to DECLINE the split (join-above-aggregate shape); " +
+          "if Spark learns this, reconsider the two-path operator")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+
+    // (2) The two-path operator: value-identical to the reference both
+    // with a threshold that catches the hot key and with the all-cold
+    // default (empty hot set exercises the anti-join edge).
+    val twoPath = DedupOps.sourceDupRollup(docs, "doc_id", "text", "source",
+      hotOccThreshold = 100L)
+    val got = twoPath.collect().toSeq.sortBy(_.getString(0))
+    assert(got == expected, "two-path join must not change values")
+    assert(DedupOps.sourceDupRollup(docs, "doc_id", "text", "source")
+      .collect().toSeq.sortBy(_.getString(0)) == expected,
+      "empty hot set (default threshold) must also be value-identical")
+
+    // Plan pins for the hot run: a broadcast join carries the hot counts
+    // (map-only - hot occurrences never shuffle on _h), and NO remaining
+    // shuffle holds a mega-partition (every hot key was subtracted from
+    // the cold join's inputs).
+    val nodes2 = walk(twoPath.queryExecution.executedPlan)
+    assert(nodes2.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "hot path must be a broadcast join")
+    val worst = worstSkew(nodes2)
+    assert(worst < 2.0,
+      s"cold-path shuffles must be skew-free once hot keys are removed (worst max/median $worst)")
   }
 
   test("PQ top-k: codebook vectors are their own codes; duplicates tie exactly") {
