@@ -54,14 +54,14 @@ object ScaleSmoke {
     t("segment dedup")(DedupOps.dropBoilerplateSegments(docs, "doc_id", "text")
       .filter(length(col("cleaned_text")) >= 0).count())
     t("decontaminate")(DedupOps.decontaminate(docs, "doc_id", "text").count())
-    // A/B of the duplicated-spans shuffle-key trade-off: hash-keyed two-pass
-    // (8-byte shuffle keys + candidate-only text recovery) vs string-keyed
-    // single-pass. count() is safe here: the orderBy+limit forces the full
-    // aggregation either way.
-    t("dup spans (hash 2-pass)")(
-      DedupOps.duplicatedSpans(docs, "doc_id", "text").count())
+    // A/B that DECIDED the duplicated-spans shape: the one-pass string-
+    // keyed form beat the two-pass hash-keyed form 2x at 100k docs and
+    // 10x at 1M (same-run measurements — see duplicatedSpans scaladoc).
+    // count() is safe here: orderBy+limit forces the full aggregation.
     t("dup spans (string 1-pass)")(
-      DedupOps.duplicatedSpansByString(docs, "doc_id", "text").count())
+      DedupOps.duplicatedSpans(docs, "doc_id", "text").count())
+    t("dup spans (hash 2-pass)")(
+      DedupOps.duplicatedSpansHashKeyed(docs, "doc_id", "text").count())
     t("chunk windows")(graft.ops.TextOps.chunkWindows(docs, "doc_id", "text").count())
     // Per-source rollup under a hot-key fixture: a ~50-token boilerplate
     // header on 10% of docs concentrates those shingles' occurrence rows

@@ -443,54 +443,28 @@ object DedupOps {
     * grouped across the WHOLE corpus, keeping spans seen in more than one
     * document; top-k by occurrence count.
     *
-    * Scale shape — TWO HASH-KEYED LINEAR PASSES: mostly-unique spans
-    * survive map-side partial aggregation as one shuffle row each, so the
-    * first corpus-wide groupBy keys on the seeded 8-byte `xxhash64` of the
-    * span instead of the ~50-byte span string (≈6× fewer shuffle bytes at
-    * the stage that dominates). The top-k candidate hashes (plus every
-    * hash TIED at the k-th (n_occ, n_docs) — so the final span-ordered
-    * boundary is identical to the string-keyed form's) are then broadcast
-    * into a second linear scan that recovers span text and exact counts.
-    * Grouping pass 2 by the TEXT also disambiguates any hash collision at
-    * the counting level; a collision can only inflate a candidate's
-    * pass-1 rank, never evict a true top-k span below the tie-inclusive
-    * threshold (~2⁻⁶⁴·|spans|² — the repo-wide accepted rate). Each pass
-    * is one Generate (index-explode, flat `element_at` expressions — no
-    * HOF lambdas, same codegen rationale as [[shingleHashRows]]) + one
-    * map-side-combined groupBy; top-k via TakeOrdered (no global sort).
-    * The second Generate re-scan is BY DESIGN: materializing the
-    * corpus-width span rows to share them would cost more than the
-    * linear re-read (allowlisted in the registry plan lint).
-    * [[duplicatedSpansByString]] keeps the single-pass string-keyed form
-    * for the ScaleSmoke A/B. Measured at 1M docs (ScaleSmoke, local[32]):
-    * 18.6 s hash-keyed vs 22.2 s string-keyed (−16%); the shuffle-byte
-    * win grows with span width and corpus size. */
+    * Scale shape — ONE LINEAR PASS: one Generate (index-explode, flat
+    * `element_at` expressions — no HOF lambdas, same codegen rationale as
+    * [[shingleHashRows]]) + one map-side-combined groupBy keyed by the
+    * span TEXT, then TakeOrdered top-k (each partition keeps k, the
+    * driver merges — no global sort shuffle). The (n_occ, n_docs, span)
+    * ordering is total, so the limit boundary is deterministic.
+    *
+    * A hash-keyed TWO-pass variant ([[duplicatedSpansHashKeyed]], kept as
+    * the measured-and-rejected reference) was built on the theory that
+    * 8-byte shuffle keys beat ~50-byte span strings. Same-run ScaleSmoke
+    * A/Bs refuted it AT BOTH SCALES: 2× slower at 100k docs (11.0/17.6 s
+    * vs 5.0/6.5 s, two quiet runs) and 10× slower at 1M (1864 s vs
+    * 184 s) — the second Generate pass, the candidate checkpoint
+    * (deserialized row storage of millions of rows), and the second
+    * aggregation dwarf the shuffle-byte saving, and the gap WIDENS with
+    * scale. An earlier "−16% at 1M" reading that shipped the hash form
+    * came from an uncontrolled cross-run comparison — the round-6
+    * measurement-hygiene lesson (CLAUDE.md rule g). */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       width: Int = 8, topK: Int = 50): DataFrame = {
     require(width >= 2, "a span needs at least 2 tokens")
-    val rows = spanRows(docs, idCol, textCol, width)
-    val hashed = rows.select(col(idCol),
-      xxhash64(lit(SpanHashSeed), col("span")).as("_h"))
-    val byHash = hashed
-      .groupBy(col("_h"))
-      .agg(count(lit(1)).as("n_occ"), countDistinct(col(idCol)).as("n_docs"))
-      .filter(col("n_docs") > 1)
-      // Materialized once: the k-th-rank probe AND the candidate filter
-      // both consume it; bounded by DUPLICATED span hashes (n_docs > 1),
-      // a vanishing fraction of the corpus — re-running the corpus-wide
-      // pass-1 aggregate per consumer would not be.
-      .localCheckpoint()
-    // The weakest (n_occ, n_docs) among the top-k hashes; keeping
-    // everything at-or-above it keeps all boundary ties. NULL (no
-    // qualifying hash at all) keeps nothing — vacuously right.
-    val kth = byHash.orderBy(col("n_occ").desc, col("n_docs").desc).limit(topK)
-      .agg(min(struct(col("n_occ"), col("n_docs"))).as("_kth"))
-    val candidates = byHash.crossJoin(broadcast(kth))
-      .filter(struct(col("n_occ"), col("n_docs")) >= col("_kth"))
-      .select(col("_h"))
     spanRows(docs, idCol, textCol, width)
-      .withColumn("_h", xxhash64(lit(SpanHashSeed), col("span")))
-      .join(broadcast(candidates), Seq("_h"), "left_semi")
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col(idCol)).as("n_docs"),
@@ -504,8 +478,8 @@ object DedupOps {
     * hashes are seeded xxhash64, never sha). */
   private val SpanHashSeed = 0x5bd1e995
 
-  /** One row per `width`-token window: (idCol, span). Shared by both
-    * [[duplicatedSpans]] passes and the string-keyed reference form. */
+  /** One row per `width`-token window: (idCol, span). Shared by
+    * [[duplicatedSpans]] and the hash-keyed reference form. */
   private def spanRows(docs: DataFrame, idCol: String, textCol: String,
                        width: Int): DataFrame = {
     val span = concat_ws(" ",
@@ -518,14 +492,39 @@ object DedupOps {
       .select(col(idCol), span.as("span"))
   }
 
-  /** The single-pass STRING-KEYED form of [[duplicatedSpans]] — one corpus
-    * groupBy keyed by the span text. Identical output; kept as the
-    * ScaleSmoke A/B reference for the shuffle-byte trade-off documented on
-    * the two-pass form. */
-  def duplicatedSpansByString(docs: DataFrame, idCol: String, textCol: String,
-                              width: Int = 8, topK: Int = 50): DataFrame = {
+  /** The REJECTED two-pass hash-keyed form of [[duplicatedSpans]]: pass 1
+    * groups by seeded `xxhash64(span)` with a tie-inclusive top-k
+    * candidate cut (every hash tied at the k-th (n_occ, n_docs) is kept,
+    * so the span-ordered boundary matches the one-pass form exactly —
+    * spec-pinned at tied boundaries); pass 2 re-scans, semi-joins the
+    * broadcast candidates, and recovers text + exact counts (which also
+    * disambiguates any pass-1 hash collision). Identical output, measured
+    * 2× slower at 100k docs and 10× slower at 1M than the one-pass form
+    * (see [[duplicatedSpans]]) — kept ONLY as the A/B reference and as
+    * the worked example that narrow shuffle keys do not pay for a second
+    * corpus pass plus a candidate materialization. */
+  def duplicatedSpansHashKeyed(docs: DataFrame, idCol: String, textCol: String,
+                               width: Int = 8, topK: Int = 50): DataFrame = {
     require(width >= 2, "a span needs at least 2 tokens")
+    val rows = spanRows(docs, idCol, textCol, width)
+    val hashed = rows.select(col(idCol),
+      xxhash64(lit(SpanHashSeed), col("span")).as("_h"))
+    val byHash = hashed
+      .groupBy(col("_h"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .localCheckpoint()
+    // The weakest (n_occ, n_docs) among the top-k hashes; keeping
+    // everything at-or-above it keeps all boundary ties. NULL (no
+    // qualifying hash at all) keeps nothing — vacuously right.
+    val kth = byHash.orderBy(col("n_occ").desc, col("n_docs").desc).limit(topK)
+      .agg(min(struct(col("n_occ"), col("n_docs"))).as("_kth"))
+    val candidates = byHash.crossJoin(broadcast(kth))
+      .filter(struct(col("n_occ"), col("n_docs")) >= col("_kth"))
+      .select(col("_h"))
     spanRows(docs, idCol, textCol, width)
+      .withColumn("_h", xxhash64(lit(SpanHashSeed), col("span")))
+      .join(broadcast(candidates), Seq("_h"), "left_semi")
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col(idCol)).as("n_docs"),

@@ -90,11 +90,6 @@ class RegisteredQueriesSpec extends SparkSpec {
     // final-agg pass per side — cheaper than materializing a second
     // corpus-scale copy (Similarity.embeddingNearDup).
     "dedup_embedding",
-    // two-pass hash-keyed span mining: pass 2 re-runs the linear span
-    // Generate to recover candidate text — by design, since materializing
-    // the corpus-width span rows would cost more than the second linear
-    // scan (DedupOps.duplicatedSpans).
-    "llm_dup_spans",
     // two-path hot/cold skew join: the hot and cold branches each re-apply
     // a MAP-ONLY broadcast filter to the checkpointed shingle leaf (count
     // input + join input) — the "recompute" is a local scan, never a

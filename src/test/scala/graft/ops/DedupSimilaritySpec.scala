@@ -338,9 +338,9 @@ class DedupSimilaritySpec extends SparkSpec {
       (i.toLong, (0 until (5 + rnd.nextInt(10))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
     }.toDF("doc_id", "text")
     for (k <- Seq(1, 3, 7, 1000)) {
-      val hashed = DedupOps.duplicatedSpans(docs, "doc_id", "text", width = 3, topK = k)
+      val hashed = DedupOps.duplicatedSpansHashKeyed(docs, "doc_id", "text", width = 3, topK = k)
         .collect().map(_.toSeq).toSeq
-      val strung = DedupOps.duplicatedSpansByString(docs, "doc_id", "text", width = 3, topK = k)
+      val strung = DedupOps.duplicatedSpans(docs, "doc_id", "text", width = 3, topK = k)
         .collect().map(_.toSeq).toSeq
       assert(hashed == strung, s"forms diverge at topK=$k")
     }
