@@ -17,6 +17,11 @@ class RegisteredQueriesSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("the driver's entry smoke-check contract holds (rows > 0)") {
+    assert(SparkEntry.entry(spark).count() > 0,
+      "the driver smoke-checks entry() for non-empty output")
+  }
+
   test("registry names are unique and the registry is not shrinking") {
     val names = SparkEntry.allQueries.map(_.name)
     assert(names.distinct.size == names.size,
