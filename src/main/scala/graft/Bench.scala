@@ -14,8 +14,23 @@ object Bench {
     val spark = Harness.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
 
     // Untimed warmup: the first action pays JVM/codegen/classloading costs
-    // (~5 s) that would otherwise be attributed to an arbitrary query.
+    // (~5 s) that would otherwise be attributed to an arbitrary query. The
+    // second, SYNTHETIC query (spark.range — touches no bench table and no
+    // registered plan) additionally class-loads the machinery the entry
+    // query misses, which round-6's driver run showed spiking individual
+    // first-touch queries: the gzip UDF/Deflater path (f5 read 18.3 s cold),
+    // shuffle exchange + noop-write commit classes. Warming CLASSES, not
+    // timed queries, per the round-6 verdict's explicit line.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try {
+      import org.apache.spark.sql.functions._
+      spark.range(256)
+        .select(col("id"), graft.functions.Scalars.gunzip(
+          graft.functions.Scalars.gzip(concat(lit("warm"), col("id")).cast("binary"))).as("rt"),
+          sha2(concat(lit("w"), col("id")), 256).as("h"))
+        .groupBy(length(col("rt")).as("k")).agg(count(lit(1)).as("n"), max(col("h")))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
 
     // Optional subset (comma-separated names) + repeat count for controlled
     // A/B timing — per-query noise on a loaded machine is ±50%, so single
@@ -35,7 +50,10 @@ object Bench {
     }).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        // Small scan-dominated queries execute without AQE/codegen — the
+        // fixed floor dominates them and never amortizes (ExecPolicy).
+        graft.runtime.ExecPolicy.run(fn(spark, sfDir))(
+          _.write.format("noop").mode("overwrite").save())
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
@@ -50,9 +68,26 @@ object Bench {
     println(line)
     // The driver captures only a stdout TAIL (2000 chars — truncates ~40% of
     // the per-query map at 100+ queries); persist the complete line too.
+    // A pre-existing artifact's DuckDB pairing keys (written by
+    // tools/bench_duckdb.py) are carried over, so a bench rerun refreshes the
+    // Spark side without destroying the only per-query ratio record — running
+    // Bench and the pairing script in either order leaves one artifact with
+    // both sides.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
-    catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val merged = mapper.readTree(line).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val p = java.nio.file.Paths.get(outPath)
+      if (java.nio.file.Files.exists(p)) {
+        try {
+          val old = mapper.readTree(java.nio.file.Files.readString(p))
+          Seq("duckdb", "duckdb_total", "duckdb_errors", "worst_ratios").foreach { k =>
+            if (old.has(k) && !merged.has(k)) merged.set[com.fasterxml.jackson.databind.JsonNode](k, old.get(k))
+          }
+        } catch { case _: Exception => () } // unreadable old artifact: plain overwrite
+      }
+      java.nio.file.Files.writeString(p, mapper.writeValueAsString(merged) + "\n")
+    } catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

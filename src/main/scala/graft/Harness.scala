@@ -13,7 +13,7 @@ object Harness {
     * narrow pipelines parallelize like real file splits on a cluster),
     * UTC, Graft extensions registered. */
   def session(cpus: String): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", "4m")
@@ -21,7 +21,12 @@ object Harness {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    // Experiment hook: SPARK_GRAFT_CONF="k=v;k=v" overlays session confs so
+    // perf A/Bs (AQE on/off, codegen modes…) run the SAME binary — config
+    // deltas measured this way are attributable to the config alone.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim).filter(_.contains("="))
+      .foreach { kv => val i = kv.indexOf('='); b.config(kv.take(i), kv.drop(i + 1)) })
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

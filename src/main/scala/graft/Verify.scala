@@ -29,8 +29,12 @@ object Verify {
       spark.stop(); sys.exit(2)
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // Same small-query execution policy as Bench, so the correctness gate
+      // exercises the exact configuration the bench times (at sf0.01 nearly
+      // every scan-shaped query qualifies, so the interpreted + non-adaptive
+      // path is the one being oracle-checked for them).
+      try graft.runtime.ExecPolicy.run(fn(spark, sfDir).coalesce(1))(
+        _.write.mode("overwrite").parquet(s"$outDir/$name"))
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // Remove any STALE output from a previous run: overwrite never

@@ -1,0 +1,82 @@
+package graft.runtime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+import org.apache.spark.sql.catalyst.plans.logical.{CoGroup, DeserializeToObject, Expand, Generate, MapPartitions}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Small-query execution policy: run tiny scan-dominated queries without
+  * adaptive re-planning and without Janino codegen.
+  *
+  * Rationale (measured, FloorProfile same-JVM A/B at sf0.1): a control-table
+  * query pays ~0.5-1.0 s of per-query fixed floor, of which AQE contributes
+  * ~0.2-0.5 s (one extra job round + re-optimization per shuffle stage) and
+  * cold whole-stage codegen ~0.2-0.6 s (Janino, paid once per DISTINCT plan
+  * — a 112-query registry pays it 112 times). Neither amortizes on a
+  * kilobyte-scale input; this is the same economics as Postgres's
+  * `jit_above_cost` (JIT only above a cost threshold) and Spark's own
+  * `spark.sql.codegen.fallback` escape hatch. On a 100 TB input the policy
+  * never engages — it exists precisely so the engine does not tax the
+  * control-plane queries (watermarks, routing lookups, DLQ pages) that run
+  * between the big scans.
+  *
+  * "Small" is deliberately conservative — BOTH conditions must hold:
+  *   1. the sum of optimized-plan leaf sizes is below [[smallInputBytes]]
+  *      (unknown-stats leaves such as un-stat'd RDD scans default to
+  *      Long.MaxValue and therefore disqualify); and
+  *   2. the plan is scan-shaped: no row-multiplying operator (Generate,
+  *      Expand), no checkpointed intermediate (LogicalRDD — an iterative
+  *      pipeline's tail), no typed imperative node (MapPartitions /
+  *      DeserializeToObject / CoGroup — per-row JVM work like multimodal
+  *      decode), and no higher-order array function (embedding dot products
+  *      are compute-dense per input byte; interpreted eval would tax them).
+  *
+  * Input bytes are a proxy for OUTPUT/compute only on scan-shaped plans —
+  * condition 2 is what keeps the 594 KB documents table's shingle-explosion
+  * pipelines (11M+ intermediate rows from a sub-MB scan) on the full
+  * adaptive + codegen path.
+  */
+object ExecPolicy {
+
+  /** 8 MB: comfortably above the control fixtures (events at sf0.1 is
+    * 2.2 MB) and below the smallest data-path fact table the bench codegens
+    * (lineitem at sf0.1 is 10.8 MB). Override for A/Bs via
+    * SPARK_GRAFT_SMALL_INPUT_BYTES; 0 disables the policy. */
+  val smallInputBytes: Long =
+    sys.env.get("SPARK_GRAFT_SMALL_INPUT_BYTES").map(_.toLong).getOrElse(8L << 20)
+
+  private val smallConfs = Seq(
+    "spark.sql.adaptive.enabled" -> "false",
+    "spark.sql.codegen.wholeStage" -> "false",
+    "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+
+  def isSmall(df: DataFrame): Boolean = smallInputBytes > 0 && {
+    val plan = df.queryExecution.optimizedPlan
+    val disqualified = plan.exists {
+      case _: Generate | _: Expand | _: LogicalRDD => true
+      case _: MapPartitions | _: DeserializeToObject | _: CoGroup => true
+      case n => n.expressions.exists(_.exists(_.isInstanceOf[HigherOrderFunction]))
+    }
+    !disqualified &&
+      plan.collectLeaves().map(_.stats.sizeInBytes).sum < smallInputBytes
+  }
+
+  /** Run `action` on `df` under the small-query confs when it qualifies,
+    * restoring the session confs afterwards. The confs are read at physical
+    * planning, which for a fresh DataFrame happens inside `action` — callers
+    * must not force `executedPlan` before calling. Sequential use only (the
+    * confs are session-scoped while set); Bench and Verify run queries
+    * one at a time. */
+  def run[T](df: DataFrame)(action: DataFrame => T): T =
+    if (!isSmall(df)) action(df)
+    else {
+      val conf = df.sparkSession.conf
+      val saved = smallConfs.map { case (k, _) => k -> conf.getOption(k) }
+      smallConfs.foreach { case (k, v) => conf.set(k, v) }
+      try action(df)
+      finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None)    => conf.unset(k)
+      }
+    }
+}
