@@ -821,8 +821,8 @@ object QueriesLlm {
       // means, empty-cluster fallback) in SQL.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") < 5),
-            Similarity.kmeansCentroids(emb, k = 4, iterations = 1),
+        Similarity.ivfTopKArrays(emb, emb.filter(col("vec_id") < 5),
+            Similarity.kmeansCentroidArrays(emb, k = 4, iterations = 1),
             k = 10, nprobe = 2)
           .select(col("query_id"), col("rank").cast("long").as("rank"),
             col("vec_id"), col("score"), col("cluster"))

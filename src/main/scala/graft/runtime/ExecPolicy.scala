@@ -50,6 +50,14 @@ object ExecPolicy {
     "spark.sql.codegen.wholeStage" -> "false",
     "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
 
+  /** Compute-dense cutoff: a plan carrying more expression nodes than this
+    * is doing real per-row arithmetic (the fused ANN plans run 2-20k-node
+    * literal dot products), where interpreted eval costs 10-100× codegen —
+    * measured: the multiband BNL self-join went 2 s → 46 s when round 7's
+    * HOF-free rewrite let it slip under the old guard. Control queries sit
+    * at tens-to-hundreds of nodes. */
+  private val maxExprNodes = 1500L
+
   def isSmall(df: DataFrame): Boolean = smallInputBytes > 0 && {
     val plan = df.queryExecution.optimizedPlan
     val disqualified = plan.exists {
@@ -58,6 +66,7 @@ object ExecPolicy {
       case n => n.expressions.exists(_.exists(_.isInstanceOf[HigherOrderFunction]))
     }
     !disqualified &&
+      plan.map(n => n.expressions.map(_.map(_ => 1L).sum).sum).sum <= maxExprNodes &&
       plan.collectLeaves().map(_.stats.sizeInBytes).sum < smallInputBytes
   }
 

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+import org.apache.spark.sql.functions._
+
+/** Pins the small-corpus fused fast path of the ANN/embedding operators:
+  * value-identical to the exploded scale path, and the strategy flip itself
+  * (a corpus over the cap takes the Generate-shaped pipeline; a corpus
+  * under it takes the map-side literal-expression plan) — the same
+  * auto-selection contract llm_decontam_hash pins for decontaminate. */
+class AnnSmallPathSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def hasGenerate(df: DataFrame): Boolean = {
+    // sparkPlan, not executedPlan: AdaptiveSparkPlanExec hides its inner
+    // plan from .children until execution.
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(walk)
+    walk(df.queryExecution.sparkPlan).exists(_.isInstanceOf[GenerateExec])
+  }
+
+  test("embeddingNearDup: fused path equals the exploded path bit for bit") {
+    val small = Similarity.embeddingNearDup(emb, minCos = 0.2)
+    val large = Similarity.embeddingNearDup(emb, minCos = 0.2, smallCap = 0)
+    assert(rows(small) == rows(large))
+  }
+
+  test("embeddingNearDupMultiband: fused path equals the exploded path") {
+    val small = Similarity.embeddingNearDupMultiband(emb, minCos = 0.2)
+    val large = Similarity.embeddingNearDupMultiband(emb, minCos = 0.2, smallCap = 0)
+    assert(rows(small) == rows(large))
+  }
+
+  test("pqTopK: fused path equals the join path") {
+    val q = emb.filter(col("vec_id") < 5)
+    assert(rows(Similarity.pqTopK(emb, q, 10)) ==
+      rows(Similarity.pqTopK(emb, q, 10, smallCap = 0)))
+  }
+
+  test("pqTopKTrained: fused path equals the join path after one Lloyd round") {
+    val q = emb.filter(col("vec_id") < 5)
+    assert(rows(Similarity.pqTopKTrained(emb, q, 10)) ==
+      rows(Similarity.pqTopKTrained(emb, q, 10, smallCap = 0)))
+  }
+
+  test("strategy flip: under the cap the plan is map-shaped, over it the pipeline engages") {
+    val fused = Similarity.embeddingNearDup(emb, minCos = 0.2)
+    assert(!hasGenerate(fused),
+      "small corpus must take the literal-expression plan (no explode)")
+    val exploded = Similarity.embeddingNearDup(emb, minCos = 0.2, smallCap = 0)
+    assert(hasGenerate(exploded),
+      "over-cap corpus must take the exploded codegen pipeline")
+    // The probe is verifiable row-count, not a guess: a cap below the
+    // corpus row count must refuse the fast path.
+    assert(!Similarity.fitsSmallCorpus(emb, cap = 3))
+    assert(Similarity.fitsSmallCorpus(emb, cap = 1000000))
+  }
+}
