@@ -497,8 +497,13 @@ object DedupOps {
     * candidate cut (every hash tied at the k-th (n_occ, n_docs) is kept,
     * so the span-ordered boundary matches the one-pass form exactly —
     * spec-pinned at tied boundaries); pass 2 re-scans, semi-joins the
-    * broadcast candidates, and recovers text + exact counts (which also
-    * disambiguates any pass-1 hash collision). Identical output, measured
+    * broadcast candidates, and recovers text + exact counts (which
+    * disambiguates collisions among KEPT candidates — but a pass-1
+    * collision that merges sub-threshold spans can inflate the k-th cut
+    * and push a genuinely qualifying span's hash below the candidate
+    * line, so the top-k boundary is only collision-exact for hashes that
+    * survive the cut; at 100 TB span counts 64-bit birthday collisions
+    * are not negligible). Near-identical output, measured
     * 2× slower at 100k docs and 10× slower at 1M than the one-pass form
     * (see [[duplicatedSpans]]) — kept ONLY as the A/B reference and as
     * the worked example that narrow shuffle keys do not pay for a second
@@ -574,7 +579,15 @@ object DedupOps {
     * Both died on the same lesson: an optimization premised on a data
     * property ("shingles are mostly unique to a doc") must VERIFY that
     * property at scale before it ships — the 100k-doc measurement alone
-    * endorsed both. */
+    * endorsed both.
+    *
+    * CALLER CONTRACT: `docs` is evaluated up to three times (the shingle
+    * pass plus the hot- and cold-branch (id, source) joins) — pass a
+    * scan-backed or materialized DataFrame, as the registered query does
+    * (a parquet scan re-read is column-pruned to two columns and cheap;
+    * an expensive upstream pipeline should be checkpointed by the caller,
+    * who knows its cost — blanket-checkpointing |docs| rows here would
+    * tax the common scan-backed case for nothing). */
   def sourceDupRollup(docs: DataFrame, idCol: String, textCol: String,
                       srcCol: String,
                       hotOccThreshold: Long = 2000000L): DataFrame = {

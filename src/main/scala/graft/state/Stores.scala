@@ -48,13 +48,17 @@ final class ParquetStateStore(spark: SparkSession, rootDir: String) {
 
   /** Snapshot commits performed by this store instance — an observability
     * counter specs assert per-cycle state-I/O invariants against (e.g. one
-    * watermark commit per multi-object cycle, not one per object). */
-  @volatile var commitCount: Long = 0L
+    * watermark commit per multi-object cycle, not one per object).
+    * AtomicLong, not a @volatile var: commits arrive from Structured
+    * Streaming foreachBatch threads (StreamingDedup) and the driver thread
+    * concurrently, and += on a volatile is a lost-update race. */
+  private val commitCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  def commitCount: Long = commitCounter.get()
 
   /** Commit a new snapshot: write v{n+1}, flip the pointer, GC old
     * versions (keeping one previous for concurrent readers). */
   def commit(name: String, df: DataFrame): Unit = {
-    commitCount += 1
+    commitCounter.incrementAndGet()
     Files.createDirectories(tableRoot(name))
     val next = System.nanoTime().toString
     val dir = tableRoot(name).resolve(s"v$next")

@@ -61,15 +61,24 @@ final class ChangeRelay(
     val pausedScopes = store.pauses.select("scope").as[String].collect().toSet
     // Deferred advances, visible to later lookups in the same cycle.
     val pending = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val results = objects.map { case (obj, changes) =>
-      obj.name -> cycleCore(obj, changes, nowUtc,
-        lookup = o => pending.get(o).orElse(wm.get((config.name, o))),
-        commitWm = (o, v) => pending(o) = v,
-        isPaused = (envScope, objScope) =>
-          pausedScopes.contains(envScope) || pausedScopes.contains(objScope))
-    }.toMap
-    store.setWatermarks(pending.toSeq.map { case (o, v) => (config.name, o, v) })
-    results
+    // Flush in a finally: an exception on one object's export must not
+    // discard EARLIER objects' successful advances — without this, one
+    // failing object forces every object of the cycle to re-export next
+    // time (at-least-once still held, but duplicate amplification grew
+    // with object count; per-object runCycle confines re-export to the
+    // failing object, and so does this).
+    try {
+      objects.map { case (obj, changes) =>
+        obj.name -> cycleCore(obj, changes, nowUtc,
+          lookup = o => pending.get(o).orElse(wm.get((config.name, o))),
+          commitWm = (o, v) => pending(o) = v,
+          isPaused = (envScope, objScope) =>
+            pausedScopes.contains(envScope) || pausedScopes.contains(objScope))
+      }.toMap
+    } finally {
+      if (pending.nonEmpty)
+        store.setWatermarks(pending.toSeq.map { case (o, v) => (config.name, o, v) })
+    }
   }
 
   /** The cycle body with the control-state accesses injected, so the
