@@ -1013,6 +1013,35 @@ object QueriesLlm {
         |       doc_id % 7 <> 0 AS ok
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin)),
 
+    Q("mm_real_audio",
+      // REAL javax.sound.sampled decode, oracle-checked exactly like
+      // mm_real_decode: executors synthesize deterministic PCM WAVs (every
+      // 7th id an undecodable text payload), realDecodeAudio parses the
+      // actual RIFF headers AND scans the actual frames for the peak
+      // amplitude, and DuckDB — which cannot decode audio — replays the
+      // generative formula arithmetically. A decode that misreads the
+      // header, the endianness, or any sample lands off the formula and
+      // fails the hash compare.
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.syntheticWavs(
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 0))
+        Multimodal.realDecodeAudio(media).toDF()
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+        |idx AS (SELECT unnest(range(0, 192)) AS i),
+        |pk AS (
+        |  SELECT doc_id, max(abs((doc_id * 31 + i * 17) % 2003 - 1001)) AS peak
+        |  FROM ids, idx WHERE i < 64 + doc_id % 128 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CASE WHEN d.doc_id % 7 = 0 THEN -1 ELSE 8000 + (d.doc_id % 3) * 4000 END AS sample_rate,
+        |       CASE WHEN d.doc_id % 7 = 0 THEN -1 ELSE 1 END AS channels,
+        |       CASE WHEN d.doc_id % 7 = 0 THEN -1 ELSE 16 END AS bits,
+        |       CASE WHEN d.doc_id % 7 = 0 THEN -1 ELSE 64 + d.doc_id % 128 END AS n_samples,
+        |       CASE WHEN d.doc_id % 7 = 0 THEN -1 ELSE p.peak END AS peak_abs,
+        |       d.doc_id % 7 <> 0 AS ok
+        |FROM ids d JOIN pk p USING (doc_id)""".stripMargin)),
+
     Q("mm_frame_sample",
       (s, d) => {
         val media = Multimodal.asMedia(Tables.documents(s, d), "text", "image")

@@ -171,6 +171,85 @@ object Multimodal {
   final case class DecodedImage(doc_id: Long, width: Int, height: Int,
       format: String, ok: Boolean)
 
+  /** One synthetic/real audio row pair — see [[syntheticWavs]] /
+    * [[realDecodeAudio]]. */
+  final case class DecodedAudio(doc_id: Long, sample_rate: Long,
+      channels: Long, bits: Long, n_samples: Long, peak_abs: Long, ok: Boolean)
+
+  /** EXECUTOR-SIDE deterministic WAV synthesis keyed on the id column:
+    * mono 16-bit PCM little-endian, sample rate 8000 + (id%3)·4000,
+    * 64 + id%128 samples, sample(i) = (id·31 + i·17) mod 2003 − 1001 —
+    * written through `javax.sound.sampled.AudioSystem` (RIFF/WAVE headers
+    * produced by the real encoder, not by hand). Every `corruptMod`-th id
+    * carries plain UTF-8 text (undecodable), so ok=false carry-through is
+    * oracle-checkable. The generative formula IS the recorded truth: the
+    * `mm_real_audio` oracle derives rate/length/peak arithmetically and
+    * never decodes audio — the engine's real decode must land on it. */
+  def syntheticWavs(df: DataFrame, idCol: String = "doc_id",
+      corruptMod: Int = 7)(
+      implicit enc: org.apache.spark.sql.Encoder[SyntheticMedia]): DataFrame =
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        if (corruptMod > 0 && id % corruptMod == 0)
+          SyntheticMedia(id, s"corrupt audio $id".getBytes("UTF-8"))
+        else {
+          val rate = 8000 + (id % 3).toInt * 4000
+          val n = 64 + (id % 128).toInt
+          val pcm = java.nio.ByteBuffer.allocate(n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < n) {
+            pcm.putShort((((id * 31 + i * 17) % 2003) - 1001).toShort)
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+            true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          SyntheticMedia(id, bos.toByteArray)
+        }
+      }
+    }(enc).toDF()
+
+  /** REAL audio decode via `javax.sound.sampled` (in the JRE — no added
+    * dependency): WAV header fields from the `AudioFormat`, then the PCM
+    * frames actually read and scanned for the peak amplitude — header AND
+    * payload are both exercised, per-row, on the executors, in the same
+    * `mapPartitions` shape as [[realDecodeMeta]]. Undecodable payloads
+    * carry through as ok=false / −1 sentinels, never a thrown stage. */
+  def realDecodeAudio(media: DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[DecodedAudio]): org.apache.spark.sql.Dataset[DecodedAudio] =
+    media.select(col("doc_id").cast("long"), col("media")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val f = ais.getFormat
+            val pcm = ais.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(pcm).order(
+              if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            var peak = 0L
+            while (bb.remaining() >= 2) {
+              val v = math.abs(bb.getShort.toLong)
+              if (v > peak) peak = v
+            }
+            DecodedAudio(id, f.getSampleRate.toLong, f.getChannels.toLong,
+              f.getSampleSizeInBits.toLong, ais.getFrameLength, peak, ok = true)
+          } finally ais.close()
+        } catch {
+          case _: Exception => DecodedAudio(id, -1, -1, -1, -1, -1, ok = false)
+        }
+      }
+    }(enc)
+
   /** One REAL resize result: re-encoded PNG bytes + new dimensions. */
   final case class ResizedImage(doc_id: Long, width: Int, height: Int,
       resized: Array[Byte], ok: Boolean)

@@ -112,6 +112,43 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(2L).ok, "garbage payload carries through as ok=false")
   }
 
+  test("realDecodeAudio parses actual WAV headers and frames; garbage rows survive as ok=false") {
+    // Hand-built WAV independent of syntheticWavs: 12000 Hz mono 16-bit,
+    // 5 known samples — the decode must recover the exact header fields,
+    // frame count, and peak amplitude from the real RIFF bytes.
+    val samples = Seq[Short](100, -500, 300, -299, 0)
+    val pcm = java.nio.ByteBuffer.allocate(samples.size * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val fmt = new javax.sound.sampled.AudioFormat(12000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, samples.size.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((1L, bos.toByteArray), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val got = Multimodal.realDecodeAudio(df).collect().map(d => d.doc_id -> d).toMap
+    assert(got(1L) == Multimodal.DecodedAudio(1L, 12000, 1, 16, 5, 500, ok = true))
+    assert(!got(2L).ok && got(2L).sample_rate == -1,
+      "undecodable payload must not fail the job")
+  }
+
+  test("syntheticWavs round-trips through realDecodeAudio on the generative formula") {
+    val ids = Seq(1L, 3L, 7L, 10L, 128L).toDF("doc_id") // 7 is the corrupt id
+    val got = Multimodal.realDecodeAudio(Multimodal.syntheticWavs(ids))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(!got(7L).ok, "every 7th id is an undecodable payload")
+    Seq(1L, 3L, 10L, 128L).foreach { id =>
+      val d = got(id)
+      val n = 64 + (id % 128).toInt
+      val peak = (0 until n).map(i => math.abs((id * 31 + i * 17) % 2003 - 1001)).max
+      assert(d.ok && d.sample_rate == 8000 + (id % 3) * 4000 && d.channels == 1 &&
+        d.bits == 16 && d.n_samples == n && d.peak_abs == peak,
+        s"id $id decoded $d, expected formula values")
+    }
+  }
+
   test("resizeStub halves dimensions and keeps the leading half of the payload") {
     val m = Multimodal.asMedia(docs, "text", "image")
     val r = Multimodal.resizeStub(m, factor = 2)
