@@ -17,6 +17,13 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Every stateful streaming spec runs on the RocksDB state store —
+      // the 100 TB posture: bounded executor memory for watermarked
+      // windows / flatMapGroupsWithState / dropDuplicates state, vs the
+      // default HDFS-backed provider that keeps every version's map
+      // on-heap. Bundled in Spark 4; no added dependency.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** Watermarked event-time window aggregation — the canonical Structured
   * Streaming shape (readStream → withWatermark → groupBy(window) → append):
@@ -56,6 +57,14 @@ class StreamingWindowSpec extends SparkSpec {
         "SELECT events FROM win_stream WHERE window_start = '2024-01-01 10:00:00' AND event_type = 'click'")
         .as[Long].collect().toSeq
       assert(after == Seq(2L), "late data behind the watermark is dropped")
+
+      // The state store behind this query is genuinely RocksDB, not just
+      // a conf line: the provider surfaces rocksdb* custom metrics in the
+      // operator progress. Guards against the pin silently not taking
+      // (e.g. a misspelled provider class falls back without failing).
+      val metrics = query.lastProgress.stateOperators.head.customMetrics
+      assert(metrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+        s"expected RocksDB state-store metrics, got ${metrics.keySet}")
     } finally query.stop()
   }
 }
