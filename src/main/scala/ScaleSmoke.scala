@@ -74,9 +74,28 @@ object ScaleSmoke {
           concat(lit(bp + " "), col("text"))).otherwise(col("text")))
       // threshold 5000: the bp shingles (~10k occurrences at 100k docs,
       // ~100k at 1M) go hot; ordinary dup shingles stay cold.
-      t("source rollup")(
+      def twoPath(): Unit = t("source rollup (two-path)")(
         DedupOps.sourceDupRollup(srcDocs, "doc_id", "text", "src",
           hotOccThreshold = 5000L).count())
+      // Same-run reference: the abandoned PLAIN single-join form (the
+      // shape AQE verifiably cannot skew-split — build side is an
+      // aggregate). The round-6 verdict asked for the 1M-doc row: run
+      // both stages in ONE invocation (SCALE_ONLY="source rollup",
+      // SCALE_DOC_COPIES=200) so the comparison is same-run;
+      // SCALE_ROLLUP_ORDER=plain_first swaps the order so an A/B pair of
+      // runs covers both orders (cache/load order bias).
+      def plain(): Unit = t("source rollup (plain 1-join)") {
+        val occ = DedupOps.shingleHashRows(srcDocs, "doc_id", "text").localCheckpoint()
+        val perShingle = occ.groupBy(col("_h")).agg(countDistinct(col("doc_id")).as("_nd"))
+        occ.join(srcDocs.select(col("doc_id"), col("src")), Seq("doc_id"))
+          .join(perShingle, Seq("_h"))
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("n_shingle_occ"),
+            sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_dup_occ"))
+          .count()
+      }
+      if (sys.env.get("SCALE_ROLLUP_ORDER").contains("plain_first")) { plain(); twoPath() }
+      else { twoPath(); plain() }
     }
     // The relay's export path at data scale: one full-sync cycle over an
     // outbox of `n/10` rows through encode → batch-number → executor-side

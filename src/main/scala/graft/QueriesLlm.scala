@@ -1455,11 +1455,19 @@ object QueriesLlm {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val split = Sampling.bucketOf(col("doc_id"), "ndsplit")
-        val seen = DedupOps.lshBuckets(
-          DedupOps.minhashSignature(docs.filter(split < 500), "doc_id", "text", 8),
-          "doc_id").select(col("band"), col("bucket")).distinct()
-        val (survivors, _) = DedupOps.incrementalNearDedup(
-          docs.filter(split >= 500), seen, "doc_id", "text")
+        // ONE signature pipeline over the corpus, split into committed/new
+        // by the content-addressed bucket (derivable from doc_id alone) —
+        // two separate per-half pipelines hash the same rows but pay two
+        // aggregation stages and two exchanges. The replay semantics are
+        // identical: yesterday's buckets are exactly those of split<500.
+        val allBuckets = DedupOps.lshBuckets(
+          DedupOps.minhashSignature(docs, "doc_id", "text", 8), "doc_id")
+          .localCheckpoint()
+        val seen = allBuckets.filter(split < 500)
+          .select(col("band"), col("bucket")).distinct()
+        val (survivors, _) = DedupOps.incrementalNearDedupFromBuckets(
+          docs.filter(split >= 500), allBuckets.filter(split >= 500),
+          seen, "doc_id")
         survivors.select(col("doc_id"))
       },
       Some("WITH " + Seq(normDocsCte, shinglesCte, sigCte, bucketCte).mkString(",\n") + """,

@@ -212,7 +212,20 @@ object DedupOps {
     * over distinct shingle-HASH sets (collision probability ~2^-31 — and
     * mirrored exactly in the oracle). Run on LSH candidates only; the set
     * intersection is a native array op on int arrays, not a string
-    * comparison. */
+    * comparison.
+    *
+    * Considered and REJECTED (round 7): reusing the signature pipeline's
+    * shingle rows for the verification sets instead of re-shingling the
+    * candidate docs. The reuse requires MATERIALIZING corpus-scale
+    * occurrence rows (the signature pass streams them into its aggregate;
+    * nothing retains them), trading a candidate-restricted re-shingle —
+    * cost ∝ the vanishing candidate set — for a full-corpus checkpoint:
+    * exactly the "second-pass materialization beats narrow savings"
+    * inversion that round 6 measured at 10× AGAINST the materializing
+    * variant (duplicatedSpans, 1864 vs 184 s at 1M docs). The
+    * candidate-restricted shape is the 100 TB-correct one; the ~0.3 s it
+    * costs the local toy bench is the fixed floor of one extra tiny
+    * aggregate, not a scale defect. */
   def jaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // Shingle only the documents that appear in a candidate pair — LSH
     // leaves a vanishing fraction of the corpus as candidates, so the
@@ -422,6 +435,20 @@ object DedupOps {
     // pipeline re-runs per consumer.
     val buckets = lshBuckets(minhashSignature(newDocs, idCol, textCol, numPerms),
       idCol, numPerms, bands).localCheckpoint()
+    incrementalNearDedupFromBuckets(newDocs, buckets, seenBuckets, idCol)
+  }
+
+  /** [[incrementalNearDedup]] against PRE-COMPUTED batch buckets — for
+    * callers that already ran the signature pipeline over a superset (e.g.
+    * a replay that buckets the whole corpus once and splits committed/new
+    * by id, instead of running two separate signature pipelines over the
+    * halves: same total rows hashed, one aggregation stage instead of
+    * two). `newBuckets` must be materialized (checkpoint/scan) — it feeds
+    * three consumers. */
+  def incrementalNearDedupFromBuckets(newDocs: DataFrame, newBuckets: DataFrame,
+                                      seenBuckets: DataFrame,
+                                      idCol: String): (DataFrame, DataFrame) = {
+    val buckets = newBuckets
     val seen = seenBuckets.select(col("band"), col("bucket"))
     val collided = buckets.join(seen, Seq("band", "bucket"), "left_semi")
       .select(col(idCol)).distinct()
@@ -607,11 +634,18 @@ object DedupOps {
     // shuffles uniform (_h, id) pairs and partial-merges before the _h
     // shuffle, so both count aggregates are skew-safe; the hot one
     // additionally collapses to ≤|hot| rows per mapper.
-    val occHot = occ.join(broadcast(hotKeys), Seq("_h"))
-    val occCold = occ.join(broadcast(hotKeys), Seq("_h"), "left_anti")
     def docCounts(part: DataFrame) = part
       .groupBy(col("_h")).agg(countDistinct(col(idCol)).as("_nd"))
     val srcOf = docs.select(col(idCol), col(srcCol))
+    // The hot set is MATERIALIZED (checkpoint above), so asking whether it
+    // is empty costs a bounded read of one row — and empty is the common
+    // case (no shingle above threshold). Empty hot set ⇒ the cold join IS
+    // the whole join and provably skew-free (no key ≥ hotOccThreshold
+    // occurrences survives to dwarf a partition), so the broadcast
+    // branches, the anti-join filter and the union are dead weight —
+    // skip them. Driver-side adaptivity on materialized state, the same
+    // move as decontaminate's LIMIT-probe strategy pick.
+    val hasHot = hotKeys.limit(1).count() > 0
     // Cold path: the big 1:1 hash join with every hot key REMOVED from
     // both sides — no partition can dwarf the median. Hot path: map-only
     // broadcast join (a hot shingle's occurrence rows never shuffle on
@@ -620,10 +654,16 @@ object DedupOps {
     // its OptimizeSkewedJoin only matches SMJ(Sort(ShuffleRead), ...),
     // and this join's build side is an aggregate — verified by forcing
     // the skew thresholds in DedupSimilaritySpec and watching it decline.
-    val joined = occCold.join(docCounts(occCold), Seq("_h"))
-      .join(srcOf, Seq(idCol))
-      .unionByName(occHot.join(broadcast(docCounts(occHot)), Seq("_h"))
-        .join(srcOf, Seq(idCol)))
+    val joined = if (!hasHot)
+      occ.join(docCounts(occ), Seq("_h")).join(srcOf, Seq(idCol))
+    else {
+      val occHot = occ.join(broadcast(hotKeys), Seq("_h"))
+      val occCold = occ.join(broadcast(hotKeys), Seq("_h"), "left_anti")
+      occCold.join(docCounts(occCold), Seq("_h"))
+        .join(srcOf, Seq(idCol))
+        .unionByName(occHot.join(broadcast(docCounts(occHot)), Seq("_h"))
+          .join(srcOf, Seq(idCol)))
+    }
     joined.groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_shingle_occ"),
         sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_dup_occ"))
