@@ -13,10 +13,17 @@ import OracleCtes._
   * bound to the deterministic fixtures and paired with DuckDB oracle SQL. */
 object QueriesCore {
 
+  // Memoized like Tables.read: ~60 registered queries each rebuilt and
+  // re-analyzed the same deterministic fixture plan (50-150 ms of driver
+  // work per query). DataFrames are immutable; keyed per (session, dir).
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
   private def outbox(s: SparkSession, dir: String): DataFrame =
-    Fixtures.outbox(Tables.events(s, dir))
+    fixtureCache.computeIfAbsent((s, dir, "outbox"),
+      _ => Fixtures.outbox(Tables.events(s, dir)))
   private def dlq(s: SparkSession, dir: String): DataFrame =
-    Fixtures.deadLetters(Tables.events(s, dir))
+    fixtureCache.computeIfAbsent((s, dir, "dlq"),
+      _ => Fixtures.deadLetters(Tables.events(s, dir)))
 
   // Shared fixture constants (documented in OracleCtes).
   private val FromV = 300L

@@ -48,7 +48,12 @@ object ExecPolicy {
   private val smallConfs = Seq(
     "spark.sql.adaptive.enabled" -> "false",
     "spark.sql.codegen.wholeStage" -> "false",
-    "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    "spark.sql.codegen.factoryMode" -> "NO_CODEGEN",
+    // A KB-scale shuffle does not need one reduce task per core: 2 reduce
+    // tasks instead of 32 drops per-query task-launch overhead without
+    // affecting results (AQE would coalesce these at runtime — but AQE is
+    // off here, that being the point).
+    "spark.sql.shuffle.partitions" -> "2")
 
   /** Compute-dense cutoff: a plan carrying more expression nodes than this
     * is doing real per-row arithmetic (the fused ANN plans run 2-20k-node
