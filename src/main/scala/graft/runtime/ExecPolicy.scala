@@ -1,7 +1,6 @@
 package graft.runtime
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
 import org.apache.spark.sql.catalyst.plans.logical.{CoGroup, DeserializeToObject, Expand, Generate, MapPartitions}
 import org.apache.spark.sql.execution.LogicalRDD
 
@@ -63,16 +62,33 @@ object ExecPolicy {
     * at tens-to-hundreds of nodes. */
   private val maxExprNodes = 1500L
 
+  private val strictHof = sys.env.get("SPARK_GRAFT_POLICY_HOF").contains("strict")
+
   def isSmall(df: DataFrame): Boolean = smallInputBytes > 0 && {
     val plan = df.queryExecution.optimizedPlan
     val disqualified = plan.exists {
       case _: Generate | _: Expand | _: LogicalRDD => true
       case _: MapPartitions | _: DeserializeToObject | _: CoGroup => true
-      case n => n.expressions.exists(_.exists(_.isInstanceOf[HigherOrderFunction]))
+      // A/B toggle (SPARK_GRAFT_POLICY_HOF=strict restores the round-7a
+      // disqualifier that kept any HOF-bearing plan off the policy).
+      case n if strictHof =>
+        n.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.HigherOrderFunction]))
+      case _ => false
     }
+    // Higher-order functions do NOT disqualify: HOF lambdas are
+    // interpreted under codegen too, so their per-row cost is mode-
+    // independent — and the plans where HOF work could explode (shingle
+    // pipelines, checkpointed iteratives) are already caught by the
+    // Generate/LogicalRDD guards above and the node-count guard below.
+    // Leaves are DEDUPLICATED by canonical form: with the Tables catalog
+    // cache a query reading the same relation four times (a10) has 4×
+    // one table's bytes of work in DuckDB too — double-counting only
+    // pushed it onto the expensive path.
     !disqualified &&
       plan.map(n => n.expressions.map(_.map(_ => 1L).sum).sum).sum <= maxExprNodes &&
-      plan.collectLeaves().map(_.stats.sizeInBytes).sum < smallInputBytes
+      plan.collectLeaves().distinctBy(_.canonicalized)
+        .map(_.stats.sizeInBytes).sum < smallInputBytes
   }
 
   /** Run `action` on `df` under the small-query confs when it qualifies,
@@ -82,15 +98,21 @@ object ExecPolicy {
     * confs are session-scoped while set); Bench and Verify run queries
     * one at a time. */
   def run[T](df: DataFrame)(action: DataFrame => T): T =
-    if (!isSmall(df)) action(df)
-    else {
-      val conf = df.sparkSession.conf
-      val saved = smallConfs.map { case (k, _) => k -> conf.getOption(k) }
-      smallConfs.foreach { case (k, v) => conf.set(k, v) }
-      try action(df)
-      finally saved.foreach {
-        case (k, Some(v)) => conf.set(k, v)
-        case (k, None)    => conf.unset(k)
-      }
+    if (!isSmall(df)) action(df) else runForced(df)(action)
+
+  /** Apply the small-query confs WITHOUT the plan guards — for callers
+    * that have already proven smallness by other means (e.g. a Lloyd
+    * training job whose corpus passed `Similarity.fitsSmallCorpus`: its
+    * explode trips the Generate guard, but a probed ≤ cap-row corpus
+    * bounds the exploded size too). Sequential use only, like [[run]]. */
+  def runForced[T](df: DataFrame)(action: DataFrame => T): T = {
+    val conf = df.sparkSession.conf
+    val saved = smallConfs.map { case (k, _) => k -> conf.getOption(k) }
+    smallConfs.foreach { case (k, v) => conf.set(k, v) }
+    try action(df)
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
     }
+  }
 }
