@@ -49,6 +49,28 @@ class AnnSmallPathSpec extends SparkSpec {
       rows(Similarity.pqTopKTrained(emb, q, 10, smallCap = 0)))
   }
 
+  test("ivfTopKArrays: literal-argmax path equals the broadcast-aggregate path") {
+    val q = emb.filter(col("vec_id") < 3)
+    val cent = Similarity.firstK(emb, 8)
+    assert(rows(Similarity.ivfTopKArrays(emb, q, cent, 5, nprobe = 2)) ==
+      rows(Similarity.ivfTopKArrays(emb, q, cent, 5, nprobe = 2, smallCap = 0)))
+  }
+
+  test("k-means training: expression-argmax branch equals the crossJoin+max_by branch") {
+    val small = Similarity.kmeansCentroidArrays(emb, k = 4, iterations = 2)
+    val large = Similarity.kmeansCentroidArrays(emb, k = 4, iterations = 2, smallCap = 0)
+    assert(small.map { case (id, v) => (id, v.toSeq) } ==
+      large.map { case (id, v) => (id, v.toSeq) })
+  }
+
+  test("PQ training: expression-encode branch equals the element-join branch") {
+    val small = Similarity.pqCodebookArrays(emb, iterations = 1)
+    val large = Similarity.pqCodebookArrays(emb, iterations = 1, smallCap = 0)
+    def flat(cb: Similarity.PqCodebook) =
+      cb.map { case (id, subs) => (id, subs.map(_.toSeq)) }
+    assert(flat(small) == flat(large))
+  }
+
   test("strategy flip: under the cap the plan is map-shaped, over it the pipeline engages") {
     val fused = Similarity.embeddingNearDup(emb, minCos = 0.2)
     assert(!hasGenerate(fused),
