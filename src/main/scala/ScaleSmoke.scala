@@ -170,6 +170,32 @@ object ScaleSmoke {
     t(s"ivf top-k ($m corpus)")(
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16), 10,
         numCentroids = 32, nprobe = 3).count())
+    // Same-run A/B that DECIDED the round-8 ANN top-k shape: the bounded
+    // topk_pairs aggregate vs the former rank window. With 16 queries over
+    // the full corpus, the window shuffles EVERY scored candidate of a query
+    // into one task and sorts it there; the aggregate keeps 10 pairs per
+    // (partition, query) map-side and ships only those. Both orders via
+    // SCALE_TOPK_ORDER=window_first (co-tenant rule: never publish a
+    // single-order pair).
+    locally {
+      val q = emb.filter(col("vec_id") < 16)
+      def aggShape(): Unit = t(s"brute topk agg ($m corpus)")(
+        Similarity.bruteForceTopK(emb, q, 10).count())
+      def windowShape(): Unit = t(s"brute topk window ($m corpus)") {
+        import org.apache.spark.sql.expressions.Window
+        val qq = broadcast(q.select(col("vec_id").as("query_id"),
+          Similarity.quantize(col("embedding")).as("qv")))
+        val c = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("cv"))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+        qq.crossJoin(c).filter(col("query_id") =!= col("vec_id"))
+          .withColumn("score", Similarity.qdot(col("qv"), col("cv")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .count()
+      }
+      if (sys.env.get("SCALE_TOPK_ORDER").contains("window_first")) { windowShape(); aggShape() }
+      else { aggShape(); windowShape() }
+    }
     spark.stop()
   }
 }

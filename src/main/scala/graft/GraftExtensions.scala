@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CmsCounts, GzipCompress, GzipDecompress, KmvMins, TopKPairs}
+import graft.expressions.{CmsCounts, GzipCompress, GzipDecompress, KmvMins, TopKPairs, TopKPairsTagged}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are callable from SQL in any session configured with
@@ -33,5 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("topk_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
       (children: Seq[Expression]) => TopKPairs(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_pairs_tag"),
+      new ExpressionInfo(classOf[TopKPairsTagged].getName, "topk_pairs_tag"),
+      (children: Seq[Expression]) => TopKPairsTagged(children(0), children(1), children(2),
+        children(3))))
   }
 }

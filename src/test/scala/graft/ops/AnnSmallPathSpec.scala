@@ -15,8 +15,10 @@ class AnnSmallPathSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
   private def emb = Tables.embeddings(spark, sfDir)
 
-  private def rows(df: DataFrame): Set[Seq[Any]] =
-    df.collect().map(_.toSeq).toSet
+  // Multiset, not Set: a lost distinct() on candidate pairs would leave
+  // values equal but multiplicities different — a Set compare would hide it.
+  private def rows(df: DataFrame): Map[Seq[Any], Int] =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
 
   private def hasGenerate(df: DataFrame): Boolean = {
     // sparkPlan, not executedPlan: AdaptiveSparkPlanExec hides its inner
@@ -69,6 +71,44 @@ class AnnSmallPathSpec extends SparkSpec {
     def flat(cb: Similarity.PqCodebook) =
       cb.map { case (id, subs) => (id, subs.map(_.toSeq)) }
     assert(flat(small) == flat(large))
+  }
+
+  test("ANN top-k is the bounded topk_pairs aggregate, not a rank window") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.expressions.{TopKPairs, TopKPairsTagged}
+    val q = emb.filter(col("vec_id") < 3)
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(walk)
+    def partialTopK(df: DataFrame): Boolean =
+      walk(df.queryExecution.sparkPlan).exists {
+        case o: ObjectHashAggregateExec => o.aggregateExpressions.exists(ae =>
+          ae.mode == Partial && (ae.aggregateFunction.isInstanceOf[TopKPairs] ||
+            ae.aggregateFunction.isInstanceOf[TopKPairsTagged]))
+        case _ => false
+      }
+    def hasWindow(df: DataFrame): Boolean =
+      walk(df.queryExecution.sparkPlan).exists(_.isInstanceOf[WindowExec])
+    // Candidate-side top-k must partial-aggregate map-side (bounded shuffle:
+    // k pairs per partition per query, never all candidates into one window
+    // task) in BOTH execution tiers of every ANN path.
+    val noWindowAtAll = Seq(
+      "brute" -> Similarity.bruteForceTopK(emb, q, 5),
+      "lsh" -> Similarity.lshTopK(emb, q, 5),
+      "pq_fused" -> Similarity.pqTopK(emb, q, 5),
+      "pq_join" -> Similarity.pqTopK(emb, q, 5, smallCap = 0))
+    for ((name, df) <- noWindowAtAll) {
+      assert(partialTopK(df), s"$name: expected a partial topk_pairs aggregate")
+      assert(!hasWindow(df), s"$name: the rank window must be gone")
+    }
+    // IVF keeps a window on the PROBE side only (≤K centroid rows per query
+    // — bounded by construction); the corpus-scale candidate top-k is the
+    // tagged bounded aggregate.
+    val ivf = Seq(
+      "ivf_fused" -> Similarity.ivfTopKArrays(emb, q, Similarity.firstK(emb, 4), 5),
+      "ivf_join" -> Similarity.ivfTopKArrays(emb, q, Similarity.firstK(emb, 4), 5, smallCap = 0))
+    for ((name, df) <- ivf)
+      assert(partialTopK(df), s"$name: expected a partial topk_pairs_tag aggregate")
   }
 
   test("strategy flip: under the cap the plan is map-shaped, over it the pipeline engages") {
