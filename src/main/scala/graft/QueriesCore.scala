@@ -18,12 +18,16 @@ object QueriesCore {
   // work per query). DataFrames are immutable; keyed per (session, dir).
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-  private def outbox(s: SparkSession, dir: String): DataFrame =
+  private def outbox(s: SparkSession, dir: String): DataFrame = {
+    Tables.sweepStopped(fixtureCache, (_: (SparkSession, String, String))._1)
     fixtureCache.computeIfAbsent((s, dir, "outbox"),
       _ => Fixtures.outbox(Tables.events(s, dir)))
-  private def dlq(s: SparkSession, dir: String): DataFrame =
+  }
+  private def dlq(s: SparkSession, dir: String): DataFrame = {
+    Tables.sweepStopped(fixtureCache, (_: (SparkSession, String, String))._1)
     fixtureCache.computeIfAbsent((s, dir, "dlq"),
       _ => Fixtures.deadLetters(Tables.events(s, dir)))
+  }
 
   // Shared fixture constants (documented in OracleCtes).
   private val FromV = 300L

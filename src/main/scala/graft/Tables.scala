@@ -23,9 +23,23 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Evict cache entries owned by stopped sessions — long-lived JVMs that
+    * create many sessions (sbt test runs) would otherwise retain every dead
+    * session's plans forever. A weak-keyed map cannot fix this: the cached
+    * DataFrame strongly references its session, so the value pins the key.
+    * The sweep is O(entries) over sessions × tables — trivially small. */
+  private[graft] def sweepStopped[K](
+      m: java.util.concurrent.ConcurrentHashMap[K, DataFrame],
+      sessionOf: K => SparkSession): Unit = {
+    val it = m.keySet.iterator()
+    while (it.hasNext) if (sessionOf(it.next()).sparkContext.isStopped) it.remove()
+  }
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    sweepStopped(cache, (_: (SparkSession, String))._1)
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, path) => s.read.parquet(path) })
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
     * as a timestamp. Read nanos as long (legacy conf) and truncate to

@@ -65,8 +65,13 @@ object ExecPolicy {
   private val strictHof = sys.env.get("SPARK_GRAFT_POLICY_HOF").contains("strict")
 
   def isSmall(df: DataFrame): Boolean = smallInputBytes > 0 && {
-    val plan = df.queryExecution.optimizedPlan
-    val disqualified = plan.exists {
+    // The outer plan AND every plan nested in a subquery expression: a
+    // Generate or a large scan inside a scalar/IN-subquery is invisible to
+    // exists/collectLeaves on the outer tree, and qualifying such a query
+    // would put real per-row work on the interpreted path (the 2 s → 46 s
+    // cliff this guard exists for).
+    val plans = { val p = df.queryExecution.optimizedPlan; p +: p.subqueriesAll }
+    val disqualified = plans.exists(_.exists {
       case _: Generate | _: Expand | _: LogicalRDD => true
       case _: MapPartitions | _: DeserializeToObject | _: CoGroup => true
       // A/B toggle (SPARK_GRAFT_POLICY_HOF=strict restores the round-7a
@@ -75,7 +80,7 @@ object ExecPolicy {
         n.expressions.exists(_.exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.HigherOrderFunction]))
       case _ => false
-    }
+    })
     // Higher-order functions do NOT disqualify: HOF lambdas are
     // interpreted under codegen too, so their per-row cost is mode-
     // independent — and the plans where HOF work could explode (shingle
@@ -86,8 +91,8 @@ object ExecPolicy {
     // one table's bytes of work in DuckDB too — double-counting only
     // pushed it onto the expensive path.
     !disqualified &&
-      plan.map(n => n.expressions.map(_.map(_ => 1L).sum).sum).sum <= maxExprNodes &&
-      plan.collectLeaves().distinctBy(_.canonicalized)
+      plans.map(_.map(n => n.expressions.map(_.map(_ => 1L).sum).sum).sum).sum <= maxExprNodes &&
+      plans.flatMap(_.collectLeaves()).distinctBy(_.canonicalized)
         .map(_.stats.sizeInBytes).sum < smallInputBytes
   }
 

@@ -127,6 +127,30 @@ class RegisteredQueriesSpec extends SparkSpec {
     assert(violations.isEmpty, "duplicated-subtree violations:\n" + violations.mkString("\n"))
   }
 
+  test("dual-mode gate: ExecPolicy-qualified queries agree between interpreted and codegen paths") {
+    // Verify routes small scan-shaped queries through the AQE-off +
+    // NO_CODEGEN path, so at sf0.01 the oracle only ever sees that mode for
+    // them — a codegen-vs-interpreted divergence in a custom expression
+    // would ship unseen (r7 advice). This pins both modes value-identical
+    // for every query the policy qualifies.
+    import graft.runtime.ExecPolicy
+    def multiset(rows: Array[org.apache.spark.sql.Row]): Map[Seq[Any], Int] =
+      rows.map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val diverged = SparkEntry.allQueries.flatMap { q =>
+      val probe = q.run(spark, sfDir)
+      if (!ExecPolicy.isSmall(probe)) None
+      else {
+        val interpreted = multiset(ExecPolicy.runForced(probe)(_.collect()))
+        // fresh DataFrame: executedPlan is cached per instance, so the
+        // codegen run must plan from scratch under the session defaults
+        val codegen = multiset(q.run(spark, sfDir).collect())
+        if (interpreted == codegen) None
+        else Some(s"${q.name}: interpreted and codegen outputs differ")
+      }
+    }
+    assert(diverged.isEmpty, diverged.mkString("\n"))
+  }
+
   test("plan lint: no cartesian products, no interpreted UDFs, no data-scale global windows") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.joins.CartesianProductExec
