@@ -98,6 +98,24 @@ object Config {
     if (env.pollingIntervalSeconds < 5 || env.pollingIntervalSeconds > 3600)
       warnings += s"PollingIntervalSeconds=${env.pollingIntervalSeconds} outside the recommended 5–3600 s band"
 
+    // Global-settings sanity bands (ConfigurationValidator.cs:88-114) — all
+    // WARNINGS, matching the reference's split: it runs with odd values but
+    // says so. The reference validates these once on GlobalSettings; this
+    // model folds the settings into each environment, so the bands apply
+    // per environment.
+    if (env.retryCount < 0)
+      warnings += s"RetryCount=${env.retryCount} is invalid; the default 3 will be used"
+    else if (env.retryCount > 10)
+      warnings += s"RetryCount=${env.retryCount} may be excessive (recommended 3-5)"
+    if (env.retryDelaySeconds < 1)
+      warnings += s"RetryDelaySeconds=${env.retryDelaySeconds}s is too low (minimum 1 s)"
+    if (env.maxRecordsPerBatch < 100)
+      warnings += s"MaxRecordsPerBatch=${env.maxRecordsPerBatch} may create too many API calls (recommended 100-1000)"
+    else if (env.maxRecordsPerBatch > 10000)
+      warnings += s"MaxRecordsPerBatch=${env.maxRecordsPerBatch} may create very large payloads (recommended 100-1000)"
+    if (env.maxPayloadSizeBytes < 1024L * 1024)
+      warnings += s"MaxPayloadSizeBytes=${env.maxPayloadSizeBytes / 1024}KB may be too small (recommended 1-10MB)"
+
     if (env.trackingObjects.isEmpty)
       warnings += "environment has no tracking objects"
 
@@ -144,6 +162,27 @@ object Config {
     }
 
     Validation(errors.result(), warnings.result())
+  }
+
+  /** The whole-deployment startup validation surface
+    * (ConfigurationValidator.cs:26-75): per-environment rules plus the two
+    * deployment-level ERRORS — an empty environment list (:36-39) and a
+    * Health:Port outside 1-65535 (:47-50; pass None when the health
+    * endpoint is disabled, exactly the reference's nullable port). The
+    * reference throws on any error and only logs warnings;
+    * [[RelayManager]] enforces the same split via this result. */
+  def validateAll(envs: Seq[EnvironmentConfig],
+                  connectionStrings: Map[String, String] = Map.empty,
+                  healthPort: Option[Int] = None): Validation = {
+    val perEnv = envs.map(validate(_, connectionStrings))
+    val errors = Seq.newBuilder[String]
+    if (envs.isEmpty) errors += "no environments configured"
+    healthPort.foreach { p =>
+      if (p < 1 || p > 65535)
+        errors += s"Health:Port=$p is invalid (valid range 1-65535)"
+    }
+    Validation(errors.result() ++ perEnv.flatMap(_.errors),
+      perEnv.flatMap(_.warnings))
   }
 
   /** Per-broker required connection fields, mirroring the reference's

@@ -16,7 +16,13 @@ import java.util.concurrent.locks.ReentrantLock
 final class RelayManager[H](
     startTask: String => H,
     stopTask: H => Unit,
-    stopTimeoutMillis: Long = 5000) {
+    stopTimeoutMillis: Long = 5000,
+    /** Startup gate (ConfigurationValidator.cs:53-60): an environment whose
+      * config validates with ERRORS never starts a task — the reference
+      * throws at startup and refuses reloads into a broken config; warnings
+      * never block. Defaults to always-ok for callers that validate
+      * upstream. */
+    validateEnv: String => Config.Validation = _ => Config.Validation(Nil, Nil)) {
 
   private val gate = new ReentrantLock()
   private val running = scala.collection.mutable.Map[String, H]()
@@ -42,14 +48,35 @@ final class RelayManager[H](
   def activeCount: Int = { gate.lock(); try running.size finally gate.unlock() }
 
   /** Start the environment task unless one is already live (never two
-    * pollers per env). Returns true when a new task was started. */
+    * pollers per env) or its config fails validation. Returns true when a
+    * new task was started. */
   def start(name: String): Boolean = {
     gate.lock()
     try {
       val key = name.toLowerCase
-      if (running.contains(key)) false
+      if (running.contains(key) || !startable(name)) false
       else { running(key) = startTask(name); true }
     } finally gate.unlock()
+  }
+
+  private def startable(name: String): Boolean = {
+    val v = validateEnv(name)
+    if (!v.ok) System.err.println(
+      s"[relay-manager] refusing to start '$name': ${v.errors.mkString("; ")}")
+    v.ok
+  }
+
+  /** All-or-nothing startup, the reference's boot contract
+    * (ConfigurationValidator.cs:53-60 via Program.cs): validate EVERY
+    * environment first and throw on any error — no partial fleet comes up
+    * against a half-broken deployment. Warnings are reported by the
+    * validator, never fatal. */
+  def startAll(names: Seq[String]): Unit = {
+    val errs = names.flatMap(n => validateEnv(n).errors.map(e => s"$n: $e"))
+    if (errs.nonEmpty)
+      throw new IllegalStateException(
+        s"configuration validation failed with ${errs.size} error(s): ${errs.mkString("; ")}")
+    names.foreach(start)
   }
 
   def stop(name: String): Boolean = {
@@ -72,12 +99,16 @@ final class RelayManager[H](
       changes.collect { case EnvLoader.Removed(n) => n }.foreach { n =>
         running.remove(n.toLowerCase).foreach(stopBounded)
       }
+      // An update into an INVALID config stops the old task and parks the
+      // environment (running a stale config would silently ignore the
+      // operator's edit); it restarts on the next valid reload.
       changes.collect { case EnvLoader.Updated(n) => n }.foreach { n =>
         running.remove(n.toLowerCase).foreach(stopBounded)
-        running(n.toLowerCase) = startTask(n)
+        if (startable(n)) running(n.toLowerCase) = startTask(n)
       }
       changes.collect { case EnvLoader.Added(n) => n }.foreach { n =>
-        if (!running.contains(n.toLowerCase)) running(n.toLowerCase) = startTask(n)
+        if (!running.contains(n.toLowerCase) && startable(n))
+          running(n.toLowerCase) = startTask(n)
       }
     } finally gate.unlock()
   }

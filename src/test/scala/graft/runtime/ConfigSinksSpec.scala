@@ -51,6 +51,51 @@ class ConfigSinksSpec extends SparkSpec {
     assert(v.ok && v.warnings.exists(_.contains("PollingIntervalSeconds")))
   }
 
+  test("global-settings bands: each edge warns on the reference's rule, never errors") {
+    // ConfigurationValidator.cs:88-114 band table — (description, config,
+    // expected warning fragment or None). Edges chosen to pin BOTH sides of
+    // every band.
+    val base = env()
+    val cases: Seq[(String, EnvironmentConfig, Option[String])] = Seq(
+      ("RetryCount -1 invalid",      base.copy(retryCount = -1),        Some("RetryCount=-1")),
+      ("RetryCount 0 ok",            base.copy(retryCount = 0),         None),
+      ("RetryCount 10 ok",           base.copy(retryCount = 10),        None),
+      ("RetryCount 11 excessive",    base.copy(retryCount = 11),        Some("RetryCount=11")),
+      ("RetryDelay 0 too low",       base.copy(retryDelaySeconds = 0),  Some("RetryDelaySeconds=0")),
+      ("RetryDelay 1 ok",            base.copy(retryDelaySeconds = 1),  None),
+      ("MaxRecords 99 too chatty",   base.copy(maxRecordsPerBatch = 99),    Some("MaxRecordsPerBatch=99")),
+      ("MaxRecords 100 ok",          base.copy(maxRecordsPerBatch = 100),   None),
+      ("MaxRecords 10000 ok",        base.copy(maxRecordsPerBatch = 10000), None),
+      ("MaxRecords 10001 too large", base.copy(maxRecordsPerBatch = 10001), Some("MaxRecordsPerBatch=10001")),
+      ("MaxPayload 1MB-1 small",     base.copy(maxPayloadSizeBytes = 1024L * 1024 - 1), Some("MaxPayloadSizeBytes")),
+      ("MaxPayload 1MB ok",          base.copy(maxPayloadSizeBytes = 1024L * 1024),     None))
+    for ((desc, cfg, expect) <- cases) {
+      val v = Config.validate(cfg)
+      assert(v.ok, s"$desc: bands must warn, not error — got ${v.errors}")
+      expect match {
+        case Some(frag) => assert(v.warnings.exists(_.contains(frag)),
+          s"$desc: expected a warning containing '$frag' in ${v.warnings}")
+        case None => assert(!v.warnings.exists(w => w.contains("RetryCount") ||
+          w.contains("RetryDelaySeconds") || w.contains("MaxRecords") ||
+          w.contains("MaxPayload")), s"$desc: unexpected band warning in ${v.warnings}")
+      }
+    }
+  }
+
+  test("validateAll: deployment-level errors — empty env list, Health:Port range") {
+    assert(Config.validateAll(Nil).errors.exists(_.contains("no environments")))
+    assert(Config.validateAll(Seq(env()), healthPort = Some(0))
+      .errors.exists(_.contains("Health:Port=0")))
+    assert(Config.validateAll(Seq(env()), healthPort = Some(65536))
+      .errors.exists(_.contains("Health:Port=65536")))
+    assert(Config.validateAll(Seq(env()), healthPort = Some(65535)).ok)
+    assert(Config.validateAll(Seq(env()), healthPort = None).ok) // health disabled
+    // Per-env errors and warnings aggregate through.
+    val agg = Config.validateAll(Seq(env(provider = "oracle"), env(poll = 2)))
+    assert(agg.errors.exists(_.contains("unknown provider")))
+    assert(agg.warnings.exists(_.contains("PollingIntervalSeconds")))
+  }
+
   test("endpoint validation: unknown kind, missing target, malformed url") {
     val v = Config.validate(env(eps = Seq(
       SinkEndpoint("a", "http", ""),

@@ -88,6 +88,35 @@ class LifecycleSpec extends SparkSpec {
     assert(mgr.activeCount == 0)
   }
 
+  test("T6: validation errors refuse startup — invalid env never starts, valid unaffected") {
+    val starts = scala.collection.mutable.ArrayBuffer[String]()
+    val validations = Map(
+      "good" -> Config.Validation(Nil, Seq("PollingIntervalSeconds=2 outside band")),
+      "bad" -> Config.Validation(Seq("unknown provider 'oracle'"), Nil))
+    val mgr = new RelayManager[String](
+      startTask = n => { starts += n; s"task-$n" },
+      stopTask = _ => (),
+      validateEnv = n => validations(n))
+    // start(): warnings never block, errors always do.
+    assert(mgr.start("good"))
+    assert(!mgr.start("bad") && !mgr.isRunning("bad"))
+    // Hot reload: an Added invalid env stays parked; an Updated env whose
+    // new config is invalid stops and does NOT restart on the stale config.
+    mgr.applyDiff(Seq(EnvLoader.Added("bad")))
+    assert(!mgr.isRunning("bad"))
+    mgr.applyDiff(Seq(EnvLoader.Updated("good")))
+    assert(mgr.isRunning("good"), "valid envs are unaffected by the gate")
+    assert(starts.toSeq == Seq("good", "good"))
+    mgr.stopAll()
+    // startAll is all-or-nothing (the reference throws at boot): one broken
+    // env keeps the WHOLE fleet down — no partial startup.
+    intercept[IllegalStateException](mgr.startAll(Seq("good", "bad")))
+    assert(mgr.activeCount == 0)
+    mgr.startAll(Seq("good"))
+    assert(mgr.isRunning("good"))
+    mgr.stopAll()
+  }
+
   test("T6: case-only rename of a config file keeps the environment running") {
     val mgr = new RelayManager[String](startTask = n => s"task-$n", stopTask = _ => ())
     assert(mgr.start("Prod"))
