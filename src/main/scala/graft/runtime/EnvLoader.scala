@@ -27,8 +27,14 @@ object EnvLoader {
   final case class Loaded(config: EnvironmentConfig, connectionStrings: Map[String, String],
                           fingerprint: String)
 
-  def parse(name: String, json: String): Loaded = {
-    val root = mapper.readTree(json)
+  /** Parse one environment file. With a cipher, `PWENC:`-tagged secret
+    * properties (Secrets walk) are decrypted before binding, so validation
+    * and the sinks see plaintext; the fingerprint stays on the RAW file
+    * content — re-encryption is idempotent, so an unchanged file diffs as
+    * unchanged whether or not its secrets are tagged. */
+  def parse(name: String, json: String, cipher: Option[SecretCipher] = None): Loaded = {
+    val plain = cipher.map(Secrets.decryptConfig(json, _)).getOrElse(json)
+    val root = mapper.readTree(plain)
     def text(n: com.fasterxml.jackson.databind.JsonNode, f: String, dflt: String = ""): String =
       if (n != null && n.has(f) && !n.get(f).isNull) n.get(f).asText() else dflt
     def int(n: com.fasterxml.jackson.databind.JsonNode, f: String, dflt: Int): Int =
@@ -108,7 +114,8 @@ object EnvLoader {
 
   /** Load every `.json` file in `dir` ordered by filename (O2); name from
     * filename; optional single-env selection (case-insensitive). */
-  def loadDir(dir: String, onlyEnv: Option[String] = None): Seq[Loaded] = {
+  def loadDir(dir: String, onlyEnv: Option[String] = None,
+              cipher: Option[SecretCipher] = None): Seq[Loaded] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) return Seq.empty
     val listing = Files.list(p)
@@ -119,7 +126,7 @@ object EnvLoader {
       finally listing.close()
     val loaded = files.map { f =>
       val name = f.getFileName.toString.stripSuffix(".json")
-      parse(name, Files.readString(f))
+      parse(name, Files.readString(f), cipher)
     }
     onlyEnv match {
       case Some(sel) => loaded.filter(_.config.name.equalsIgnoreCase(sel))

@@ -64,6 +64,48 @@ class LifecycleSpec extends SparkSpec {
       EnvLoader.Added("c-env"), EnvLoader.Removed("a-env"), EnvLoader.Updated("b-env")))
   }
 
+  test("S6 secrets: PWENC round-trip — encrypt is idempotent, loader decrypts, validation passes") {
+    val cipher = new AesGcmCipher("test-passphrase")
+    val dir = Files.createTempDirectory("envs-enc")
+    val envJson =
+      """{"Provider":"postgres",
+        | "ConnectionStrings":{"db0":"Host=h;Password=hunter2"},
+        | "ChangeTracking":{
+        |   "TrackingObjects":[{"Name":"orders","Database":"db0","TableName":"t","StoredProcedureName":"sp"}],
+        |   "ApiEndpoints":[{"Key":"ep1","Url":"http://h/{object}",
+        |     "Auth":{"Type":"bearer","Token":"secret-token"},
+        |     "MessageQueueType":"rabbitmq",
+        |     "MessageQueue":{"HostName":"mq.local","Password":"mq-pass","Queue":"q1"}}]}}""".stripMargin
+    Files.writeString(dir.resolve("prod.json"), envJson)
+
+    // Encrypt in place: secrets tagged, non-secrets (HostName, Url) plain.
+    assert(Secrets.encryptDir(dir.toString, cipher) == 1)
+    val enc = Files.readString(dir.resolve("prod.json"))
+    assert(enc.contains("PWENC:"), "secrets must be tagged")
+    assert(!enc.contains("hunter2") && !enc.contains("secret-token") && !enc.contains("mq-pass"),
+      "no secret value may survive in plaintext")
+    assert(enc.contains("mq.local") && enc.contains("http://h/"),
+      "non-secret props stay plain")
+    // Idempotent: a second pass rewrites nothing — the file is byte-stable.
+    assert(Secrets.encryptDir(dir.toString, cipher) == 0)
+    assert(Files.readString(dir.resolve("prod.json")) == enc)
+
+    // The loader decrypts through the same walk: broker validation sees the
+    // plaintext password and the config validates clean.
+    val loaded = EnvLoader.loadDir(dir.toString, cipher = Some(cipher))
+    assert(loaded.size == 1)
+    val l = loaded.head
+    assert(l.connectionStrings("db0") == "Host=h;Password=hunter2")
+    assert(l.config.endpoints.head.headers("Password") == "mq-pass")
+    assert(Config.validate(l.config, l.connectionStrings).ok)
+    // Without the cipher the tagged values pass through untouched (the
+    // reference behaves the same before key setup).
+    val raw = EnvLoader.loadDir(dir.toString)
+    assert(raw.head.connectionStrings("db0").startsWith("PWENC:"))
+    // Value-level round-trip through the cipher seam.
+    assert(cipher.decrypt(cipher.encrypt("abc")) == "abc")
+  }
+
   test("T6: never two pollers per environment; reload storm keeps exactly one") {
     val starts = scala.collection.mutable.ArrayBuffer[String]()
     val stops = scala.collection.mutable.ArrayBuffer[String]()
