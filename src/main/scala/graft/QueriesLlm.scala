@@ -827,7 +827,31 @@ object QueriesLlm {
           .select(col("query_id"), col("rank").cast("long").as("rank"),
             col("vec_id"), col("score"), col("cluster"))
       },
-      Some("""WITH quant AS (
+      Some(ivfKmeansOracle)),
+
+    Q("ann_ivf_persisted",
+      // Training-then-serving as deployed: the SAME Lloyd training as
+      // ann_ivf_kmeans, but the centroids are COMMITTED to a versioned
+      // parquet model store and the ranking runs against the
+      // persisted-then-RELOADED artifact — pinning that the store
+      // round-trips the model bit-exactly (the oracle is the identical
+      // training+ranking SQL; any serialization drift would hash-mismatch).
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val dir = java.nio.file.Files.createTempDirectory("graft-models").toString
+        val store = new graft.state.ModelStore(s, dir)
+        store.trainIvf("emb", emb, k = 4, iterations = 1)
+        Similarity.ivfTopKArrays(emb, emb.filter(col("vec_id") < 5),
+            store.loadCentroids("emb"), k = 10, nprobe = 2)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("score"), col("cluster"))
+      },
+      Some(ivfKmeansOracle))
+  )
+
+  /** Shared by ann_ivf_kmeans and ann_ivf_persisted: one Lloyd round on the
+    * first-4 seed, then IVF probe/re-rank — all in portable SQL. */
+  private lazy val ivfKmeansOracle: String = """WITH quant AS (
         |  SELECT vec_id,
         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
         |  FROM embeddings),
@@ -867,8 +891,7 @@ object QueriesLlm {
         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
         |  FROM scored)
         |SELECT query_id, rank, vec_id, score, cid AS cluster
-        |FROM ranked WHERE rank <= 10""".stripMargin))
-  )
+        |FROM ranked WHERE rank <= 10""".stripMargin
 
   /** DuckDB LSH bucket expression over quantized vector column `v` with
     * `planes` hyperplanes (mirrors Similarity.lshKey / hyperplane). */
