@@ -63,6 +63,22 @@ object ScaleSmoke {
     t("dup spans (hash 2-pass)")(
       DedupOps.duplicatedSpansHashKeyed(docs, "doc_id", "text").count())
     t("chunk windows")(graft.ops.TextOps.chunkWindows(docs, "doc_id", "text").count())
+    // Incremental near-dedup at crawl shape (r7 verdict #8): half the corpus
+    // is committed — its distinct (band, bucket) set is the state — and the
+    // other half is admitted against it. The state build runs UNTIMED
+    // (materialized first); the timed stage is exactly the operator's
+    // growth-suspect part: the batch signature pipeline + the state-vs-batch
+    // semi/anti joins. State is bucket-scale, never corpus rows.
+    locally {
+      val committed = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val seen = DedupOps.lshBuckets(
+          DedupOps.minhashSignature(committed, "doc_id", "text", 8), "doc_id", 8, 4)
+        .select(col("bucket"), col("band")).distinct().localCheckpoint()
+      val stateRows = seen.count() // materialize the state before the clock starts
+      t(s"incr near-dedup ($stateRows-bucket state)")(
+        DedupOps.incrementalNearDedup(batch, seen, "doc_id", "text")._1.count())
+    }
     // Per-source rollup under a hot-key fixture: a ~50-token boilerplate
     // header on 10% of docs concentrates those shingles' occurrence rows
     // into few `_h` join partitions (AQE skew-split territory at scale).
