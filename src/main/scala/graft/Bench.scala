@@ -64,8 +64,30 @@ object Bench {
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"${esc(sfDir)}"}"""
     println(line)
+    // The driver captures only a stdout TAIL (~2000 chars). At 114 queries
+    // the full line is ~6 KB, so its head — `{"metric":...` — falls outside
+    // the tail and the driver records `parsed: null` (round-7 verdict,
+    // housekeeping). Emit a LAST line guaranteed to fit the tail window:
+    // same shape, but `queries` holds only the slowest entries that fit a
+    // byte budget, with a count of omitted entries and a pointer to the
+    // complete artifact. Whether the driver takes the last line or greps
+    // the tail for `{"metric"`, this line is the one that parses.
+    val budget = 1500
+    val slowestFirst = timings.toSeq.sortBy(-_._2)
+    val sb = new StringBuilder
+    var kept = 0
+    slowestFirst.foreach { case (k, v) =>
+      val entry = s""""${esc(k)}":${"%.3f".format(v)}"""
+      if (sb.length + entry.length + 1 <= budget) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(entry); kept += 1
+      }
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{${sb.toString}},""" +
+      s""""queries_omitted":${timings.size - kept},"errors":$es,"sf":"${esc(sfDir)}","full":"$outPath"}""")
     // The driver captures only a stdout TAIL (2000 chars — truncates ~40% of
     // the per-query map at 100+ queries); persist the complete line too.
     // A pre-existing artifact's DuckDB pairing keys (written by
@@ -73,7 +95,6 @@ object Bench {
     // Spark side without destroying the only per-query ratio record — running
     // Bench and the pairing script in either order leaves one artifact with
     // both sides.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val merged = mapper.readTree(line).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
