@@ -1756,6 +1756,113 @@ object QueriesLlm {
         |FROM f GROUP BY doc_id""".stripMargin))
   )
 
+  /** Dataset assembly (Assemble.scala): mixture resampling, deterministic
+    * global shuffle order, token-balanced shard planning, reproducibility
+    * manifest — the post-dedup last mile of a training-data pipeline. */
+  def assemble: Seq[Q] = Seq(
+    Q("llm_target_mix",
+      // Water-filling mixture over the skewed lang distribution (en has 3×
+      // the availability of fr): fr is the binding source (kept whole,
+      // keep_ppm = 1e6) and en is cut hardest. Row-level output pins BOTH
+      // the integer plan arithmetic and the hash membership cut.
+      (s, d) => Assemble.targetMixResample(Tables.documents(s, d), "lang",
+          "doc_id", Seq("en" -> 2L, "zh" -> 1L, "es" -> 1L, "de" -> 1L, "fr" -> 1L),
+          "mix")
+        .select(col("doc_id"), col("lang"), col("avail"), col("target_n"),
+          col("keep_ppm")),
+      Some(s"""WITH avail AS (
+        |  SELECT lang AS _src, CAST(count(*) AS BIGINT) AS avail
+        |  FROM documents GROUP BY 1),
+        |w(_src, _w) AS (VALUES ('en', 2), ('zh', 1), ('es', 1), ('de', 1), ('fr', 1)),
+        |j AS (
+        |  SELECT a._src, a.avail, w._w, a.avail * 6 // w._w AS _nf
+        |  FROM avail a JOIN w ON a._src = w._src),
+        |n AS (SELECT min(_nf) AS _n FROM j),
+        |plan AS (
+        |  SELECT _src, avail, CAST(_w * _n // 6 AS BIGINT) AS target_n
+        |  FROM j, n),
+        |p2 AS (
+        |  SELECT _src, avail, target_n,
+        |         CAST(target_n * 1000000 // avail AS BIGINT) AS keep_ppm
+        |  FROM plan)
+        |SELECT d.doc_id, d.lang, p2.avail, p2.target_n, p2.keep_ppm
+        |FROM documents d JOIN p2 ON d.lang = p2._src
+        |WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < p2.keep_ppm""".stripMargin)),
+
+    Q("llm_shuffle_order",
+      // Deterministic global training order: dense 0-based permutation by
+      // salted hash. The oracle is the single-window formulation; the
+      // engine runs the bucketed two-level prefix sum — the comparison IS
+      // the proof that the scalable decomposition reproduces the global
+      // window bit-exactly.
+      (s, d) => Assemble.shuffledOrder(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id", "shuffle")
+        .select(col("doc_id"), col("shuffle_pos")),
+      Some(s"""SELECT doc_id,
+        |       CAST(row_number() OVER (
+        |         ORDER BY ${h60("'shuffle:' || CAST(doc_id AS VARCHAR)")}, doc_id) - 1
+        |         AS BIGINT) AS shuffle_pos
+        |FROM documents""".stripMargin)),
+
+    Q("llm_shard_plan",
+      // Token-balanced shards over the shuffled stream: each doc belongs to
+      // the shard its first token lands in (packStream convention,
+      // globalized). 2000-token budget → ~45 shards at sf0.01.
+      (s, d) => {
+        val based = TextOps.withNormToks(Tables.documents(s, d), "text")
+        val nTokens = when(length(col("_norm")) === 0, 0L)
+          .otherwise(size(col("_toks")).cast("long"))
+        Assemble.shardPlan(based.select(col("doc_id"), nTokens.as("n_tokens")),
+            "doc_id", "n_tokens", shardTokens = 2000L, salt = "shard")
+          .select(col("doc_id"), col("n_tokens"), col("shard_id"),
+            col("shard_offset"))
+      },
+      Some(withCtes(normDocsCte)(
+        s"""SELECT doc_id, n_tokens,
+          |       CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id,
+          |       CAST((cum - n_tokens) % 2000 AS BIGINT) AS shard_offset
+          |FROM (
+          |  SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY hk, doc_id) AS cum
+          |  FROM (
+          |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          |           ${h60("'shard:' || CAST(doc_id AS VARCHAR)")} AS hk
+          |    FROM tok_docs) t) c""".stripMargin))),
+
+    Q("llm_shard_manifest",
+      // Reproducibility manifest per shard: doc count, token sum, id range,
+      // order-insensitive content checksum. Two independently produced
+      // copies of the dataset agree on this iff they agree on membership
+      // and bytes.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val based = TextOps.withNormToks(docs, "text")
+        val nTokens = when(length(col("_norm")) === 0, 0L)
+          .otherwise(size(col("_toks")).cast("long"))
+        val plan = Assemble.shardPlan(
+          based.select(col("doc_id"), nTokens.as("n_tokens")),
+          "doc_id", "n_tokens", shardTokens = 2000L, salt = "shard")
+        Assemble.shardManifest(
+            plan.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
+            "shard_id", "doc_id", "n_tokens", "text")
+          .select(col("shard_id"), col("n_docs"), col("shard_tokens"),
+            col("content_sum"), col("min_id"), col("max_id"))
+      },
+      Some(withCtes(normDocsCte)(
+        s"""SELECT CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+          |       CAST(sum(${h60("text")} % ${Assemble.ChecksumPrime}) AS BIGINT) AS content_sum,
+          |       min(doc_id) AS min_id, max(doc_id) AS max_id
+          |FROM (
+          |  SELECT doc_id, text, n_tokens,
+          |         sum(n_tokens) OVER (ORDER BY hk, doc_id) AS cum
+          |  FROM (
+          |    SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+          |           ${h60("'shard:' || CAST(doc_id AS VARCHAR)")} AS hk
+          |    FROM tok_docs) t) c
+          |GROUP BY 1""".stripMargin)))
+  )
+
   def all: Seq[Q] = text ++ dedup ++ ann ++ embDedup ++ multimodal ++ tpch ++
-    timeWindows ++ pipeline
+    timeWindows ++ pipeline ++ assemble
 }

@@ -159,8 +159,19 @@ class RegisteredQueriesSpec extends SparkSpec {
       val bad = Seq.newBuilder[String]
       if (phys.collectWithSubqueries { case c: CartesianProductExec => c }.nonEmpty)
         bad += s"${q.name}: CartesianProduct (unbounded pair explosion at scale)"
+      // An unpartitioned window is also fine in ONE structural shape: its
+      // input aggregates on the single bucket key `_b` (the
+      // Assemble.hashOrderedCumSum bucket-offsets convention) — the window
+      // then sees ≤ `buckets` subtotal rows, bounded by construction, not
+      // by data. Any other global window stays forbidden (an aggregate on
+      // a data-scale key would NOT bound the frame).
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      def boundedBucketOffsets(w: WindowExec): Boolean =
+        w.child.collectFirst { case a: BaseAggregateExec => a }.exists(a =>
+          a.groupingExpressions.size == 1 &&
+            a.groupingExpressions.head.name == "_b")
       val globalWindows = phys.collectWithSubqueries {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBucketOffsets(w) => w
       }
       if (globalWindows.nonEmpty && !globalWindowAllowed(q.name))
         bad += s"${q.name}: unpartitioned window on a non-control-table query " +

@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AssembleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (1 to n).map(i => (i.toLong, 10L + (i % 37))).toDF("id", "toks")
+
+  test("hashOrderedCumSum is bucket-count independent (the scalable decomposition " +
+    "reproduces the global prefix sum)") {
+    val df = docs(500)
+    def run(buckets: Int) =
+      Assemble.hashOrderedCumSum(df, "id", col("toks"), "s8", buckets)
+        .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    val coarse = run(4)       // ~125 rows per bucket
+    val fine = run(4096)      // mostly 0/1 rows per bucket
+    assert(coarse == fine, "cum must not depend on the bucket decomposition")
+    // and it matches the direct single-window reference
+    val ref = df
+      .withColumn("k", Assemble.shuffleKey($"id", "s8"))
+      .withColumn("cum", sum($"toks").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"k", $"id")))
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    assert(coarse == ref, "bucketed sum must equal the global-window reference")
+  }
+
+  test("shuffledOrder is a dense 0-based permutation, stable across runs, " +
+    "and relative order survives data growth") {
+    val df = docs(300).select($"id")
+    val p1 = Assemble.shuffledOrder(df, "id").select($"id", $"shuffle_pos")
+      .as[(Long, Long)].collect().toMap
+    assert(p1.values.toSeq.sorted == (0L until 300L), "dense permutation")
+    val p2 = Assemble.shuffledOrder(df, "id").select($"id", $"shuffle_pos")
+      .as[(Long, Long)].collect().toMap
+    assert(p1 == p2, "deterministic")
+    // growth: positions shift, relative order of surviving rows does not
+    val grown = docs(600).select($"id")
+    val p3 = Assemble.shuffledOrder(grown, "id").select($"id", $"shuffle_pos")
+      .as[(Long, Long)].collect().toMap
+    val oldOrder = p1.toSeq.sortBy(_._2).map(_._1)
+    val newOrder = p3.toSeq.sortBy(_._2).map(_._1).filter(p1.contains)
+    assert(oldOrder == newOrder, "relative order is content-addressed")
+  }
+
+  test("shardPlan: offsets bounded by the budget, starts partition the token " +
+    "stream contiguously, shard totals ≈ budget") {
+    val budget = 500L
+    val plan = Assemble.shardPlan(docs(400), "id", "toks", budget, "sh")
+      .select($"id", $"toks", $"shard_id", $"shard_offset")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(plan.forall(_._4 < budget), "offset < budget")
+    assert(plan.forall(_._4 >= 0), "offset >= 0")
+    // every shard except possibly the last overflows its budget only by the
+    // one document straddling the boundary
+    val totals = plan.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxDoc = plan.map(_._2).max
+    val lastShard = totals.keys.max
+    totals.foreach { case (sid, tot) =>
+      if (sid != lastShard)
+        assert(tot >= budget - maxDoc && tot < budget + maxDoc,
+          s"shard $sid total $tot vs budget $budget (maxDoc $maxDoc)")
+    }
+    // shards are contiguous runs: ids sorted by (key, id) have monotone shard_id
+    val byOrder = Assemble.hashOrderedCumSum(docs(400), "id", col("toks"), "sh")
+      .select($"id", $"cum").as[(Long, Long)].collect().sortBy(_._2).map(_._1)
+    val shardOf = plan.map(p => p._1 -> p._3).toMap
+    val seq = byOrder.map(shardOf)
+    assert(seq.zip(seq.tail).forall { case (a, b) => a <= b }, "monotone shards")
+  }
+
+  test("targetMixResample: binding source kept whole, no source exceeds its " +
+    "target, unweighted sources dropped") {
+    // availability 300/150/60; weights 2/1/1 → fr-analog (c) binds:
+    // N = 60*4 div 1 = 240, targets = 120/60/60
+    val rows = (1 to 300).map(i => (i.toLong, "a")) ++
+      (301 to 450).map(i => (i.toLong, "b")) ++
+      (451 to 510).map(i => (i.toLong, "c")) ++
+      (511 to 520).map(i => (i.toLong, "junk"))
+    val df = rows.toDF("id", "src")
+    val out = Assemble.targetMixResample(df, "src", "id",
+      Seq("a" -> 2L, "b" -> 1L, "c" -> 1L))
+    val kept = out.groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("junk"), "unweighted source dropped")
+    assert(kept("c") == 60, "binding source kept whole (keep_ppm = 1e6)")
+    val planCols = out.select($"src", $"avail", $"target_n", $"keep_ppm")
+      .distinct().as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(planCols("a") == (("a", 300L, 120L, 400000L)), s"plan a: ${planCols("a")}")
+    assert(planCols("b") == (("b", 150L, 60L, 400000L)), s"plan b: ${planCols("b")}")
+    assert(planCols("c") == (("c", 60L, 60L, 1000000L)), s"plan c: ${planCols("c")}")
+    // hash cut approximates the target without ever exceeding availability;
+    // the deviation is binomial in the (fixed, deterministic) hash draw —
+    // bound it at ~4σ of Binomial(avail, keep_ppm/1e6), floor 10
+    kept.foreach { case (s, n) =>
+      val (_, avail, target, ppm) = planCols(s)
+      assert(n <= avail, s"$s kept $n > avail $avail")
+      val p = ppm / 1e6
+      val tol = math.max(10L, math.ceil(4 * math.sqrt(avail * p * (1 - p))).toLong)
+      assert(math.abs(n - target) <= tol, s"$s kept $n vs target $target (tol $tol)")
+    }
+  }
+
+  test("shardManifest checksum detects membership and content drift") {
+    val base = Seq((1L, 5L, 0L, "alpha"), (2L, 5L, 0L, "beta"), (3L, 5L, 1L, "gamma"))
+      .toDF("id", "toks", "shard_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Assemble.shardManifest(df, "shard_id", "id", "toks", "text")
+        .select($"shard_id", $"n_docs", $"shard_tokens", $"content_sum")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val m1 = m(base)
+    assert(m1 == m(base), "deterministic")
+    val contentDrift = base.withColumn("text",
+      when($"id" === 2L, lit("beta!")).otherwise($"text"))
+    assert(m1 != m(contentDrift), "byte change must change the checksum")
+    val membershipDrift = base.filter($"id" =!= 2L)
+    assert(m1 != m(membershipDrift), "membership change must change the manifest")
+  }
+}
