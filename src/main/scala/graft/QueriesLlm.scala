@@ -1838,12 +1838,15 @@ object QueriesLlm {
         val based = TextOps.withNormToks(docs, "text")
         val nTokens = when(length(col("_norm")) === 0, 0L)
           .otherwise(size(col("_toks")).cast("long"))
+        // ONE pass over text: the checksum term is projected alongside the
+        // token count, rides through the cumsum checkpoint as a long, and
+        // the manifest needs no second scan or id join.
         val plan = Assemble.shardPlan(
-          based.select(col("doc_id"), nTokens.as("n_tokens")),
+          based.select(col("doc_id"), nTokens.as("n_tokens"),
+            Assemble.contentChecksumTerm(col("text")).as("_csum")),
           "doc_id", "n_tokens", shardTokens = 2000L, salt = "shard")
-        Assemble.shardManifest(
-            plan.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
-            "shard_id", "doc_id", "n_tokens", "text")
+        Assemble.shardManifest(plan, "shard_id", "doc_id", "n_tokens",
+            col("_csum"))
           .select(col("shard_id"), col("n_docs"), col("shard_tokens"),
             col("content_sum"), col("min_id"), col("max_id"))
       },

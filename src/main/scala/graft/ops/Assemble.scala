@@ -102,19 +102,27 @@ object Assemble {
       .drop("_key", "_b", "_v", "cum", "_start")
   }
 
+  /** Per-row checksum term for [[shardManifest]]: 60-bit content hash mod
+    * [[ChecksumPrime]]. Compute it in the SAME projection that derives the
+    * token count — one pass over the corpus text feeds both the shard plan
+    * and the manifest, and the term (a small long) rides through the
+    * cumsum checkpoint instead of a second text scan + id join. */
+  def contentChecksumTerm(content: Column): Column =
+    DedupOps.hash60(content) % ChecksumPrime
+
   /** Reproducibility manifest: one row per shard with document count,
     * token sum, id range, and an order-insensitive content checksum
-    * (sum of per-row 60-bit content hashes mod [[ChecksumPrime]]) — two
-    * independently produced copies of a dataset agree on the manifest iff
-    * they agree on shard membership and bytes. Plain group-by: one
-    * shuffle of manifest-sized rows. */
+    * (sum of per-row [[contentChecksumTerm]]s) — two independently
+    * produced copies of a dataset agree on the manifest iff they agree on
+    * shard membership and bytes. Plain group-by: one shuffle of
+    * manifest-sized rows. */
   def shardManifest(planned: DataFrame, shardCol: String, idCol: String,
-                    tokensCol: String, contentCol: String): DataFrame =
+                    tokensCol: String, checksumTerm: Column): DataFrame =
     planned.groupBy(col(shardCol))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col(tokensCol)).as("shard_tokens"),
-        sum(DedupOps.hash60(col(contentCol)) % ChecksumPrime).as("content_sum"),
+        sum(checksumTerm).as("content_sum"),
         min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"))
 

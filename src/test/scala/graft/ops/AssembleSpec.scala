@@ -107,7 +107,8 @@ class AssembleSpec extends SparkSpec {
     val base = Seq((1L, 5L, 0L, "alpha"), (2L, 5L, 0L, "beta"), (3L, 5L, 1L, "gamma"))
       .toDF("id", "toks", "shard_id", "text")
     def m(df: org.apache.spark.sql.DataFrame) =
-      Assemble.shardManifest(df, "shard_id", "id", "toks", "text")
+      Assemble.shardManifest(df, "shard_id", "id", "toks",
+          Assemble.contentChecksumTerm(col("text")))
         .select($"shard_id", $"n_docs", $"shard_tokens", $"content_sum")
         .as[(Long, Long, Long, Long)].collect().toSet
     val m1 = m(base)
