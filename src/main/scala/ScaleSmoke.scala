@@ -63,6 +63,27 @@ object ScaleSmoke {
     t("dup spans (hash 2-pass)")(
       DedupOps.duplicatedSpansHashKeyed(docs, "doc_id", "text").count())
     t("chunk windows")(graft.ops.TextOps.chunkWindows(docs, "doc_id", "text").count())
+    // Dataset-assembly growth (r8): tokenize-once projection → bucketed
+    // two-level prefix sum → token-balanced shards → manifest. The stage's
+    // only corpus-scale shuffles are the checkpoint write and the
+    // per-bucket window; bucket subtotals stay ≤4096 rows at ANY corpus
+    // size, so growth should track the tokenize+shuffle cost ~linearly.
+    locally {
+      import graft.ops.{Assemble, TextOps}
+      val based = TextOps.withNormToks(docs, "text")
+      val nTokens = when(length(col("_norm")) === 0, 0L)
+        .otherwise(size(col("_toks")).cast("long"))
+      t("shard plan + manifest") {
+        val plan = Assemble.shardPlan(
+          based.select(col("doc_id"), nTokens.as("n_tokens"),
+            Assemble.contentChecksumTerm(col("text")).as("_csum")),
+          "doc_id", "n_tokens", shardTokens = 100000L, salt = "shard")
+        Assemble.shardManifest(plan, "shard_id", "doc_id", "n_tokens",
+          col("_csum")).count()
+      }
+      t("shuffle order")(
+        Assemble.shuffledOrder(docs.select(col("doc_id")), "doc_id").count())
+    }
     // Incremental near-dedup at crawl shape (r7 verdict #8): half the corpus
     // is committed — its distinct (band, bucket) set is the state — and the
     // other half is admitted against it. The state build runs UNTIMED
