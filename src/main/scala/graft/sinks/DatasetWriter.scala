@@ -7,89 +7,154 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
 /** Sharded training-dataset writer: materializes a shard-planned corpus
-  * ([[Assemble.shardPlan]] output) as a parquet dataset partitioned by
-  * shard, with an audited manifest and an atomic publish protocol.
+  * ([[Assemble.shardPlan]] output) as immutable parquet shard directories
+  * behind manifest-snapshot versions — append a crawl batch without ever
+  * rewriting published data.
   *
-  * Publish protocol (same pointer discipline as
+  * Layout:
+  * {{{
+  *   root/shards/shard_id=N/…parquet   immutable, written once, never edited
+  *   root/v<ts>/manifest/…parquet      snapshot: the shard rows this version sees
+  *   root/_CURRENT                     atomic pointer to the live version
+  * }}}
+  *
+  * A VERSION is a manifest snapshot (shard-scale rows), not a data copy —
+  * so `append` is O(batch), never O(dataset): the batch's shards stage,
+  * their bytes are audited, the manifest union commits, the pointer
+  * flips. At 100 TB an append of a day's crawl touches only that day's
+  * shards; the alternative (versioned full datasets) would rewrite
+  * everything per batch.
+  *
+  * Publish/append protocol (pointer discipline as in
   * [[graft.state.ParquetStateStore]]):
   *
-  *   1. data writes to a fresh versioned dir, `partitionBy(shard_id)` —
-  *      each shard is its own file group, the unit a trainer streams;
-  *   2. the manifest is RECOMPUTED from the bytes read back off those
-  *      files and compared (distributed anti-join, never collected) to
-  *      the manifest of the planned input — a lost or duplicated row
-  *      between plan and disk fails the publish here;
-  *   3. the audited manifest writes next to the data;
-  *   4. a `_CURRENT` pointer flips via write-temp + ATOMIC_MOVE — the
-  *      commit. A crash at/before step 4 leaves the previous version
-  *      live and the orphan staging dir is GC'd by the next publish.
+  *   1. the batch is planned with shard ids offset past the live
+  *      dataset's maximum (fresh ids by construction);
+  *   2. shard dirs write to a staging dir, then MOVE into `shards/` —
+  *      a same-id leftover from a crashed append is unreferenced by any
+  *      manifest (the crash happened before its commit) and is deleted
+  *      before the move;
+  *   3. the new shards' manifest is RECOMPUTED from bytes read back off
+  *      `shards/` and compared (distributed anti-join) to the planned
+  *      manifest — lost or duplicated rows fail here, previous version
+  *      stays live;
+  *   4. old manifest ∪ new manifest writes under a fresh version dir and
+  *      `_CURRENT` flips via write-temp + ATOMIC_MOVE — the commit;
+  *   5. GC removes versions older than (current, previous) and any shard
+  *      dir neither of those manifests references — which also reclaims
+  *      orphans of crashed appends.
   *
-  * Readers resolve the pointer, so training jobs never observe a
-  * half-written dataset; re-publishing after a crash is idempotent at
-  * the dataset level (a new version, same content, same manifest). */
+  * Readers resolve the pointer, then read exactly the shard dirs the
+  * manifest lists — never a half-written batch. */
 final class DatasetWriter(spark: SparkSession, rootDir: String) {
 
   private val root: Path = Paths.get(rootDir)
+  private def shardsRoot: Path = root.resolve("shards")
   private def pointer: Path = root.resolve("_CURRENT")
 
-  /** Columns the manifest audit needs in the written data. */
   val ShardCol = "shard_id"
 
-  final case class Publish(version: String, nShards: Long, nDocs: Long)
+  final case class Publish(version: String, nShards: Long, nDocs: Long,
+                           firstShard: Long)
 
   /** True iff the two manifests hold identical row sets — both are
     * shard-scale, compared distributed (symmetric anti-join). */
-  private[sinks] def manifestsAgree(a: DataFrame, b: DataFrame): Boolean =
-    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+  private[sinks] def manifestsAgree(a: DataFrame, b: DataFrame): Boolean = {
+    val bb = b.select(a.columns.map(col): _*) // align column order
+    a.exceptAll(bb).isEmpty && bb.exceptAll(a).isEmpty
+  }
 
   private def currentVersion: Option[String] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim).filter(_.nonEmpty)
     else None
 
-  /** The live dataset (data files of the current version), or None before
-    * the first successful publish. */
-  def currentDataDir: Option[String] =
-    currentVersion.map(v => root.resolve(v).resolve("data").toString)
-      .filter(d => Files.exists(Paths.get(d)))
-
-  def readCurrent(): Option[DataFrame] =
-    currentDataDir.map(spark.read.parquet(_))
+  private def manifestDir(version: String): Path =
+    root.resolve(version).resolve("manifest")
 
   def readManifest(): Option[DataFrame] =
-    currentVersion.map(v => root.resolve(v).resolve("manifest").toString)
-      .filter(d => Files.exists(Paths.get(d)))
-      .map(spark.read.parquet(_))
+    currentVersion.map(manifestDir).filter(Files.exists(_))
+      .map(d => spark.read.parquet(d.toString))
 
-  /** Publish a planned dataset. `planned` must carry `shard_id`, `idCol`,
-    * `tokensCol` and `csumCol` (the per-row [[Assemble.contentChecksumTerm]]
-    * value, persisted with the data so any later reader can re-audit the
-    * bytes it actually got). Throws (and leaves the previous version live)
-    * if the read-back audit finds the written bytes differ from the plan. */
+  /** The live dataset: union of exactly the shard dirs the current
+    * manifest lists, with `shard_id` restored from the directory name. */
+  def readCurrent(): Option[DataFrame] =
+    readManifest().map { m =>
+      val ids = m.select(col(ShardCol)).collect().map(_.getLong(0))
+      val paths = ids.sorted.map(id => shardsRoot.resolve(s"$ShardCol=$id").toString)
+      spark.read.option("basePath", shardsRoot.toString).parquet(paths: _*)
+        .withColumn(ShardCol, col(ShardCol).cast("long"))
+    }
+
+  /** First publish: plan ids start at 0. Fails if a dataset already
+    * exists (use [[append]] to grow one). */
   def publish(planned: DataFrame, idCol: String, tokensCol: String,
               csumCol: String): Publish = {
-    Files.createDirectories(root)
+    require(currentVersion.isEmpty,
+      s"dataset already exists at $rootDir — use append")
+    commitBatch(planned, idCol, tokensCol, csumCol, shardOffset = 0L, prior = None)
+  }
+
+  /** Append a batch: its shard ids continue past the live maximum; only
+    * the batch's shards are written. `planned` is [[Assemble.shardPlan]]
+    * output over the BATCH alone (each batch balances its own token
+    * stream — global order across appends is arrival order, the crawl
+    * convention). */
+  def append(planned: DataFrame, idCol: String, tokensCol: String,
+             csumCol: String): Publish = {
+    val prior = readManifest().getOrElse(
+      throw new IllegalStateException(s"no dataset at $rootDir — publish first"))
+      .localCheckpoint() // survives version GC below
+    val offset = prior.agg(max(col(ShardCol))).head().get(0) match {
+      case null => 0L // empty dataset published; ids start fresh
+      case v: Long => v + 1L
+    }
+    commitBatch(planned, idCol, tokensCol, csumCol, offset, Some(prior))
+  }
+
+  private def commitBatch(planned: DataFrame, idCol: String, tokensCol: String,
+                          csumCol: String, shardOffset: Long,
+                          prior: Option[DataFrame]): Publish = {
+    Files.createDirectories(shardsRoot)
     val version = s"v${System.nanoTime()}"
-    val stage = root.resolve(version)
-    val dataDir = stage.resolve("data").toString
+    val stage = root.resolve(s"_stage-$version")
+    val offsetPlanned = planned
+      .withColumn(ShardCol, col(ShardCol) + lit(shardOffset))
 
-    planned.write.partitionBy(ShardCol).mode(SaveMode.ErrorIfExists)
-      .parquet(dataDir)
+    // 2. stage the batch's shard dirs, move into the immutable pool
+    offsetPlanned.write.partitionBy(ShardCol).mode(SaveMode.ErrorIfExists)
+      .parquet(stage.toString)
+    val staged = listShardDirs(stage)
+    staged.foreach { d =>
+      val target = shardsRoot.resolve(d.getFileName.toString)
+      // same-id leftovers are orphans of a crashed append (never committed:
+      // offsets only ever point past COMMITTED manifests) — safe to replace
+      if (Files.exists(target)) deleteRecursively(target)
+      Files.move(d, target)
+    }
+    deleteRecursively(stage)
 
-    // Audit from BYTES: re-read what landed, re-derive the manifest, and
-    // require it row-identical to the manifest of the planned input.
-    val written = spark.read.parquet(dataDir)
+    // 3. audit the batch from bytes on disk
+    val batchPaths = staged.map(d => shardsRoot.resolve(d.getFileName.toString).toString)
+    val written = spark.read.option("basePath", shardsRoot.toString)
+      .parquet(batchPaths: _*)
+      .withColumn(ShardCol, col(ShardCol).cast("long"))
     def manifestOf(df: DataFrame) =
       Assemble.shardManifest(df, ShardCol, idCol, tokensCol, col(csumCol))
     val writtenManifest = manifestOf(written).localCheckpoint()
-    if (!manifestsAgree(manifestOf(planned), writtenManifest)) {
-      deleteRecursively(stage)
+    if (!manifestsAgree(manifestOf(offsetPlanned), writtenManifest)) {
+      batchPaths.foreach(p => deleteRecursively(Paths.get(p)))
       throw new IllegalStateException(
         s"dataset publish audit failed for $version: written bytes disagree " +
           "with the planned manifest (lost or duplicated rows)")
     }
-    writtenManifest.coalesce(1).write.mode(SaveMode.ErrorIfExists)
-      .parquet(stage.resolve("manifest").toString)
 
+    // 4. manifest snapshot (old ∪ new) + atomic pointer flip
+    val full = prior match {
+      case Some(p) => p.unionByName(writtenManifest)
+      case None => writtenManifest
+    }
+    full.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+      .parquet(manifestDir(version).toString)
     val prev = currentVersion
     val tmp = root.resolve(s"_CURRENT.tmp$version")
     Files.writeString(tmp, version)
@@ -97,19 +162,41 @@ final class DatasetWriter(spark: SparkSession, rootDir: String) {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
 
-    // GC: everything but the new current and its immediate predecessor
-    // (concurrent readers may still hold the old pointer value) — this is
-    // also what clears orphaned staging dirs from crashed publishes.
-    val keep = Set(Some(version), prev).flatten
+    // 5. GC: versions beyond (current, previous); shard dirs neither
+    // retained manifest references — includes crashed-append orphans
+    val keepVersions = Set(Some(version), prev).flatten
     val listing = Files.list(root)
-    try listing.filter(p => Files.isDirectory(p) && !keep(p.getFileName.toString))
+    try listing.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString != "shards" &&
+        !keepVersions(p.getFileName.toString))
       .forEach(deleteRecursively(_))
     finally listing.close()
+    val referenced: Set[String] = keepVersions.flatMap { v =>
+      val d = manifestDir(v)
+      if (Files.exists(d))
+        spark.read.parquet(d.toString).select(col(ShardCol)).collect()
+          .map(r => s"$ShardCol=${r.getLong(0)}").toSet
+      else Set.empty[String]
+    }
+    listShardDirs(shardsRoot)
+      .filterNot(d => referenced(d.getFileName.toString))
+      .foreach(deleteRecursively(_))
 
     val counts = writtenManifest
       .agg(count(lit(1)).as("s"), sum(col("n_docs")).as("d"))
       .head()
-    Publish(version, counts.getLong(0), counts.getLong(1))
+    Publish(version, counts.getLong(0), counts.getLong(1), shardOffset)
+  }
+
+  private def listShardDirs(dir: Path): Seq[Path] = {
+    if (!Files.exists(dir)) return Nil
+    val listing = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.toSeq
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$ShardCol="))
+    } finally listing.close()
   }
 
   private def deleteRecursively(p: Path): Unit = {
