@@ -846,7 +846,75 @@ object QueriesLlm {
           .select(col("query_id"), col("rank").cast("long").as("rank"),
             col("vec_id"), col("score"), col("cluster"))
       },
-      Some(ivfKmeansOracle))
+      Some(ivfKmeansOracle)),
+
+    Q("ann_label_purity",
+      // Cluster-bounded k-NN label-purity audit (mislabel screening): each
+      // vector's 10 nearest within-cell neighbours vote on its label;
+      // purity under 50% flags the row. Neighbour labels ride the bounded
+      // top-k aggregate as tags — no corpus join-back.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        // threshold at the 10-class chance level: the synthetic labels
+        // correlate with geometry (same-label mean dot 6× the diff-label
+        // mean) but only weakly, so "suspect" = below-chance purity
+        Similarity.knnLabelAudit(emb, k = 10, numCentroids = 8,
+          minPurityPpm = 100000L)
+      },
+      Some("""WITH quant AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM quant WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT vec_id, label, cid, v FROM (
+        |    SELECT q.vec_id, q.label, c.cid, q.v,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*c.cv[i])) AS BIGINT) DESC, c.cid) AS rn
+        |    FROM quant q CROSS JOIN cent c) WHERE rn = 1),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, a.label AS q_label, b.vec_id, b.label AS n_label,
+        |         CAST(list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i])) AS BIGINT) AS score
+        |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+        |top AS (
+        |  SELECT query_id, q_label, n_label FROM (
+        |    SELECT query_id, q_label, n_label,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+        |    FROM scored) WHERE rn <= 10)
+        |SELECT query_id AS vec_id, q_label AS label,
+        |       CAST(count(*) AS BIGINT) AS n_nbrs,
+        |       CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+        |       CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS purity_ppm,
+        |       sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) < 100000 AS suspect
+        |FROM top GROUP BY 1, 2""".stripMargin)),
+
+    Q("ann_hard_negatives",
+      // Hard-negative mining: per query, the 10 closest corpus vectors with
+      // a DIFFERENT label — contrastive-training pair generation. Broadcast
+      // queries, one corpus stream, bounded top-k aggregate.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5), 10)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("score"), col("neg_label"))
+      },
+      Some("""WITH quant AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id, c.label AS neg_label,
+        |         CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*c.v[i])) AS BIGINT) AS score
+        |  FROM quant q CROSS JOIN quant c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id AND q.label <> c.label),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score, neg_label,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, score, neg_label
+        |FROM ranked WHERE rank <= 10""".stripMargin))
   )
 
   /** Shared by ann_ivf_kmeans and ann_ivf_persisted: one Lloyd round on the
@@ -1753,7 +1821,46 @@ object QueriesLlm {
         |SELECT doc_id, count(*) AS n_frames,
         |       CAST(sum(energy) AS BIGINT) AS energy_sum,
         |       max(energy) AS energy_max
-        |FROM f GROUP BY doc_id""".stripMargin))
+        |FROM f GROUP BY doc_id""".stripMargin)),
+
+    Q("llm_ref_quality",
+      // Reference-frequency quality scoring (the CCNet recipe without the
+      // engine-divergent float log): df counted on a content-addressed 30%
+      // reference slice, every doc scored by OOV ppm + mean inverse-df
+      // rarity, fixed integer thresholds bucket head/middle/tail.
+      // The synthetic corpus shares a 31-token vocabulary, so OOV is
+      // structurally ~0 and rarity_pts is the live axis: thresholds sit at
+      // the measured p50/p95 of its 9.1k-29.4k range so all three buckets
+      // are exercised. (Production defaults in TextOps assume web-crawl
+      // df distributions and sit far higher.)
+      (s, d) => TextOps.refFreqQuality(Tables.documents(s, d), "doc_id", "text",
+        oovTailPpm = 100000L, rarityTailPts = 12000L,
+        rarityHeadPts = 9300L, oovHeadPpm = 100000L),
+      Some(withCtes(normDocsCte,
+        """occ AS (
+          |  SELECT doc_id, unnest(toks) AS tok FROM tok_docs),
+          |vocab AS (
+          |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM (
+          |    SELECT DISTINCT doc_id, tok FROM occ
+          |    WHERE CAST('0x' || substr(sha256('ref:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 300)
+          |  GROUP BY tok HAVING count(*) >= 2),
+          |agg AS (
+          |  SELECT o.doc_id,
+          |         CAST(count(*) AS BIGINT) AS n_toks,
+          |         CAST(sum(CASE WHEN v.df IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          |         CAST(sum(CASE WHEN v.df IS NOT NULL THEN 1000000 // v.df ELSE 0 END) AS BIGINT) AS rsum,
+          |         CAST(sum(CASE WHEN v.df IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nv
+          |  FROM occ o LEFT JOIN vocab v USING (tok)
+          |  GROUP BY 1)""".stripMargin)(
+        """SELECT doc_id, n_toks, n_oov,
+          |       CAST(n_oov * 1000000 // n_toks AS BIGINT) AS oov_ppm,
+          |       CAST(CASE WHEN nv > 0 THEN rsum // nv ELSE 1000000 END AS BIGINT) AS rarity_pts,
+          |       CASE WHEN n_oov * 1000000 // n_toks >= 100000
+          |              OR (CASE WHEN nv > 0 THEN rsum // nv ELSE 1000000 END) >= 12000 THEN 'tail'
+          |            WHEN (CASE WHEN nv > 0 THEN rsum // nv ELSE 1000000 END) < 9300
+          |              AND n_oov * 1000000 // n_toks < 100000 THEN 'head'
+          |            ELSE 'middle' END AS bucket
+          |FROM agg""".stripMargin)))
   )
 
   /** Dataset assembly (Assemble.scala): mixture resampling, deterministic

@@ -174,4 +174,62 @@ object TextOps {
       .withColumn("seq_offset", expr(s"(_cum - n_tokens) % ${seqLen}L"))
       .drop("_cum")
   }
+
+  /** Reference-frequency quality scoring — the CCNet/LM-filter recipe,
+    * integerized so the scores are bit-identical in any engine: token
+    * DOCUMENT frequencies are counted over a content-addressed reference
+    * slice of the corpus ([[Sampling.bucketOf]] < `refPermille`), and every
+    * document is scored against that vocabulary with
+    *  - `oov_ppm`   — millionths of token occurrences outside the vocab
+    *    (tokens with reference df < `minDf` are out), and
+    *  - `rarity_pts` — mean inverse document frequency of the in-vocab
+    *    occurrences, `avg(1e6 div df)` in integer points: common-language
+    *    text scores LOW (head), rare/garbled text HIGH (tail) — the same
+    *    ordering an n-gram LM's perplexity induces, without the float log
+    *    whose libm rounding differs across engines.
+    * Fixed integer thresholds bucket documents head/middle/tail (CCNet
+    * keeps the split static so shards are reproducible).
+    *
+    * Scale shape: one explode pass over the corpus; df is a distinct +
+    * map-side-combined count; the vocab join auto-broadcasts via a
+    * LIMIT-bounded probe (the `decontaminate` pattern) and falls back to a
+    * shuffle join keyed on token. Documents whose normalized text is empty
+    * have no token rows and are absent from the output (mirrored by the
+    * oracle's `unnest([])`).
+    *
+    * Output: (doc_id, n_toks, n_oov, oov_ppm, rarity_pts, bucket). */
+  def refFreqQuality(docs: DataFrame, idCol: String, textCol: String,
+                     refPermille: Int = 300, minDf: Int = 2,
+                     oovTailPpm: Long = 400000L, rarityTailPts: Long = 250000L,
+                     rarityHeadPts: Long = 150000L, oovHeadPpm: Long = 100000L,
+                     salt: String = "ref",
+                     broadcastMaxVocab: Long = 4000000L): DataFrame = {
+    val occ = withNormToks(docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), explode(col("_toks")).as("tok"))
+      .filter(length(col("tok")) > 0) // split("") yields [""] — drop it
+      .localCheckpoint(eager = false) // feeds vocab AND scoring (plan lint)
+    val vocab0 = occ.filter(Sampling.bucketOf(col(idCol), salt) < refPermille)
+      .select(col(idCol), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val probe = math.min(broadcastMaxVocab, Int.MaxValue - 1L).toInt
+    val vocab = if (vocab0.limit(probe + 1).count() <= probe) broadcast(vocab0)
+                else vocab0
+    occ.join(vocab, Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("df").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("df").isNotNull, expr("1000000 div df")).otherwise(0L)).as("_rsum"),
+        sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("_nv"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_toks"))
+      .withColumn("rarity_pts",
+        when(col("_nv") > 0, expr("_rsum div _nv")).otherwise(lit(1000000L)))
+      .withColumn("bucket",
+        when(col("oov_ppm") >= oovTailPpm || col("rarity_pts") >= rarityTailPts,
+          lit("tail"))
+          .when(col("rarity_pts") < rarityHeadPts && col("oov_ppm") < oovHeadPpm,
+            lit("head"))
+          .otherwise(lit("middle")))
+      .drop("_rsum", "_nv")
+  }
 }
