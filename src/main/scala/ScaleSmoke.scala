@@ -207,6 +207,16 @@ object ScaleSmoke {
     t(s"ivf top-k ($m corpus)")(
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16), 10,
         numCentroids = 32, nprobe = 3).count())
+    // Label-purity audit growth: the cell self-join is Σ|cell|² pairs, so
+    // the centroid count MUST scale with √N to hold cell size (and the
+    // stage's work per vector) constant — exactly the deployment rule the
+    // scaladoc states. Labels synthesized as vec_id mod 10.
+    locally {
+      val labeled = emb.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
+      val cents = math.max(32, math.sqrt(m.toDouble).toInt)
+      t(s"label audit ($m, $cents cells)")(
+        Similarity.knnLabelAudit(labeled, k = 10, numCentroids = cents).count())
+    }
     // Same-run A/B that DECIDED the round-8 ANN top-k shape: the bounded
     // topk_pairs aggregate vs the former rank window. With 16 queries over
     // the full corpus, the window shuffles EVERY scored candidate of a query
