@@ -855,17 +855,22 @@ object QueriesLlm {
       // top-k aggregate as tags — no corpus join-back.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        // threshold at the 10-class chance level: the synthetic labels
-        // correlate with geometry (same-label mean dot 6× the diff-label
-        // mean) but only weakly, so "suspect" = below-chance purity
-        Similarity.knnLabelAudit(emb, k = 10, numCentroids = 8,
+        // centroids = ceil(sqrt N): the single-level optimum the operator
+        // scaladoc derives — the query self-scales with the corpus (the
+        // count is a parquet-metadata read, not a scan). Threshold at the
+        // 10-class chance level: the synthetic labels correlate with
+        // geometry (same-label mean dot 6× diff-label) but only weakly,
+        // so "suspect" = below-chance purity.
+        val cents = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+        Similarity.knnLabelAudit(emb, k = 10, numCentroids = cents,
           minPurityPpm = 100000L)
       },
       Some("""WITH quant AS (
         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
         |  FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM quant WHERE vec_id < 8),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM quant
+        |         WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
         |assign AS (
         |  SELECT vec_id, label, cid, v FROM (
         |    SELECT q.vec_id, q.label, c.cid, q.v,
