@@ -1975,8 +1975,78 @@ object QueriesLlm {
           |    SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
           |           ${h60("'shard:' || CAST(doc_id AS VARCHAR)")} AS hk
           |    FROM tok_docs) t) c
-          |GROUP BY 1""".stripMargin)))
+          |GROUP BY 1""".stripMargin))),
+
+    Q("llm_manifest_diff",
+      // Dataset-release audit: an append is simulated (batch A published,
+      // batch B appended with shard ids offset past A's max — exactly
+      // DatasetWriter.append's arithmetic) and the two versions' manifests
+      // are diffed. For an append-only store the invariant is visible in
+      // the output: A's shards 'unchanged', B's 'added', nothing
+      // 'removed'/'changed'.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def manifestOf(df: org.apache.spark.sql.DataFrame) = {
+          val based = TextOps.withNormToks(df, "text")
+          val nTokens = when(length(col("_norm")) === 0, 0L)
+            .otherwise(size(col("_toks")).cast("long"))
+          Assemble.shardManifest(
+            Assemble.shardPlan(
+              based.select(col("doc_id"), nTokens.as("n_tokens"),
+                Assemble.contentChecksumTerm(col("text")).as("_csum")),
+              "doc_id", "n_tokens", shardTokens = 2000L, salt = "shard"),
+            "shard_id", "doc_id", "n_tokens", col("_csum"))
+        }
+        // old manifest feeds the diff's old side AND the union (plan lint)
+        val a = manifestOf(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+          .localCheckpoint(eager = false)
+        val off = a.agg((max(col("shard_id")) + 1).as("_off"))
+        val b = manifestOf(docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+          .crossJoin(broadcast(off)) // 1-row plan table, never collected
+          .select((col("shard_id") + col("_off")).as("shard_id"), col("n_docs"),
+            col("shard_tokens"), col("content_sum"), col("min_id"), col("max_id"))
+        Assemble.manifestDiff(a, a.unionByName(b))
+      },
+      Some(withCtes(normDocsCte,
+        s"""tn AS (
+          |  SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+          |         ${h60("'shard:' || CAST(doc_id AS VARCHAR)")} AS hk,
+          |         ${h60("text")} % ${graft.ops.Assemble.ChecksumPrime} AS csum
+          |  FROM tok_docs)""".stripMargin,
+        manifestCteSql("ma", "doc_id % 10 <> 0"),
+        manifestCteSql("mb0", "doc_id % 10 = 0"),
+        """mb AS (
+          |  SELECT shard_id + (SELECT max(shard_id) + 1 FROM ma) AS shard_id,
+          |         n_docs, shard_tokens, content_sum, min_id, max_id
+          |  FROM mb0),
+          |mnew AS (SELECT * FROM ma UNION ALL SELECT * FROM mb)""".stripMargin)(
+        """SELECT coalesce(o.shard_id, n.shard_id) AS shard_id,
+          |       CASE WHEN o.shard_id IS NULL THEN 'added'
+          |            WHEN n.shard_id IS NULL THEN 'removed'
+          |            WHEN o.n_docs <> n.n_docs OR o.shard_tokens <> n.shard_tokens
+          |              OR o.content_sum <> n.content_sum OR o.min_id <> n.min_id
+          |              OR o.max_id <> n.max_id THEN 'changed'
+          |            ELSE 'unchanged' END AS status,
+          |       CAST(coalesce(n.n_docs, 0) - coalesce(o.n_docs, 0) AS BIGINT) AS docs_delta,
+          |       CAST(coalesce(n.shard_tokens, 0) - coalesce(o.shard_tokens, 0) AS BIGINT) AS tokens_delta
+          |FROM ma o FULL OUTER JOIN mnew n ON o.shard_id = n.shard_id""".stripMargin)))
   )
+
+  /** Shard-manifest CTE over the `tn` token/checksum rows restricted by
+    * `where` — the llm_shard_manifest arithmetic, reused per batch by
+    * llm_manifest_diff. */
+  private def manifestCteSql(name: String, where: String): String =
+    s"""$name AS (
+      |  SELECT CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+      |         CAST(sum(csum) AS BIGINT) AS content_sum,
+      |         min(doc_id) AS min_id, max(doc_id) AS max_id
+      |  FROM (
+      |    SELECT doc_id, n_tokens, csum,
+      |           sum(n_tokens) OVER (ORDER BY hk, doc_id) AS cum
+      |    FROM tn WHERE $where) c
+      |  GROUP BY 1)""".stripMargin
 
   def all: Seq[Q] = text ++ dedup ++ ann ++ embDedup ++ multimodal ++ tpch ++
     timeWindows ++ pipeline ++ assemble

@@ -126,6 +126,41 @@ object Assemble {
         min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"))
 
+  /** Columns two manifests are compared on in [[manifestDiff]] — the full
+    * [[shardManifest]] stat set, so any membership or byte change in a
+    * shard flips it to `changed`. */
+  private val ManifestStatCols =
+    Seq("n_docs", "shard_tokens", "content_sum", "min_id", "max_id")
+
+  /** Dataset-version diff over two [[shardManifest]]s: one row per shard id
+    * present in either version, with
+    * `status ∈ {added, removed, changed, unchanged}` and doc/token deltas.
+    * The audit a versioned dataset store runs between releases — for an
+    * append-only store the invariant is NO `removed`/`changed` rows (a
+    * published shard is immutable), and the `added` rows ARE the release
+    * notes. Manifests are shard-scale, so this is one full-outer join of
+    * small tables at any corpus size. */
+  def manifestDiff(oldM: DataFrame, newM: DataFrame,
+                   shardCol: String = "shard_id"): DataFrame = {
+    val o = oldM.select(col(shardCol) +:
+      ManifestStatCols.map(c => col(c).as(s"_o_$c")): _*)
+    val n = newM.select(col(shardCol) +:
+      ManifestStatCols.map(c => col(c).as(s"_n_$c")): _*)
+    o.join(n, Seq(shardCol), "full_outer")
+      .withColumn("status",
+        when(col("_o_n_docs").isNull, lit("added"))
+          .when(col("_n_n_docs").isNull, lit("removed"))
+          .when(ManifestStatCols.map(c => col(s"_o_$c") =!= col(s"_n_$c"))
+            .reduce(_ || _), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .withColumn("docs_delta",
+        coalesce(col("_n_n_docs"), lit(0L)) - coalesce(col("_o_n_docs"), lit(0L)))
+      .withColumn("tokens_delta",
+        coalesce(col("_n_shard_tokens"), lit(0L))
+          - coalesce(col("_o_shard_tokens"), lit(0L)))
+      .select(col(shardCol), col("status"), col("docs_delta"), col("tokens_delta"))
+  }
+
   /** Water-filling mixture resample: keep the LARGEST dataset whose source
     * composition matches integer `weights`, given what is available —
     * the binding source (smallest avail/weight ratio) is kept whole and

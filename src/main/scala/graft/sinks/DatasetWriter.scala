@@ -75,6 +75,30 @@ final class DatasetWriter(spark: SparkSession, rootDir: String) {
     currentVersion.map(manifestDir).filter(Files.exists(_))
       .map(d => spark.read.parquet(d.toString))
 
+  /** Release audit: [[Assemble.manifestDiff]] of the previous version's
+    * manifest against the current one. GC retains exactly (current,
+    * previous), so this is always answerable after the second commit; for
+    * this append-only store every row must be `added` or `unchanged` — a
+    * `removed`/`changed` row means a published shard was touched
+    * (spec-pinned). None before a second version exists. */
+  def diffFromPrevious(): Option[DataFrame] =
+    currentVersion.flatMap { cur =>
+      val listing = Files.list(root)
+      val prev =
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala
+            .filter(p => Files.isDirectory(p) && p.getFileName.toString != cur &&
+              p.getFileName.toString.startsWith("v"))
+            .map(_.getFileName.toString).toSeq.sorted.lastOption
+        } finally listing.close()
+      prev.filter(v => Files.exists(manifestDir(v))).map { v =>
+        Assemble.manifestDiff(
+          spark.read.parquet(manifestDir(v).toString),
+          spark.read.parquet(manifestDir(cur).toString), ShardCol)
+      }
+    }
+
   /** The live dataset: union of exactly the shard dirs the current
     * manifest lists, with `shard_id` restored from the directory name. */
   def readCurrent(): Option[DataFrame] =

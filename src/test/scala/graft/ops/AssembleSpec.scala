@@ -119,4 +119,20 @@ class AssembleSpec extends SparkSpec {
     val membershipDrift = base.filter($"id" =!= 2L)
     assert(m1 != m(membershipDrift), "membership change must change the manifest")
   }
+
+  test("manifestDiff classifies added/removed/changed/unchanged with exact deltas") {
+    def m(rows: Seq[(Long, Long, Long, String)]) =
+      Assemble.shardManifest(rows.toDF("id", "toks", "shard_id", "text"),
+        "shard_id", "id", "toks", Assemble.contentChecksumTerm(col("text")))
+    val old = m(Seq((1L, 5L, 0L, "alpha"), (2L, 7L, 1L, "beta"), (3L, 9L, 2L, "gamma")))
+    val neu = m(Seq((1L, 5L, 0L, "alpha"),              // shard 0 untouched
+      (2L, 7L, 1L, "beta!"),                            // shard 1: byte drift
+      (4L, 11L, 3L, "delta")))                          // shard 2 gone, 3 new
+    val d = Assemble.manifestDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d(0L) == (("unchanged", 0L, 0L)))
+    assert(d(1L) == (("changed", 0L, 0L)), "same counts, different bytes")
+    assert(d(2L) == (("removed", -1L, -9L)))
+    assert(d(3L) == (("added", 1L, 11L)))
+  }
 }

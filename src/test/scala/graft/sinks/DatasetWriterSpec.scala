@@ -62,6 +62,20 @@ class DatasetWriterSpec extends SparkSpec {
     val ids = back.select($"doc_id").as[Long].collect().toSet
     assert((1 to 60).forall(i => ids(i.toLong)))
     assert((1000 to 1089).forall(i => ids(i.toLong)))
+    // release audit: the version diff is exactly "old unchanged, batch
+    // added" — the append-only invariant as data
+    val byStatus = w.diffFromPrevious().get.groupBy($"status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus == Map("unchanged" -> p1.nShards, "added" -> p2.nShards),
+      s"append diff must be unchanged+added only, got $byStatus")
+  }
+
+  test("diffFromPrevious is None before a second version exists") {
+    val root = freshRoot()
+    val w = new DatasetWriter(spark, root)
+    assert(w.diffFromPrevious().isEmpty)
+    w.publish(planned(1 to 30), "doc_id", "n_tokens", "_csum")
+    assert(w.diffFromPrevious().isEmpty, "one version — nothing to diff")
   }
 
   test("crashed-append orphans are invisible and GC'd; old versions pruned to current+previous") {
