@@ -381,7 +381,45 @@ object QueriesLlm {
       (s, d) => Tables.documents(s, d).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint")),
       Some(withCtes(normDocsCte)(
-        "SELECT doc_id, substr(sha256(norm), 1, 16) AS fingerprint FROM norm_docs")))
+        "SELECT doc_id, substr(sha256(norm), 1, 16) AS fingerprint FROM norm_docs"))),
+
+    Q("llm_repetition",
+      // Gopher/MassiveText intra-document repetition filters at token
+      // granularity — see TextOps.repetitionSignals for the plan shape
+      // (one tagged explode, two skew-free hash aggregations).
+      (s, d) => TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text"),
+      Some(withCtes(normDocsCte,
+        """grams AS (
+          |  SELECT doc_id, 1 AS kind, unnest(toks) AS gram FROM tok_docs
+          |  UNION ALL
+          |  SELECT doc_id, 2 AS kind,
+          |         unnest(list_transform(range(len(toks) - 1),
+          |                i -> toks[i+1] || ' ' || toks[i+2])) AS gram
+          |  FROM tok_docs WHERE len(toks) >= 2
+          |  UNION ALL
+          |  SELECT doc_id, 3 AS kind,
+          |         unnest(list_transform(range(len(toks) - 2),
+          |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+          |  FROM tok_docs WHERE len(toks) >= 3),
+          |gc AS (SELECT doc_id, kind, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+          |agg AS (SELECT doc_id,
+          |               sum(CASE WHEN kind = 1 THEN c END) AS nt,
+          |               count(CASE WHEN kind = 1 THEN 1 END) AS nd,
+          |               max(CASE WHEN kind = 2 THEN c END) AS maxbi,
+          |               sum(CASE WHEN kind = 3 THEN c - 1 END) AS trirep
+          |        FROM gc GROUP BY 1)""".stripMargin)(
+        """SELECT t.doc_id,
+          |       CAST(coalesce(a.nt, 0) AS BIGINT) AS n_tokens,
+          |       CAST(CASE WHEN coalesce(a.nt, 0) > 0
+          |                 THEN ((a.nt - a.nd) * 1000000) // a.nt ELSE 0 END AS BIGINT)
+          |         AS dup_token_ppm,
+          |       CAST(CASE WHEN a.maxbi IS NOT NULL
+          |                 THEN (a.maxbi * 2000000) // a.nt ELSE 0 END AS BIGINT)
+          |         AS top_bigram_ppm,
+          |       CAST(CASE WHEN a.trirep IS NOT NULL
+          |                 THEN (a.trirep * 3000000) // a.nt ELSE 0 END AS BIGINT)
+          |         AS dup_trigram_ppm
+          |FROM tok_docs t LEFT JOIN agg a USING (doc_id)""".stripMargin)))
   )
 
   def dedup: Seq[Q] = Seq(

@@ -111,6 +111,66 @@ object TextOps {
   def fingerprint(text: Column): Column =
     substring(sha2(normalize(text), 256), 1, 16)
 
+  /** Gopher-style intra-document repetition signals (the MassiveText
+    * repetition filters), at token/n-gram granularity — this corpus has no
+    * line structure, so the line-level variants collapse onto these three:
+    *
+    *  - `dup_token_ppm`: fraction of tokens that are repeat occurrences
+    *    (`(n - distinct) / n`) — the duplicate-line-fraction analog;
+    *  - `top_bigram_ppm`: fraction of tokens covered by occurrences of the
+    *    single most frequent bigram (`2·max_count / n`);
+    *  - `dup_trigram_ppm`: fraction of tokens covered by repeat occurrences
+    *    of trigrams (`3·Σ(count−1) / n`).
+    *
+    * All integerized as ppm via BIGINT `div` (portable — DuckDB `//`).
+    * A curation pipeline thresholds these to drop boilerplate/spam docs.
+    *
+    * Shape: gram frequencies need a per-(doc, gram) count, so the plan is
+    * ONE explode (the three gram kinds ride a single tagged flattened
+    * array — not three corpus passes) into two hash aggregations, both
+    * partial-aggregated map-side. Keys are (doc, kind, gram) then doc —
+    * skew-free by construction: a document contributes ≤ 3·|tokens| gram
+    * rows and no key crosses documents, so 100 TB distributes evenly. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val based = withNormToks(df, textCol)
+    val toksGuarded = when(length(col("_norm")) === 0,
+      array().cast("array<string>")).otherwise(col("_toks"))
+    // n-gram structs tagged with their kind; slice() keeps element access
+    // in-bounds (ANSI-safe), the empty-int-array otherwise() keeps short
+    // docs gram-free without evaluating out-of-range positions.
+    def grams(n: Int, kind: Int): Column = {
+      val idx = when(size(col("_t")) >= n,
+        sequence(lit(1), size(col("_t")) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+      transform(idx, i => struct(lit(kind).as("kind"),
+        concat_ws(" ", slice(col("_t"), i, lit(n))).as("gram")))
+    }
+    val nToks = when(length(col("_norm")) === 0, 0L)
+      .otherwise(size(col("_toks")).cast("long"))
+    val tagged = based
+      .select(col(idCol), nToks.as("n_tokens"), toksGuarded.as("_t"))
+      .select(col(idCol), col("n_tokens"),
+        explode_outer(concat(grams(1, 1), grams(2, 2), grams(3, 3))).as("_g"))
+    val counts = tagged
+      .groupBy(col(idCol), col("_g.kind").as("kind"), col("_g.gram").as("gram"))
+      .agg(first(col("n_tokens")).as("n_tokens"), count(lit(1)).as("c"))
+    counts.groupBy(col(idCol))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        sum(when(col("kind") === 1, lit(1)).otherwise(lit(0))).as("_distinct"),
+        max(when(col("kind") === 2, col("c"))).as("_maxbi"),
+        sum(when(col("kind") === 3, col("c") - 1)).as("_trirep"))
+      .select(col(idCol), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          expr("(n_tokens - _distinct) * 1000000 div n_tokens"))
+          .otherwise(0L).cast("long").as("dup_token_ppm"),
+        when(col("_maxbi").isNotNull,
+          expr("_maxbi * 2000000 div n_tokens"))
+          .otherwise(0L).cast("long").as("top_bigram_ppm"),
+        when(col("_trirep").isNotNull,
+          expr("_trirep * 3000000 div n_tokens"))
+          .otherwise(0L).cast("long").as("dup_trigram_ppm"))
+  }
+
   /** PII redaction patterns — deliberately simple character classes so the
     * same regex means the same thing under Java regex (Spark) and RE2
     * (DuckDB/the oracle). Order matters: emails first (they contain

@@ -52,4 +52,22 @@ class ChunkPackSpec extends SparkSpec {
     assert(got(3L) == ((3L, 2L, 1L, 3L)), "11 tokens in -> sequence 1, offset 3")
     assert(got(9L) == ((9L, 9L, 0L, 0L)), "strata pack independently")
   }
+
+  test("repetitionSignals: dup-token / top-bigram / dup-trigram ppm, hand-computed") {
+    val docs = Seq(
+      (1L, "a a a b"),       // n=4 distinct=2; top bigram (a a)x2; no repeated trigram
+      (2L, "x y x y x y"),   // n=6 distinct=2; (x y)x3; (x y x)x2 + (y x y)x2
+      (3L, ""),              // empty -> all zeros
+      (4L, "p q r s"),       // all-unique; top bigram count 1
+      (5L, "z")              // single token: no bigrams/trigrams at all
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 500000L, 1000000L, 0L)))
+    assert(got(2L) == ((2L, 6L, 666666L, 1000000L, 1000000L)))
+    assert(got(3L) == ((3L, 0L, 0L, 0L, 0L)))
+    assert(got(4L) == ((4L, 4L, 0L, 500000L, 0L)))
+    assert(got(5L) == ((5L, 1L, 0L, 0L, 0L)))
+    assert(got.size == 5, "every document appears exactly once")
+  }
 }
