@@ -217,6 +217,33 @@ object ScaleSmoke {
       t(s"label audit ($m, $cents cells)")(
         Similarity.knnLabelAudit(labeled, k = 10, numCentroids = cents).count())
     }
+    // Two-level coarse-quantizer A/B (r8): assignment comparisons per
+    // vector drop from C (flat argmax over every cell) to S + C/S ≈ 2√C
+    // (route through √C super-cells, refine within one). With the IVF rule
+    // C = √N this is the N^1.5 → N^1.25 build-cost law the knnLabelAudit
+    // scaladoc states. Cells are identical in both shapes; the filter on
+    // cid forces the argmax (a bare count would let Catalyst prune the
+    // max_by and with it the dot products being measured). Both orders via
+    // SCALE_IVF_ORDER=one_first (co-tenant rule).
+    locally {
+      import spark.implicits._
+      val cc = math.max(32, math.sqrt(m.toDouble).toInt)
+      val cells = Similarity.firstK(emb, cc)
+      def twoLevel(): Unit = t(s"ivf assign 2-level ($m, $cc cells)")(
+        Similarity.ivfTwoLevelAssign(emb, cells)
+          .filter(col("cid") >= 0).count())
+      def oneLevel(): Unit = t(s"ivf assign 1-level ($m, $cc cells)") {
+        val cellDF = broadcast(cells.toDF("cid", "cv"))
+        emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+          .crossJoin(cellDF)
+          .withColumn("_s", Similarity.qdot(col("v"), col("cv")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("_s"), -col("cid"))).as("cid"))
+          .filter(col("cid") >= 0).count()
+      }
+      if (sys.env.get("SCALE_IVF_ORDER").contains("one_first")) { oneLevel(); twoLevel() }
+      else { twoLevel(); oneLevel() }
+    }
     // Same-run A/B that DECIDED the round-8 ANN top-k shape: the bounded
     // topk_pairs aggregate vs the former rank window. With 16 queries over
     // the full corpus, the window shuffles EVERY scored candidate of a query

@@ -682,6 +682,71 @@ object QueriesLlm {
         |SELECT query_id, rank, vec_id, score, cid AS cluster
         |FROM ranked WHERE rank <= 10""".stripMargin)),
 
+    Q("ann_ivf_two_level",
+      // Hierarchical IVF: 16 cells routed through 4 super-cells — the
+      // N^1.25 assignment shape (see Similarity.ivfTwoLevelTopK scaladoc).
+      // Every level of the hierarchy (cell→super routing, vector
+      // assignment, query probing, final rank) is deterministic integer
+      // math, mirrored level-for-level by the oracle.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTwoLevelTopK(emb, emb.filter(col("vec_id") < 5), 10,
+            numCells = 16, nprobe = 2, sprobe = 2)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("score"), col("cluster"))
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"CAST(list_sum(list_transform(range(1,65), i -> $a[i]*$b[i])) AS BIGINT)"
+        s"""WITH quant AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+          |  FROM embeddings),
+          |cells AS (SELECT vec_id AS cid, v AS cv FROM quant WHERE vec_id < 16),
+          |sups AS (SELECT cid AS scid, cv AS scv FROM cells WHERE cid < 4),
+          |cmap AS (
+          |  SELECT cid, scid, cv FROM (
+          |    SELECT c.cid, s.scid, c.cv,
+          |           row_number() OVER (PARTITION BY c.cid ORDER BY
+          |             ${dot("c.cv", "s.scv")} DESC, s.scid) AS rn
+          |    FROM cells c CROSS JOIN sups s) WHERE rn = 1),
+          |a1 AS (
+          |  SELECT vec_id, scid, v FROM (
+          |    SELECT q.vec_id, s.scid, q.v,
+          |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |             ${dot("q.v", "s.scv")} DESC, s.scid) AS rn
+          |    FROM quant q CROSS JOIN sups s) WHERE rn = 1),
+          |assign AS (
+          |  SELECT vec_id, cid, v FROM (
+          |    SELECT a.vec_id, m.cid, a.v,
+          |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+          |             ${dot("a.v", "m.cv")} DESC, m.cid) AS rn
+          |    FROM a1 a JOIN cmap m ON m.scid = a.scid) WHERE rn = 1),
+          |qsup AS (
+          |  SELECT query_id, scid, qv FROM (
+          |    SELECT q.vec_id AS query_id, s.scid, q.v AS qv,
+          |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |             ${dot("q.v", "s.scv")} DESC, s.scid) AS rn
+          |    FROM quant q CROSS JOIN sups s WHERE q.vec_id < 5) WHERE rn <= 2),
+          |probes AS (
+          |  SELECT query_id, cid, qv FROM (
+          |    SELECT u.query_id, m.cid, u.qv,
+          |           row_number() OVER (PARTITION BY u.query_id ORDER BY
+          |             ${dot("u.qv", "m.cv")} DESC, m.cid) AS rn
+          |    FROM qsup u JOIN cmap m ON m.scid = u.scid) WHERE rn <= 2),
+          |scored AS (
+          |  SELECT p.query_id, a.vec_id, a.cid,
+          |         ${dot("p.qv", "a.v")} AS score
+          |  FROM probes p JOIN assign a ON a.cid = p.cid
+          |  WHERE a.vec_id <> p.query_id),
+          |ranked AS (
+          |  SELECT query_id, vec_id, cid, score,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+          |  FROM scored)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score, cid AS cluster
+          |FROM ranked WHERE rank <= 10""".stripMargin
+      }),
+
     Q("ann_pq_topk",
       // Product-quantization ANN: 64-dim vectors → 4 subspace codes from an
       // 8-entry codebook; scoring is a sum of broadcast lookup-table dots

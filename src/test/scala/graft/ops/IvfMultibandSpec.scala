@@ -119,4 +119,46 @@ class IvfMultibandSpec extends SparkSpec {
     assert(ivfTop == bruteTop,
       "probing every list must reduce IVF to exact brute-force top-1")
   }
+
+  test("ivfTwoLevelAssign matches a driver-side reference model exactly") {
+    // Re-derive the full hierarchy in plain Scala over collected quantized
+    // vectors (tiny sf0.001 corpus) — routing, super argmax, cell argmax,
+    // every tie to the lowest id — and demand bit-equality.
+    val vecs = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def argmax(cands: Seq[(Long, Array[Long])], v: Array[Long]): Long =
+      -cands.map { case (id, cv) => (dot(v, cv), -id) }.max._2
+    val cells = Similarity.firstK(emb, 16)
+    val supers = cells.take(4)
+    val route = cells.map { case (cid, cv) => cid -> argmax(supers, cv) }.toMap
+    val expected = vecs.map { case (id, v) =>
+      val scid = argmax(supers, v)
+      val cellsOfSuper = cells.filter { case (cid, _) => route(cid) == scid }
+      id -> argmax(cellsOfSuper, v)
+    }.toMap
+    val got = Similarity.ivfTwoLevelAssign(emb, cells)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "two-level assignment diverged from the reference model")
+  }
+
+  test("ivfTwoLevelAssign shuffles ONCE (cell refinement reuses the super-agg partitioning)") {
+    val assign = Similarity.ivfTwoLevelAssign(emb, Similarity.firstK(emb, 16))
+    val plan = assign.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly 1 shuffle in two-level assignment, got $exchanges in:\n$plan")
+  }
+
+  test("ivfTwoLevelTopK: probing everything at both levels reduces to brute force") {
+    val res = Similarity.ivfTwoLevelTopK(emb, emb.filter(col("vec_id") === 1), k = 1,
+      numCells = 16, nprobe = 16, sprobe = 4)
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 1), 1)
+    val twoTop = res.select(col("vec_id"), col("score")).collect().head
+    val bruteTop = brute.select(col("vec_id"), col("score")).collect().head
+    assert(twoTop == bruteTop,
+      "probing every super-cell and cell must reduce two-level IVF to brute force")
+  }
 }
