@@ -319,11 +319,12 @@ object QueriesLlm {
           |FROM bigram_docs b LEFT JOIN top_bigrams t USING (bigram)
           |GROUP BY doc_id""".stripMargin))),
 
-    Q("llm_repetition",
-      // Gopher-style repetition signals: distinct-token ratio and the
+    Q("llm_token_diversity",
+      // Token-diversity signals: distinct-token (type-token) ratio and the
       // dominant token's share, in exact integer milli-units. Two
       // map-side-combined aggregations (token counts, then per-doc
-      // rollup) — no window, no collect.
+      // rollup) — no window, no collect. Complements llm_repetition's
+      // Gopher ppm filters (dup-token mass, bigram/trigram repetition).
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
