@@ -1142,6 +1142,48 @@ object QueriesLlm {
           |       CAST(floor(score * 1000 / sqrt(CAST(na2 * nb2 AS DOUBLE))) AS BIGINT) AS cos_milli
           |FROM scored
           |WHERE score > 0.2 * sqrt(CAST(na2 * nb2 AS DOUBLE))""".stripMargin
+      }),
+
+    Q("dedup_semantic",
+      // SemDeDup (Abbas et al. 2023): k-means cells + within-cell cosine
+      // pruning, keeping the example LEAST similar to its centroid. The
+      // oracle mirrors the full pipeline — seeded cells, argmax
+      // assignment, centroid-cosine rank, within-cell pair threshold,
+      // dominance anti-join — level for level in integer/IEEE math.
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d),
+        minCos = 0.2, numCells = 16, iterations = 0),
+      Some {
+        val dot = (a: String, b: String) =>
+          s"CAST(list_sum(list_transform(range(1,65), i -> $a[i]*$b[i])) AS BIGINT)"
+        s"""WITH quant AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+          |  FROM embeddings),
+          |cells AS (
+          |  SELECT vec_id AS cid, v AS cv, ${dot("v", "v")} AS cn2
+          |  FROM quant WHERE vec_id < 16),
+          |assign AS (
+          |  SELECT vec_id, cid, v, cn2, cdot FROM (
+          |    SELECT q.vec_id, c.cid, q.v, c.cn2,
+          |           ${dot("q.v", "c.cv")} AS cdot,
+          |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |             ${dot("q.v", "c.cv")} DESC, c.cid) AS rn
+          |    FROM quant q CROSS JOIN cells c) WHERE rn = 1),
+          |ranked AS (
+          |  SELECT vec_id, cid, v, n2,
+          |         CAST(floor(cdot * 1000 / sqrt(CAST(n2 AS DOUBLE) * cn2)) AS BIGINT) AS c_milli
+          |  FROM (SELECT vec_id, cid, v, cn2, cdot, ${dot("v", "v")} AS n2
+          |        FROM assign)),
+          |dropped AS (
+          |  SELECT a.vec_id, true AS dropped
+          |  FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+          |  WHERE ${dot("a.v", "b.v")} > 0.2 * sqrt(CAST(a.n2 AS DOUBLE) * b.n2)
+          |    AND (b.c_milli < a.c_milli
+          |         OR (b.c_milli = a.c_milli AND b.vec_id < a.vec_id))
+          |  GROUP BY 1)
+          |SELECT r.vec_id, r.cid AS cluster, r.c_milli,
+          |       coalesce(d.dropped, false) AS dropped
+          |FROM ranked r LEFT JOIN dropped d USING (vec_id)""".stripMargin
       })
   )
 
