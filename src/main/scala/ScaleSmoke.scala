@@ -217,6 +217,17 @@ object ScaleSmoke {
       t(s"label audit ($m, $cents cells)")(
         Similarity.knnLabelAudit(labeled, k = 10, numCentroids = cents).count())
     }
+    // SemDeDup growth: the within-cell pairwise stage is Σ|cell|² pairs;
+    // with C = √N cells that is N^1.5 — same law as the label audit, and
+    // the cell count must self-scale for it to hold. filter(dropped)
+    // forces the dominance join (a bare count of the final LEFT join would
+    // let Catalyst eliminate the join and with it the work under test).
+    locally {
+      val cents = math.max(32, math.sqrt(m.toDouble).toInt)
+      t(s"semantic dedup ($m, $cents cells)")(
+        Similarity.semanticDedup(emb, 0.2, numCells = cents)
+          .filter(col("dropped")).count())
+    }
     // Two-level coarse-quantizer A/B (r8): assignment comparisons per
     // vector drop from C (flat argmax over every cell) to S + C/S ≈ 2√C
     // (route through √C super-cells, refine within one). With the IVF rule
