@@ -1555,6 +1555,46 @@ object QueriesLlm {
         |       CASE WHEN split_bucket < 100 THEN 'test' ELSE 'train' END AS split
         |FROM b WHERE sb < 500""".stripMargin)),
 
+    Q("llm_dsir_sample",
+      // DSIR-shaped importance resampling toward the English slice:
+      // hashed-bigram bucket frequencies (target vs raw, integer ppm),
+      // per-doc importance points, content-addressed Bernoulli admission.
+      // See TextOps.dsirResample for the scale shape and the int64
+      // headroom analysis.
+      (s, d) => TextOps.dsirResample(Tables.documents(s, d), "doc_id", "text",
+        isTarget = col("lang") === "en"),
+      Some(withCtes(normDocsCte,
+        """dsir_occ AS (
+          |  SELECT t.doc_id, d.lang = 'en' AS tgt,
+          |         CAST('0x' || substr(sha256(bg), 1, 15) AS BIGINT) % 1024 AS bucket
+          |  FROM (SELECT doc_id,
+          |               unnest(list_transform(range(len(toks) - 1),
+          |                 i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+          |        FROM tok_docs WHERE len(toks) >= 2) t
+          |  JOIN documents d USING (doc_id)),
+          |dsir_db AS (
+          |  SELECT doc_id, tgt, bucket, count(*) AS c FROM dsir_occ GROUP BY 1, 2, 3),
+          |dsir_pb AS (
+          |  SELECT bucket, CAST(sum(c) AS BIGINT) AS rc,
+          |         CAST(sum(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS tc
+          |  FROM dsir_db GROUP BY 1),
+          |dsir_tot AS (
+          |  SELECT CAST(sum(rc) AS BIGINT) AS rt, CAST(sum(tc) AS BIGINT) AS tt
+          |  FROM dsir_pb),
+          |dsir_wt AS (
+          |  SELECT bucket,
+          |         (tc * 1000000 // tt) * 1000 // ((rc * 1000000 // rt) + 1) AS ratio_pts
+          |  FROM dsir_pb CROSS JOIN dsir_tot),
+          |dsir_sc AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+          |         CAST(CAST(sum(c * ratio_pts) AS BIGINT) // CAST(sum(c) AS BIGINT) AS BIGINT) AS dsir_pts
+          |  FROM dsir_db JOIN dsir_wt USING (bucket) GROUP BY 1)""".stripMargin)(
+        """SELECT doc_id, n_feats, dsir_pts,
+          |       least(1000000, dsir_pts * 400000 // 1000) AS accept_ppm,
+          |       CAST('0x' || substr(sha256('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+          |         < least(1000000, dsir_pts * 400000 // 1000) AS accepted
+          |FROM dsir_sc""".stripMargin))),
+
     Q("llm_stratified_sample",
       // Deterministic per-language quota: 50 docs per stratum drawn by
       // smallest hash (every stratum has >50 docs at sf0.01, so the rank

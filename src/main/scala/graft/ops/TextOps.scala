@@ -292,4 +292,70 @@ object TextOps {
           .otherwise(lit("middle")))
       .drop("_rsum", "_nv")
   }
+
+  /** DSIR-shaped importance resampling (Xie et al. 2023,
+    * arXiv:2302.03169): reweight raw documents toward a target
+    * distribution using HASHED n-gram bag features, then admit each doc by
+    * a content-addressed Bernoulli draw with probability proportional to
+    * its importance weight. The published estimator multiplies per-feature
+    * probability ratios in log space; floats and `log` diverge between
+    * engines in the last ulp, so this uses the repo's integer surrogate
+    * (the llm_ref_quality precedent): per-feature importance =
+    * `t_ppm·1000 div (r_ppm+1)` (target vs raw ppm frequency of the
+    * feature's hash bucket) and a doc's score is the per-occurrence mean.
+    * A doc matching the target distribution scores ≈1000 pts; `gainPpm`
+    * maps points to admission ppm (`least(1e6, pts·gain div 1000)`).
+    *
+    * Scale shape: bigram hashing is the codegen index-explode form (no
+    * sha in HOF lambdas); the ONE corpus-scale aggregation is the
+    * (doc, bucket) count, checkpointed because it feeds both the weight
+    * table and the scoring branch (round-4 rule (d)); the weight table is
+    * `buckets` rows (bounded by construction — this is WHY DSIR hashes
+    * features) and broadcasts into the scorer; admission is a map-only
+    * filter on a sha-derived hash, so membership is stable across runs,
+    * engines, and data growth, like everything in [[Sampling]].
+    * Int64 headroom: per-bucket occurrence counts enter `c·1 000 000`,
+    * so the math is exact up to ~9.2e12 occurrences per bucket — at
+    * ~2e13 tokens (100 TB of text) over 1024 buckets that is 450×
+    * headroom; widen `buckets` before it ever binds.
+    *
+    * Docs with fewer than 2 tokens have no bigram features and are absent
+    * from the output (mirrored by the oracle).
+    *
+    * Output: (idCol, n_feats, dsir_pts, accept_ppm, accepted). */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+                   isTarget: Column, buckets: Int = 1024,
+                   gainPpm: Long = 400000L, salt: String = "dsir"): DataFrame = {
+    val docBucket = docs
+      .select(col(idCol), isTarget.as("_tgt"), tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .repartition(col(idCol))
+      .select(col(idCol), col("_tgt"), col("_toks"),
+        explode(sequence(lit(0), size(col("_toks")) - 2)).as("_idx"))
+      .select(col(idCol), col("_tgt"),
+        pmod(DedupOps.hash60(concat_ws(" ",
+          expr("element_at(_toks, _idx + 1)"),
+          expr("element_at(_toks, _idx + 2)"))), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col(idCol), col("_tgt"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // feeds weights AND scoring (plan lint)
+    val perBucket = docBucket.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("rc"),
+        sum(when(col("_tgt"), col("c")).otherwise(0L)).as("tc"))
+    val totals = perBucket.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
+    val weights = perBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        expr("(tc * 1000000 div tt) * 1000 div ((rc * 1000000 div rt) + 1)")
+          .as("ratio_pts"))
+    docBucket.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c") * col("ratio_pts")).as("_pts"), sum(col("c")).as("n_feats"))
+      .select(col(idCol), col("n_feats"),
+        expr("_pts div n_feats").as("dsir_pts"))
+      .withColumn("accept_ppm",
+        least(lit(1000000L), expr(s"dsir_pts * $gainPpm div 1000")))
+      .withColumn("accepted",
+        pmod(DedupOps.hash60(concat(lit(salt + ":"), col(idCol).cast("string"))),
+          lit(1000000L)) < col("accept_ppm"))
+  }
 }
