@@ -41,21 +41,55 @@ object Tables {
       { case (s, path) => s.read.parquet(path) })
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read nanos as long (legacy conf) and truncate to
-    * microseconds with integer arithmetic (ns values exceed double's exact
-    * range, so no float division) — the same truncation DuckDB applies, so
-    * oracle comparisons agree.
+  /** Schema-adaptive events reader. The driver has shipped `events.ts` in two
+    * parquet encodings across testdata generations:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to read it as a timestamp at all.
+    *    We set the legacy nanos-as-long conf, read the raw int64, and truncate
+    *    to microseconds with integer arithmetic (ns values exceed double's
+    *    exact range, so no float division) — the same truncation DuckDB
+    *    applies, so oracle comparisons agree.
+    *  - TIMESTAMP(MICROS) without UTC adjustment: Spark reads TIMESTAMP_NTZ.
+    *    We cast to TimestampType; with the session timezone pinned to UTC
+    *    (Harness) this is value-identical to the nanos path, so every
+    *    downstream query and oracle sees one stable type and value.
+    *
+    * The branch is decided by the ACTUAL read schema, not an assumption about
+    * the current testdata — a first read attempt without the legacy conf
+    * throws on nanos footers, in which case we set the conf and retry.
     *
     * NOTE: the legacy conf is a SESSION-WIDE invariant once set (it is
     * captured by scan relations at planning, so it cannot be safely
     * set/restored around one read) — any later nanos-timestamp parquet in
-    * the same session will also read as long, deliberately. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+    * the same session will also read as long, deliberately. We only set it
+    * on the retry path, so micros-era sessions never carry it. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    adaptTs(eventsRaw(spark, dir))
+
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    try read(spark, dir, "events")
+    catch {
+      case e: Exception if isNanosFooter(e) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        read(spark, dir, "events")
+    }
+
+  /** Spark's refusal message for INT64 (TIMESTAMP(NANOS,…)) footers, at any
+    * nesting depth of the thrown exception chain. */
+  private def isNanosFooter(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      val m = t.getMessage
+      m != null && m.toUpperCase.contains("NANOS")
+    }
+
+  /** Normalize whatever `ts` type the footer produced to TimestampType. */
+  private[graft] def adaptTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "customer")
