@@ -17,9 +17,22 @@ class RegisteredQueriesSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** One-line diagnosis for the most likely registry-wide root cause: the
+    * driver regenerating testdata with a different events.ts encoding (bit us
+    * in round 8 — 52 cascading analysis errors). Computed only on failure. */
+  private def eventsDiag: String = {
+    val footer =
+      try spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType.toString
+      catch { case e: Throwable => s"<unreadable without legacy conf: ${e.getMessage.take(120)}>" }
+    s"[diagnosis] raw events.ts footer type at $sfDir: $footer (see Tables.adaptTs / EventsSchemaSpec)"
+  }
+
   test("the driver's entry smoke-check contract holds (rows > 0)") {
-    assert(SparkEntry.entry(spark).count() > 0,
-      "the driver smoke-checks entry() for non-empty output")
+    val n =
+      try SparkEntry.entry(spark).count()
+      catch { case e: Throwable =>
+        fail(s"entry() threw: ${e.getMessage.take(200)}\n$eventsDiag") }
+    assert(n > 0, s"the driver smoke-checks entry() for non-empty output\n$eventsDiag")
   }
 
   test("registry names are unique and the registry is not shrinking") {
@@ -43,7 +56,7 @@ class RegisteredQueriesSpec extends SparkSpec {
         case e: Throwable => Some(s"${q.name}: ${e.getMessage.take(160)}")
       }
     }
-    assert(failures.isEmpty, failures.mkString("\n"))
+    if (failures.nonEmpty) fail(failures.mkString("\n") + "\n" + eventsDiag)
   }
 
   test("every oracle query's output columns appear in its oracle SQL") {
