@@ -63,6 +63,24 @@ object ScaleSmoke {
     t("dup spans (hash 2-pass)")(
       DedupOps.duplicatedSpansHashKeyed(docs, "doc_id", "text").count())
     t("chunk windows")(graft.ops.TextOps.chunkWindows(docs, "doc_id", "text").count())
+    // Map-only repetition signals (r8 verdict #3: the old explode+shuffle
+    // shape was the slowest query in the round artifact). Row-local →
+    // growth must be ~linear in docs. The filter sums all three ppm
+    // columns so column pruning can't skip any signal's computation.
+    t("repetition signals")(graft.ops.TextOps.repetitionSignals(docs, "doc_id", "text")
+      .filter(col("dup_token_ppm") + col("top_bigram_ppm") + col("dup_trigram_ppm") >= 0)
+      .count())
+    // Reference-frequency quality (CCNet): one explode + df distinct-count
+    // + auto-broadcast vocab join — expected ~linear. filter(bucket) forces
+    // the post-aggregation scoring projections.
+    t("ref-freq quality")(graft.ops.TextOps.refFreqQuality(docs, "doc_id", "text")
+      .filter(col("bucket").isNotNull).count())
+    // DSIR importance resampling: one (doc,bucket) aggregation + broadcast
+    // weight table + map-only admission — expected ~linear. filter(accepted)
+    // forces the scoring join and the admission hash.
+    t("dsir resample")(graft.ops.TextOps.dsirResample(docs, "doc_id", "text",
+      isTarget = pmod(col("doc_id"), lit(5)) === 0)
+      .filter(col("accepted")).count())
     // Dataset-assembly growth (r8): tokenize-once projection → bucketed
     // two-level prefix sum → token-balanced shards → manifest. The stage's
     // only corpus-scale shuffles are the checkpoint write and the

@@ -64,7 +64,12 @@ object Bench {
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // A SPARK_GRAFT_ONLY subset run must never clobber the headline
+    // artifact: round 8 shipped a 3-query debug run over the only
+    // demonstrable full pairing (the r8 advice asked for exactly this
+    // guard). Full-registry runs keep the default path; subsets divert.
+    val defaultOut = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"${esc(sfDir)}"}"""
     println(line)
     // The driver captures only a stdout TAIL (~2000 chars). At 114 queries

@@ -387,7 +387,7 @@ object QueriesLlm {
     Q("llm_repetition",
       // Gopher/MassiveText intra-document repetition filters at token
       // granularity — see TextOps.repetitionSignals for the plan shape
-      // (one tagged explode, two skew-free hash aggregations).
+      // (row-local signals, map-only projection, zero exchanges).
       (s, d) => TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text"),
       Some(withCtes(normDocsCte,
         """grams AS (

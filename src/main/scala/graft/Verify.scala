@@ -28,6 +28,7 @@ object Verify {
       System.err.println(s"[verify] SPARK_GRAFT_ONLY matched no queries: ${only.getOrElse(Set())}")
       spark.stop(); sys.exit(2)
     }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       // Same small-query execution policy as Bench, so the correctness gate
       // exercises the exact configuration the bench times (at sf0.01 nearly
@@ -37,12 +38,20 @@ object Verify {
         _.write.mode("overwrite").parquet(s"$outDir/$name"))
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         // Remove any STALE output from a previous run: overwrite never
         // executed, and the gate only flags MISSING dirs — a leftover
         // result would let a regression pass against last run's parquet.
         deleteRecursively(Paths.get(s"$outDir/$name"))
       }
     }
+    // Machine-readable failure record (r8 advice: 52 analysis errors were
+    // invisible in the correctness artifact because erroring queries simply
+    // had no output dir — the checker folds these into err-populated rows).
+    val errJson = errors
+      .map { case (k, v) => s""""${Harness.jsonEscape(k)}": "${Harness.jsonEscape(v)}"""" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s""""${Harness.jsonEscape(k)}": "${Harness.jsonEscape(v)}"""" }
       .mkString("{", ",", "}")

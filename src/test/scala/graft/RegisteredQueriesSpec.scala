@@ -140,6 +140,25 @@ class RegisteredQueriesSpec extends SparkSpec {
     assert(violations.isEmpty, "duplicated-subtree violations:\n" + violations.mkString("\n"))
   }
 
+  /** Queries whose signals are row-local by construction — their plans must
+    * stay pure map-side projections. An exchange appearing here means a
+    * regression to a shuffle shape (r8 verdict: llm_repetition shuffled on
+    * near-unique (doc,kind,gram) keys, 22.6 s; the map-only form needs 0). */
+  private val mapOnlyPinned = Set("llm_repetition", "llm_fingerprint",
+    "llm_token_count", "llm_pii_redact")
+
+  test("map-only pin: row-local queries have zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val violations = SparkEntry.allQueries.filter(q => mapOnlyPinned(q.name)).flatMap { q =>
+      val phys = q.run(spark, sfDir).queryExecution.sparkPlan
+      val ex = phys.collectWithSubqueries { case e: Exchange => e }
+      if (ex.isEmpty) None
+      else Some(s"${q.name}: ${ex.size} exchange(s) in a row-local query — " +
+        "signals never cross rows, the plan must stay map-only")
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
   test("dual-mode gate: ExecPolicy-qualified queries agree between interpreted and codegen paths") {
     // Verify routes small scan-shaped queries through the AQE-off +
     // NO_CODEGEN path, so at sf0.01 the oracle only ever sees that mode for

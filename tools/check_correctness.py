@@ -49,8 +49,15 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    try:
+        run_errors = json.load(open(f"{outdir}/errors.json"))
+    except Exception:
+        run_errors = {}
     ok, bad = [], []
     for name, sql in sorted(oracle.items()):
+        if name in run_errors:
+            bad.append((name, f"spark query errored: {run_errors[name]}"))
+            continue
         try:
             o = con.sql(sql)
             o_cols = [c.lower() for c in o.columns]
