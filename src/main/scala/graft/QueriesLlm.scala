@@ -389,8 +389,27 @@ object QueriesLlm {
       // granularity — see TextOps.repetitionSignals for the plan shape
       // (row-local signals, map-only projection, zero exchanges).
       (s, d) => TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text"),
-      Some(withCtes(normDocsCte,
-        """grams AS (
+      Some(withCtes(normDocsCte, repGramCtes)(
+        """SELECT t.doc_id,
+          |       CAST(coalesce(a.nt, 0) AS BIGINT) AS n_tokens,
+          |       CAST(CASE WHEN coalesce(a.nt, 0) > 0
+          |                 THEN ((a.nt - a.nd) * 1000000) // a.nt ELSE 0 END AS BIGINT)
+          |         AS dup_token_ppm,
+          |       CAST(CASE WHEN a.maxbi IS NOT NULL
+          |                 THEN (a.maxbi * 2000000) // a.nt ELSE 0 END AS BIGINT)
+          |         AS top_bigram_ppm,
+          |       CAST(CASE WHEN a.trirep IS NOT NULL
+          |                 THEN (a.trirep * 3000000) // a.nt ELSE 0 END AS BIGINT)
+          |         AS dup_trigram_ppm
+          |FROM tok_docs t LEFT JOIN agg a USING (doc_id)""".stripMargin)))
+  )
+
+  /** DuckDB per-doc gram frequency rollup (mirrors the
+    * [[TextOps.repetitionSignals]] native expression): nt/nd = token
+    * count/distinct, maxbi = max bigram count, trirep = Σ(trigram count−1).
+    * Shared by llm_repetition and the curation report. */
+  private val repGramCtes =
+    """grams AS (
           |  SELECT doc_id, 1 AS kind, unnest(toks) AS gram FROM tok_docs
           |  UNION ALL
           |  SELECT doc_id, 2 AS kind,
@@ -408,20 +427,7 @@ object QueriesLlm {
           |               count(CASE WHEN kind = 1 THEN 1 END) AS nd,
           |               max(CASE WHEN kind = 2 THEN c END) AS maxbi,
           |               sum(CASE WHEN kind = 3 THEN c - 1 END) AS trirep
-          |        FROM gc GROUP BY 1)""".stripMargin)(
-        """SELECT t.doc_id,
-          |       CAST(coalesce(a.nt, 0) AS BIGINT) AS n_tokens,
-          |       CAST(CASE WHEN coalesce(a.nt, 0) > 0
-          |                 THEN ((a.nt - a.nd) * 1000000) // a.nt ELSE 0 END AS BIGINT)
-          |         AS dup_token_ppm,
-          |       CAST(CASE WHEN a.maxbi IS NOT NULL
-          |                 THEN (a.maxbi * 2000000) // a.nt ELSE 0 END AS BIGINT)
-          |         AS top_bigram_ppm,
-          |       CAST(CASE WHEN a.trirep IS NOT NULL
-          |                 THEN (a.trirep * 3000000) // a.nt ELSE 0 END AS BIGINT)
-          |         AS dup_trigram_ppm
-          |FROM tok_docs t LEFT JOIN agg a USING (doc_id)""".stripMargin)))
-  )
+          |        FROM gc GROUP BY 1)""".stripMargin
 
   def dedup: Seq[Q] = Seq(
     Q("dedup_exact",
@@ -682,6 +688,66 @@ object QueriesLlm {
         |  FROM scored)
         |SELECT query_id, rank, vec_id, score, cid AS cluster
         |FROM ranked WHERE rank <= 10""".stripMargin)),
+
+    Q("ann_recall_at_k",
+      // Index-quality report: recall@10 of the IVF index against the exact
+      // brute-force ground truth on the same query sample — the standard
+      // ANN evaluation loop, composed from the two existing operators. The
+      // exact side is O(Q·N) BY DESIGN and runs over a bounded query
+      // sample (never corpus×corpus); the roll-up joins two k×|Q|-row
+      // results, trivially small at any corpus size.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(emb, q, 10)
+          .select(col("query_id"), col("vec_id"))
+        val approx = Similarity.ivfTopK(emb, q, 10, numCentroids = 8, nprobe = 2)
+          .select(col("query_id"), col("vec_id"), lit(1L).as("_hit"))
+        exact.join(approx, Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            coalesce(sum(col("_hit")), lit(0L)).as("n_hit"))
+          .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+      },
+      Some("""WITH quant AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, v AS q FROM quant WHERE vec_id < 5),
+        |branked AS (
+        |  SELECT query_id, vec_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        |  FROM (SELECT t.query_id, c.vec_id,
+        |               CAST(list_sum(list_transform(range(1,65), i -> t.q[i]*c.v[i])) AS BIGINT) AS score
+        |        FROM qv t CROSS JOIN quant c WHERE t.query_id <> c.vec_id)),
+        |exact AS (SELECT query_id, vec_id FROM branked WHERE rank <= 10),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM quant WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT vec_id, cid, v FROM (
+        |    SELECT q.vec_id, c.cid, q.v,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*c.cv[i])) AS BIGINT) DESC, c.cid) AS rn
+        |    FROM quant q CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, cid, qv FROM (
+        |    SELECT q.vec_id AS query_id, c.cid, q.v AS qv,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*c.cv[i])) AS BIGINT) DESC, c.cid) AS rn
+        |    FROM quant q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 2),
+        |iranked AS (
+        |  SELECT query_id, vec_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        |  FROM (SELECT p.query_id, a.vec_id,
+        |               CAST(list_sum(list_transform(range(1,65), i -> p.qv[i]*a.v[i])) AS BIGINT) AS score
+        |        FROM probes p JOIN assign a ON a.cid = p.cid
+        |        WHERE a.vec_id <> p.query_id)),
+        |approx AS (SELECT query_id, vec_id FROM iranked WHERE rank <= 10)
+        |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS recall_ppm
+        |FROM exact e LEFT JOIN approx a USING (query_id, vec_id)
+        |GROUP BY 1""".stripMargin)),
 
     Q("ann_ivf_two_level",
       // Hierarchical IVF: 16 cells routed through 4 super-cells — the
@@ -1484,6 +1550,69 @@ object QueriesLlm {
     * point-in-time as-of join, deterministic sampling/splitting, TF-IDF
     * term salience, audio-style hop-window framing. */
   def pipeline: Seq[Q] = Seq(
+    Q("llm_curation_report",
+      // The pipeline's final gate: exact-dup survivorship, C4 quality keep
+      // and Gopher repetition thresholds composed into keep + the FIRST
+      // failing reason (fixed precedence: duplicate > quality >
+      // repetition). Quality and repetition signals come from ONE corpus
+      // pass (TextOps.qualityRepetitionFeatures — separate operators would
+      // tokenize twice and duplicate the Generate barrier); the dup-keeper
+      // set is the dedup_exact aggregate joined back on doc_id. Slim
+      // per-doc signal tables co-shuffle on doc_id at any corpus size.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keepers = DedupOps.exactDedupSurvivors(docs, "doc_id", "text")
+          .select(col("doc_id"), lit(1L).as("_surv"))
+        val sig = TextOps.qualityRepetitionFeatures(docs, "doc_id", "text")
+          .withColumn("q_keep",
+            col("n_words") >= 10 &&
+            col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0 &&
+            col("punct_ratio") < 0.2)
+          .withColumn("rep_ok",
+            col("dup_token_ppm") < 500000 &&
+            col("top_bigram_ppm") < 400000 && col("dup_trigram_ppm") < 300000)
+          .select(col("doc_id"), col("q_keep"), col("rep_ok"))
+        sig.join(keepers, Seq("doc_id"), "left")
+          .withColumn("is_dup", col("_surv").isNull)
+          .withColumn("keep", !col("is_dup") && col("q_keep") && col("rep_ok"))
+          .withColumn("reason",
+            when(col("is_dup"), "duplicate")
+              .when(!col("q_keep"), "quality")
+              .when(!col("rep_ok"), "repetition")
+              .otherwise("kept"))
+          .select(col("doc_id"), col("is_dup"), col("q_keep"), col("rep_ok"),
+            col("keep"), col("reason"))
+      },
+      Some(withCtes(normDocsCte, repGramCtes,
+        """keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+          |qsig AS (
+          |  SELECT doc_id,
+          |         len(toks) >= 10
+          |         AND (CAST(length(norm) - len(toks) + 1 AS DOUBLE) / len(toks)) >= 2.0
+          |         AND (CAST(length(norm) - len(toks) + 1 AS DOUBLE) / len(toks)) <= 12.0
+          |         AND (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+          |              / length(text)) < 0.2 AS q_keep
+          |  FROM tok_docs),
+          |rsig AS (
+          |  SELECT t.doc_id,
+          |         (CASE WHEN coalesce(a.nt, 0) > 0
+          |               THEN ((a.nt - a.nd) * 1000000) // a.nt ELSE 0 END) < 500000
+          |         AND (CASE WHEN a.maxbi IS NOT NULL
+          |              THEN (a.maxbi * 2000000) // a.nt ELSE 0 END) < 400000
+          |         AND (CASE WHEN a.trirep IS NOT NULL
+          |              THEN (a.trirep * 3000000) // a.nt ELSE 0 END) < 300000 AS rep_ok
+          |  FROM tok_docs t LEFT JOIN agg a USING (doc_id)),
+          |base AS (
+          |  SELECT q.doc_id,
+          |         q.doc_id NOT IN (SELECT doc_id FROM keepers) AS is_dup,
+          |         q.q_keep, r.rep_ok
+          |  FROM qsig q JOIN rsig r USING (doc_id))""".stripMargin)(
+        """SELECT doc_id, is_dup, q_keep, rep_ok,
+          |       (NOT is_dup AND q_keep AND rep_ok) AS keep,
+          |       CASE WHEN is_dup THEN 'duplicate' WHEN NOT q_keep THEN 'quality'
+          |            WHEN NOT rep_ok THEN 'repetition' ELSE 'kept' END AS reason
+          |FROM base""".stripMargin))),
+
     Q("sk_kmv_distinct",
       // KMV distinct-user estimate per event type via the native
       // TypedImperativeAggregate (bounded k-long state, map-side partials).
@@ -2086,6 +2215,43 @@ object QueriesLlm {
         |SELECT d.doc_id, d.lang, p2.avail, p2.target_n, p2.keep_ppm
         |FROM documents d JOIN p2 ON d.lang = p2._src
         |WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < p2.keep_ppm""".stripMargin)),
+
+    Q("llm_unimax_mix",
+      // UniMax epoch-capped budget allocation over sources (Chung et al.
+      // 2023) in the closed-form prefix formulation — see
+      // Assemble.unimaxAllocation. Budget 40000 ≈ Σ caps at sf0.01, so the
+      // sources split into a capped prefix and a fair-share tail there;
+      // the oracle replays the sort/window arithmetic verbatim.
+      (s, d) => Assemble.unimaxAllocation(
+        Tables.documents(s, d).select(col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_toks")),
+        "source", "n_toks", totalBudget = 40000L, epochsMilli = 1500L),
+      Some(withCtes(normDocsCte,
+        """av AS (
+          |  SELECT d.source, CAST(sum(len(t.toks)) AS BIGINT) AS avail_tokens
+          |  FROM tok_docs t JOIN documents d USING (doc_id) GROUP BY 1),
+          |capd AS (
+          |  SELECT source, avail_tokens,
+          |         avail_tokens * 1500 // 1000 AS cap_tokens FROM av),
+          |st AS (
+          |  SELECT source, avail_tokens, cap_tokens,
+          |         coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+          |         count(*) OVER (ORDER BY cap_tokens, source
+          |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem
+          |  FROM capd),
+          |fl AS (SELECT *, cap_tokens * rem <= 40000 - pre AS is_capped FROM st),
+          |agg AS (
+          |  SELECT coalesce(sum(CASE WHEN is_capped THEN cap_tokens END), 0) AS csum,
+          |         sum(CASE WHEN is_capped THEN 0 ELSE 1 END) AS nunc FROM fl)""".stripMargin)(
+        """SELECT source, avail_tokens, CAST(cap_tokens AS BIGINT) AS cap_tokens,
+          |       CAST(CASE WHEN is_capped THEN cap_tokens
+          |            ELSE (40000 - csum) // nunc END AS BIGINT) AS alloc_tokens,
+          |       CAST(CASE WHEN avail_tokens > 0 THEN
+          |              (CASE WHEN is_capped THEN cap_tokens
+          |               ELSE (40000 - csum) // nunc END) * 1000 // avail_tokens
+          |            ELSE 0 END AS BIGINT) AS epochs_milli
+          |FROM fl CROSS JOIN agg""".stripMargin))),
 
     Q("llm_shuffle_order",
       // Deterministic global training order: dense 0-based permutation by

@@ -210,4 +210,58 @@ object Assemble {
       .filter(Sampling.bucketOf(col(idCol), salt, 1000000) < col("keep_ppm"))
       .drop("_src")
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151): split
+    * a total token budget across strata (languages/domains) so no stratum
+    * repeats more than `epochsMilli / 1000` epochs, with surplus budget
+    * shared EQUALLY among the high-resource strata rather than
+    * proportionally — the long-tail starvation/head-domination trade
+    * temperature sampling cannot escape.
+    *
+    * Closed form of the paper's sequential loop: with per-stratum caps
+    * `cap = avail·epochs` sorted ASCENDING, a stratum is "capped" iff
+    * `cap·remaining_strata ≤ budget − Σ(preceding caps)`. The capped set
+    * is provably a PREFIX of the sort (if i is uncapped then
+    * `cap_{i+1}·rem_{i+1} ≥ cap_i·(rem_i − 1) = cap_i·rem_i − cap_i >
+    * budget − pre_i − cap_i = budget − pre_{i+1}`), so every uncapped
+    * stratum receives the SAME fair share
+    * `(budget − Σ capped caps) div n_uncapped`. All integer math (`div`),
+    * bit-identical to the SQL oracle.
+    *
+    * Scale shape: ONE corpus aggregate (per-stratum token sums, map-side
+    * combined); everything after runs on ≤ |strata| rows — the windows are
+    * bounded by the stratum count, never by data, and the stratum table is
+    * checkpointed once (it feeds the fair-share aggregate AND the output).
+    *
+    * Output: (stratumCol, avail_tokens, cap_tokens, alloc_tokens,
+    * epochs_milli), one row per stratum. */
+  def unimaxAllocation(df: DataFrame, stratumCol: String, tokensCol: String,
+                       totalBudget: Long, epochsMilli: Long = 4000L): DataFrame = {
+    require(totalBudget >= 0, "budget must be non-negative")
+    require(epochsMilli >= 1, "epochs cap must be positive")
+    val avail = df.groupBy(col(stratumCol).cast("string").as("_b"))
+      .agg(sum(col(tokensCol)).as("avail_tokens"))
+      .withColumn("cap_tokens", expr(s"avail_tokens * ${epochsMilli}L div 1000"))
+    val ord = Window.orderBy(col("cap_tokens"), col("_b"))
+    val staged = avail
+      .withColumn("_pre", coalesce(sum(col("cap_tokens"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_rem", count(lit(1))
+        .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("_capped",
+        col("cap_tokens") * col("_rem") <= lit(totalBudget) - col("_pre"))
+      .localCheckpoint()
+    val fair = staged.agg(
+      coalesce(sum(when(col("_capped"), col("cap_tokens"))), lit(0L)).as("_csum"),
+      sum(when(col("_capped"), 0L).otherwise(1L)).as("_nunc"))
+    staged.crossJoin(broadcast(fair))
+      .withColumn("alloc_tokens",
+        when(col("_capped"), col("cap_tokens"))
+          .otherwise(expr(s"(${totalBudget}L - _csum) div _nunc")))
+      .withColumn("epochs_milli",
+        when(col("avail_tokens") > 0, expr("alloc_tokens * 1000 div avail_tokens"))
+          .otherwise(0L))
+      .select(col("_b").as(stratumCol), col("avail_tokens"), col("cap_tokens"),
+        col("alloc_tokens"), col("epochs_milli"))
+  }
 }

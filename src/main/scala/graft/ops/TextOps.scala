@@ -129,47 +129,27 @@ object TextOps {
     * documents — so the whole thing is a map-only projection with ZERO
     * exchanges (the round-8 verdict flagged the previous
     * explode-and-shuffle-on-(doc,kind,gram) form: near-unique keys defeat
-    * map-side partial aggregation, round-6 rule b). Per row:
-    * `array_distinct` gives the distinct-token count; the max bigram
-    * frequency is the longest run in the SORTED bigram array (one
-    * `aggregate` HOF pass, string-equality only — cheap interpreted);
-    * repeated trigrams are `size − size(array_distinct)`. Embarrassingly
-    * parallel at 100 TB: no shuffle, no skew, no spill surface. */
+    * map-side partial aggregation, round-6 rule b). The per-row stats are
+    * ONE native-expression pass over the token array
+    * ([[graft.expressions.RepetitionStats]]) — the HOF formulation
+    * (transform + array_sort + aggregate) measured SLOWER than even the
+    * shuffle shape at 100k docs (100 s vs 63-72 s, RepProfile same-run)
+    * because gram construction is ~120M interpreted lambda evaluations.
+    * Embarrassingly parallel at 100 TB: no shuffle, no skew, no spill. */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
     val based = withNormToks(df, textCol)
     val toksGuarded = when(length(col("_norm")) === 0,
       array().cast("array<string>")).otherwise(col("_toks"))
-    val nToks = when(length(col("_norm")) === 0, 0L)
-      .otherwise(size(col("_toks")).cast("long"))
-    val stage = based.select(col(idCol), nToks.as("n_tokens"), toksGuarded.as("_t"))
-    // n-gram string arrays; the size() guard keeps sequence() bounds valid
-    // for short docs without evaluating out-of-range slices.
-    def grams(n: Int): Column =
-      when(size(col("_t")) >= n,
-        transform(sequence(lit(1), size(col("_t")) - (n - 1)),
-          i => concat_ws(" ", slice(col("_t"), i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-    // _bi is single-referenced (inlined downstream, evaluated once); _tri is
-    // multi-referenced so CollapseProject keeps the projection materialized
-    // (round-7 measured rule b) — neither gram array is built twice per row.
-    val arrays = stage.select(col(idCol), col("n_tokens"),
-      size(array_distinct(col("_t"))).cast("long").as("_distinct"),
-      array_sort(grams(2)).as("_bi"), grams(3).as("_tri"))
-    // Max frequency of any bigram == longest equal-run in the sorted array.
-    val maxRun = aggregate(col("_bi"),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    arrays
-      .select(col(idCol), col("n_tokens"), col("_distinct"),
-        maxRun.as("_maxbi"),
-        (size(col("_tri")) - size(array_distinct(col("_tri"))))
-          .cast("long").as("_trirep"))
+    val stats = ColumnGlue.column(
+      graft.expressions.RepetitionStats(ColumnGlue.expression(toksGuarded)))
+    // `_s` is multi-referenced and non-cheap, so CollapseProject keeps the
+    // projection materialized (round-7 rule b) — stats run once per row.
+    based.select(col(idCol), stats.as("_s"))
+      .select(col(idCol), col("_s.n_tokens").as("n_tokens"),
+        col("_s.distinct_tokens").as("_distinct"),
+        col("_s.max_bigram").as("_maxbi"),
+        col("_s.rep_trigram").as("_trirep"))
       .select(col(idCol), col("n_tokens"),
         when(col("n_tokens") > 0,
           expr("(n_tokens - _distinct) * 1000000 div n_tokens"))
@@ -179,6 +159,45 @@ object TextOps {
           .otherwise(0L).cast("long").as("top_bigram_ppm"),
         when(col("n_tokens") > 0,
           expr("_trirep * 3000000 div n_tokens"))
+          .otherwise(0L).cast("long").as("dup_trigram_ppm"))
+  }
+
+  /** One corpus pass for the curation gate: quality features AND repetition
+    * ppm signals from a single [[withNormToks]] materialization — a report
+    * that consumed [[qualityFeatures]] and [[repetitionSignals]] separately
+    * would tokenize the corpus twice (and trip the duplicated-subtree plan
+    * lint: two canonically identical Generate barriers). Same column
+    * definitions as the two single-signal operators; map-only, zero
+    * exchanges. */
+  def qualityRepetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val t = col(textCol)
+    val based = withNormToks(df.select(col(idCol), t), textCol)
+    val toksGuarded = when(length(col("_norm")) === 0,
+      array().cast("array<string>")).otherwise(col("_toks"))
+    val stats = ColumnGlue.column(
+      graft.expressions.RepetitionStats(ColumnGlue.expression(toksGuarded)))
+    val toks = when(length(col("_norm")) === 0, 0).otherwise(size(col("_toks")))
+    based
+      .select(col(idCol),
+        toks.as("n_words"),
+        when(toks > 0, (length(col("_norm")) - toks + 1).cast("double") / toks)
+          .as("mean_word_len"),
+        ((length(t) - length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))).cast("double")
+          / length(t)).as("punct_ratio"),
+        stats.as("_s"))
+      .select(col(idCol), col("n_words"), col("mean_word_len"), col("punct_ratio"),
+        col("_s.n_tokens").as("n_tokens"),
+        col("_s.distinct_tokens").as("_distinct"),
+        col("_s.max_bigram").as("_maxbi"),
+        col("_s.rep_trigram").as("_trirep"))
+      .select(col(idCol), col("n_words"), col("mean_word_len"), col("punct_ratio"),
+        when(col("n_tokens") > 0,
+          expr("(n_tokens - _distinct) * 1000000 div n_tokens"))
+          .otherwise(0L).cast("long").as("dup_token_ppm"),
+        when(col("_maxbi") > 0, expr("_maxbi * 2000000 div n_tokens"))
+          .otherwise(0L).cast("long").as("top_bigram_ppm"),
+        when(col("n_tokens") > 0, expr("_trirep * 3000000 div n_tokens"))
           .otherwise(0L).cast("long").as("dup_trigram_ppm"))
   }
 
@@ -261,12 +280,20 @@ object TextOps {
     * Fixed integer thresholds bucket documents head/middle/tail (CCNet
     * keeps the split static so shards are reproducible).
     *
-    * Scale shape: one explode pass over the corpus; df is a distinct +
-    * map-side-combined count; the vocab join auto-broadcasts via a
-    * LIMIT-bounded probe (the `decontaminate` pattern) and falls back to a
-    * shuffle join keyed on token. Documents whose normalized text is empty
-    * have no token rows and are absent from the output (mirrored by the
-    * oracle's `unnest([])`).
+    * Scale shape: the corpus is checkpointed ONCE as the compact per-doc
+    * token-ARRAY projection (≈ the text itself in bytes), and document
+    * frequency comes from exploding `array_distinct(_toks)` — per-doc
+    * dedup is ROW-LOCAL, so the df aggregation's keys are the VOCABULARY
+    * (Zipf-bounded), never the corpus, and map-side combine does its job.
+    * The original formulation (checkpoint the exploded occurrence rows +
+    * corpus-scale `distinct()` on near-unique (doc, tok) keys) measured
+    * 64× time at 10× docs in ScaleSmoke — round-6 rule (b) again, plus
+    * deserialized-row checkpoint storage of occurrence-scale data
+    * (round-6 rule g). The vocab join auto-broadcasts via a LIMIT-bounded
+    * probe (the `decontaminate` pattern) and falls back to a shuffle join
+    * keyed on token. Documents whose normalized text is empty have no
+    * token rows and are absent from the output (mirrored by the oracle's
+    * `unnest([])`).
     *
     * Output: (doc_id, n_toks, n_oov, oov_ppm, rarity_pts, bucket). */
   def refFreqQuality(docs: DataFrame, idCol: String, textCol: String,
@@ -275,12 +302,16 @@ object TextOps {
                      rarityHeadPts: Long = 150000L, oovHeadPpm: Long = 100000L,
                      salt: String = "ref",
                      broadcastMaxVocab: Long = 4000000L): DataFrame = {
-    val occ = withNormToks(docs.select(col(idCol), col(textCol)), textCol)
-      .select(col(idCol), explode(col("_toks")).as("tok"))
+    // one tokenize pass, checkpointed as (id, token-array) — feeds both the
+    // occurrence explode (scoring) and the distinct explode (df/vocab)
+    val base = withNormToks(docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("_toks").as("_t"))
+      .localCheckpoint(eager = false)
+    val occ = base.select(col(idCol), explode(col("_t")).as("tok"))
       .filter(length(col("tok")) > 0) // split("") yields [""] — drop it
-      .localCheckpoint(eager = false) // feeds vocab AND scoring (plan lint)
-    val vocab0 = occ.filter(Sampling.bucketOf(col(idCol), salt) < refPermille)
-      .select(col(idCol), col("tok")).distinct()
+    val vocab0 = base.filter(Sampling.bucketOf(col(idCol), salt) < refPermille)
+      .select(col(idCol), explode(array_distinct(col("_t"))).as("tok"))
+      .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
     val probe = math.min(broadcastMaxVocab, Int.MaxValue - 1L).toInt

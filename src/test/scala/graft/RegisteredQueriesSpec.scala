@@ -159,6 +159,34 @@ class RegisteredQueriesSpec extends SparkSpec {
     assert(violations.isEmpty, violations.mkString("\n"))
   }
 
+  test("plan pin: j3_route_fanout broadcasts the endpoint side (never a cartesian/shuffle fan-out)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val phys = SparkEntry.allQueries.find(_.name == "j3_route_fanout").get
+      .run(spark, sfDir).queryExecution.sparkPlan
+    val bnlj = phys.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.nonEmpty,
+      "fan-out must plan as a broadcast nested-loop join of the tiny endpoint dim")
+    assert(phys.collectWithSubqueries { case e: ShuffleExchangeLike => e }.isEmpty,
+      "fan-out of a batch against a bounded endpoint dim must not shuffle the batch")
+  }
+
+  test("plan pin: a10_overview_totals keeps partial (map-side) aggregation below the exchange") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val phys = SparkEntry.allQueries.find(_.name == "a10_overview_totals").get
+      .run(spark, sfDir).queryExecution.sparkPlan
+    val aggs = phys.collectWithSubqueries { case a: BaseAggregateExec => a }
+    assert(aggs.size >= 2, "expected a multi-level aggregate (partial + final)")
+    // Every shuffle-feeding aggregate level must be partial: a Complete-only
+    // plan would ship raw (env, obj) rows into one task at corpus scale.
+    assert(!aggs.exists(_.aggregateExpressions.exists(_.mode == Complete)),
+      "Complete-mode aggregate found — map-side combine was lost")
+    assert(aggs.exists(a => a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall(_.mode == Final)),
+      "no Final-mode aggregate level found")
+  }
+
   test("dual-mode gate: ExecPolicy-qualified queries agree between interpreted and codegen paths") {
     // Verify routes small scan-shaped queries through the AQE-off +
     // NO_CODEGEN path, so at sf0.01 the oracle only ever sees that mode for

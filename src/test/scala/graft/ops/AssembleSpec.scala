@@ -45,6 +45,32 @@ class AssembleSpec extends SparkSpec {
     assert(oldOrder == newOrder, "relative order is content-addressed")
   }
 
+  test("unimaxAllocation: capped prefix takes its cap, the rest share equally, " +
+    "hand-computed across all three regimes") {
+    // two docs per stratum; avails a=100 b=200 c=1000 d=5000, epochs 2.0
+    // -> caps a=200 b=400 c=2000 d=10000
+    val docs = Seq(("a", 60L), ("a", 40L), ("b", 150L), ("b", 50L),
+      ("c", 900L), ("c", 100L), ("d", 4000L), ("d", 1000L)).toDF("src", "n")
+    def run(budget: Long) =
+      Assemble.unimaxAllocation(docs, "src", "n", budget, epochsMilli = 2000L)
+        .select($"src", $"avail_tokens", $"cap_tokens", $"alloc_tokens", $"epochs_milli")
+        .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // mixed: a,b,c capped; d gets the remainder 5000-2600=2400
+    val mixed = run(5000L)
+    assert(mixed("a") == (("a", 100L, 200L, 200L, 2000L)))
+    assert(mixed("b") == (("b", 200L, 400L, 400L, 2000L)))
+    assert(mixed("c") == (("c", 1000L, 2000L, 2000L, 2000L)))
+    assert(mixed("d") == (("d", 5000L, 10000L, 2400L, 480L)))
+    assert(mixed.values.map(_._4).sum == 5000L, "mixed regime spends the budget exactly")
+    // epoch-bound: budget exceeds every cap -> all capped, budget under-spent
+    val bound = run(20000L)
+    assert(bound.values.forall(r => r._4 == r._3), "all strata at their cap")
+    assert(bound.values.map(_._4).sum == 12600L)
+    // scarce: budget below the smallest cap-claim -> all share equally
+    val scarce = run(400L)
+    assert(scarce.values.forall(_._4 == 100L), "uniform fair share")
+  }
+
   test("shardPlan: offsets bounded by the budget, starts partition the token " +
     "stream contiguously, shard totals ≈ budget") {
     val budget = 500L
