@@ -582,6 +582,44 @@ object QueriesLlm {
           |JOIN shingle_docs a ON a.doc_id = p.id_a
           |JOIN shingle_docs b ON b.doc_id = p.id_b""".stripMargin))),
 
+    Q("dedup_containment",
+      // One-sided containment verification on the LSH candidates (Broder):
+      // catches subset duplication Jaccard structurally misses (a doc
+      // wholly inside a much longer one). Same candidate-restricted
+      // verification shape as dedup_jaccard; exact milli integers.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = DedupOps.candidatePairs(
+          DedupOps.lshBuckets(DedupOps.minhashSignature(docs, "doc_id", "text", 8), "doc_id"),
+          "doc_id").localCheckpoint()
+        DedupOps.containment(pairs, docs, "doc_id", "text")
+      },
+      Some(withCtes(normDocsCte, shinglesCte, sigCte, bucketCte, pairsCte)(
+        """SELECT p.id_a, p.id_b,
+          |       CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS BIGINT) AS inter,
+          |       CAST(len(list_distinct(a.shingles)) AS BIGINT) AS size_a,
+          |       CAST(len(list_distinct(b.shingles)) AS BIGINT) AS size_b,
+          |       CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) * 1000
+          |            // len(list_distinct(a.shingles)) AS BIGINT) AS cont_a_milli,
+          |       CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) * 1000
+          |            // len(list_distinct(b.shingles)) AS BIGINT) AS cont_b_milli
+          |FROM pair_docs p
+          |JOIN shingle_docs a ON a.doc_id = p.id_a
+          |JOIN shingle_docs b ON b.doc_id = p.id_b""".stripMargin))),
+
+    Q("dedup_winnow",
+      // Winnowing fingerprint selection (Schleimer et al. 2003): per-doc
+      // sliding-window minimum shingle hashes — the sublinear-density
+      // span index. See DedupOps.winnowFingerprints for the flat codegen
+      // shape (no HOF sha, no per-position window function).
+      (s, d) => DedupOps.winnowFingerprints(Tables.documents(s, d), "doc_id", "text"),
+      Some(withCtes(normDocsCte, shinglesCte)(
+        """SELECT DISTINCT doc_id,
+          |       unnest(list_transform(range(greatest(len(shingles) - 3, 1)),
+          |              i -> list_min(shingles[i+1:least(i+4, len(shingles))])))
+          |         AS fingerprint
+          |FROM shingle_docs""".stripMargin))),
+
     Q("dedup_simhash",
       (s, d) => DedupOps.simhash16(Tables.documents(s, d), "doc_id", "text"),
       Some {
@@ -748,6 +786,22 @@ object QueriesLlm {
         |            // count(*) AS BIGINT) AS recall_ppm
         |FROM exact e LEFT JOIN approx a USING (query_id, vec_id)
         |GROUP BY 1""".stripMargin)),
+
+    Q("ann_mean_pool",
+      // Chunk→document mean pooling (8 chunks per doc via vec_id div 8):
+      // exact integer per-dimension mean — see Similarity.meanPool for the
+      // bounded-state aggregation shape.
+      (s, d) => Similarity.meanPool(Tables.embeddings(s, d), expr("vec_id div 8")),
+      Some("""WITH quant AS (
+        |  SELECT vec_id // 8 AS group_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |per AS (
+        |  SELECT group_id, i, CAST(sum(v[i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+        |  FROM quant, range(1, 65) t(i) GROUP BY group_id, i)
+        |SELECT group_id, CAST(min(c) AS BIGINT) AS n_chunks,
+        |       list(s // c ORDER BY i) AS pooled
+        |FROM per GROUP BY group_id""".stripMargin)),
 
     Q("ann_ivf_two_level",
       // Hierarchical IVF: 16 cells routed through 4 super-cells — the

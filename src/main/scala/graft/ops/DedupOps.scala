@@ -113,6 +113,43 @@ object DedupOps {
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("_h"))).as("shset"))
 
+  /** Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003): the
+    * minimum shingle hash of every `w`-wide sliding window, deduplicated —
+    * the density-guaranteed local fingerprints a plagiarism/span-overlap
+    * index stores instead of EVERY shingle (≈ 2/(w+1) of them), with the
+    * guarantee that any match of length ≥ w+k−1 tokens shares at least one
+    * fingerprint.
+    *
+    * Shape: the [[shingleHashRows]] doctrine — window starts ride ONE
+    * index explode and each row computes the min of its `w` shingle hashes
+    * as FLAT codegen'd expressions (`least` skips the nulls of truncated
+    * trailing windows). Each shingle hash is recomputed by up to `w`
+    * windows; that ×w sha cost is the price of ZERO extra exchanges — no
+    * per-position window function, no ordered collect. Documents under
+    * k=3 tokens emit their whole-text hash (the shingle fallback), and
+    * under w+k−1 tokens a single whole-doc-min fingerprint. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         w: Int = 4): DataFrame = {
+    require(w >= 2, "window must cover at least 2 shingles")
+    val P = MersennePrime31
+    val m = size(col("_toks")) - 2 // shingle count when >= 3 tokens
+    def h(j: Int) = when(col("_i") + j < m,
+      hash60(concat_ws(" ",
+        expr(s"element_at(_toks, _i + ${j + 1})"),
+        expr(s"element_at(_toks, _i + ${j + 2})"),
+        expr(s"element_at(_toks, _i + ${j + 3})"))) % P)
+    df.repartition(col(idCol))
+      .select(col(idCol),
+        (hash60(TextOps.normalize(col(textCol))) % P).as("_doc_h"),
+        TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_doc_h"), col("_toks"),
+        explode(sequence(lit(0), greatest(size(col("_toks")) - 2 - w, lit(0)))).as("_i"))
+      .select(col(idCol),
+        when(size(col("_toks")) >= 3, least((0 until w).map(h): _*))
+          .otherwise(col("_doc_h")).as("fingerprint"))
+      .distinct()
+  }
+
   /** MinHash signature: for permutation j, `min over shingles of
     * ((a_j · (h mod p) + b_j) mod p)`. Emitted as `numPerms` columns
     * `sig_0 … sig_{n-1}` — array-free so whole-stage codegen keeps the whole
@@ -226,7 +263,35 @@ object DedupOps {
     * candidate-restricted shape is the 100 TB-correct one; the ~0.3 s it
     * costs the local toy bench is the fixed floor of one extra tiny
     * aggregate, not a scale defect. */
-  def jaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def jaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    pairedShingleSets(pairs, docs, idCol, textCol)
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("union_", size(col("set_a")) + size(col("set_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("union_"), col("jaccard"))
+
+  /** One-sided CONTAINMENT on the candidate pairs — `|A∩B| / |A|` (and the
+    * B side) in exact milli units. Jaccard misses subset duplication: a
+    * paragraph wholly contained in a 100× longer doc has tiny Jaccard but
+    * containment ≈ 1, which is the signal a quote/aggregator filter needs
+    * (Broder's containment measure). Same candidate-restricted shape as
+    * [[jaccard]] — cost ∝ the candidate set, never the corpus. Shingle
+    * sets are non-empty by construction (short docs fall back to the
+    * whole-text hash), so the divisions are safe. */
+  def containment(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    pairedShingleSets(pairs, docs, idCol, textCol)
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("size_a", size(col("set_a")).cast("long"))
+      .withColumn("size_b", size(col("set_b")).cast("long"))
+      .withColumn("cont_a_milli", expr("inter * 1000 div size_a"))
+      .withColumn("cont_b_milli", expr("inter * 1000 div size_b"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
+        col("cont_a_milli"), col("cont_b_milli"))
+
+  /** Candidate pairs joined with both docs' distinct shingle-hash sets —
+    * the shared verification input of [[jaccard]] and [[containment]]. */
+  private def pairedShingleSets(pairs: DataFrame, docs: DataFrame,
+                                idCol: String, textCol: String): DataFrame = {
     // Shingle only the documents that appear in a candidate pair — LSH
     // leaves a vanishing fraction of the corpus as candidates, so the
     // verification pass must not re-tokenize/re-hash the whole corpus
@@ -241,13 +306,7 @@ object DedupOps {
       idCol, textCol).localCheckpoint()
     def side(n: String) = sets
       .withColumnRenamed(idCol, s"id_$n").withColumnRenamed("shset", s"set_$n")
-    pairs
-      .join(side("a"), Seq("id_a"))
-      .join(side("b"), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
-      .withColumn("union_", size(col("set_a")) + size(col("set_b")) - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("union_"))
-      .select(col("id_a"), col("id_b"), col("inter"), col("union_"), col("jaccard"))
+    pairs.join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
   }
 
   /** Connected components over an undirected pair graph — the step that
