@@ -620,6 +620,31 @@ object QueriesLlm {
           |         AS fingerprint
           |FROM shingle_docs""".stripMargin))),
 
+    Q("dedup_winnow_matches",
+      // The winnow index at work: fingerprints shared by 2+ documents =
+      // cross-doc span matches at ~2/(w+1) the cost of indexing every
+      // shingle (the Schleimer guarantee: any shared span of >= w+k-1
+      // tokens surfaces here). Top-50 by breadth; TakeOrdered, no global
+      // sort. Complements llm_dup_spans, which indexes EVERY shingle.
+      (s, d) => DedupOps.winnowFingerprints(Tables.documents(s, d), "doc_id", "text")
+        .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("fingerprint"))
+        .limit(50),
+      Some(withCtes(normDocsCte, shinglesCte,
+        """winnow AS (
+          |  SELECT DISTINCT doc_id,
+          |         unnest(list_transform(range(greatest(len(shingles) - 3, 1)),
+          |                i -> list_min(shingles[i+1:least(i+4, len(shingles))])))
+          |           AS fingerprint
+          |  FROM shingle_docs)""".stripMargin)(
+        """SELECT fingerprint, count(*) AS n_docs,
+          |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          |FROM winnow GROUP BY 1 HAVING count(*) > 1
+          |ORDER BY n_docs DESC, fingerprint LIMIT 50""".stripMargin))),
+
     Q("dedup_simhash",
       (s, d) => DedupOps.simhash16(Tables.documents(s, d), "doc_id", "text"),
       Some {
