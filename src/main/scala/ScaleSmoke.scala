@@ -70,6 +70,11 @@ object ScaleSmoke {
     t("repetition signals")(graft.ops.TextOps.repetitionSignals(docs, "doc_id", "text")
       .filter(col("dup_token_ppm") + col("top_bigram_ppm") + col("dup_trigram_ppm") >= 0)
       .count())
+    // Winnowing fingerprints (r9): shingleHashRows-shaped index explode
+    // with flat per-window minima — expect ~linear in docs. count() is
+    // safe: the distinct forces every fingerprint.
+    t("winnow fingerprints")(
+      DedupOps.winnowFingerprints(docs, "doc_id", "text").count())
     // Reference-frequency quality (CCNet): one explode + df distinct-count
     // + auto-broadcast vocab join — expected ~linear. filter(bucket) forces
     // the post-aggregation scoring projections.
