@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CmsCounts, GzipCompress, GzipDecompress, KmvMins, TopKPairs, TopKPairsTagged}
+import graft.expressions.{CmsCounts, GzipCompress, GzipDecompress, KmvMins, RepetitionStats, TopKPairs, TopKPairsTagged}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are callable from SQL in any session configured with
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cms_counts"),
       new ExpressionInfo(classOf[CmsCounts].getName, "cms_counts"),
       (children: Seq[Expression]) => CmsCounts(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (children: Seq[Expression]) => RepetitionStats(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("topk_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),

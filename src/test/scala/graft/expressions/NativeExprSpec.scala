@@ -29,6 +29,19 @@ class NativeExprSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  test("repetition_stats resolves from SQL and matches the Column-API path") {
+    val got = spark.sql(
+      """SELECT repetition_stats(array('a', 'a', 'a', 'b')) AS s"""
+    ).select($"s.n_tokens", $"s.distinct_tokens", $"s.max_bigram", $"s.rep_trigram")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((4L, 2L, 2L, 0L)))
+    val typeErr = intercept[Exception] {
+      spark.sql("SELECT repetition_stats(42)").collect()
+    }
+    assert(typeErr.getMessage.contains("ARRAY<STRING>") ||
+      typeErr.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("gzip_compress rejects non-binary input with a type error") {
     val ex = intercept[Exception] {
       spark.sql("SELECT gzip_compress(42)").collect()
