@@ -766,7 +766,9 @@ object QueriesLlm {
           .select(col("query_id"), col("vec_id"))
         val approx = Similarity.ivfTopK(emb, q, 10, numCentroids = 8, nprobe = 2)
           .select(col("query_id"), col("vec_id"), lit(1L).as("_hit"))
-        exact.join(approx, Seq("query_id", "vec_id"), "left")
+        // both sides are k×|queries| rows — broadcast the probe side so the
+        // roll-up never sorts/shuffles (SMJ was the planner's stats-blind pick)
+        exact.join(broadcast(approx), Seq("query_id", "vec_id"), "left")
           .groupBy(col("query_id"))
           .agg(count(lit(1)).as("n_exact"),
             coalesce(sum(col("_hit")), lit(0L)).as("n_hit"))
