@@ -1722,6 +1722,27 @@ object QueriesLlm {
         |LEFT JOIN (SELECT event_type, CAST(hh AS DOUBLE) AS kth FROM r WHERE rn = 64) k
         |  USING (event_type)""".stripMargin)),
 
+    Q("sk_quantile_sample",
+      // Quantile estimates from the deterministic bottom-k-by-hash sample
+      // (see Sketches.quantileSample): mergeable bounded state, membership
+      // and rank arithmetic both integer-deterministic, so the oracle
+      // reproduces the ESTIMATE exactly (ORDER BY hash LIMIT k is the same
+      // sample; rank selection is the same row).
+      (s, d) => Sketches.quantileSample(Tables.documents(s, d),
+        length(col("text")), col("doc_id"), Seq(25, 50, 75, 90), k = 256),
+      Some("""WITH pri AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS v,
+        |         CAST('0x' || substr(sha256('qs:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |samp AS (SELECT doc_id, v FROM pri ORDER BY h, doc_id LIMIT 256),
+        |ranked AS (
+        |  SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM samp)
+        |SELECT CAST(q AS BIGINT) AS q, v AS value, CAST(n AS BIGINT) AS sample_n
+        |FROM ranked, (VALUES (25), (50), (75), (90)) t(q)
+        |WHERE rn = greatest(1, CAST(ceil(q * n / 100.0) AS BIGINT))""".stripMargin)),
+
     Q("j7_asof_join",
       // Point-in-time-correct lookup: each purchase joined to the user's
       // latest signup event at-or-before the purchase timestamp. The right

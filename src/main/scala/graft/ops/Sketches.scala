@@ -81,4 +81,39 @@ object Sketches {
             / element_at(col("_mins"), k).cast("double")).cast("long")))
       .drop("_mins")
   }
+
+  /** Quantile estimates from a DETERMINISTIC uniform sample: keep the `k`
+    * rows with the smallest content-addressed hash priority (bottom-k by
+    * hash — the same min-k trick as KMV, here carrying the value as the
+    * [[graft.expressions.TopKPairsTagged]] payload), sort the sample once
+    * IN AN ARRAY (k elements, never a corpus ORDER BY), and read each
+    * quantile off by rank selection `ceil(q·n/100)`.
+    *
+    * Properties: mergeable (min-k of a union is the min-k of min-ks, the
+    * aggregate's own combine), rerun/engine/topology-stable membership
+    * (hash priorities), sampling error O(1/√k), and — unlike KLL/GK
+    * compaction — every step is integer-deterministic, so the estimate is
+    * oracle-checkable EXACTLY, not just within a rank-error bound. State
+    * is k triples per partition at every stage. Groups smaller than `k`
+    * degrade to the exact quantiles of the full group. */
+  def quantileSample(df: DataFrame, valueCol: Column, idCol: Column,
+                     quantiles: Seq[Int], k: Int = 256,
+                     salt: String = "qs"): DataFrame = {
+    require(k >= 2, "quantileSample k must be >= 2")
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 1 && q <= 100),
+      "quantiles must be percentages in [1, 100]")
+    val pri = -DedupOps.hash60(concat(lit(salt + ":"), idCol.cast("string")))
+    df.select(pri.as("_pri"), idCol.cast("long").as("_i"),
+        valueCol.cast("long").as("_v"))
+      .agg(expr(s"topk_pairs_tag(_pri, _i, _v, $k)").as("_top"))
+      .select(array_sort(transform(col("_top"),
+        p => struct(p.getField("tag").as("v"), p.getField("id").as("id")))).as("_sv"))
+      .select(col("_sv"), size(col("_sv")).cast("long").as("sample_n"),
+        explode(array(quantiles.map(q => lit(q)): _*)).as("q"))
+      .select(col("q").cast("long").as("q"),
+        element_at(col("_sv"),
+          greatest(lit(1), ceil(col("q") * col("sample_n") / 100.0)).cast("int"))
+          .getField("v").as("value"),
+        col("sample_n"))
+  }
 }

@@ -41,6 +41,28 @@ class SketchesSpec extends SparkSpec {
       s"expected a partial aggregation mode in:\n$plan")
   }
 
+  test("quantileSample: exact quantiles when n < k, sampled quantiles are " +
+    "members and partition-independent when over") {
+    // n=20 < k: degrades to exact rank-selection quantiles
+    val small = (1 to 20).map(i => (i.toLong, i.toLong * 10)).toDF("id", "v")
+    val exact = Sketches.quantileSample(small, $"v", $"id", Seq(25, 50, 75, 90), k = 256)
+      .select($"q", $"value", $"sample_n").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // ceil(25*20/100)=5 -> 50, ceil(50*20/100)=10 -> 100, 15 -> 150, 18 -> 180
+    assert(exact == Map(25L -> (50L, 20L), 50L -> (100L, 20L),
+      75L -> (150L, 20L), 90L -> (180L, 20L)))
+    // n=5000 > k=64: sample membership is content-addressed -> the estimate
+    // is identical at any partitioning, and within sampling error of truth
+    val big = (1 to 5000).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    def run(parts: Int) =
+      Sketches.quantileSample(big.repartition(parts), $"v", $"id", Seq(50), k = 64)
+        .select($"value").as[Long].head()
+    val p1 = run(1); val p16 = run(16)
+    assert(p1 == p16, "bottom-k-by-hash sample must be partition-independent")
+    assert(math.abs(p1 - 2500.0) / 2500.0 < 0.5,
+      s"median estimate $p1 outside sampling-error band of 2500")
+  }
+
   test("CMS: estimates only overcount, exact when width avoids collisions") {
     // 3 tokens with known counts, width 512 → collisions vanishingly unlikely
     val df = (Seq.fill(100)("alpha") ++ Seq.fill(40)("beta") ++ Seq.fill(7)("gamma"))
