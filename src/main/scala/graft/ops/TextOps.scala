@@ -280,19 +280,25 @@ object TextOps {
     * Fixed integer thresholds bucket documents head/middle/tail (CCNet
     * keeps the split static so shards are reproducible).
     *
-    * Scale shape: the corpus is checkpointed ONCE as the compact per-doc
-    * token-ARRAY projection (≈ the text itself in bytes), and document
-    * frequency comes from exploding `array_distinct(_toks)` — per-doc
-    * dedup is ROW-LOCAL, so the df aggregation's keys are the VOCABULARY
-    * (Zipf-bounded), never the corpus, and map-side combine does its job.
-    * The original formulation (checkpoint the exploded occurrence rows +
-    * corpus-scale `distinct()` on near-unique (doc, tok) keys) measured
-    * 64× time at 10× docs in ScaleSmoke — round-6 rule (b) again, plus
-    * deserialized-row checkpoint storage of occurrence-scale data
-    * (round-6 rule g). The vocab join auto-broadcasts via a LIMIT-bounded
-    * probe (the `decontaminate` pattern) and falls back to a shuffle join
-    * keyed on token. Documents whose normalized text is empty have no
-    * token rows and are absent from the output (mirrored by the oracle's
+    * Scale shape: TWO tokenize passes, NO corpus materialization. The
+    * scoring pass explodes every occurrence; the vocab pass re-tokenizes
+    * only the reference slice (the content-addressed `bucketOf` filter
+    * sits BELOW the tokenizer, so it reads ~refPermille/1000 of the
+    * corpus) and explodes `array_distinct(_toks)` — per-doc dedup is
+    * ROW-LOCAL, so the df aggregation's keys are the VOCABULARY
+    * (Zipf-bounded), never the corpus. Two rejected shapes, both measured
+    * at 1M docs: (1) checkpoint exploded occurrence rows + corpus-scale
+    * `distinct()` on (doc, tok): 924 s — round-6 rule (b) + occurrence-
+    * scale deserialized checkpoint storage (rule g); (2) checkpoint the
+    * compact (id, token-array) projection: 33-39 s fresh but 122-124 s on
+    * re-use in the same JVM, BOTH orders (storage-memory residue of a
+    * corpus-scale checkpoint), vs 40-52 s stable for this two-pass shape
+    * (RefFreqProfile ABBA) — and at 100 TB a tokenized-corpus
+    * materialization is a non-starter while a 0.3× re-scan is routine.
+    * The vocab join auto-broadcasts via a LIMIT-bounded probe (the
+    * `decontaminate` pattern) and falls back to a shuffle join keyed on
+    * token. Documents whose normalized text is empty have no token rows
+    * and are absent from the output (mirrored by the oracle's
     * `unnest([])`).
     *
     * Output: (doc_id, n_toks, n_oov, oov_ppm, rarity_pts, bucket). */
@@ -302,15 +308,15 @@ object TextOps {
                      rarityHeadPts: Long = 150000L, oovHeadPpm: Long = 100000L,
                      salt: String = "ref",
                      broadcastMaxVocab: Long = 4000000L): DataFrame = {
-    // one tokenize pass, checkpointed as (id, token-array) — feeds both the
-    // occurrence explode (scoring) and the distinct explode (df/vocab)
-    val base = withNormToks(docs.select(col(idCol), col(textCol)), textCol)
-      .select(col(idCol), col("_toks").as("_t"))
-      .localCheckpoint(eager = false)
-    val occ = base.select(col(idCol), explode(col("_t")).as("tok"))
+    val occ = withNormToks(docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), explode(col("_toks")).as("tok"))
       .filter(length(col("tok")) > 0) // split("") yields [""] — drop it
-    val vocab0 = base.filter(Sampling.bucketOf(col(idCol), salt) < refPermille)
-      .select(col(idCol), explode(array_distinct(col("_t"))).as("tok"))
+    // slice filter BELOW the tokenizer: the vocab pass re-reads only
+    // ~refPermille/1000 of the corpus instead of materializing any of it
+    val vocab0 = withNormToks(
+        docs.filter(Sampling.bucketOf(col(idCol), salt) < refPermille)
+          .select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), explode(array_distinct(col("_toks"))).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
