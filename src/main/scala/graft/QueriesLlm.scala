@@ -401,8 +401,116 @@ object QueriesLlm {
           |       CAST(CASE WHEN a.trirep IS NOT NULL
           |                 THEN (a.trirep * 3000000) // a.nt ELSE 0 END AS BIGINT)
           |         AS dup_trigram_ppm
-          |FROM tok_docs t LEFT JOIN agg a USING (doc_id)""".stripMargin)))
+          |FROM tok_docs t LEFT JOIN agg a USING (doc_id)""".stripMargin))),
+
+    Q("llm_dataset_card",
+      // Dataset-card stats with subtotal rows: ROLLUP over (lang, source)
+      // gives per-cell, per-lang, and grand-total docs / chars / tokens in
+      // ONE pass — Spark plans a single scan + Expand + partial aggregation
+      // (map-side combine on the 3x-expanded rows), where a UNION of three
+      // re-aggregations would scan the corpus three times. gid
+      // disambiguates rolled-up NULL keys from a genuine NULL value.
+      (s, d) => {
+        val based = TextOps.withNormToks(Tables.documents(s, d), "text")
+        val nToks = when(length(col("_norm")) === 0, 0L)
+          .otherwise(size(col("_toks")).cast("long"))
+        based.rollup(col("lang"), col("source"))
+          .agg((grouping(col("lang")) * 2 + grouping(col("source")))
+            .cast("long").as("gid"),
+            count(lit(1)).as("docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(nToks).as("sum_tokens"),
+            max(col("n_chars")).as("max_chars"))
+      },
+      Some(withCtes(normDocsCte,
+        """feat AS (
+          |  SELECT d.lang, d.source, d.n_chars,
+          |         CASE WHEN length(t.norm) = 0 THEN 0
+          |              ELSE CAST(len(t.toks) AS BIGINT) END AS n_toks
+          |  FROM documents d JOIN tok_docs t USING (doc_id))""".stripMargin)(
+        """SELECT lang, source,
+          |       CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+          |       CAST(count(*) AS BIGINT) AS docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+          |       CAST(max(n_chars) AS BIGINT) AS max_chars
+          |FROM feat
+          |GROUP BY ROLLUP (lang, source)""".stripMargin))),
+
+    Q("llm_bpe_pairs",
+      // BPE round-0 statistics: adjacent character-pair counts weighted by
+      // corpus word frequency — the aggregation every merge round of a
+      // tokenizer trainer runs. The corpus pass collapses to the
+      // Zipf-bounded word vocabulary map-side; the pair explode runs over
+      // VOCABULARY rows only. Top-50 by (count desc, pair asc).
+      (s, d) => {
+        val wf = Bpe.wordFreqs(Tables.documents(s, d), "text")
+        wf.filter(length(col("word")) >= 2)
+          .select(col("freq"),
+            explode(transform(sequence(lit(0), length(col("word")) - 2),
+              i => col("word").substr(i + lit(1), lit(2)))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(50)
+      },
+      Some(withCtes(normDocsCte, wordFreqCte)(
+        """SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+          |FROM (SELECT freq,
+          |             unnest(list_transform(range(length(word) - 1),
+          |               i -> substr(word, i + 1, 2))) AS pair
+          |      FROM wf WHERE length(word) >= 2)
+          |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""".stripMargin))),
+
+    Q("llm_bpe_train",
+      // Distributed BPE training, oracle-verified END-TO-END: 6 merge
+      // rounds over the corpus vocabulary, each one bounded pair-count
+      // aggregation + a 1-row argmax collect (k-means shape: driver holds
+      // only the k-row merge table). The DuckDB oracle replays the same 6
+      // rounds as chained CTEs using the wrapped-string replace encoding
+      // — see Bpe.scala for why left-to-right non-overlapping `replace`
+      // IS BPE merge application.
+      (s, d) => Bpe.trainAsDf(Tables.documents(s, d), "text", BpeTrainRounds),
+      Some(bpeTrainOracle(BpeTrainRounds)))
   )
+
+  /** DuckDB corpus word-frequency CTE (mirrors Bpe.wordFreqs). */
+  private val wordFreqCte =
+    """wf AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(toks) AS word FROM tok_docs)
+      |  WHERE length(word) > 0 GROUP BY 1)""".stripMargin
+
+  private val BpeTrainRounds = 6
+
+  /** Generated oracle for [[Bpe.train]]: k chained (pairs → argmax →
+    * replace) rounds over the wrapped-string vocabulary. */
+  private def bpeTrainOracle(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      val prev = s"v${i - 1}"
+      s"""p$i AS (
+        |  SELECT split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs,
+        |         CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq,
+        |               unnest(list_transform(range(len(syms) - 1),
+        |                 j -> syms[j+1] || ' ' || syms[j+2])) AS pr
+        |        FROM (SELECT string_split(trim(w, '|'), '||') AS syms, freq FROM $prev)
+        |        WHERE len(syms) >= 2)
+        |  GROUP BY 1, 2),
+        |t$i AS (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |v$i AS (
+        |  SELECT replace(w, (SELECT '|' || lhs || '||' || rhs || '|' FROM t$i),
+        |                    (SELECT '|' || lhs || rhs || '|' FROM t$i)) AS w, freq
+        |  FROM $prev)""".stripMargin
+    }
+    val union = (1 to k)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS merge_rank, lhs, rhs, cnt FROM t$i")
+      .mkString("\n", "\nUNION ALL\n", "")
+    withCtes(
+      (Seq(normDocsCte, wordFreqCte,
+        """v0 AS (
+          |  SELECT '|' || array_to_string(list_transform(range(length(word)),
+          |           i -> substr(word, i + 1, 1)), '||') || '|' AS w, freq
+          |  FROM wf)""".stripMargin) ++ rounds): _*)(union)
+  }
 
   /** DuckDB per-doc gram frequency rollup (mirrors the
     * [[TextOps.repetitionSignals]] native expression): nt/nd = token
