@@ -764,7 +764,38 @@ object QueriesLlm {
             |  SELECT doc_id, ${h60("t.tok")} AS h
             |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok_docs) t)""".stripMargin)(
           s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM tok_h GROUP BY doc_id")
-      })
+      }),
+
+    Q("dedup_source_overlap",
+      // Cross-source overlap matrix: estimated shingle-set Jaccard for
+      // every source pair via per-source KMV bottom-k sketches (k-bounded
+      // aggregate state, no corpus-scale distinct) and a SOURCES²
+      // broadcast pairwise stage. The KMV union estimator is
+      // hash-deterministic, so the oracle replays the sketch exactly with
+      // a rank filter.
+      (s, d) => DedupOps.sourceOverlap(Tables.documents(s, d),
+        "source", "doc_id", "text", k = 256),
+      Some(withCtes(normDocsCte, shinglesCte,
+        """src_h AS (
+          |  SELECT DISTINCT d.source, h
+          |  FROM (SELECT doc_id, unnest(shingles) AS h FROM shingle_docs) s
+          |  JOIN documents d USING (doc_id)),
+          |sk AS (
+          |  SELECT source, list(h ORDER BY h) AS mins
+          |  FROM (SELECT source, h,
+          |               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          |        FROM src_h)
+          |  WHERE rn <= 256 GROUP BY source),
+          |pairs AS (
+          |  SELECT a.source AS src_a, b.source AS src_b, a.mins AS am, b.mins AS bm,
+          |         list_sort(list_distinct(a.mins || b.mins))[:256] AS m
+          |  FROM sk a JOIN sk b ON a.source < b.source)""".stripMargin)(
+        """SELECT src_a, src_b,
+          |       CAST(least(256, len(m)) AS BIGINT) AS kk,
+          |       CAST(len(list_filter(m, h -> list_contains(am, h) AND list_contains(bm, h))) AS BIGINT) AS inter_cnt,
+          |       CAST(len(list_filter(m, h -> list_contains(am, h) AND list_contains(bm, h))) * 1000000
+          |            // least(256, len(m)) AS BIGINT) AS jaccard_ppm
+          |FROM pairs""".stripMargin)))
   )
 
   def ann: Seq[Q] = Seq(

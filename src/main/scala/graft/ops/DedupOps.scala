@@ -876,4 +876,42 @@ object DedupOps {
         (0 until 16).map(i => when(col(s"bit_$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** Cross-source overlap matrix: estimated shingle-set Jaccard between
+    * every pair of sources — the "which feeds copy from each other"
+    * curation report.
+    *
+    * Scale shape: one shingle pass per corpus feeding a per-source KMV
+    * bottom-k sketch ([[graft.expressions.KmvSketch]] — k-bounded state,
+    * map-side partials, the sketch dedups internally so no corpus-scale
+    * `distinct()` on (source, shingle) is ever formed, round-6 rule (b)).
+    * The pairwise stage runs on SOURCES² rows of k-length arrays —
+    * broadcast nested-loop on the `<` condition, bounded work regardless
+    * of corpus size. Estimator: with M = bottom-k of A∪B (the union
+    * sketch, computable from the two sketches), Ĵ = |M ∩ A ∩ B| / |M| —
+    * the standard KMV Jaccard estimator, integer-deterministic here
+    * because membership is by content-addressed hash, so the oracle
+    * replays it exactly.
+    *
+    * Output: (src_a, src_b, kk, inter_cnt, jaccard_ppm), src_a < src_b. */
+  def sourceOverlap(docs: DataFrame, srcCol: String, idCol: String,
+                    textCol: String, k: Int = 256): DataFrame = {
+    val rows = shingleHashRows(
+      docs.select(struct(col(srcCol).as("s"), col(idCol).as("i")).as("_sid"),
+        col(textCol)),
+      "_sid", textCol)
+    val sk = rows.select(col("_sid.s").as("src"), col("_h"))
+      .groupBy(col("src")).agg(expr(s"kmv_mins(_h, $k)").as("mins"))
+    val a = sk.select(col("src").as("src_a"), col("mins").as("_am"))
+    val b = sk.select(col("src").as("src_b"), col("mins").as("_bm"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("_m", slice(array_sort(array_union(col("_am"), col("_bm"))), 1, k))
+      .withColumn("kk", least(lit(k), size(col("_m"))).cast("long"))
+      .withColumn("inter_cnt",
+        size(filter(col("_m"),
+          h => array_contains(col("_am"), h) && array_contains(col("_bm"), h)))
+          .cast("long"))
+      .select(col("src_a"), col("src_b"), col("kk"), col("inter_cnt"),
+        expr("inter_cnt * 1000000 div kk").as("jaccard_ppm"))
+  }
 }

@@ -504,4 +504,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(neighbours.contains(1L))  // same half-space as the query
     assert(!neighbours.contains(3L)) // opposite vector lands in another bucket
   }
+
+  test("source overlap: copied feeds score high, disjoint feeds score zero, exact under k") {
+    // feed B copies half of feed A's docs verbatim; feed C is disjoint.
+    // Sized so |A ∪ B| < k: the sketch is the distinct set (exact regime).
+    val aTexts = (0 until 16).map(i => s"alpha doc $i shares token stream number $i end")
+    val bTexts = aTexts.take(8) ++
+      (0 until 8).map(i => s"beta original content piece $i unlike others $i tail")
+    val cTexts = (0 until 16).map(i => s"gamma completely different corpus entry $i closing")
+    val docs = (aTexts.map(("A", _)) ++ bTexts.map(("B", _)) ++ cTexts.map(("C", _)))
+      .zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
+      .toDF("doc_id", "source", "text")
+    val got = DedupOps.sourceOverlap(docs, "source", "doc_id", "text", k = 256)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map { case (a, b, kk, ic, j) => ((a, b), (kk, ic, j)) }.toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(got(("A", "C"))._3 == 0L, s"disjoint feeds must be 0: ${got(("A", "C"))}")
+    assert(got(("B", "C"))._3 == 0L)
+    // under k the sketch IS the distinct set, so the estimate is the EXACT
+    // Jaccard of the two shingle sets — compute it independently
+    val sets = DedupOps.shingleHashRows(docs, "doc_id", "text")
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .select($"source", $"_h").distinct()
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val exact = sets("A").intersect(sets("B")).size * 1000000L /
+      sets("A").union(sets("B")).size
+    assert(got(("A", "B"))._3 == exact,
+      s"under-k regime must be exact: got ${got(("A", "B"))._3}, exact $exact")
+    assert(got(("A", "B"))._3 > 200000L, "copied half must score high")
+  }
 }
