@@ -798,6 +798,23 @@ object QueriesLlm {
           |FROM pairs""".stripMargin)))
   )
 
+  /** Shared by ann_quantization_error and ann_outliers: quantized vectors,
+    * first-8 seed centroids, and the argmax (dot desc, cid) assignment
+    * with each vector's squared L2 to its centroid. */
+  private val seedAssignCtes =
+    """WITH quant AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM quant WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT vec_id, cid, d2 FROM (
+      |    SELECT q.vec_id, c.cid,
+      |           CAST(list_sum(list_transform(range(1,65), i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))) AS BIGINT) AS d2,
+      |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |             CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*c.cv[i])) AS BIGINT) DESC, c.cid) AS rn
+      |    FROM quant q CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+
   def ann: Seq[Q] = Seq(
     Q("ann_brute_topk",
       (s, d) => {
@@ -1187,22 +1204,51 @@ object QueriesLlm {
           .agg(count(lit(1)).as("n_members"),
             floor(avg(col("d2"))).cast("long").as("mean_d2"))
       },
-      Some("""WITH quant AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM quant WHERE vec_id < 8),
-        |assign AS (
-        |  SELECT vec_id, cid, d2 FROM (
-        |    SELECT q.vec_id, c.cid,
-        |           CAST(list_sum(list_transform(range(1,65), i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))) AS BIGINT) AS d2,
-        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |             CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*c.cv[i])) AS BIGINT) DESC, c.cid) AS rn
-        |    FROM quant q CROSS JOIN cent c) WHERE rn = 1)
+      Some(seedAssignCtes + """
         |SELECT cid AS cluster,
         |       CAST(count(*) AS BIGINT) AS n_members,
         |       CAST(floor(avg(d2)) AS BIGINT) AS mean_d2
         |FROM assign GROUP BY 1""".stripMargin)),
+
+    Q("ann_outliers",
+      // Embedding OOD/noise screening: each vector's squared distance to
+      // its assigned centroid, normalized by the cluster's mean — top-50
+      // by the ratio. The assignment is the same broadcast argmax map
+      // stage as the IVF corpus side; it feeds both the cluster means and
+      // the per-vector ratio, so the compact (vec_id, cluster, d2)
+      // projection is checkpointed once (round-4 rule d) and the k-row
+      // means table broadcasts back. TakeOrdered for the top-50 — no
+      // global sort at any corpus size.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cent = broadcast(emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), Similarity.quantize(col("embedding")).as("cv")))
+        val qd2 = Similarity.qdist2(col("v"), col("cv"))
+        val assign = emb
+          .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+          .crossJoin(cent)
+          .withColumn("_cscore", Similarity.qdot(col("v"), col("cv")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("cid"), qd2.as("d2")),
+            struct(col("_cscore"), -col("cid"))).as("_a"))
+          .select(col("vec_id"), col("_a.cid").as("cluster"), col("_a.d2").as("d2"))
+          .localCheckpoint(eager = false) // feeds means AND ratios (plan lint)
+        val means = assign.groupBy(col("cluster"))
+          .agg(floor(avg(col("d2"))).cast("long").as("mean_d2"))
+        assign.join(broadcast(means), Seq("cluster"))
+          .withColumn("ratio_milli", expr("d2 * 1000 div greatest(mean_d2, 1)"))
+          .orderBy(col("ratio_milli").desc, col("vec_id")).limit(50)
+          .select(col("vec_id"), col("cluster"), col("d2"), col("mean_d2"),
+            col("ratio_milli"))
+      },
+      Some(seedAssignCtes + """,
+        |means AS (
+        |  SELECT cid, CAST(floor(avg(d2)) AS BIGINT) AS mean_d2
+        |  FROM assign GROUP BY 1)
+        |SELECT a.vec_id, a.cid AS cluster, a.d2, m.mean_d2,
+        |       CAST(a.d2 * 1000 // greatest(m.mean_d2, 1) AS BIGINT) AS ratio_milli
+        |FROM assign a JOIN means m USING (cid)
+        |ORDER BY ratio_milli DESC, a.vec_id LIMIT 50""".stripMargin)),
 
     Q("ann_ivf_kmeans",
       // Production centroid path: one deterministic Lloyd refinement of the

@@ -900,8 +900,11 @@ object DedupOps {
       docs.select(struct(col(srcCol).as("s"), col(idCol).as("i")).as("_sid"),
         col(textCol)),
       "_sid", textCol)
+    // one row per source (k-length array) — feeds BOTH pairwise sides, so
+    // checkpoint or the corpus-scale shingle pass runs twice (rule 4d)
     val sk = rows.select(col("_sid.s").as("src"), col("_h"))
       .groupBy(col("src")).agg(expr(s"kmv_mins(_h, $k)").as("mins"))
+      .localCheckpoint(eager = false)
     val a = sk.select(col("src").as("src_a"), col("mins").as("_am"))
     val b = sk.select(col("src").as("src_b"), col("mins").as("_bm"))
     a.join(broadcast(b), col("src_a") < col("src_b"))
