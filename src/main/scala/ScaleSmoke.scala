@@ -26,7 +26,9 @@ object ScaleSmoke {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val copies = spark.range(docCopies).withColumnRenamed("id", "copy")
@@ -86,6 +88,16 @@ object ScaleSmoke {
     t("dsir resample")(graft.ops.TextOps.dsirResample(docs, "doc_id", "text",
       isTarget = pmod(col("doc_id"), lit(5)) === 0)
       .filter(col("accepted")).count())
+    // BPE training (r9): the corpus pass collapses to the word vocabulary
+    // map-side; each of the 6 merge rounds is vocabulary-scale. The salted
+    // fixture grows the vocab ~linearly with copies, so expect ~linear.
+    t("bpe train (6 merges)")(graft.ops.Bpe.trainAsDf(docs, "text", 6).count())
+    // Source-overlap matrix (r9): per-source KMV sketches (k-bounded
+    // state) + SOURCES^2 pairwise on 16 synthetic feeds — the corpus cost
+    // is the one shingle pass, so expect ~linear regardless of sources.
+    t("source overlap")(DedupOps.sourceOverlap(
+      docs.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(16)))),
+      "source", "doc_id", "text").count())
     // Dataset-assembly growth (r8): tokenize-once projection → bucketed
     // two-level prefix sum → token-balanced shards → manifest. The stage's
     // only corpus-scale shuffles are the checkpoint write and the
