@@ -437,6 +437,16 @@ object QueriesLlm {
           |FROM feat
           |GROUP BY ROLLUP (lang, source)""".stripMargin))),
 
+    Q("llm_bm25_search",
+      // Targeted subset extraction: integerized Okapi BM25 for a fixed
+      // 3-term query — row-local tf (no inverted-index shuffle), one
+      // checkpointed feature pass feeding a 1-row stats broadcast, map-only
+      // scoring, TakeOrdered top-20. See TextOps.bm25Search.
+      (s, d) => TextOps.bm25Search(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("vector", "merge", "spark"), k = 20),
+      Some(bm25Oracle(Seq("vector", "merge", "spark"), k = 20,
+        k1Milli = 1200L, bMilli = 750L))),
+
     Q("llm_bpe_pairs",
       // BPE round-0 statistics: adjacent character-pair counts weighted by
       // corpus word frequency — the aggregation every merge round of a
@@ -471,6 +481,46 @@ object QueriesLlm {
       (s, d) => Bpe.trainAsDf(Tables.documents(s, d), "text", BpeTrainRounds),
       Some(bpeTrainOracle(BpeTrainRounds)))
   )
+
+  /** DuckDB BM25 oracle (mirrors TextOps.bm25Search's integer formulas
+    * term by term). */
+  private def bm25Oracle(terms: Seq[String], k: Int,
+                         k1Milli: Long, bMilli: Long): String = {
+    val tfSel = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n         ")
+    val dfSel = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+      .mkString(",\n         ")
+    val anyMatch = terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+    val score = terms.indices.map { i =>
+      s"(((n_docs - df_$i) * 1000 + 500) // (df_$i + 1)) * " +
+        s"((tf_$i * ${k1Milli + 1000L} * 1000) // " +
+        s"(tf_$i * 1000 + ($k1Milli * lennorm_milli) // 1000)) // 1000"
+    }.mkString("\n         + ")
+    withCtes(normDocsCte,
+      s"""feats AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(norm) = 0 THEN 0
+        |              ELSE CAST(len(toks) AS BIGINT) END AS dl,
+        |         $tfSel
+        |  FROM tok_docs),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |         $dfSel
+        |  FROM feats),
+        |scored AS (
+        |  SELECT f.*, s.*,
+        |         1000 - $bMilli + ($bMilli * dl * 1000)
+        |           // greatest(sum_dl * 1000 // n_docs, 1) AS lennorm_milli
+        |  FROM feats f CROSS JOIN stats s
+        |  WHERE $anyMatch)""".stripMargin)(
+      s"""SELECT doc_id, dl,
+        |       CAST($score AS BIGINT) AS score_milli
+        |FROM scored
+        |ORDER BY score_milli DESC, doc_id LIMIT $k""".stripMargin)
+  }
 
   /** DuckDB corpus word-frequency CTE (mirrors Bpe.wordFreqs). */
   private val wordFreqCte =

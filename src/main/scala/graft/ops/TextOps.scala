@@ -341,6 +341,58 @@ object TextOps {
       .drop("_rsum", "_nv")
   }
 
+  /** BM25 retrieval for a FIXED query-term set — the "pull every doc about
+    * X out of the corpus" curation query (targeted subset extraction,
+    * contamination review, eval-set mining).
+    *
+    * Integerized Okapi BM25 (k1/b in milli-units) so the ranking is
+    * bit-identical in any engine: per-term
+    * `idf_milli = ((N - df)·1000 + 500) div (df + 1)` and
+    * `tfn_milli = tf·(k1+1000)·1000 div (tf·1000 + k1·lennorm_milli div
+    * 1000)` with `lennorm_milli = 1000 − b + b·dl·1000 div avgdl_milli` —
+    * the Robertson formula with integer surrogates for the float idf/log.
+    *
+    * Scale shape: per-term tf is ROW-LOCAL (a `filter` count over the
+    * token array — no inverted-index shuffle, no (doc, term) aggregation),
+    * so the corpus pass is a map-only projection to (id, dl, tf×k),
+    * checkpointed once because it feeds BOTH the 1-row stats aggregate
+    * (N, Σdl, df per term — k+2 numbers) and the scoring branch (the
+    * [[dsirResample]] precedent). Stats broadcast back; scoring +
+    * admission are map-only; top-k is a TakeOrdered, never a global sort.
+    * At 100 TB this is one scan + one 1-row reduce. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int = 20,
+                 k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct, "terms must be distinct")
+    val based = withNormToks(docs.select(col(idCol), col(textCol)), textCol)
+    val dl = when(length(col("_norm")) === 0, 0L)
+      .otherwise(size(col("_toks")).cast("long"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("_toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
+    }
+    val feats = based
+      .select(col(idCol) +: dl.as("dl") +: tfCols: _*)
+      .localCheckpoint(eager = false) // feeds stats AND scoring (plan lint)
+    val statAggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = feats.agg(statAggs.head, statAggs.tail: _*)
+    val termScore = terms.indices.map { i =>
+      expr(s"(((n_docs - df_$i) * 1000 + 500) div (df_$i + 1)) * " +
+        s"((tf_$i * ${k1Milli + 1000L} * 1000) div " +
+        s"(tf_$i * 1000 + ($k1Milli * lennorm_milli) div 1000)) div 1000")
+    }.reduce(_ + _)
+    feats
+      .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl_milli", expr("greatest(sum_dl * 1000 div n_docs, 1)"))
+      .withColumn("lennorm_milli",
+        expr(s"1000 - $bMilli + ($bMilli * dl * 1000) div avgdl_milli"))
+      .withColumn("score_milli", termScore)
+      .orderBy(col("score_milli").desc, col(idCol)).limit(k)
+      .select(col(idCol), col("dl"), col("score_milli"))
+  }
+
   /** DSIR-shaped importance resampling (Xie et al. 2023,
     * arXiv:2302.03169): reweight raw documents toward a target
     * distribution using HASHED n-gram bag features, then admit each doc by

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 ranking semantics on planted fixtures. */
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("bm25: rare terms outweigh common terms, tf saturates, length normalizes") {
+    val filler = (1 to 30).map(_ => "common").mkString(" ")
+    val docs = docsOf(Seq(
+      s"rare $filler",            // 0: one rare hit, long doc
+      "rare common",              // 1: one rare hit, short doc
+      "common common common",     // 2: common only
+      s"rare rare $filler",       // 3: two rare hits, long doc
+      "unrelated words entirely") // 4: no hits
+    ) // "rare" df=3, "common" df=4 over 5 docs
+    val got = TextOps.bm25Search(docs, "doc_id", "text",
+      terms = Seq("rare", "common"), k = 10)
+      .as[(Long, Long, Long)].collect()
+    val order = got.map(_._1).toSeq
+    val score = got.map(g => g._1 -> g._3).toMap
+    assert(!score.contains(4L), "docs with no query term must be absent")
+    assert(score.keySet == Set(0L, 1L, 2L, 3L))
+    // short doc with the rare term beats the long doc with the rare term
+    assert(score(1L) > score(0L), s"length normalization: $score")
+    // two rare hits beat one (same length)
+    assert(score(3L) > score(0L), s"tf monotone: $score")
+    // any rare hit beats common-only
+    assert(score(2L) < score(0L) && score(2L) < score(1L), s"idf ordering: $score")
+    assert(order == order.sortBy(id => (-score(id), id)), "output is rank-ordered")
+  }
+
+  test("bm25: deterministic across runs and result is top-k truncated") {
+    val docs = docsOf((0 until 50).map(i => s"term$i shared payload number $i"))
+    val a = TextOps.bm25Search(docs, "doc_id", "text", Seq("shared", "term3"), k = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = TextOps.bm25Search(docs, "doc_id", "text", Seq("shared", "term3"), k = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.size == 5)
+    assert(a.head._1 == 3L, s"the doc containing the rare term must rank first: $a")
+  }
+}
