@@ -479,7 +479,32 @@ object QueriesLlm {
       // — see Bpe.scala for why left-to-right non-overlapping `replace`
       // IS BPE merge application.
       (s, d) => Bpe.trainAsDf(Tables.documents(s, d), "text", BpeTrainRounds),
-      Some(bpeTrainOracle(BpeTrainRounds)))
+      Some(bpeTrainOracle(BpeTrainRounds))),
+
+    Q("llm_bpe_tokenize",
+      // Train-then-tokenize end-to-end: the 6 learned merges become
+      // driver-held literals and segmentation is a MAP-ONLY chain of
+      // replaces over the corpus (no join at any scale) — per-doc word
+      // and BPE-symbol counts. The oracle instead joins each doc's words
+      // to the final vocabulary segmentation (a different evaluation
+      // strategy reaching the same counts, which is the point).
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = Bpe.train(docs, "text", BpeTrainRounds)
+        docs.select(col("doc_id"), Bpe.segment(col("text"), merges).as("_segs"))
+          .filter(size(col("_segs")) > 0) // empty-norm docs absent (join oracle)
+          .select(col("doc_id"),
+            size(col("_segs")).cast("long").as("n_words"),
+            size(flatten(col("_segs"))).cast("long").as("n_bpe"))
+      },
+      Some(withCtes(bpeRoundCtes(BpeTrainRounds) :+
+        """doc_words AS (
+          |  SELECT doc_id, unnest(toks) AS word FROM tok_docs)""".stripMargin: _*)(
+        s"""SELECT d.doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_words,
+          |       CAST(sum(len(string_split(trim(v.w, '|'), '||'))) AS BIGINT) AS n_bpe
+          |FROM doc_words d JOIN v$BpeTrainRounds v USING (word)
+          |GROUP BY 1""".stripMargin)))
   )
 
   /** DuckDB BM25 oracle (mirrors TextOps.bm25Search's integer formulas
@@ -531,9 +556,10 @@ object QueriesLlm {
 
   private val BpeTrainRounds = 6
 
-  /** Generated oracle for [[Bpe.train]]: k chained (pairs → argmax →
-    * replace) rounds over the wrapped-string vocabulary. */
-  private def bpeTrainOracle(k: Int): String = {
+  /** CTEs replaying [[Bpe.train]]'s k (pairs → argmax → replace) rounds
+    * over the wrapped-string vocabulary; `word` rides along so post-
+    * training consumers can join the final segmentation back to docs. */
+  private def bpeRoundCtes(k: Int): Seq[String] = {
     val rounds = (1 to k).map { i =>
       val prev = s"v${i - 1}"
       s"""p$i AS (
@@ -547,19 +573,25 @@ object QueriesLlm {
         |  GROUP BY 1, 2),
         |t$i AS (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
         |v$i AS (
-        |  SELECT replace(w, (SELECT '|' || lhs || '||' || rhs || '|' FROM t$i),
+        |  SELECT word,
+        |         replace(w, (SELECT '|' || lhs || '||' || rhs || '|' FROM t$i),
         |                    (SELECT '|' || lhs || rhs || '|' FROM t$i)) AS w, freq
         |  FROM $prev)""".stripMargin
     }
+    Seq(normDocsCte, wordFreqCte,
+      """v0 AS (
+        |  SELECT word,
+        |         '|' || array_to_string(list_transform(range(length(word)),
+        |           i -> substr(word, i + 1, 1)), '||') || '|' AS w, freq
+        |  FROM wf)""".stripMargin) ++ rounds
+  }
+
+  /** Generated oracle for [[Bpe.train]]: the merge table after k rounds. */
+  private def bpeTrainOracle(k: Int): String = {
     val union = (1 to k)
       .map(i => s"SELECT CAST($i AS INTEGER) AS merge_rank, lhs, rhs, cnt FROM t$i")
       .mkString("\n", "\nUNION ALL\n", "")
-    withCtes(
-      (Seq(normDocsCte, wordFreqCte,
-        """v0 AS (
-          |  SELECT '|' || array_to_string(list_transform(range(length(word)),
-          |           i -> substr(word, i + 1, 1)), '||') || '|' AS w, freq
-          |  FROM wf)""".stripMargin) ++ rounds): _*)(union)
+    withCtes(bpeRoundCtes(k): _*)(union)
   }
 
   /** DuckDB per-doc gram frequency rollup (mirrors the
