@@ -437,6 +437,35 @@ object QueriesLlm {
           |FROM feat
           |GROUP BY ROLLUP (lang, source)""".stripMargin))),
 
+    Q("llm_token_drift",
+      // Dataset-version drift monitor: token ppm in the pre-append slice
+      // (doc_id % 10 != 0, the llm_manifest_diff convention) vs the full
+      // corpus — top-30 drifted tokens. One tokenize pass, vocab-bounded
+      // aggregation, 1-row totals broadcast.
+      (s, d) => TextOps.tokenDrift(Tables.documents(s, d), "doc_id", "text",
+        isA = pmod(col("doc_id"), lit(10)) =!= 0, k = 30),
+      Some(withCtes(normDocsCte,
+        """occ AS (
+          |  SELECT t.tok, d.doc_id % 10 <> 0 AS in_a
+          |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok_docs) t
+          |  JOIN documents d USING (doc_id)),
+          |counts AS (
+          |  SELECT tok,
+          |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+          |         CAST(count(*) AS BIGINT) AS cnt_b
+          |  FROM occ GROUP BY 1),
+          |tots AS (
+          |  SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+          |         CAST(sum(cnt_b) AS BIGINT) AS tot_b
+          |  FROM counts)""".stripMargin)(
+        """SELECT tok, cnt_a, cnt_b,
+          |       cnt_a * 1000000 // greatest(tot_a, 1) AS ppm_a,
+          |       cnt_b * 1000000 // greatest(tot_b, 1) AS ppm_b,
+          |       abs(cnt_a * 1000000 // greatest(tot_a, 1)
+          |           - cnt_b * 1000000 // greatest(tot_b, 1)) AS drift_ppm
+          |FROM counts CROSS JOIN tots
+          |ORDER BY drift_ppm DESC, tok LIMIT 30""".stripMargin))),
+
     Q("llm_bm25_search",
       // Targeted subset extraction: integerized Okapi BM25 for a fixed
       // 3-term query — row-local tf (no inverted-index shuffle), one
@@ -1331,6 +1360,32 @@ object QueriesLlm {
         |       CAST(a.d2 * 1000 // greatest(m.mean_d2, 1) AS BIGINT) AS ratio_milli
         |FROM assign a JOIN means m USING (cid)
         |ORDER BY ratio_milli DESC, a.vec_id LIMIT 50""".stripMargin)),
+
+    Q("ann_diversity",
+      // Per-label embedding diversity: mean pairwise squared distance via
+      // the O(N) identity (N·Σ||x||² − ||Σx||²) — one bounded (label, dim)
+      // aggregation, no pairs at any corpus size. The oracle computes the
+      // same integers from per-dim sums.
+      (s, d) => Similarity.diversityStats(Tables.embeddings(s, d),
+        col("label").cast("long"), col("embedding"))
+        .withColumnRenamed("group_id", "label"),
+      Some("""WITH quant AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(list_sum(list_transform(range(1,65), i -> v[i]*v[i]))) AS BIGINT) AS ssq
+        |  FROM quant GROUP BY 1),
+        |b AS (
+        |  SELECT label, i, CAST(sum(v[i]) AS BIGINT) AS si
+        |  FROM quant, range(1, 65) t(i) GROUP BY 1, 2),
+        |c AS (SELECT label, CAST(sum(si*si) AS BIGINT) AS ssum FROM b GROUP BY 1)
+        |SELECT a.label, a.n,
+        |       CAST(a.ssq // a.n AS BIGINT) AS mean_sq_norm,
+        |       CAST((a.n * a.ssq - c.ssum) // greatest(a.n * (a.n - 1) // 2, 1) AS BIGINT)
+        |         AS mean_pair_d2
+        |FROM a JOIN c USING (label)""".stripMargin)),
 
     Q("ann_ivf_kmeans",
       // Production centroid path: one deterministic Lloyd refinement of the

@@ -341,6 +341,41 @@ object TextOps {
       .drop("_rsum", "_nv")
   }
 
+  /** Token-distribution drift between two corpus slices (dataset-version
+    * monitoring: did the appended batch shift the language?): per-token
+    * ppm frequency in slice A vs slice B and the absolute difference —
+    * the per-token contribution to the L1 (total-variation·2) distance.
+    *
+    * Scale shape: ONE tokenize pass with the slice flag riding each
+    * occurrence; the aggregation keys are the Zipf-bounded vocabulary
+    * (map-side combine does the collapsing — round-9 rule b); the totals
+    * are a 1-row reduce of the vocab table, broadcast back; top-k is a
+    * TakeOrdered. The compact (tok, cnt_a, cnt_b) vocab table feeds both
+    * the totals and the scoring, so it is checkpointed once.
+    *
+    * Output: (tok, cnt_a, cnt_b, ppm_a, ppm_b, drift_ppm), top `k` by
+    * (drift desc, tok). */
+  def tokenDrift(docs: DataFrame, idCol: String, textCol: String,
+                 isA: Column, k: Int = 30): DataFrame = {
+    val occ = withNormToks(docs.select(col(idCol), col(textCol), isA.as("_in_a")),
+        textCol)
+      .select(explode(col("_toks")).as("tok"), col("_in_a"))
+      .filter(length(col("tok")) > 0)
+    val counts = occ.groupBy(col("tok"))
+      .agg(sum(when(col("_in_a"), 1L).otherwise(0L)).as("cnt_a"),
+        count(lit(1)).as("cnt_b"))
+      .localCheckpoint(eager = false) // feeds totals AND scoring (plan lint)
+    val totals = counts.agg(sum(col("cnt_a")).as("tot_a"),
+      sum(col("cnt_b")).as("tot_b"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("ppm_a", expr("cnt_a * 1000000 div greatest(tot_a, 1)"))
+      .withColumn("ppm_b", expr("cnt_b * 1000000 div greatest(tot_b, 1)"))
+      .withColumn("drift_ppm", abs(col("ppm_a") - col("ppm_b")))
+      .orderBy(col("drift_ppm").desc, col("tok")).limit(k)
+      .select(col("tok"), col("cnt_a"), col("cnt_b"),
+        col("ppm_a"), col("ppm_b"), col("drift_ppm"))
+  }
+
   /** BM25 retrieval for a FIXED query-term set — the "pull every doc about
     * X out of the corpus" curation query (targeted subset extraction,
     * contamination review, eval-set mining).

@@ -505,6 +505,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!neighbours.contains(3L)) // opposite vector lands in another bucket
   }
 
+  test("diversity stats: the O(N) identity equals the naive pairwise computation") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 30).map { i =>
+      (i % 3, Seq.fill(5)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("grp", "embedding")
+    val got = Similarity.diversityStats(df, $"grp".cast("long"), $"embedding")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // naive reference on the SAME quantization
+    val quant = rows.map { case (g, v) => (g.toLong, v.map(x => math.round(x.toDouble * 1000))) }
+    for (g <- Seq(0L, 1L, 2L)) {
+      val vs = quant.filter(_._1 == g).map(_._2)
+      val n = vs.size.toLong
+      val ssq = vs.map(v => v.map(q => q * q).sum).sum
+      val pairSum = (for {
+        i <- vs.indices; j <- vs.indices if i < j
+      } yield vs(i).zip(vs(j)).map { case (a, b) => (a - b) * (a - b) }.sum).sum
+      val expMean = pairSum / (n * (n - 1) / 2)
+      assert(got(g)._1 == n)
+      assert(got(g)._2 == ssq / n, s"mean_sq_norm group $g")
+      assert(got(g)._3 == expMean, s"mean_pair_d2 group $g: got ${got(g)._3}, naive $expMean")
+    }
+    // singleton group degenerates to zero diversity
+    val single = Similarity.diversityStats(
+      Seq((9, Seq(0.5f, -0.5f))).toDF("grp", "embedding"),
+      $"grp".cast("long"), $"embedding")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(single._2 == 1L && single._4 == 0L)
+  }
+
   test("source overlap: copied feeds score high, disjoint feeds score zero, exact under k") {
     // feed B copies half of feed A's docs verbatim; feed C is disjoint.
     // Sized so |A ∪ B| < k: the sketch is the distinct set (exact regime).

@@ -35,6 +35,23 @@ class TextSearchSpec extends SparkSpec {
     assert(order == order.sortBy(id => (-score(id), id)), "output is rank-ordered")
   }
 
+  test("token drift: a token concentrated in the appended slice tops the report") {
+    // slice A = ids 0..49; appended docs 50..59 introduce "novelword"
+    val docs = ((0 until 50).map(i => (i.toLong, "stable filler content here")) ++
+      (50 until 60).map(i => (i.toLong, "novelword novelword stable filler")))
+      .toDF("doc_id", "text")
+    val got = TextOps.tokenDrift(docs, "doc_id", "text", isA = $"doc_id" < 50, k = 5)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.head._1 == "novelword", s"got ${got.toSeq}")
+    assert(got.head._2 == 0L, "absent from slice A")
+    assert(got.head._3 == 20L, "20 occurrences in the full corpus")
+    // drift of novelword = its full-corpus ppm (ppm_a = 0)
+    assert(got.head._6 == got.head._5)
+    // report is sorted by drift desc then token
+    val drifts = got.map(_._6).toSeq
+    assert(drifts == drifts.sorted.reverse)
+  }
+
   test("bm25: deterministic across runs and result is top-k truncated") {
     val docs = docsOf((0 until 50).map(i => s"term$i shared payload number $i"))
     val a = TextOps.bm25Search(docs, "doc_id", "text", Seq("shared", "term3"), k = 5)
