@@ -520,11 +520,17 @@ object QueriesLlm {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val merges = Bpe.train(docs, "text", BpeTrainRounds)
-        docs.select(col("doc_id"), Bpe.segment(col("text"), merges).as("_segs"))
-          .filter(size(col("_segs")) > 0) // empty-norm docs absent (join oracle)
-          .select(col("doc_id"),
-            size(col("_segs")).cast("long").as("n_words"),
-            size(flatten(col("_segs"))).cast("long").as("n_bpe"))
+        // flat whole-text segmentation (zero HOFs — Bpe.segmentTextFlat);
+        // the Generate barrier materializes the merged string so the
+        // two length() reads don't each re-run the 8-op replace chain
+        TextOps.withNormToks(docs.select(col("doc_id"), col("text")), "text")
+          .select(col("doc_id"), col("_norm"),
+            size(col("_toks")).cast("long").as("n_words"))
+          .filter(length(col("_norm")) > 0) // empty-norm docs absent (join oracle)
+          .select(col("doc_id"), col("n_words"),
+            explode(array(Bpe.segmentTextFlat(col("_norm"), merges))).as("_m"))
+          .select(col("doc_id"), col("n_words"),
+            Bpe.flatSymbolCount(col("_m"), col("n_words")).as("n_bpe"))
       },
       Some(withCtes(bpeRoundCtes(BpeTrainRounds) :+
         """doc_words AS (

@@ -119,7 +119,12 @@ object Bpe {
     * apply the merges in rank order (a chain of `replace`s, codegen'd
     * narrow ops), and emit the symbol array. The merge table is driver
     * state (k literals), so tokenization ships no join at any corpus
-    * size. */
+    * size.
+    *
+    * NOTE: the per-word lambda runs INTERPRETED (HOF — round-9 rule a);
+    * for corpus-scale counting prefer [[segmentTextFlat]], which is the
+    * same computation as flat codegen'd string expressions and is
+    * spec-pinned equal. */
   def segment(textCol: Column, merges: Seq[Merge]): Column = {
     val toks = TextOps.tokens(textCol)
     transform(filter(toks, t => length(t) > 0), w => {
@@ -127,4 +132,30 @@ object Bpe {
       split(trim(seg, "|"), "\\|\\|")
     })
   }
+
+  /** Whole-document wrapped segmentation with ZERO higher-order
+    * functions: `"ab cd"` → `"|a||b| |c||d|"` via two codegen'd regex/
+    * replace passes (insert `||` at every intra-word character boundary,
+    * wrap word boundaries), then the merge chain applies to the WHOLE
+    * text at once — a merge pattern `|l||r|` can never span a word
+    * boundary because the boundary contains a space, so this is
+    * symbol-for-symbol the per-word segmentation at a fraction of the
+    * cost (llm_bpe_tokenize at sf0.1: 5.2 s with the HOF form, 1.6 s
+    * warm with this one — the residue is the training loop's fixed
+    * jobs). Expects the NORMALIZED text (see TextOps.normalize). */
+  def segmentTextFlat(normCol: Column, merges: Seq[Merge]): Column = {
+    val wrapped = concat(lit("|"),
+      replace(regexp_replace(normCol, "(?<=[a-z0-9])(?=[a-z0-9])", "||"),
+        lit(" "), lit("| |")),
+      lit("|"))
+    val seg = merges.sortBy(_.rank).foldLeft(wrapped)((c, m) => applyMerge(c, m))
+    when(length(normCol) === 0, lit("")).otherwise(seg)
+  }
+
+  /** Symbol count of a [[segmentTextFlat]] segmentation: each word
+    * contributes (its `||` separators + 1), so total symbols =
+    * #`||` + #words — both countable with flat length arithmetic. */
+  def flatSymbolCount(segCol: Column, nWords: Column): Column =
+    shiftright(length(segCol) - length(replace(segCol, lit("||"), lit(""))), 1)
+      .cast("long") + nWords
 }

@@ -114,4 +114,28 @@ class BpeSpec extends SparkSpec {
     // reassembly invariant: concatenating symbols restores each word
     assert(bySeg.values.flatten.forall(_.mkString.nonEmpty))
   }
+
+  test("flat whole-text segmentation equals the per-word HOF form") {
+    val docs = docsOf(Seq("lelele lele banana", "banana le", "a", "", "x2y z9"))
+    val merges = Bpe.train(docs, "text", 6)
+    val both = docs.select(col("doc_id"),
+      Bpe.segment(col("text"), merges).as("segs"),
+      Bpe.segmentTextFlat(TextOps.normalize(col("text")), merges).as("flat"))
+      .as[(Long, Seq[Seq[String]], String)].collect()
+    for ((id, segs, flat) <- both) {
+      val fromFlat =
+        if (flat.isEmpty) Seq.empty
+        else flat.split(" ").toSeq.map(w =>
+          w.stripPrefix("|").stripSuffix("|").split("\\|\\|").toSeq)
+      assert(fromFlat == segs, s"doc $id: flat='$flat' vs segs=$segs")
+      // and the flat symbol count matches the array form
+      val n = segs.map(_.size).sum
+      val viaCount = docs.filter(col("doc_id") === id)
+        .select(Bpe.flatSymbolCount(
+          Bpe.segmentTextFlat(TextOps.normalize(col("text")), merges),
+          lit(segs.size.toLong)))
+        .as[Long].collect().head
+      assert(viaCount == n, s"doc $id symbol count: $viaCount vs $n")
+    }
+  }
 }
