@@ -437,6 +437,38 @@ object QueriesLlm {
           |FROM feat
           |GROUP BY ROLLUP (lang, source)""".stripMargin))),
 
+    Q("llm_lm_score",
+      // Perplexity-filter analog: bigram LM with add-V smoothing trained
+      // on a content-addressed 30% reference slice, integer ppm
+      // conditional probabilities, per-doc mean -> keep/review/drop.
+      // See TextOps.lmScore for the scale shape.
+      (s, d) => TextOps.lmScore(Tables.documents(s, d), "doc_id", "text",
+        keepPts = LmKeepPts, dropPts = LmDropPts),
+      Some(withCtes(normDocsCte,
+        """bis AS (
+          |  SELECT doc_id, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+          |  FROM (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+          |               i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+          |        FROM tok_docs WHERE len(toks) >= 2)),
+          |refbi AS (
+          |  SELECT * FROM bis
+          |  WHERE CAST('0x' || substr(sha256('lm:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 300),
+          |c2t AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM refbi GROUP BY 1, 2),
+          |c1t AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM refbi GROUP BY 1),
+          |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1t),
+          |wt AS (SELECT c2t.w1, c2t.w2, c2t.c2 * 1000000 // (c1t.c1 + vv.v) AS pts
+          |       FROM c2t JOIN c1t USING (w1) CROSS JOIN vv),
+          |agg AS (
+          |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |         CAST(sum(coalesce(wt.pts, 0)) AS BIGINT) AS psum
+          |  FROM bis b LEFT JOIN wt ON b.w1 = wt.w1 AND b.w2 = wt.w2
+          |  GROUP BY 1)""".stripMargin)(
+        s"""SELECT doc_id, n_bigrams, psum // n_bigrams AS lm_pts,
+          |       CASE WHEN psum // n_bigrams >= $LmKeepPts THEN 'keep'
+          |            WHEN psum // n_bigrams < $LmDropPts THEN 'drop'
+          |            ELSE 'review' END AS bucket
+          |FROM agg""".stripMargin))),
+
     Q("llm_token_drift",
       // Dataset-version drift monitor: token ppm in the pre-append slice
       // (doc_id % 10 != 0, the llm_manifest_diff convention) vs the full
@@ -590,6 +622,12 @@ object QueriesLlm {
       |  WHERE length(word) > 0 GROUP BY 1)""".stripMargin
 
   private val BpeTrainRounds = 6
+
+  /** llm_lm_score keep/drop thresholds — set at the measured p75/p25 of
+    * the sf0.01 lm_pts distribution (23.8k-40.4k, p25 28.9k, p75 32.5k)
+    * so all three buckets materialize on the synthetic corpus. */
+  private val LmKeepPts = 32000L
+  private val LmDropPts = 28000L
 
   /** CTEs replaying [[Bpe.train]]'s k (pairs → argmax → replace) rounds
     * over the wrapped-string vocabulary; `word` rides along so post-

@@ -428,6 +428,69 @@ object TextOps {
       .select(col(idCol), col("dl"), col("score_milli"))
   }
 
+  /** Bigram language-model scoring — the perplexity-filter recipe (CCNet
+    * trains KenLM on a reference corpus and buckets documents by
+    * perplexity; this is the same decision with integer surrogates so the
+    * scores are bit-identical in any engine).
+    *
+    * A bigram LM with harsh backoff is trained on a content-addressed
+    * reference slice ([[Sampling.bucketOf]] < `refPermille`):
+    * `pts(w2|w1) = c(w1 w2)·1e6 div (c(w1·) + V)` — add-V-smoothed
+    * conditional probability in ppm (V = reference vocabulary size);
+    * bigrams unseen in the reference score 0 (the backoff). A document's
+    * `lm_pts` is the mean over its bigram occurrences — the integer
+    * stand-in for exp(−perplexity): fluent reference-like text scores
+    * HIGH, OOD/garbled text LOW. Fixed thresholds bucket keep/review/drop.
+    *
+    * Scale shape (the [[refFreqQuality]] doctrine): the scoring pass is
+    * ONE bigram index-explode of the corpus; the model pass re-tokenizes
+    * only the reference slice (filter below the tokenizer) and its
+    * aggregation keys are the reference bigram table (sub-corpus,
+    * Zipf-decaying, map-side combined). The weights table joins c2 to c1
+    * on the unigram key and carries the 1-row V broadcast; it
+    * auto-broadcasts into the scorer via the LIMIT-bounded probe
+    * ([[DedupOps.decontaminate]] pattern) with a shuffle-join fallback.
+    *
+    * Docs with < 2 tokens have no bigrams and are absent (mirrored by
+    * the oracle). Output: (idCol, n_bigrams, lm_pts, bucket). */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              refPermille: Int = 300, keepPts: Long = 10000L,
+              dropPts: Long = 1000L, salt: String = "lm",
+              broadcastMaxBigrams: Long = 4000000L): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame =
+      df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+        .filter(size(col("_toks")) >= 2)
+        .repartition(col(idCol))
+        .select(col(idCol), col("_toks"),
+          explode(sequence(lit(0), size(col("_toks")) - 2)).as("_idx"))
+        .select(col(idCol),
+          expr("element_at(_toks, _idx + 1)").as("w1"),
+          expr("element_at(_toks, _idx + 2)").as("w2"))
+    val refDocs = docs.filter(Sampling.bucketOf(col(idCol), salt) < refPermille)
+      .select(col(idCol), col(textCol))
+    val refBi = bigrams(refDocs)
+    val c2 = refBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = refBi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    val weights0 = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        expr("c2 * 1000000 div (c1 + v)").as("pts"))
+    val probe = math.min(broadcastMaxBigrams, Int.MaxValue - 1L).toInt
+    val weights = if (weights0.limit(probe + 1).count() <= probe) broadcast(weights0)
+                  else weights0
+    bigrams(docs.select(col(idCol), col(textCol)))
+      .join(weights, Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("pts"), lit(0L))).as("_psum"))
+      .withColumn("lm_pts", expr("_psum div n_bigrams"))
+      .withColumn("bucket",
+        when(col("lm_pts") >= keepPts, lit("keep"))
+          .when(col("lm_pts") < dropPts, lit("drop"))
+          .otherwise(lit("review")))
+      .drop("_psum")
+  }
+
   /** DSIR-shaped importance resampling (Xie et al. 2023,
     * arXiv:2302.03169): reweight raw documents toward a target
     * distribution using HASHED n-gram bag features, then admit each doc by

@@ -52,6 +52,23 @@ class TextSearchSpec extends SparkSpec {
     assert(drifts == drifts.sorted.reverse)
   }
 
+  test("lm score: reference-like text scores high, garbled text low, short docs absent") {
+    val fluent = (1 to 10).map(_ => "the cat sat on the mat").mkString(" ")
+    val rnd = new scala.util.Random(3)
+    val garbled = (1 to 60).map(_ => rnd.alphanumeric.take(7).mkString.toLowerCase).mkString(" ")
+    val docs = ((0 until 20).map(i => (i.toLong, fluent)) :+ (20L, garbled) :+ (21L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.lmScore(docs, "doc_id", "text", refPermille = 1000)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(!got.contains(21L), "sub-2-token docs have no bigrams")
+    assert(got(0L) > got(20L) * 10,
+      s"fluent must dominate garbled: fluent=${got(0L)} garbled=${got(20L)}")
+    // determinism
+    val again = TextOps.lmScore(docs, "doc_id", "text", refPermille = 1000)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == again)
+  }
+
   test("bm25: deterministic across runs and result is top-k truncated") {
     val docs = docsOf((0 until 50).map(i => s"term$i shared payload number $i"))
     val a = TextOps.bm25Search(docs, "doc_id", "text", Seq("shared", "term3"), k = 5)
