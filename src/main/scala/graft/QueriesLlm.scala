@@ -2874,6 +2874,95 @@ object QueriesLlm {
       |    FROM tn WHERE $where) c
       |  GROUP BY 1)""".stripMargin
 
+  /** Event-sequence analytics (see [[graft.ops.Funnel]]) plus the MinHash
+    * estimation-error audit. The funnel oracle replays the greedy fold as
+    * chained conditional-min CTEs — a structurally different strategy that
+    * must reach identical step times. */
+  def eventsAnalytics: Seq[Q] = {
+    val FunnelSteps = Seq("signup", "view", "click", "purchase")
+    val FunnelWindowS = 604800L // 7 days from funnel start
+    val ep = "CAST(floor(date_part('epoch', ts)) AS BIGINT)"
+    val funnelCtes: Seq[String] = {
+      val f1 =
+        s"""f1 AS MATERIALIZED (
+          |  SELECT user_id, min($ep) AS t1
+          |  FROM events WHERE event_type = '${FunnelSteps.head}' GROUP BY 1)""".stripMargin
+      val epE = ep.replace("ts", "e.ts")
+      val rest = (2 to FunnelSteps.size).map { j =>
+        val prev = s"f${j - 1}"
+        s"""f$j AS MATERIALIZED (
+          |  SELECT e.user_id, p.t1, min($epE) AS t$j
+          |  FROM events e JOIN $prev p USING (user_id)
+          |  WHERE e.event_type = '${FunnelSteps(j - 1)}'
+          |    AND $epE > p.t${j - 1}
+          |    AND $epE <= p.t1 + $FunnelWindowS
+          |  GROUP BY 1, 2)""".stripMargin
+      }
+      f1 +: rest
+    }
+    val funnelBody = FunnelSteps.indices.map { i =>
+      s"SELECT ${i + 1} AS step_idx, '${FunnelSteps(i)}' AS step, " +
+        s"CAST(count(*) AS BIGINT) AS users FROM f${i + 1}"
+    }.mkString("\nUNION ALL\n")
+
+    // Locally-materialized copies of the shared MinHash CTEs: sig_docs is
+    // referenced 6x below (4 band unions + both estimate joins) and
+    // shingle_docs 3x — DuckDB 1.0 would inline each reference (see the
+    // BPE CTE-inlining note in BENCHNOTES).
+    val shinglesCteM = shinglesCte.replace("shingle_docs AS (", "shingle_docs AS MATERIALIZED (")
+    val sigCteM = sigCte.replace("sig_docs AS (", "sig_docs AS MATERIALIZED (")
+    val pairsCteM = pairsCte.replace("pair_docs AS (", "pair_docs AS MATERIALIZED (")
+    val sigMatches = (0 until 8)
+      .map(j => s"(CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+    Seq(
+      Q("ev_funnel",
+        (s, d) => Funnel.funnelSteps(Tables.events(s, d), "ts", "user_id",
+          "event_type", FunnelSteps, FunnelWindowS),
+        Some(withCtes(funnelCtes: _*)(funnelBody))),
+
+      Q("ev_retention",
+        (s, d) => Funnel.retentionCohorts(Tables.events(s, d), "ts", "user_id"),
+        Some(withCtes(
+          s"""ew AS MATERIALIZED (
+            |  SELECT user_id, $ep // 604800 AS wk FROM events)""".stripMargin,
+          """fw AS (SELECT user_id, min(wk) AS cohort_week FROM ew GROUP BY 1)""")(
+          """SELECT cohort_week, wk - cohort_week AS week_offset,
+            |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+            |FROM ew e JOIN fw USING (user_id)
+            |GROUP BY 1, 2""".stripMargin))),
+
+      Q("ev_transitions",
+        (s, d) => Funnel.transitionCounts(Tables.events(s, d), "ts", "user_id",
+          "event_type", "event_id"),
+        Some("""SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS transitions
+          |FROM (SELECT event_type AS from_type,
+          |             lead(event_type) OVER (PARTITION BY user_id
+          |               ORDER BY ts, event_id) AS to_type
+          |      FROM events)
+          |WHERE to_type IS NOT NULL
+          |GROUP BY 1, 2""".stripMargin)),
+
+      Q("dedup_minhash_est",
+        (s, d) => DedupOps.minhashEstimate(Tables.documents(s, d), "doc_id", "text", 8),
+        Some(withCtes(normDocsCte, shinglesCteM, sigCteM, bucketCte, pairsCteM)(
+          s"""SELECT id_a, id_b, est_milli, true_milli,
+            |       abs(est_milli - true_milli) AS abs_err_milli
+            |FROM (
+            |  SELECT p.id_a, p.id_b,
+            |         CAST(($sigMatches) * 125 AS BIGINT) AS est_milli,
+            |         CAST(len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles))) * 1000
+            |              // (len(list_distinct(sa.shingles)) + len(list_distinct(sb.shingles))
+            |                 - len(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles)))) AS BIGINT) AS true_milli
+            |  FROM pair_docs p
+            |  JOIN sig_docs a ON a.doc_id = p.id_a
+            |  JOIN sig_docs b ON b.doc_id = p.id_b
+            |  JOIN shingle_docs sa ON sa.doc_id = p.id_a
+            |  JOIN shingle_docs sb ON sb.doc_id = p.id_b)""".stripMargin)))
+    )
+  }
+
   def all: Seq[Q] = text ++ dedup ++ ann ++ embDedup ++ multimodal ++ tpch ++
-    timeWindows ++ pipeline ++ assemble
+    timeWindows ++ pipeline ++ assemble ++ eventsAnalytics
 }

@@ -270,6 +270,39 @@ object DedupOps {
       .withColumn("jaccard", col("inter").cast("double") / col("union_"))
       .select(col("id_a"), col("id_b"), col("inter"), col("union_"), col("jaccard"))
 
+  /** MinHash estimation-error audit: for every LSH candidate pair, the
+    * signature-based Jaccard ESTIMATE (matching components / numPerms)
+    * next to the TRUE shingle-set Jaccard, both in exact milli units,
+    * plus the absolute error — the measurement that tunes (numPerms,
+    * bands) on real data before committing a 100 TB dedup run to them.
+    *
+    * Cost shape: the signature table is built once and localCheckpointed
+    * (it feeds both the banding pipeline and the per-pair estimate join —
+    * round-4 rule (d)), the true Jaccard runs candidate-restricted via
+    * [[jaccard]], and everything downstream of candidate generation is
+    * ∝ the candidate set, never the corpus. */
+  def minhashEstimate(docs: DataFrame, idCol: String, textCol: String,
+                      numPerms: Int = 8): DataFrame = {
+    require(1000 % numPerms == 0, "milli units need numPerms | 1000")
+    val sigs = minhashSignature(docs, idCol, textCol, numPerms).localCheckpoint()
+    val pairs = candidatePairs(lshBuckets(sigs, idCol, numPerms), idCol)
+      .localCheckpoint()
+    val matches = (0 until numPerms)
+      .map(j => when(col(s"a.sig_$j") === col(s"b.sig_$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = pairs
+      .join(sigs.as("a"), col("id_a") === col(s"a.$idCol"))
+      .join(sigs.as("b"), col("id_b") === col(s"b.$idCol"))
+      .select(col("id_a"), col("id_b"),
+        (matches * (1000 / numPerms)).as("est_milli"))
+    jaccard(pairs, docs, idCol, textCol)
+      .withColumn("true_milli", expr("inter * 1000 div union_"))
+      .select(col("id_a"), col("id_b"), col("true_milli"))
+      .join(est, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("est_milli"), col("true_milli"),
+        abs(col("est_milli") - col("true_milli")).as("abs_err_milli"))
+  }
+
   /** One-sided CONTAINMENT on the candidate pairs — `|A∩B| / |A|` (and the
     * B side) in exact milli units. Jaccard misses subset duplication: a
     * paragraph wholly contained in a 100× longer doc has tiny Jaccard but

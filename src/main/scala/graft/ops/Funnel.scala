@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the `events` table: conversion funnels,
+  * cohort retention, and event-type transition counts — the product-/
+  * behavior-analytics tier a training-data pipeline's telemetry side needs
+  * (which documents got sampled, which users converted, how sessions flow).
+  *
+  * Scale shapes, deliberately:
+  *  - [[funnelSteps]] is ONE shuffle on the user key: per-user events are
+  *    collected sorted and folded greedily in a single `aggregate` HOF
+  *    pass (k conditions per event), instead of k chained step-joins that
+  *    would either re-shuffle or require checkpointing user-cardinality
+  *    intermediates per step. Per-user event counts bound the array, not
+  *    the corpus.
+  *  - [[retentionCohorts]] is two keyed aggregations (first-seen week per
+  *    user, then distinct users per (cohort, offset)); both shuffles hash
+  *    on keys whose cardinality collapses, and the output is a bounded
+  *    cohort triangle.
+  *  - [[transitionCounts]] is a keyed window (lead per user) + one
+  *    aggregation to a ≤ |types|² table — the window partitions by user,
+  *    never globally.
+  *
+  * All time math is integer epoch-seconds (truncated), mirroring the
+  * oracle's `floor(date_part('epoch', ts))` exactly.
+  */
+object Funnel {
+
+  private def epochS(tsCol: String): Column = col(tsCol).cast("long")
+
+  /** Greedy sequential funnel: for each user, t1 = earliest `steps(0)`
+    * event; t_{j+1} = earliest `steps(j)` event strictly after t_j and
+    * within `windowSeconds` of t1. Returns one row per step:
+    * (step_idx, step, users) with users = count reaching that step.
+    *
+    * The greedy fold over time-sorted events is equivalent to the chained
+    * conditional-min formulation (the first qualifying event in ascending
+    * time order IS the min) — the DuckDB oracle uses the chained form, so
+    * the two engines cross-check each other's strategy.
+    */
+  def funnelSteps(events: DataFrame, tsCol: String, userCol: String,
+                  typeCol: String, steps: Seq[String],
+                  windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "funnel steps must be non-empty and distinct")
+    val k = steps.size
+    // One corpus pass: only funnel-relevant events survive the pushed
+    // filter; ONE shuffle on the user key builds the sorted per-user list.
+    val perUser = events
+      .filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(
+        struct(epochS(tsCol).as("t"), col(typeCol).as("y")))).as("evs"))
+
+    // Greedy fold: acc = k nullable step timestamps; an event fills the
+    // FIRST unfilled step it matches, subject to strict ordering and the
+    // window from t1. lit(null) needs a concrete type for the struct.
+    val init = struct((1 to k).map(j =>
+      lit(null).cast("long").as(s"t$j")): _*)
+    val folded = perUser.select(col(userCol),
+      aggregate(col("evs"), init, (acc, e) => {
+        val t = e.getField("t"); val y = e.getField("y")
+        // steps are distinct types, so each event can match at most one
+        // slot; slots fill strictly in order (t_{j-1} filled first).
+        val slots = (1 to k).map { j =>
+          val cur = acc.getField(s"t$j")
+          val fillable =
+            if (j == 1) cur.isNull && y === steps.head
+            else cur.isNull && acc.getField(s"t${j - 1}").isNotNull &&
+              y === steps(j - 1) && t > acc.getField(s"t${j - 1}") &&
+              t <= acc.getField("t1") + windowSeconds
+          when(fillable, t).otherwise(cur).as(s"t$j")
+        }
+        struct(slots: _*)
+      }).as("f"))
+
+    // One tiny aggregation to the k-row funnel report.
+    val stepRows = (1 to k).map { j =>
+      struct(lit(j).as("step_idx"), lit(steps(j - 1)).as("step"),
+        when(col(s"f.t$j").isNotNull, 1L).otherwise(0L).as("hit"))
+    }
+    folded.select(explode(array(stepRows: _*)).as("s"))
+      .groupBy(col("s.step_idx").as("step_idx"), col("s.step").as("step"))
+      .agg(sum(col("s.hit")).as("users"))
+  }
+
+  /** Weekly cohort retention triangle: cohort = integer epoch-week of the
+    * user's first event, offset = event week − cohort week; one row per
+    * (cohort_week, week_offset) with the distinct-user count. Integer
+    * `div` week math so both engines bucket identically. */
+  def retentionCohorts(events: DataFrame, tsCol: String,
+                       userCol: String): DataFrame = {
+    val wk = expr(s"CAST($tsCol AS LONG) div 604800").as("wk")
+    val ev = events.select(col(userCol), wk)
+    val first = ev.groupBy(col(userCol)).agg(min(col("wk")).as("cohort_week"))
+    ev.join(first, Seq(userCol)) // same key as the groupBy — co-partitioned
+      .groupBy(col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("users"))
+  }
+
+  /** Event-type transition counts (first-order Markov): per user, events
+    * ordered by (ts, tieBreak); count (event_type → next event_type)
+    * pairs. The window is keyed by user — no global sort at any scale. */
+  def transitionCounts(events: DataFrame, tsCol: String, userCol: String,
+                       typeCol: String, tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieBreakCol))
+    events
+      .select(col(userCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+  }
+}

@@ -468,10 +468,15 @@ object TextOps {
           expr("element_at(_toks, _idx + 2)").as("w2"))
     val refDocs = docs.filter(Sampling.bucketOf(col(idCol), salt) < refPermille)
       .select(col(idCol), col(textCol))
-    val refBi = bigrams(refDocs)
-    val c2 = refBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = refBi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = c1.agg(count(lit(1)).as("v"))
+    // ONE pass over the reference slice: the bigram explode aggregates
+    // straight to the Zipf-bounded (w1, w2) table, which is checkpointed
+    // (it feeds the weight join, the unigram rollup AND the vocab count —
+    // round-4 rule (d)); c1 and V are then derived from c2 by summation
+    // instead of re-exploding the slice (c1(w1) = Σ_w2 c2(w1,w2)).
+    val c2 = bigrams(refDocs).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2")).localCheckpoint()
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = c2.agg(countDistinct(col("w1")).as("v"))
     val weights0 = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
         expr("c2 * 1000000 div (c1 + v)").as("pts"))

@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Pins [[Funnel]] against hand-computed fixtures, with the edge cases the
+  * oracle's chained-min formulation and the engine's greedy fold must agree
+  * on: same-timestamp steps (strict ordering), the conversion window
+  * measured from funnel start, out-of-order arrival (ts sort, not input
+  * order), and users who skip a step. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  // (event_id, ts, user, type)
+  private val events = Seq(
+    // u1 completes the 3-step funnel in order
+    (1L, ts(100L), 1L, "signup"),
+    (2L, ts(200L), 1L, "view"),
+    (3L, ts(300L), 1L, "purchase"),
+    // u2: view arrives BEFORE signup -> must not count; later view does
+    (4L, ts(50L), 2L, "view"),
+    (5L, ts(100L), 2L, "signup"),
+    (6L, ts(150L), 2L, "view"),
+    // u3: view at the SAME second as signup -> strict > rejects it
+    (7L, ts(100L), 3L, "signup"),
+    (8L, ts(100L), 3L, "view"),
+    // u4: view lands past the window from funnel start
+    (9L, ts(100L), 4L, "signup"),
+    (10L, ts(100L + 1000L), 4L, "view"),
+    // u5: skips view; purchase alone must not advance the funnel
+    (11L, ts(100L), 5L, "signup"),
+    (12L, ts(200L), 5L, "purchase"),
+    // u6: never signs up
+    (13L, ts(100L), 6L, "view"), (14L, ts(200L), 6L, "purchase")
+  ).toDF("event_id", "ts", "user_id", "event_type")
+
+  test("funnelSteps: greedy fold matches the hand-computed chained-min funnel") {
+    val got = Funnel.funnelSteps(events, "ts", "user_id", "event_type",
+        Seq("signup", "view", "purchase"), windowSeconds = 500L)
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    // signup: u1..u5; view: u1 (200>100), u2 (150>100); u3 ties out,
+    // u4 out of window, u5 skipped; purchase: u1 only (u2 never purchases)
+    assert(got === Seq((1, "signup", 5L), (2, "view", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnelSteps: a purchase BEFORE the view never counts (ordering, not membership)") {
+    val e = Seq(
+      (1L, ts(100L), 9L, "signup"),
+      (2L, ts(150L), 9L, "purchase"), // too early: view not reached yet
+      (3L, ts(200L), 9L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Funnel.funnelSteps(e, "ts", "user_id", "event_type",
+        Seq("signup", "view", "purchase"), 500L)
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(got === Seq((1, "signup", 1L), (2, "view", 1L), (3, "purchase", 0L)))
+  }
+
+  test("retentionCohorts: cohort week from first event, offsets per active week") {
+    val wk = 604800L
+    val e = Seq(
+      (1L, ts(0L), 1L, "x"), (2L, ts(wk * 2L), 1L, "x"),   // cohort 0, offsets 0 and 2
+      (3L, ts(wk), 2L, "x"), (4L, ts(wk + 60L), 2L, "x")   // cohort 1, offset 0 twice
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Funnel.retentionCohorts(e, "ts", "user_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)))
+  }
+
+  test("transitionCounts: per-user time order with event_id tie-break, terminal dropped") {
+    val e = Seq(
+      (1L, ts(100L), 1L, "a"), (2L, ts(200L), 1L, "b"), (3L, ts(200L), 1L, "c"),
+      (4L, ts(100L), 2L, "a"), (5L, ts(300L), 2L, "b")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Funnel.transitionCounts(e, "ts", "user_id", "event_type", "event_id")
+      .as[(String, String, Long)].collect().toSet
+    // u1: a->b (ts), b->c (event_id tie-break at ts=200); u2: a->b
+    assert(got === Set(("a", "b", 2L), ("b", "c", 1L)))
+  }
+
+  test("minhashEstimate: keys equal the candidate-pair set; estimate is a valid milli value") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "completely different text about spark shuffles here")
+    ).toDF("doc_id", "text")
+    val est = DedupOps.minhashEstimate(docs, "doc_id", "text", 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val pairs = DedupOps.candidatePairs(
+      DedupOps.lshBuckets(DedupOps.minhashSignature(docs, "doc_id", "text", 8), "doc_id"),
+      "doc_id").as[(Long, Long)].collect().toSet
+    assert(est.map(r => (r._1, r._2)).toSet === pairs)
+    est.foreach { case (a, b, e, t, err) =>
+      assert(e >= 0L && e <= 1000L && t >= 0L && t <= 1000L, s"($a,$b)")
+      assert(err === math.abs(e - t), s"($a,$b)")
+    }
+    // the exact-dup pair estimates AND verifies at identity
+    val dup = est.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(dup._3 === 1000L && dup._4 === 1000L && dup._5 === 0L)
+  }
+}
