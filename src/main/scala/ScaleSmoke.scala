@@ -169,6 +169,38 @@ object ScaleSmoke {
       if (sys.env.get("SCALE_ROLLUP_ORDER").contains("plain_first")) { plain(); twoPath() }
       else { twoPath(); plain() }
     }
+    // Event-sequence analytics growth (r9): synthetic deterministic events
+    // at 10 × docs, users scaled so PER-USER event counts stay ~50 at any
+    // corpus size (the realistic invariant — user activity doesn't grow
+    // with the corpus). The funnel's suspect part is the per-user
+    // collect+sort+fold; retention/transitions are keyed agg/window. All
+    // three should grow ~linearly in events. The sum-forcing aggregates
+    // stop Catalyst pruning the fold/count columns under count().
+    locally {
+      import graft.ops.Funnel
+      val evN = n * 10
+      val evUsers = math.max(1L, evN / 50)
+      val types = array(lit("signup"), lit("view"), lit("click"),
+        lit("purchase"), lit("error"))
+      val ev = spark.range(evN).select(
+        col("id").as("event_id"),
+        pmod(col("id"), lit(evUsers)).as("user_id"),
+        (lit(1704067200L) + pmod(xxhash64(col("id")), lit(2592000L)))
+          .cast("timestamp").as("ts"),
+        element_at(types,
+          (pmod(xxhash64(col("id"), lit(1)), lit(5)) + 1).cast("int"))
+          .as("event_type"))
+      t(s"funnel fold ($evN events)")(
+        Funnel.funnelSteps(ev, "ts", "user_id", "event_type",
+            Seq("signup", "view", "click", "purchase"), 604800L)
+          .agg(sum(col("users"))).collect()(0).getLong(0))
+      t("retention cohorts")(
+        Funnel.retentionCohorts(ev, "ts", "user_id")
+          .agg(sum(col("users"))).collect()(0).getLong(0))
+      t("transition counts")(
+        Funnel.transitionCounts(ev, "ts", "user_id", "event_type", "event_id")
+          .agg(sum(col("transitions"))).collect()(0).getLong(0))
+    }
     // The relay's export path at data scale: one full-sync cycle over an
     // outbox of `n/10` rows through encode → batch-number → executor-side
     // fan-out (a guarded HTTP endpoint; no files — disk would dominate).
