@@ -2944,6 +2944,48 @@ object QueriesLlm {
           |WHERE to_type IS NOT NULL
           |GROUP BY 1, 2""".stripMargin)),
 
+      Q("ev_anomaly",
+        (s, d) => Funnel.dailyAnomalies(Tables.events(s, d), "ts", "event_type", "value"),
+        Some(withCtes(
+          s"""daily AS MATERIALIZED (
+            |  SELECT event_type, $ep // 86400 AS day_idx,
+            |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+            |  FROM events GROUP BY 1, 2)""".stripMargin,
+          """med AS (SELECT event_type, CAST(median(rev_cents) * 2 AS BIGINT) AS med2
+            |       FROM daily GROUP BY 1)""".stripMargin,
+          """dev AS MATERIALIZED (
+            |  SELECT d.event_type, day_idx, rev_cents,
+            |         abs(rev_cents * 2 - med2) AS dev2
+            |  FROM daily d JOIN med USING (event_type))""".stripMargin,
+          """mad AS (SELECT event_type, CAST(median(dev2) * 2 AS BIGINT) AS mad4
+            |       FROM dev GROUP BY 1)""".stripMargin)(
+          """SELECT d.event_type, day_idx, rev_cents,
+            |       (dev2 * 2 > mad4 * 3) AS is_anomaly
+            |FROM dev d JOIN mad USING (event_type)""".stripMargin))),
+
+      Q("dedup_edit_verify",
+        (s, d) => {
+          val docs = Tables.documents(s, d)
+          val pairs = DedupOps.candidatePairs(
+            DedupOps.lshBuckets(
+              DedupOps.minhashSignature(docs, "doc_id", "text", 8), "doc_id"),
+            "doc_id").localCheckpoint()
+          DedupOps.editVerify(pairs, docs, "doc_id", "text", prefixLen = 200)
+        },
+        Some(withCtes(
+            normDocsCte.replace("norm_docs AS (", "norm_docs AS MATERIALIZED ("),
+            shinglesCteM, sigCteM, bucketCte, pairsCteM)(
+          """SELECT id_a, id_b, edit_dist, len_a, len_b,
+            |       1000 - edit_dist * 1000 // greatest(len_a, len_b, 1) AS sim_milli
+            |FROM (
+            |  SELECT p.id_a, p.id_b,
+            |         CAST(levenshtein(substr(a.norm, 1, 200), substr(b.norm, 1, 200)) AS BIGINT) AS edit_dist,
+            |         CAST(length(substr(a.norm, 1, 200)) AS BIGINT) AS len_a,
+            |         CAST(length(substr(b.norm, 1, 200)) AS BIGINT) AS len_b
+            |  FROM pair_docs p
+            |  JOIN norm_docs a ON a.doc_id = p.id_a
+            |  JOIN norm_docs b ON b.doc_id = p.id_b)""".stripMargin))),
+
       Q("dedup_minhash_est",
         (s, d) => DedupOps.minhashEstimate(Tables.documents(s, d), "doc_id", "text", 8),
         Some(withCtes(normDocsCte, shinglesCteM, sigCteM, bucketCte, pairsCteM)(

@@ -102,6 +102,39 @@ object Funnel {
       .agg(countDistinct(col(userCol)).as("users"))
   }
 
+  /** Robust daily anomaly flags per event type: a day is anomalous when
+    * its revenue deviates from the type's median by more than 3× the
+    * median absolute deviation (MAD) — the outlier rule that survives the
+    * heavy-tailed daily totals a z-score would be wrecked by.
+    *
+    * Exact integer arithmetic throughout (the repo's oracle-portability
+    * doctrine): daily revenue in cents; medians doubled before the cast —
+    * the median of N integers is either an integer or an integer + ½, so
+    * 2·median is ALWAYS integral and the flag compare
+    * `4·|dev| > 3·(4·MAD)` never touches a float.
+    *
+    * Scale shape: the corpus collapses in the FIRST aggregation (one row
+    * per (type, day) — bounded by calendar × type cardinality); the
+    * median/MAD layer runs on that bounded rollup and broadcasts back. */
+  def dailyAnomalies(events: DataFrame, tsCol: String, typeCol: String,
+                     valueCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"CAST($tsCol AS LONG) div 86400").as("day_idx"))
+      .agg(sum(floor(col(valueCol) * 100).cast("long")).as("rev_cents"))
+      .localCheckpoint() // feeds the median layer AND the flag join
+    val med = daily.groupBy(col("event_type"))
+      .agg((median(col("rev_cents")) * 2).cast("long").as("med2"))
+    val dev = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev2", abs(col("rev_cents") * 2 - col("med2")))
+      .localCheckpoint() // feeds the MAD aggregate AND the output
+    val mad = dev.groupBy(col("event_type"))
+      .agg((median(col("dev2")) * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("day_idx"), col("rev_cents"),
+        (col("dev2") * 2 > col("mad4") * 3).as("is_anomaly"))
+  }
+
   /** Event-type transition counts (first-order Markov): per user, events
     * ordered by (ts, tieBreak); count (event_type → next event_type)
     * pairs. The window is keyed by user — no global sort at any scale. */

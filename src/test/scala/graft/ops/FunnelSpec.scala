@@ -81,6 +81,40 @@ class FunnelSpec extends SparkSpec {
     assert(got === Set(("a", "b", 2L), ("b", "c", 1L)))
   }
 
+  test("dailyAnomalies: 3-MAD flag in exact integer math, even-count medians included") {
+    // type a: 5 quiet days + one 10x day (median 100c, MAD 0 -> day flagged)
+    // type b: 4 days, even-count median (250c -> med2 = 500, exactly integral)
+    val e = (Seq.tabulate(5)(i => (i.toLong, ts(i * 86400L), 1L, "a", 1.00)) :+
+      (5L, ts(5L * 86400L), 1L, "a", 10.00)) ++ Seq(
+      (6L, ts(0L), 2L, "b", 1.00), (7L, ts(86400L), 2L, "b", 2.00),
+      (8L, ts(2L * 86400L), 2L, "b", 3.00), (9L, ts(3L * 86400L), 2L, "b", 4.00))
+    val df = e.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Funnel.dailyAnomalies(df, "ts", "event_type", "value")
+      .as[(String, Long, Long, Boolean)].collect()
+    val aFlags = got.filter(_._1 == "a").sortBy(_._2).map(_._4).toSeq
+    assert(aFlags === Seq(false, false, false, false, false, true))
+    // b: med2 = 500 exactly; dev2 = {300,100,100,300}, mad4 = 600;
+    // flag iff dev2*2 > 1800 -> never
+    assert(got.filter(_._1 == "b").forall(!_._4))
+  }
+
+  test("editVerify: zero distance on exact dups, small distance on one-word edits") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = DedupOps.editVerify(pairs, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val dup = got((1L, 2L))
+    assert(dup._3 === 0L && dup._6 === 1000L)
+    val edit = got((1L, 3L))
+    assert(edit._3 === 3L) // dog -> cat: 3 substitutions
+    assert(edit._6 === 1000L - 3L * 1000L / edit._4)
+  }
+
   test("minhashEstimate: keys equal the candidate-pair set; estimate is a valid milli value") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
