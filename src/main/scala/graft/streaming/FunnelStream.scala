@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Streaming flavor of [[graft.ops.Funnel.funnelSteps]]: per-user funnel
+  * state carried across micro-batches via `flatMapGroupsWithState`, so a
+  * live pipeline reports conversion as it happens instead of re-folding
+  * history per cycle.
+  *
+  * Semantics: prefix-greedy over ARRIVAL order, event-time sorted within
+  * each batch — identical to the batch fold whenever each user's events
+  * arrive in event-time order across batches (the common case under a
+  * per-user ordered source such as a keyed log). A step, once filled,
+  * never retro-fills from late data; the one-line divergence this buys is
+  * documented here rather than hidden behind an unbounded
+  * reprocess-history state. State per user is k step epochs — O(users
+  * in-flight): a converted funnel drops its state immediately, a user
+  * with no first-step event stores nothing, and an EVENT-TIME timeout
+  * (watermark-driven — a processing-time timeout would busy-spin empty
+  * micro-batches just to poll the clock) evicts stalled funnels once the
+  * watermark passes their conversion window. The store never grows with
+  * event volume.
+  *
+  * Emits one [[FunnelUpdate]] per user per batch in which the user's
+  * furthest step ADVANCED (quiet users emit nothing).
+  */
+object FunnelStream {
+
+  final case class FunnelEvent(userId: Long, ts: Timestamp, eventType: String)
+  /** stepTimes(j) = epoch-seconds of step j+1, -1 while unreached. */
+  final case class FunnelState(stepTimes: Array[Long])
+  final case class FunnelUpdate(userId: Long, stepReached: Int, t1: Long,
+      tLast: Long)
+
+  def advance(events: Dataset[FunnelEvent], steps: Seq[String],
+              windowSeconds: Long,
+              watermarkDelay: String = "10 minutes"): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty && steps.distinct.size == steps.size)
+    val k = steps.size
+    val stepIdx = steps.zipWithIndex.toMap
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, it, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val t = state.getOption.map(_.stepTimes.clone())
+              .getOrElse(Array.fill(k)(-1L))
+            def reached = t.lastIndexWhere(_ >= 0L) + 1
+            val before = reached
+            it.toVector.sortBy(e => (e.ts.getTime, e.eventType)).foreach { e =>
+              stepIdx.get(e.eventType).foreach { j =>
+                val es = e.ts.getTime / 1000
+                val fillable =
+                  if (j == 0) t(0) < 0L
+                  else t(j) < 0L && t(j - 1) >= 0L && es > t(j - 1) &&
+                    es <= t(0) + windowSeconds
+                if (fillable) t(j) = es
+              }
+            }
+            val after = reached
+            if (after == k || after == 0) state.remove() // nothing to keep
+            else {
+              state.update(FunnelState(t))
+              // evict once the watermark passes the conversion window
+              // (clamped above the current watermark — setTimeoutTimestamp
+              // rejects timestamps at/behind it)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 60000L,
+                (t(0) + windowSeconds) * 1000L + 60000L))
+            }
+            if (after > before)
+              Iterator.single(FunnelUpdate(user, after, t(0), t(after - 1)))
+            else Iterator.empty
+          }
+      }
+  }
+}

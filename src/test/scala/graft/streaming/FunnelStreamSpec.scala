@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Funnel
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Pins [[FunnelStream]]: per-user funnel state advances across
+  * micro-batches, converted users drop their state, and under in-order
+  * arrival the stream's final step counts equal the batch
+  * [[Funnel.funnelSteps]] fold over the union of all batches. */
+class FunnelStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import FunnelStream._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+  private val steps = Seq("signup", "view", "purchase")
+
+  test("funnel state advances across batches and matches the batch fold in-order") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val query = advance(input.toDS(), steps, windowSeconds = 500L).writeStream
+      .format("memory").queryName("funnel_stream").outputMode("append").start()
+    val b1 = Seq(
+      FunnelEvent(1L, ts(100L), "signup"), FunnelEvent(1L, ts(200L), "view"),
+      FunnelEvent(2L, ts(100L), "signup"),
+      FunnelEvent(3L, ts(100L), "view")) // never signs up first
+    val b2 = Seq(
+      FunnelEvent(1L, ts(300L), "purchase"), // completes across batches
+      FunnelEvent(2L, ts(90L), "view"),      // late: before signup, ignored
+      FunnelEvent(2L, ts(700L), "view"))     // past the 500 s window
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      val updates = spark.sql(
+        "SELECT userId, stepReached, t1, tLast FROM funnel_stream")
+        .as[(Long, Int, Long, Long)].collect()
+      // u1 advanced in both batches (2 then 3); u2 only its signup batch
+      assert(updates.toSet === Set(
+        (1L, 2, 100L, 200L), (1L, 3, 100L, 300L), (2L, 1, 100L, 100L)))
+
+      // final furthest-step counts == batch fold over the union
+      val finalStep = updates.groupBy(_._1).view.mapValues(_.map(_._2).max)
+      val streamCounts = steps.indices.map(i =>
+        finalStep.values.count(_ >= i + 1).toLong)
+      val all = (b1 ++ b2).map(e => (e.userId, e.ts, e.eventType))
+        .toDF("user_id", "ts", "event_type")
+      val batchCounts = Funnel.funnelSteps(all, "ts", "user_id", "event_type",
+          steps, 500L)
+        .orderBy(col("step_idx")).as[(Int, String, Long)].collect().map(_._3).toSeq
+      assert(streamCounts === batchCounts)
+    } finally query.stop()
+  }
+}
