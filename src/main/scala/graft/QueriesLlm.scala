@@ -2944,6 +2944,44 @@ object QueriesLlm {
           |WHERE to_type IS NOT NULL
           |GROUP BY 1, 2""".stripMargin)),
 
+      Q("ev_rolling_revenue",
+        (s, d) => Funnel.rollingRevenue(Tables.events(s, d), "ts", "event_type", "value"),
+        Some(withCtes(
+          s"""daily AS MATERIALIZED (
+            |  SELECT event_type, $ep // 86400 AS day_idx,
+            |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+            |  FROM events GROUP BY 1, 2)""".stripMargin)(
+          """SELECT event_type, day_idx, rev_cents,
+            |       CAST(sum(rev_cents) OVER (PARTITION BY event_type ORDER BY day_idx
+            |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_roll_cents
+            |FROM daily""".stripMargin))),
+
+      Q("ev_wow_growth",
+        (s, d) => Funnel.weekOverWeek(Tables.events(s, d), "ts", "event_type", "value"),
+        Some(withCtes(
+          s"""weekly AS MATERIALIZED (
+            |  SELECT event_type, $ep // 604800 AS week_idx,
+            |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+            |  FROM events GROUP BY 1, 2)""".stripMargin,
+          """lagged AS (
+            |  SELECT event_type, week_idx, rev_cents,
+            |         lag(rev_cents) OVER (PARTITION BY event_type ORDER BY week_idx) AS prev_cents
+            |  FROM weekly)""".stripMargin)(
+          """SELECT event_type, week_idx, rev_cents, prev_cents,
+            |       (rev_cents - prev_cents) * 10000 // prev_cents AS growth_bp
+            |FROM lagged WHERE prev_cents IS NOT NULL AND prev_cents <> 0""".stripMargin))),
+
+      Q("ev_pivot_weekly",
+        (s, d) => Funnel.weeklyTypePivot(Tables.events(s, d), "ts", "event_type",
+          Seq("click", "error", "purchase", "signup", "view")),
+        Some(s"""SELECT $ep // 604800 AS week_idx,
+          |       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+          |       CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+          |       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+          |       CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+          |       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+          |FROM events GROUP BY 1""".stripMargin)),
+
       Q("ev_anomaly",
         (s, d) => Funnel.dailyAnomalies(Tables.events(s, d), "ts", "event_type", "value"),
         Some(withCtes(

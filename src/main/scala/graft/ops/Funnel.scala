@@ -135,6 +135,51 @@ object Funnel {
         (col("dev2") * 2 > col("mad4") * 3).as("is_anomaly"))
   }
 
+  /** Daily revenue with a 7-day rolling sum per event type. The corpus
+    * collapses in the first aggregation; the RANGE-framed window (value
+    * range over `day_idx`, not ROWS — gap days must not stretch the
+    * frame) runs on the calendar-bounded rollup, partitioned by type. */
+  def rollingRevenue(events: DataFrame, tsCol: String, typeCol: String,
+                     valueCol: String, days: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"CAST($tsCol AS LONG) div 86400").as("day_idx"))
+      .agg(sum(floor(col(valueCol) * 100).cast("long")).as("rev_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    daily.withColumn("rev_roll_cents", sum(col("rev_cents")).over(w))
+  }
+
+  /** Week-over-week revenue growth per event type in integer basis
+    * points: `(cur − prev)·10000 div prev` over the weekly rollup (lag
+    * window on a bounded table). Weeks with no predecessor are absent. */
+  def weekOverWeek(events: DataFrame, tsCol: String, typeCol: String,
+                   valueCol: String): DataFrame = {
+    val weekly = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"CAST($tsCol AS LONG) div 604800").as("week_idx"))
+      .agg(sum(floor(col(valueCol) * 100).cast("long")).as("rev_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week_idx"))
+    weekly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .filter(col("prev_cents").isNotNull && col("prev_cents") =!= 0L)
+      .withColumn("growth_bp",
+        expr("(rev_cents - prev_cents) * 10000 div prev_cents"))
+  }
+
+  /** Weekly event counts pivoted to one column per type — the reshape
+    * step a dashboard or feature table wants. `types` must be explicit:
+    * an inferred pivot would scan the data twice for the distinct list
+    * and make the output schema data-dependent. */
+  def weeklyTypePivot(events: DataFrame, tsCol: String, typeCol: String,
+                      types: Seq[String]): DataFrame =
+    events
+      .groupBy(expr(s"CAST($tsCol AS LONG) div 604800").as("week_idx"))
+      .pivot(typeCol, types)
+      .agg(count(lit(1)))
+      .select(col("week_idx") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+
   /** Event-type transition counts (first-order Markov): per user, events
     * ordered by (ts, tieBreak); count (event_type → next event_type)
     * pairs. The window is keyed by user — no global sort at any scale. */

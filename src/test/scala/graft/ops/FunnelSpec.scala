@@ -98,6 +98,41 @@ class FunnelSpec extends SparkSpec {
     assert(got.filter(_._1 == "b").forall(!_._4))
   }
 
+  test("rollingRevenue: RANGE frame over day gaps (a gap must age out by value, not rows)") {
+    val e = Seq(
+      (1L, ts(0L), 1L, "a", 1.00),            // day 0
+      (2L, ts(86400L), 1L, "a", 2.00),        // day 1
+      (3L, ts(10L * 86400L), 1L, "a", 4.00)   // day 10: days 0-1 out of range
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Funnel.rollingRevenue(e, "ts", "event_type", "value", days = 7)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.map(r => (r._2, r._3, r._4)).toSeq ===
+      Seq((0L, 100L, 100L), (1L, 200L, 300L), (10L, 400L, 400L)))
+  }
+
+  test("weekOverWeek: integer basis points, negative growth, first week absent") {
+    val wk = 604800L
+    val e = Seq(
+      (1L, ts(0L), 1L, "a", 1.00),       // week 0: 100c
+      (2L, ts(wk), 1L, "a", 3.00),       // week 1: 300c -> +20000 bp
+      (3L, ts(2L * wk), 1L, "a", 1.50)   // week 2: 150c -> -5000 bp
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Funnel.weekOverWeek(e, "ts", "event_type", "value")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.map(r => (r._2, r._5)).toSeq === Seq((1L, 20000L), (2L, -5000L)))
+  }
+
+  test("weeklyTypePivot: explicit columns, zero-filled missing combos") {
+    val e = Seq(
+      (1L, ts(0L), 1L, "click", 0.0), (2L, ts(0L), 1L, "click", 0.0),
+      (3L, ts(604800L), 1L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Funnel.weeklyTypePivot(e, "ts", "event_type",
+        Seq("click", "view", "purchase"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((0L, 2L, 0L, 0L), (1L, 0L, 1L, 0L)))
+  }
+
   test("editVerify: zero distance on exact dups, small distance on one-word edits") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
