@@ -2874,6 +2874,54 @@ object QueriesLlm {
       |    FROM tn WHERE $where) c
       |  GROUP BY 1)""".stripMargin
 
+  /** Generated oracle for [[graft.ops.Similarity.mmrSelect]]: replay the k
+    * greedy MMR rounds as chained CTEs (argmax via ORDER BY … LIMIT 1,
+    * selected-set via growing UNION). Every chained CTE MATERIALIZED per
+    * the BPE inlining rule. */
+  private def mmrOracle(k: Int, probeId: Long, lam: Long): String = {
+    def dot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT)"
+    val base = Seq(
+      """cv AS MATERIALIZED (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS c
+        |  FROM embeddings)""".stripMargin,
+      s"qv AS MATERIALIZED (SELECT c AS q FROM cv WHERE vec_id = $probeId)",
+      s"""cand AS MATERIALIZED (
+         |  SELECT vec_id, c, ${dot("c", "q")} AS rel
+         |  FROM cv, qv WHERE vec_id <> $probeId)""".stripMargin,
+      s"""r1 AS MATERIALIZED (
+         |  SELECT vec_id, c, rel, CAST(0 AS BIGINT) AS divd, $lam * rel AS score
+         |  FROM cand ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin) ++
+      (if (k >= 2) Seq("s1 AS MATERIALIZED (SELECT vec_id, c FROM r1)") else Nil)
+    val rounds = (2 to k).flatMap { j =>
+      val rj =
+        s"""r$j AS MATERIALIZED (
+           |  SELECT vec_id, c, rel, divd, $lam * rel - ${1000L - lam} * divd AS score FROM (
+           |    SELECT d.vec_id, d.c, d.rel, max(${dot("d.c", "s.c")}) AS divd
+           |    FROM cand d CROSS JOIN s${j - 1} s
+           |    WHERE d.vec_id NOT IN (SELECT vec_id FROM s${j - 1})
+           |    GROUP BY d.vec_id, d.c, d.rel)
+           |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+      if (j < k)
+        Seq(rj, s"s$j AS MATERIALIZED (SELECT vec_id, c FROM s${j - 1} " +
+          s"UNION ALL SELECT vec_id, c FROM r$j)")
+      else Seq(rj)
+    }
+    val body = (1 to k).map(j =>
+      s"SELECT CAST($j AS INTEGER) AS mmr_rank, vec_id, rel AS rel_pts, " +
+        s"divd AS div_pts, score AS score_pts FROM r$j")
+      .mkString("\nUNION ALL\n")
+    withCtes(base ++ rounds: _*)(body)
+  }
+
+  /** Diverse retrieval via MMR — registered with the ANN tier. */
+  def retrieval: Seq[Q] = Seq(
+    Q("ann_mmr_topk",
+      (s, d) => Similarity.mmrSelect(Tables.embeddings(s, d), "vec_id",
+        "embedding", probeId = 0L, k = 8, lambdaMilli = 700L),
+      Some(mmrOracle(8, 0L, 700L))))
+
   /** Event-sequence analytics (see [[graft.ops.Funnel]]) plus the MinHash
     * estimation-error audit. The funnel oracle replays the greedy fold as
     * chained conditional-min CTEs — a structurally different strategy that
@@ -3044,5 +3092,5 @@ object QueriesLlm {
   }
 
   def all: Seq[Q] = text ++ dedup ++ ann ++ embDedup ++ multimodal ++ tpch ++
-    timeWindows ++ pipeline ++ assemble ++ eventsAnalytics
+    timeWindows ++ pipeline ++ assemble ++ eventsAnalytics ++ retrieval
 }

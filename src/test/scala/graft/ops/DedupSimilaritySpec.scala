@@ -564,4 +564,28 @@ class DedupSimilaritySpec extends SparkSpec {
       s"under-k regime must be exact: got ${got(("A", "B"))._3}, exact $exact")
     assert(got(("A", "B"))._3 > 200000L, "copied half must score high")
   }
+
+  test("mmrSelect: first pick is pure relevance; the diversity term demotes clones") {
+    // probe q = e0; v1 ≈ v2 (clones, both most-relevant to q AND with a
+    // large mutual dot via dim 1, so the 0.3-weighted diversity penalty
+    // can actually outweigh their 0.7-weighted relevance edge); v3 is
+    // slightly less relevant but near-orthogonal to v1.
+    def v(xs: Double*) = xs.toArray.map(_.toFloat)
+    val emb = Seq(
+      (0L, v(1.0, 0.0, 0.0, 0.0)),
+      (1L, v(0.9, 0.9, 0.0, 0.0)),
+      (2L, v(0.9, 0.9, 0.0, 0.001)), // clone of 1
+      (3L, v(0.8, 0.0, 0.0, 0.0)),   // diverse runner-up
+      (4L, v(0.0, 1.0, 0.0, 0.0))    // irrelevant
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(emb, "vec_id", "embedding",
+        probeId = 0L, k = 3, lambdaMilli = 700L)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).distinct.length === 3, "no repeats")
+    assert(got(0)._2 === 1L, "first pick = relevance argmax (clone tie -> min id)")
+    // pure top-k would pick the clone second; MMR must not
+    assert(got.map(_._2).toSeq === Seq(1L, 3L, 2L),
+      s"diversity must demote the clone to third, got ${got.toSeq}")
+    assert(got(0)._4 === 0L, "round 1 has no diversity term")
+  }
 }
