@@ -73,6 +73,13 @@ class AnnSmallPathSpec extends SparkSpec {
     assert(flat(small) == flat(large))
   }
 
+  test("mmrSelect: driver-greedy fused path equals the k-round distributed path") {
+    val small = Similarity.mmrSelect(emb, "vec_id", "embedding", probeId = 0L, k = 5)
+    val large = Similarity.mmrSelect(emb, "vec_id", "embedding", probeId = 0L, k = 5,
+      smallCap = 0)
+    assert(rows(small) == rows(large))
+  }
+
   test("ANN top-k is the bounded topk_pairs aggregate, not a rank window") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
