@@ -383,8 +383,62 @@ object DedupOps {
     * on high-diameter graphs); LSH dup graphs rarely need it. Output has
     * one row per node APPEARING IN `pairs` — singletons are their own
     * cluster by definition and can be unioned back with label = id. */
+  /** Edge count under which connected components runs as a driver
+    * union-find over one bounded collect (see [[ccDriverLabels]]).
+    * Override via SPARK_GRAFT_CC_SMALL_CAP; 0 disables the fast path. */
+  val ccSmallEdgeCap: Int =
+    sys.env.get("SPARK_GRAFT_CC_SMALL_CAP").map(_.toInt).getOrElse(65536)
+
+  /** Small-graph fast path shared by both CC algorithms: `take(cap+1)`
+    * short-circuits after cap+1 edge rows (incremental collect-limit — at
+    * 100 TB the probe reads one partition's worth and falls through), and
+    * a graph that fits runs union-find on the driver in one pass instead
+    * of paying log(n) iterative rounds of job-submission floor on a toy
+    * edge set (the round-7 ANN small-corpus doctrine; dedup_cc_survivors
+    * was 6.0 s at sf0.1 on a few-hundred-edge graph). Union always
+    * attaches the larger root under the smaller, so the invariant
+    * root = min(component) reproduces the distributed min-label contract
+    * bit for bit; self-loops register the node as its own singleton.
+    * Returns None for over-cap graphs or non-long id columns. */
+  private def ccDriverLabels(pairs: DataFrame, aCol: String, bCol: String,
+                             cap: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.types.LongType
+    if (cap <= 0 || pairs.schema(aCol).dataType != LongType ||
+        pairs.schema(bCol).dataType != LongType) return None
+    val rows = pairs.select(col(aCol), col(bCol)).take(cap + 1)
+    if (rows.length > cap) None
+    else {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      rows.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      Some(parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "label"))
+    }
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20,
+                          smallEdgeCap: Int = ccSmallEdgeCap): DataFrame =
+    ccDriverLabels(pairs, aCol, bCol, smallEdgeCap).getOrElse(
+      connectedComponentsDistributed(pairs, aCol, bCol, maxIters))
+
+  /** Iterative min-label propagation — the distributed path of
+    * [[connectedComponents]]. */
+  def connectedComponentsDistributed(pairs: DataFrame, aCol: String,
+                                     bCol: String,
+                                     maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
@@ -846,7 +900,16 @@ object DedupOps {
     * its root; roots never appear as a larger endpoint) — a signature
     * collision cannot return wrong labels, only an exception. */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
-                              maxIters: Int = 25): DataFrame = {
+                              maxIters: Int = 25,
+                              smallEdgeCap: Int = ccSmallEdgeCap): DataFrame =
+    ccDriverLabels(pairs, aCol, bCol, smallEdgeCap).getOrElse(
+      connectedComponentsStarDistributed(pairs, aCol, bCol, maxIters))
+
+  /** Large-star/small-star contraction — the distributed path of
+    * [[connectedComponentsStar]]. */
+  def connectedComponentsStarDistributed(pairs: DataFrame, aCol: String,
+                                         bCol: String,
+                                         maxIters: Int = 25): DataFrame = {
     def canon(df: DataFrame): DataFrame = df
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()

@@ -68,7 +68,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // chain 1-2-3-4-5 (diameter 4 → needs >1 propagation round) + pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
       .toDF("id_a", "id_b")
-    val got = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+    val got = DedupOps.connectedComponents(pairs, "id_a", "id_b", smallEdgeCap = 0)
       .as[(Long, Long)].collect().toMap
     assert((1L to 5L).forall(n => got(n) == 1L), s"chain must collapse to 1: $got")
     assert(got(10L) == 10L && got(11L) == 10L)
@@ -80,7 +80,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // not silently split the component
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      DedupOps.connectedComponents(chain, "id_a", "id_b", maxIters = 3).collect()
+      DedupOps.connectedComponents(chain, "id_a", "id_b", maxIters = 3, smallEdgeCap = 0).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
@@ -97,9 +97,10 @@ class DedupSimilaritySpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     val pairs = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
       .filter(p => p._1 != p._2).toDF("id_a", "id_b")
-    val prop = DedupOps.connectedComponents(pairs, "id_a", "id_b", maxIters = 60)
+    val prop = DedupOps.connectedComponents(pairs, "id_a", "id_b", maxIters = 60,
+        smallEdgeCap = 0)
       .as[(Long, Long)].collect().toSet
-    val star = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
+    val star = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b", smallEdgeCap = 0)
       .as[(Long, Long)].collect().toSet
     assert(star == prop)
   }
@@ -107,10 +108,27 @@ class DedupSimilaritySpec extends SparkSpec {
   test("star-contraction CC handles a deep chain within a few rounds") {
     // a 40-node path: propagation needs ~39 rounds, star contraction ~log n
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = DedupOps.connectedComponentsStar(chain, "id_a", "id_b", maxIters = 12)
+    val got = DedupOps.connectedComponentsStar(chain, "id_a", "id_b", maxIters = 12, smallEdgeCap = 0)
       .as[(Long, Long)].collect().toMap
     assert(got.size == 40 && got.values.forall(_ == 1L),
       "whole path collapses to min label 1")
+  }
+
+  test("CC driver union-find fast path equals both distributed algorithms") {
+    val rnd = new scala.util.Random(11)
+    // random graph + a self-loop-only node (must survive as a singleton)
+    val pairs = ((1 to 150).map(_ => (rnd.nextInt(70).toLong, rnd.nextInt(70).toLong)) :+
+      ((99L, 99L))).toDF("id_a", "id_b")
+    val fast = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val prop = DedupOps.connectedComponents(pairs, "id_a", "id_b", maxIters = 80,
+        smallEdgeCap = 0)
+      .as[(Long, Long)].collect().toSet
+    val star = DedupOps.connectedComponentsStar(pairs, "id_a", "id_b", smallEdgeCap = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(fast == prop, "fast path must equal min-label propagation")
+    assert(fast == star, "fast path must equal star contraction")
+    assert(fast.contains((99L, 99L)), "self-loop node kept as its own singleton")
   }
 
   test("star edges are connectivity-equivalent to all-pairs candidates") {
