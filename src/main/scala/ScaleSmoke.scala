@@ -50,7 +50,13 @@ object ScaleSmoke {
     t("minhash signatures")(DedupOps.minhashSignature(docs, "doc_id", "text", 8).count())
     t("lsh candidate pairs")(DedupOps.candidatePairs(
       DedupOps.lshBuckets(DedupOps.minhashSignature(docs, "doc_id", "text", 8), "doc_id"), "doc_id").count())
-    t("near-dup survivors (CC)")(DedupOps.nearDupSurvivors(docs, "doc_id", "text").count())
+    // smallEdgeCap = 0 pins the DISTRIBUTED CC path: this stage exists to
+    // prove the iterative algorithm's growth law, not the driver fast path
+    // (which a toy edge set would otherwise silently take — second row).
+    t("near-dup survivors (CC)")(DedupOps.nearDupSurvivors(docs, "doc_id", "text",
+      smallEdgeCap = 0).count())
+    t("near-dup survivors (auto)")(
+      DedupOps.nearDupSurvivors(docs, "doc_id", "text").count())
     // filter on cleaned_text length forces the ordered fold (a bare count
     // lets Catalyst prune the reassembly entirely — measured 0.2 s vs real)
     t("segment dedup")(DedupOps.dropBoilerplateSegments(docs, "doc_id", "text")

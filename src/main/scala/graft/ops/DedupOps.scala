@@ -484,7 +484,8 @@ object DedupOps {
     * fraction of documents in any pair, so the corpus-side work is one
     * hash semi-join probe. */
   def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String,
-                       numPerms: Int = 8): DataFrame = {
+                       numPerms: Int = 8,
+                       smallEdgeCap: Int = ccSmallEdgeCap): DataFrame = {
     // Star edges, not pairs: clustering only needs reachability, and the
     // star form keeps a k-document duplicate clique at k-1 edges instead
     // of k·(k-1)/2 pairs — the difference between linear and quadratic
@@ -493,7 +494,8 @@ object DedupOps {
       lshBuckets(minhashSignature(docs, idCol, textCol, numPerms), idCol,
         numPerms),
       idCol).localCheckpoint() // consumed twice seeding the CC loop
-    val losers = connectedComponents(pairs, "id_a", "id_b")
+    val losers = connectedComponents(pairs, "id_a", "id_b",
+        smallEdgeCap = smallEdgeCap)
       .filter(col("node") =!= col("label"))
       .select(col("node").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
