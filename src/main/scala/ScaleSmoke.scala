@@ -280,6 +280,12 @@ object ScaleSmoke {
     t(s"ivf top-k ($m corpus)")(
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16), 10,
         numCentroids = 32, nprobe = 3).count())
+    // MMR distributed path pinned (smallCap = 0): k map-only argmax rounds
+    // over the corpus — job count is k at any size, so growth must track
+    // the k linear scans, ~linear in vectors.
+    t(s"mmr select ($m corpus)")(
+      Similarity.mmrSelect(emb, "vec_id", "embedding", probeId = 0L, k = 8,
+        smallCap = 0).count())
     // Label-purity audit growth: the cell self-join is Σ|cell|² pairs, so
     // the centroid count MUST scale with √N to hold cell size (and the
     // stage's work per vector) constant — exactly the deployment rule the
