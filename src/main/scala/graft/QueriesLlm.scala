@@ -2922,6 +2922,67 @@ object QueriesLlm {
         "embedding", probeId = 0L, k = 8, lambdaMilli = 700L),
       Some(mmrOracle(8, 0L, 700L))))
 
+  /** Tokenizer special-token / chat-template markers a crawl must never
+    * contain verbatim (their presence means template leakage or a scraped
+    * model transcript — FineWeb/Dolma-class hygiene filters). */
+  private val SpecialTokenMarkers =
+    Seq("<|endoftext|>", "<|im_start|>", "</s>", "[INST]")
+
+  /** Session-2 text analysis: segment-level language agreement and
+    * special-token hygiene. */
+  def textAnalysis2: Seq[Q] = {
+    val segScoreCols = TextOps.LangMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      s"CAST(len(list_filter(seg_toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n         ")
+    Seq(
+      Q("llm_mixed_lang",
+        (s, d) => TextOps.mixedLangReport(Tables.documents(s, d), "doc_id", "text"),
+        Some(withCtes(normDocsCte,
+          """segs AS MATERIALIZED (
+            |  SELECT doc_id,
+            |         list_slice(toks, seg_idx * 8 + 1, seg_idx * 8 + 8) AS seg_toks
+            |  FROM (SELECT doc_id, toks,
+            |               unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS seg_idx
+            |        FROM tok_docs WHERE length(norm) > 0))""".stripMargin,
+          s"""segscore AS (
+            |  SELECT doc_id,
+            |         $segScoreCols
+            |  FROM segs)""".stripMargin,
+          s"seglang AS (SELECT doc_id, CASE $langCaseChain END AS seg_lang FROM segscore)",
+          """perlang AS (
+            |  SELECT doc_id, seg_lang, CAST(count(*) AS BIGINT) AS n,
+            |         lpad(CAST(count(*) AS VARCHAR), 7, '0') || seg_lang AS mk
+            |  FROM seglang GROUP BY 1, 2)""".stripMargin)(
+          """SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_segs,
+            |       CAST(count(*) AS BIGINT) AS n_langs,
+            |       substr(max(mk), 8, 2) AS majority_lang,
+            |       (CAST(sum(n) AS BIGINT) - CAST(substr(max(mk), 1, 7) AS BIGINT))
+            |         * 1000000 // CAST(sum(n) AS BIGINT) AS minority_ppm
+            |FROM perlang GROUP BY 1""".stripMargin))),
+
+      Q("llm_special_tokens",
+        (s, d) => {
+          val t = col("text")
+          val counts = SpecialTokenMarkers.map { p =>
+            expr(s"(length(text) - length(replace(text, '$p', ''))) div ${p.length}")
+          }
+          Tables.documents(s, d).select(col("doc_id"),
+            counts.reduce(_ + _).cast("long").as("n_special"),
+            (instr(t, "�") > 0).as("has_replacement_char"))
+            .withColumn("clean",
+              col("n_special") === 0L && !col("has_replacement_char"))
+        },
+        Some {
+          val cnt = SpecialTokenMarkers.map(p =>
+            s"(length(text) - length(replace(text, '$p', ''))) // ${p.length}")
+            .mkString(" + ")
+          s"""SELECT doc_id, CAST($cnt AS BIGINT) AS n_special,
+            |       contains(text, chr(65533)) AS has_replacement_char,
+            |       (CAST($cnt AS BIGINT) = 0 AND NOT contains(text, chr(65533))) AS clean
+            |FROM documents""".stripMargin
+        }))
+  }
+
   /** Event-sequence analytics (see [[graft.ops.Funnel]]) plus the MinHash
     * estimation-error audit. The funnel oracle replays the greedy fold as
     * chained conditional-min CTEs — a structurally different strategy that
@@ -3092,5 +3153,5 @@ object QueriesLlm {
   }
 
   def all: Seq[Q] = text ++ dedup ++ ann ++ embDedup ++ multimodal ++ tpch ++
-    timeWindows ++ pipeline ++ assemble ++ eventsAnalytics ++ retrieval
+    timeWindows ++ pipeline ++ assemble ++ eventsAnalytics ++ retrieval ++ textAnalysis2
 }

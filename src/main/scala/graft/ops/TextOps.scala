@@ -496,6 +496,38 @@ object TextOps {
       .drop("_psum")
   }
 
+  /** Mixed-language detection: language-ID each `segTokens`-token segment
+    * (the [[graft.ops.DedupOps.segmentRows]] split) and report per-doc
+    * language agreement — `n_langs`, the majority language, and the ppm
+    * of segments disagreeing with it. A code-switching or wrongly-spliced
+    * document shows a high minority share where the doc-level
+    * [[predictedLang]] would average the signal away.
+    *
+    * Scale shape: one segment explode (codegen index-explode), two keyed
+    * aggregations co-partitioned on the doc id. The majority argmax rides
+    * the aggregate as a `lpad(count)||lang` sortable string — identical
+    * lexicographic max in both engines, so ties (equal counts) break
+    * toward the larger language tag deterministically; a DuckDB `arg_max`
+    * would tie-break arbitrarily. Docs with empty normalized text are
+    * absent (the segmentRows contract). */
+  def mixedLangReport(docs: DataFrame, idCol: String, textCol: String,
+                      segTokens: Int = 8): DataFrame = {
+    val segLang = DedupOps.segmentRows(docs, idCol, textCol, segTokens)
+      .select(col(idCol),
+        predictedLangFromToks(split(col("segment"), " ")).as("seg_lang"))
+    segLang.groupBy(col(idCol), col("seg_lang"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_n")).as("n_segs"),
+        count(lit(1)).as("n_langs"),
+        max(concat(lpad(col("_n").cast("string"), 7, "0"), col("seg_lang")))
+          .as("_mk"))
+      .select(col(idCol), col("n_segs"), col("n_langs"),
+        substring(col("_mk"), 8, 2).as("majority_lang"),
+        expr("(n_segs - CAST(substring(_mk, 1, 7) AS BIGINT)) * 1000000 div n_segs")
+          .as("minority_ppm"))
+  }
+
   /** DSIR-shaped importance resampling (Xie et al. 2023,
     * arXiv:2302.03169): reweight raw documents toward a target
     * distribution using HASHED n-gram bag features, then admit each doc by

@@ -79,4 +79,34 @@ class TextSearchSpec extends SparkSpec {
     assert(a.size == 5)
     assert(a.head._1 == 3L, s"the doc containing the rare term must rank first: $a")
   }
+
+  test("mixedLangReport: code-switched docs show a minority share, pure docs none") {
+    val en = (1 to 8).map(_ => "the and of to is").mkString(" ")     // 5 en markers / 8-token seg
+    val de = (1 to 8).map(_ => "der die das und ist").mkString(" ")
+    val docs = docsOf(Seq(en, en + " " + de, ""))
+    val got = TextOps.mixedLangReport(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(2L), "empty-norm docs are absent")
+    val pure = got(0L)
+    assert(pure._3 === 1L && pure._4 === "en" && pure._5 === 0L)
+    val mixed = got(1L)
+    assert(mixed._3 >= 2L, "both languages detected at segment level")
+    assert(mixed._5 > 0L && mixed._5 < 1000000L,
+      s"minority share strictly between 0 and 1: $mixed")
+  }
+
+  test("specialTokens query source: occurrence counts and hygiene flag") {
+    val docs = docsOf(Seq(
+      "clean document text here",
+      "leaked <|endoftext|> marker <|endoftext|> twice and [INST] once"))
+    // the registered query reads Tables.documents; rebuild its projection
+    // on the fixture instead (same expressions, same semantics)
+    val counts = Seq("<|endoftext|>", "<|im_start|>", "</s>", "[INST]").map { p =>
+      expr(s"(length(text) - length(replace(text, '$p', ''))) div ${p.length}")
+    }
+    val res = docs.select(col("doc_id"),
+      counts.reduce(_ + _).cast("long").as("n_special"))
+      .as[(Long, Long)].collect().toMap
+    assert(res(0L) === 0L && res(1L) === 3L)
+  }
 }
