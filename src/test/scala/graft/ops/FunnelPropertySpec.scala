@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import scala.util.Random
+
+/** Randomized cross-check of the funnel fold (SURVEY-style invariant
+  * testing): [[Funnel.funnelSteps]] computes step times with a greedy
+  * per-user fold over time-sorted events; an INDEPENDENT driver reference
+  * computes them with the chained conditional-min formulation the DuckDB
+  * oracle uses (t1 = min step-1 time; t_j = min step-j time strictly after
+  * t_{j-1} and within the window of t1). The two are provably equivalent —
+  * this spec hunts for the edge cases where an implementation diverges
+  * anyway: duplicate timestamps, step events before the funnel start,
+  * users missing middle steps, window-boundary hits (ts == t1 + w is IN;
+  * +w+1 is OUT), and event storms per user.
+  *
+  * Fixed seed, five trials — deterministic in CI, diverse in shape. */
+class FunnelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val steps = Seq("s1", "s2", "s3", "s4")
+  private val types = steps ++ Seq("noise1", "noise2")
+
+  private def referenceCounts(events: Seq[(Long, Long, String)],
+                              windowS: Long): Seq[Long] = {
+    val byUser = events.groupBy(_._1)
+    val stepTimes = byUser.values.map { evs =>
+      def minAfter(step: String, after: Option[Long],
+                   start: Option[Long]): Option[Long] = {
+        val cands = evs.collect {
+          case (_, t, y) if y == step &&
+            after.forall(t > _) && start.forall(t <= _ + windowS) => t
+        }
+        if (cands.isEmpty) None else Some(cands.min)
+      }
+      val t1 = minAfter(steps.head, None, None)
+      steps.tail.foldLeft(Vector(t1)) { (acc, s) =>
+        acc :+ (if (acc.last.isEmpty) None
+                else minAfter(s, acc.last, t1))
+      }
+    }.toVector
+    steps.indices.map(j => stepTimes.count(ts => ts(j).isDefined).toLong)
+  }
+
+  test("funnel fold equals the chained-conditional-min reference on random event streams") {
+    val rnd = new Random(1234)
+    (1 to 5).foreach { trial =>
+      val nUsers = 30 + rnd.nextInt(40)
+      val windowS = 50L + rnd.nextInt(200)
+      val events = (1 to 1500).map { i =>
+        val u = 1L + rnd.nextInt(nUsers)
+        // coarse timestamps force duplicate-second collisions; a few users
+        // get event storms via a biased second draw
+        val t = (rnd.nextInt(40) * 10 + rnd.nextInt(3)).toLong
+        val y = types(rnd.nextInt(types.size))
+        (u, t, y)
+      }
+      val df = events.zipWithIndex.map { case ((u, t, y), i) =>
+        (i.toLong, new Timestamp(t * 1000L), u, y)
+      }.toDF("event_id", "ts", "user_id", "event_type")
+
+      val got = Funnel.funnelSteps(df, "ts", "user_id", "event_type", steps, windowS)
+        .orderBy(col("step_idx")).as[(Int, String, Long)].collect().map(_._3).toSeq
+      val want = referenceCounts(events, windowS)
+      assert(got === want,
+        s"trial $trial (users=$nUsers window=$windowS): fold $got vs reference $want")
+    }
+  }
+}
