@@ -43,14 +43,31 @@ object Funnel {
     */
   def funnelSteps(events: DataFrame, tsCol: String, userCol: String,
                   typeCol: String, steps: Seq[String],
-                  windowSeconds: Long): DataFrame = {
+                  windowSeconds: Long,
+                  maxEventsPerUser: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       "funnel steps must be non-empty and distinct")
     val k = steps.size
+    // Abusive-key guard (the LSH maxBucket analog): a bot with 10^8
+    // funnel-type events would otherwise materialize them all in one
+    // user's aggregation buffer. When capped, only each user's EARLIEST
+    // `cap` funnel-relevant events (by ts, then tie-break on the type —
+    // same ordering the fold consumes) are folded; since the greedy fold
+    // is prefix-driven, any user whose true funnel completes within the
+    // cap is unaffected. One extra user-keyed window pass, reusing the
+    // groupBy's partitioning.
+    val relevant = events.filter(col(typeCol).isin(steps: _*))
+    val bounded = maxEventsPerUser match {
+      case None => relevant
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(userCol)).orderBy(epochS(tsCol), col(typeCol))
+        relevant.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= cap).drop("_rn")
+    }
     // One corpus pass: only funnel-relevant events survive the pushed
     // filter; ONE shuffle on the user key builds the sorted per-user list.
-    val perUser = events
-      .filter(col(typeCol).isin(steps: _*))
+    val perUser = bounded
       .groupBy(col(userCol))
       .agg(array_sort(collect_list(
         struct(epochS(tsCol).as("t"), col(typeCol).as("y")))).as("evs"))

@@ -98,6 +98,23 @@ class FunnelSpec extends SparkSpec {
     assert(got.filter(_._1 == "b").forall(!_._4))
   }
 
+  test("funnelSteps: per-user event cap keeps early funnels intact, truncates storms") {
+    val storm = (1 to 50).map(i => (100L + i, ts(1000L + i), 7L, "view"))
+    val e = (Seq(
+      (1L, ts(100L), 7L, "signup"), (2L, ts(200L), 7L, "view"),
+      (3L, ts(300L), 7L, "purchase")) ++ storm)
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val capped = Funnel.funnelSteps(e, "ts", "user_id", "event_type",
+        Seq("signup", "view", "purchase"), 2000L, maxEventsPerUser = Some(10))
+      .as[(Int, String, Long)].collect().sortBy(_._1).map(_._3).toSeq
+    val uncapped = Funnel.funnelSteps(e, "ts", "user_id", "event_type",
+        Seq("signup", "view", "purchase"), 2000L)
+      .as[(Int, String, Long)].collect().sortBy(_._1).map(_._3).toSeq
+    // the true funnel completes within the first 3 events; the cap only
+    // drops late storm events, so both paths agree
+    assert(capped === uncapped && capped === Seq(1L, 1L, 1L))
+  }
+
   test("rollingRevenue: RANGE frame over day gaps (a gap must age out by value, not rows)") {
     val e = Seq(
       (1L, ts(0L), 1L, "a", 1.00),            // day 0
