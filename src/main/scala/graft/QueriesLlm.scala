@@ -3025,11 +3025,44 @@ object QueriesLlm {
       .map(j => s"(CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END)")
       .mkString(" + ")
 
+    // A/B flavor: variant rides every round CTE (a pure function of
+    // user_id); counts roll up per (variant, step).
+    val abBucket =
+      "CAST('0x' || substr(sha256('ab:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000"
+    val abCtes: Seq[String] = {
+      val g1 =
+        s"""g1 AS MATERIALIZED (
+          |  SELECT user_id,
+          |         CASE WHEN $abBucket < 500 THEN 'treatment' ELSE 'control' END AS variant,
+          |         min($ep) AS t1
+          |  FROM events WHERE event_type = '${FunnelSteps.head}' GROUP BY 1, 2)""".stripMargin
+      val epE2 = ep.replace("ts", "e.ts")
+      val rest = (2 to FunnelSteps.size).map { j =>
+        s"""g$j AS MATERIALIZED (
+          |  SELECT e.user_id, p.variant, p.t1, min($epE2) AS t$j
+          |  FROM events e JOIN g${j - 1} p USING (user_id)
+          |  WHERE e.event_type = '${FunnelSteps(j - 1)}'
+          |    AND $epE2 > p.t${j - 1}
+          |    AND $epE2 <= p.t1 + $FunnelWindowS
+          |  GROUP BY 1, 2, 3)""".stripMargin
+      }
+      g1 +: rest
+    }
+    val abBody = FunnelSteps.indices.map { i =>
+      s"SELECT variant, ${i + 1} AS step_idx, '${FunnelSteps(i)}' AS step, " +
+        s"CAST(count(*) AS BIGINT) AS users FROM g${i + 1} GROUP BY 1"
+    }.mkString("\nUNION ALL\n")
+
     Seq(
       Q("ev_funnel",
         (s, d) => Funnel.funnelSteps(Tables.events(s, d), "ts", "user_id",
           "event_type", FunnelSteps, FunnelWindowS),
         Some(withCtes(funnelCtes: _*)(funnelBody))),
+
+      Q("ev_ab_funnel",
+        (s, d) => Funnel.abFunnel(Tables.events(s, d), "ts", "user_id",
+          "event_type", FunnelSteps, FunnelWindowS),
+        Some(withCtes(abCtes: _*)(abBody))),
 
       Q("ev_retention",
         (s, d) => Funnel.retentionCohorts(Tables.events(s, d), "ts", "user_id"),

@@ -45,6 +45,50 @@ object Funnel {
                   typeCol: String, steps: Seq[String],
                   windowSeconds: Long,
                   maxEventsPerUser: Option[Int] = None): DataFrame = {
+    val k = steps.size
+    val stepRows = (1 to k).map { j =>
+      struct(lit(j).as("step_idx"), lit(steps(j - 1)).as("step"),
+        when(col(s"f.t$j").isNotNull, 1L).otherwise(0L).as("hit"))
+    }
+    foldedStepTimes(events, tsCol, userCol, typeCol, steps, windowSeconds,
+      maxEventsPerUser)
+      .select(explode(array(stepRows: _*)).as("s"))
+      .groupBy(col("s.step_idx").as("step_idx"), col("s.step").as("step"))
+      .agg(sum(col("s.hit")).as("users"))
+  }
+
+  /** A/B-experiment funnel: deterministic content-addressed variant
+    * assignment (`Sampling.bucketOf` on the user key — stable across
+    * runs, engines and data growth, like every split in [[Sampling]])
+    * followed by the same greedy fold, reported per (variant, step). The
+    * variant is a pure function of the user key, so it rides the fold's
+    * one user-keyed shuffle for free — no extra join, no second pass. */
+  def abFunnel(events: DataFrame, tsCol: String, userCol: String,
+               typeCol: String, steps: Seq[String], windowSeconds: Long,
+               treatPermille: Int = 500, salt: String = "ab",
+               maxEventsPerUser: Option[Int] = None): DataFrame = {
+    val k = steps.size
+    val variant = when(
+      Sampling.bucketOf(col(userCol), salt) < treatPermille, "treatment")
+      .otherwise("control")
+    val stepRows = (1 to k).map { j =>
+      struct(lit(j).as("step_idx"), lit(steps(j - 1)).as("step"),
+        when(col(s"f.t$j").isNotNull, 1L).otherwise(0L).as("hit"))
+    }
+    foldedStepTimes(events, tsCol, userCol, typeCol, steps, windowSeconds,
+      maxEventsPerUser)
+      .select(variant.as("variant"), explode(array(stepRows: _*)).as("s"))
+      .groupBy(col("variant"), col("s.step_idx").as("step_idx"),
+        col("s.step").as("step"))
+      .agg(sum(col("s.hit")).as("users"))
+  }
+
+  /** The shared greedy fold: one row per user with the k nullable step
+    * epochs as struct `f` (see [[funnelSteps]] for the semantics). */
+  private def foldedStepTimes(events: DataFrame, tsCol: String,
+                              userCol: String, typeCol: String,
+                              steps: Seq[String], windowSeconds: Long,
+                              maxEventsPerUser: Option[Int]): DataFrame = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       "funnel steps must be non-empty and distinct")
     val k = steps.size
@@ -93,15 +137,7 @@ object Funnel {
         }
         struct(slots: _*)
       }).as("f"))
-
-    // One tiny aggregation to the k-row funnel report.
-    val stepRows = (1 to k).map { j =>
-      struct(lit(j).as("step_idx"), lit(steps(j - 1)).as("step"),
-        when(col(s"f.t$j").isNotNull, 1L).otherwise(0L).as("hit"))
-    }
-    folded.select(explode(array(stepRows: _*)).as("s"))
-      .groupBy(col("s.step_idx").as("step_idx"), col("s.step").as("step"))
-      .agg(sum(col("s.hit")).as("users"))
+    folded
   }
 
   /** Weekly cohort retention triangle: cohort = integer epoch-week of the

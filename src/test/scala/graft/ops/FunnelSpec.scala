@@ -98,6 +98,23 @@ class FunnelSpec extends SparkSpec {
     assert(got.filter(_._1 == "b").forall(!_._4))
   }
 
+  test("abFunnel: variants partition the plain funnel; assignment is deterministic") {
+    val steps = Seq("signup", "view", "purchase")
+    val ab = Funnel.abFunnel(events, "ts", "user_id", "event_type", steps, 500L)
+      .as[(String, Int, String, Long)].collect()
+    val plain = Funnel.funnelSteps(events, "ts", "user_id", "event_type", steps, 500L)
+      .as[(Int, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    // the two variants partition the user population per step
+    steps.indices.foreach { i =>
+      val sum = ab.filter(_._2 == i + 1).map(_._4).sum
+      assert(sum === plain(i + 1), s"step ${i + 1}: variant sum $sum != ${plain(i + 1)}")
+    }
+    // stable assignment: a second run lands every (variant, step) identically
+    val again = Funnel.abFunnel(events, "ts", "user_id", "event_type", steps, 500L)
+      .as[(String, Int, String, Long)].collect()
+    assert(ab.toSet === again.toSet)
+  }
+
   test("funnelSteps: per-user event cap keeps early funnels intact, truncates storms") {
     val storm = (1 to 50).map(i => (100L + i, ts(1000L + i), 7L, "view"))
     val e = (Seq(
