@@ -102,6 +102,37 @@ object Assemble {
       .drop("_key", "_b", "_v", "cum", "_start")
   }
 
+  /** Compaction plan for the small-files problem: given a shard MANIFEST
+    * (metadata rows — one per shard, never corpus-scale), shards at or
+    * above `targetTokens` pass through untouched (`compact = false`,
+    * `merge_group` = own shard id) and undersized shards are packed into
+    * merge groups by shard-id-ordered prefix sum:
+    * `merge_group = floor(prefix_before / target)`.
+    *
+    * Bin bound, stated honestly: every merge group totals strictly under
+    * `2·targetTokens` (members are each < target and a group spans one
+    * target-width prefix interval plus at most one straddling shard); a
+    * group can UNDERSHOOT the target when a large small-shard straddles
+    * its boundary — a second compaction pass over the merged output
+    * converges. The global window is over manifest rows (shard count —
+    * at 100 TB with 1 GB shards, ~10⁵ rows), not data, which is why this
+    * planner may use one where [[shardPlan]] must not. */
+  def compactionPlan(manifest: DataFrame, shardCol: String,
+                     tokensCol: String, targetTokens: Long): DataFrame = {
+    require(targetTokens >= 1, "targetTokens must be positive")
+    val full = manifest.filter(col(tokensCol) >= targetTokens)
+      .select(col(shardCol), col(tokensCol).as("shard_tokens"),
+        lit(false).as("compact"), col(shardCol).as("merge_group"))
+    val w = Window.orderBy(col(shardCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val small = manifest.filter(col(tokensCol) < targetTokens)
+      .withColumn("_pre", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .select(col(shardCol), col(tokensCol).as("shard_tokens"),
+        lit(true).as("compact"),
+        expr(s"_pre div ${targetTokens}L").as("merge_group"))
+    full.unionByName(small)
+  }
+
   /** Per-row checksum term for [[shardManifest]]: 60-bit content hash mod
     * [[ChecksumPrime]]. Compute it in the SAME projection that derives the
     * token count — one pass over the corpus text feeds both the shard plan

@@ -161,4 +161,27 @@ class AssembleSpec extends SparkSpec {
     assert(d(2L) == (("removed", -1L, -9L)))
     assert(d(3L) == (("added", 1L, 11L)))
   }
+
+  test("compactionPlan: full shards pass through, small shards pack under 2x target") {
+    // target 100: shards 0,1 full; 2..7 small with a boundary-straddler
+    val manifest = Seq(
+      (0L, 150L), (1L, 100L),
+      (2L, 40L), (3L, 40L), (4L, 40L), // group 0: 40+40+40 = 120 (straddles)
+      (5L, 90L),                       // pre 120 -> group 1
+      (6L, 30L), (7L, 10L)             // pre 210, 240 -> group 2
+    ).toDF("shard_id", "shard_tokens")
+    val got = Assemble.compactionPlan(manifest, "shard_id", "shard_tokens", 100L)
+      .as[(Long, Long, Boolean, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!got(0L)._3 && got(0L)._4 == 0L && !got(1L)._3 && got(1L)._4 == 1L,
+      "full shards untouched, merge_group = own id")
+    val groups = got.values.filter(_._3).groupBy(_._4)
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(groups == Map(0L -> 120L, 1L -> 90L, 2L -> 40L), s"got $groups")
+    // every merge group strictly under 2x target
+    assert(groups.values.forall(_ < 200L))
+    // deterministic: same input -> same plan
+    val again = Assemble.compactionPlan(manifest, "shard_id", "shard_tokens", 100L)
+      .as[(Long, Long, Boolean, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
 }
