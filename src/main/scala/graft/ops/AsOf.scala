@@ -28,14 +28,14 @@ object AsOf {
     * (e.g. `max_by`) — otherwise "the" as-of row is ambiguous. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String): DataFrame = {
-    val rightVals = right.columns.filterNot(keys.contains)
+    val rightVals = right.columns.toIndexedSeq.filterNot(keys.contains)
     val rStructType = StructType(rightVals.map(right.schema(_)))
     val lStructType = StructType(left.columns.map(left.schema(_)))
 
     val l = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("_ats"), lit(1).as("_side"),
-        struct(left.columns.map(col): _*).as("_lrow"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("_lrow"),
         lit(null).cast(rStructType).as("_rrow")): _*)
     // A NULL right timestamp can never be "at or before" anything (SQL
     // comparison semantics — the oracle's `l.ts >= r.ts` is never true for

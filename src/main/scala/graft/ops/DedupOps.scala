@@ -992,7 +992,7 @@ object DedupOps {
       .filter(length(col("tok")) > 0) // empty-norm docs emit no rows (matches oracle)
       .withColumn("h", hash60(col("tok")))
     val bitSums = (0 until 16).map { i =>
-      sum(when(shiftRight(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit_$i")
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit_$i")
     }
     exploded.groupBy(col(idCol))
       .agg(bitSums.head, bitSums.tail: _*)

@@ -42,7 +42,7 @@ object Windows {
       .add("batch", org.apache.spark.sql.types.IntegerType, nullable = false)
       .add("total_batches", org.apache.spark.sql.types.IntegerType, nullable = false)
     spark.createDataFrame(
-      ordered.rdd.zipWithIndex.map { case (r, i) =>
+      ordered.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i / n).toInt :+ total) },
       schema)
   }

@@ -60,7 +60,7 @@ final class DatasetWriter(spark: SparkSession, rootDir: String) {
   /** True iff the two manifests hold identical row sets — both are
     * shard-scale, compared distributed (symmetric anti-join). */
   private[sinks] def manifestsAgree(a: DataFrame, b: DataFrame): Boolean = {
-    val bb = b.select(a.columns.map(col): _*) // align column order
+    val bb = b.select(a.columns.toIndexedSeq.map(col): _*) // align column order
     a.exceptAll(bb).isEmpty && bb.exceptAll(a).isEmpty
   }
 
@@ -105,7 +105,7 @@ final class DatasetWriter(spark: SparkSession, rootDir: String) {
     readManifest().map { m =>
       val ids = m.select(col(ShardCol)).collect().map(_.getLong(0))
       val paths = ids.sorted.map(id => shardsRoot.resolve(s"$ShardCol=$id").toString)
-      spark.read.option("basePath", shardsRoot.toString).parquet(paths: _*)
+      spark.read.option("basePath", shardsRoot.toString).parquet(paths.toIndexedSeq: _*)
         .withColumn(ShardCol, col(ShardCol).cast("long"))
     }
 

@@ -169,7 +169,7 @@ final class ParquetStateStore(spark: SparkSession, rootDir: String) {
       .sortWithinPartitions("source_key", "data_hash")
     val withIdSchema = ordered.schema.add("id", org.apache.spark.sql.types.LongType, nullable = false)
     val fresh = spark.createDataFrame(
-        ordered.rdd.zipWithIndex.map { case (r, i) =>
+        ordered.rdd.zipWithIndex().map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (maxId + i + 1)) },
         withIdSchema)
       .withColumn("attempts", lit(0))

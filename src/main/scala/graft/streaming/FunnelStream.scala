@@ -70,7 +70,7 @@ object FunnelStream {
               // (clamped above the current watermark — setTimeoutTimestamp
               // rejects timestamps at/behind it)
               state.setTimeoutTimestamp(math.max(
-                state.getCurrentWatermarkMs + 60000L,
+                state.getCurrentWatermarkMs() + 60000L,
                 (t(0) + windowSeconds) * 1000L + 60000L))
             }
             if (after > before)
