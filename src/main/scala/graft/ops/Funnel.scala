@@ -44,18 +44,12 @@ object Funnel {
   def funnelSteps(events: DataFrame, tsCol: String, userCol: String,
                   typeCol: String, steps: Seq[String],
                   windowSeconds: Long,
-                  maxEventsPerUser: Option[Int] = None): DataFrame = {
-    val k = steps.size
-    val stepRows = (1 to k).map { j =>
-      struct(lit(j).as("step_idx"), lit(steps(j - 1)).as("step"),
-        when(col(s"f.t$j").isNotNull, 1L).otherwise(0L).as("hit"))
-    }
+                  maxEventsPerUser: Option[Int] = None): DataFrame =
     foldedStepTimes(events, tsCol, userCol, typeCol, steps, windowSeconds,
       maxEventsPerUser)
-      .select(explode(array(stepRows: _*)).as("s"))
+      .select(explode(stepHitRows(steps)).as("s"))
       .groupBy(col("s.step_idx").as("step_idx"), col("s.step").as("step"))
       .agg(sum(col("s.hit")).as("users"))
-  }
 
   /** A/B-experiment funnel: deterministic content-addressed variant
     * assignment (`Sampling.bucketOf` on the user key — stable across
@@ -67,21 +61,23 @@ object Funnel {
                typeCol: String, steps: Seq[String], windowSeconds: Long,
                treatPermille: Int = 500, salt: String = "ab",
                maxEventsPerUser: Option[Int] = None): DataFrame = {
-    val k = steps.size
     val variant = when(
       Sampling.bucketOf(col(userCol), salt) < treatPermille, "treatment")
       .otherwise("control")
-    val stepRows = (1 to k).map { j =>
-      struct(lit(j).as("step_idx"), lit(steps(j - 1)).as("step"),
-        when(col(s"f.t$j").isNotNull, 1L).otherwise(0L).as("hit"))
-    }
     foldedStepTimes(events, tsCol, userCol, typeCol, steps, windowSeconds,
       maxEventsPerUser)
-      .select(variant.as("variant"), explode(array(stepRows: _*)).as("s"))
+      .select(variant.as("variant"), explode(stepHitRows(steps)).as("s"))
       .groupBy(col("variant"), col("s.step_idx").as("step_idx"),
         col("s.step").as("step"))
       .agg(sum(col("s.hit")).as("users"))
   }
+
+  /** Per-step (step_idx, step, hit) rows read off the fold's `f` struct. */
+  private def stepHitRows(steps: Seq[String]): Column =
+    array(steps.indices.map { i =>
+      struct(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"),
+        when(col(s"f.t${i + 1}").isNotNull, 1L).otherwise(0L).as("hit"))
+    }: _*)
 
   /** The shared greedy fold: one row per user with the k nullable step
     * epochs as struct `f` (see [[funnelSteps]] for the semantics). */
@@ -104,8 +100,8 @@ object Funnel {
     val bounded = maxEventsPerUser match {
       case None => relevant
       case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(userCol)).orderBy(epochS(tsCol), col(typeCol))
+        val w = Window.partitionBy(col(userCol))
+          .orderBy(epochS(tsCol), col(typeCol))
         relevant.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= cap).drop("_rn")
     }
