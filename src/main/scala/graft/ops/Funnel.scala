@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
   * Scale shapes, deliberately:
   *  - [[funnelSteps]] is ONE shuffle on the user key: per-user events are
   *    collected sorted and folded greedily in a single `aggregate` HOF
-  *    pass (k conditions per event), instead of k chained step-joins that
-  *    would either re-shuffle or require checkpointing user-cardinality
-  *    intermediates per step. Per-user event counts bound the array, not
-  *    the corpus.
+  *    pass (k conditions per event). The alternative — k chained
+  *    step-joins with a checkpointed user-cardinality intermediate per
+  *    step — was MEASURED both orders at 1M and 10M events (ScaleSmoke):
+  *    the fold wins 2-2.5× at 1M, the join chain wins 1.2-1.6× at 10M
+  *    (the per-user collect+sort buffer outgrows the join chain's k
+  *    bounded checkpoints). Both shapes are sublinear; the fold ships as
+  *    the registered form because it is the single-shuffle,
+  *    oracle-cross-checked one and the crossover sits well above the
+  *    bench scale — revisit if production funnels run at 10M+ events per
+  *    cycle (see BENCHNOTES round-9).
   *  - [[retentionCohorts]] is two keyed aggregations (first-seen week per
   *    user, then distinct users per (cohort, offset)); both shuffles hash
   *    on keys whose cardinality collapses, and the output is a bounded
