@@ -17,6 +17,36 @@ class FunnelStreamSpec extends SparkSpec {
   private def ts(s: Long) = new Timestamp(s * 1000L)
   private val steps = Seq("signup", "view", "purchase")
 
+  test("funnel state survives a query restart from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    // the memory sink refuses checkpoint recovery, so this test writes to
+    // a durable parquet sink — the restart path a real deployment uses
+    val ckpt = java.nio.file.Files.createTempDirectory("funnel-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("funnel-out").toString
+    val input = MemoryStream[FunnelEvent]
+    def start() = advance(input.toDS(), steps, windowSeconds = 500L)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(FunnelEvent(5L, ts(100L), "signup"),
+        FunnelEvent(5L, ts(200L), "view"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: the purchase can only advance to
+    // step 3 if t1/t2 were restored from the state store
+    val q2 = start()
+    try {
+      input.addData(FunnelEvent(5L, ts(300L), "purchase"))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("userId", "stepReached", "t1", "tLast")
+        .as[(Long, Int, Long, Long)].collect().toSet
+      assert(got === Set((5L, 2, 100L, 200L), (5L, 3, 100L, 300L)),
+        s"state must survive the restart: $got")
+    } finally q2.stop()
+  }
+
   test("funnel state advances across batches and matches the batch fold in-order") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[FunnelEvent]
