@@ -44,6 +44,40 @@ class FunnelPropertySpec extends SparkSpec {
     steps.indices.map(j => stepTimes.count(ts => ts(j).isDefined).toLong)
   }
 
+  test("retention and transitions equal driver references on random event streams") {
+    val rnd = new Random(777)
+    (1 to 3).foreach { trial =>
+      val events = (1 to 1200).map { _ =>
+        (1L + rnd.nextInt(25), (rnd.nextInt(30) * 86400L + rnd.nextInt(86400)),
+          types(rnd.nextInt(types.size)))
+      }
+      val df = events.zipWithIndex.map { case ((u, t, y), i) =>
+        (i.toLong, new Timestamp(t * 1000L), u, y)
+      }.toDF("event_id", "ts", "user_id", "event_type")
+
+      // retention reference: cohort week = min week per user
+      val wk = events.map { case (u, t, y) => (u, t / 604800L) }
+      val cohort = wk.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val wantRet = wk.map { case (u, w) => (cohort(u), w - cohort(u), u) }
+        .distinct.groupBy(p => (p._1, p._2)).view.mapValues(_.size.toLong).toMap
+      val gotRet = Funnel.retentionCohorts(df, "ts", "user_id")
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(gotRet === wantRet, s"trial $trial retention")
+
+      // transitions reference: per user ordered by (t, event_id)
+      val ordered = events.zipWithIndex
+        .map { case ((u, t, y), i) => (u, t, i.toLong, y) }
+        .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3)).map(_._4))
+      val wantTr = ordered.values.flatMap(ys => ys.zip(ys.drop(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val gotTr = Funnel.transitionCounts(df, "ts", "user_id", "event_type", "event_id")
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(gotTr === wantTr, s"trial $trial transitions")
+    }
+  }
+
   test("funnel fold equals the chained-conditional-min reference on random event streams") {
     val rnd = new Random(1234)
     (1 to 5).foreach { trial =>
