@@ -34,6 +34,46 @@ object FunnelStream {
   final case class FunnelUpdate(userId: Long, stepReached: Int, t1: Long,
       tLast: Long)
 
+  final case class Transition(userId: Long, fromType: String, toType: String)
+  /** Per-user transition state: last event type + its epoch seconds. */
+  final case class LastEvent(y: String, es: Long)
+
+  /** Streaming counterpart of [[graft.ops.Funnel.transitionCounts]]: state
+    * is ONE (last event type, last epoch) pair per user — evicted by
+    * event-time timeout after `idleEvictSeconds` of user silence — and
+    * each arriving event emits its (from → to) transition row; the caller
+    * aggregates counts downstream (a windowed groupBy or the sink).
+    * Same prefix-greedy caveat as [[advance]]: in-order per user across
+    * batches ⇒ identical to the batch lead-window form. */
+  def transitions(events: Dataset[FunnelEvent],
+                  watermarkDelay: String = "10 minutes",
+                  idleEvictSeconds: Long = 86400L): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, it, state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var last = state.getOption
+            val out = Vector.newBuilder[Transition]
+            it.toVector.sortBy(e => (e.ts.getTime, e.eventType)).foreach { e =>
+              val es = e.ts.getTime / 1000
+              last.foreach(l => out += Transition(user, l.y, e.eventType))
+              last = Some(LastEvent(e.eventType, es))
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 60000L,
+                (l.es + idleEvictSeconds) * 1000L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   def advance(events: Dataset[FunnelEvent], steps: Seq[String],
               windowSeconds: Long,
               watermarkDelay: String = "10 minutes"): Dataset[FunnelUpdate] = {

@@ -17,6 +17,33 @@ class FunnelStreamSpec extends SparkSpec {
   private def ts(s: Long) = new Timestamp(s * 1000L)
   private val steps = Seq("signup", "view", "purchase")
 
+  test("streaming transitions across batches equal the batch lead-window counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val query = transitions(input.toDS()).writeStream
+      .format("memory").queryName("trans_stream").outputMode("append").start()
+    val b1 = Seq(
+      FunnelEvent(1L, ts(100L), "a"), FunnelEvent(1L, ts(200L), "b"),
+      FunnelEvent(2L, ts(100L), "a"))
+    val b2 = Seq( // u1's state (last=b) carries across the batch boundary
+      FunnelEvent(1L, ts(300L), "c"), FunnelEvent(2L, ts(400L), "a"))
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      val got = spark.sql("SELECT fromType, toType FROM trans_stream")
+        .as[(String, String)].collect()
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val all = (b1 ++ b2).map(e => (e.userId, e.ts, e.eventType))
+        .zipWithIndex.map { case ((u, t, y), i) => (i.toLong, t, u, y) }
+        .toDF("event_id", "ts", "user_id", "event_type")
+      val want = Funnel.transitionCounts(all, "ts", "user_id", "event_type", "event_id")
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === want, s"stream $got vs batch $want")
+      assert(got === Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("a", "a") -> 1L))
+    } finally query.stop()
+  }
+
   test("funnel state survives a query restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     // the memory sink refuses checkpoint recovery, so this test writes to
