@@ -1134,8 +1134,14 @@ object QueriesLlm {
     Q("ann_mean_pool",
       // Chunk→document mean pooling (8 chunks per doc via vec_id div 8):
       // exact integer per-dimension mean — see Similarity.meanPool for the
-      // bounded-state aggregation shape.
-      (s, d) => Similarity.meanPool(Tables.embeddings(s, d), expr("vec_id div 8")),
+      // bounded-state aggregation shape. The pooled vector is emitted as a
+      // comma-joined STRING, not an ARRAY: the driver's comparator
+      // pandas-sorts result cells, and list-typed cells are unhashable
+      // there (same information, sortable cell; RegisteredQueriesSpec
+      // lints the whole registry against array/struct outputs).
+      (s, d) => Similarity.meanPool(Tables.embeddings(s, d), expr("vec_id div 8"))
+        .withColumn("pooled",
+          concat_ws(",", expr("transform(pooled, x -> CAST(x AS STRING))"))),
       Some("""WITH quant AS (
         |  SELECT vec_id // 8 AS group_id,
         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
@@ -1144,7 +1150,7 @@ object QueriesLlm {
         |  SELECT group_id, i, CAST(sum(v[i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
         |  FROM quant, range(1, 65) t(i) GROUP BY group_id, i)
         |SELECT group_id, CAST(min(c) AS BIGINT) AS n_chunks,
-        |       list(s // c ORDER BY i) AS pooled
+        |       array_to_string(list(s // c ORDER BY i), ',') AS pooled
         |FROM per GROUP BY group_id""".stripMargin)),
 
     Q("ann_ivf_two_level",

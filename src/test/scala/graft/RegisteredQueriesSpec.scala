@@ -72,6 +72,27 @@ class RegisteredQueriesSpec extends SparkSpec {
     assert(drifted.isEmpty, drifted.mkString("\n"))
   }
 
+  test("no ARRAY/STRUCT/MAP output columns (driver comparator sorts cells with pandas)") {
+    // The driver's correctness gate pandas-sorts the result rows before
+    // hashing; a list-typed cell is an ndarray there and ndarrays are
+    // unhashable, so the gate CRASHES (r9: ann_mean_pool) — the query reads
+    // as red even when the values are right. Nested output must be
+    // serialized to a deterministic string (concat_ws / to_json on the
+    // Spark side, array_to_string / to_json in the DuckDB oracle).
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.allQueries.flatMap { q =>
+      val nested = q.run(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[StructType] ||
+          f.dataType.isInstanceOf[MapType] => s"${f.name}: ${f.dataType.simpleString}"
+      }
+      if (nested.isEmpty) None
+      else Some(s"${q.name}: ${nested.mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      "nested-typed output columns (driver gate would crash):\n" + offenders.mkString("\n"))
+  }
+
   /** Queries ALLOWED an unpartitioned window: control-table-only surfaces
     * whose inputs are bounded by construction (documented at their
     * definitions) — global pagination/orderings over the DLQ and file
