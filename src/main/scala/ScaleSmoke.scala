@@ -197,38 +197,24 @@ object ScaleSmoke {
           (pmod(xxhash64(col("id"), lit(1)), lit(5)) + 1).cast("int"))
           .as("event_type"))
       val funnelTypes = Seq("signup", "view", "click", "purchase")
-      def foldShape(): Unit = t(s"funnel fold ($evN events)")(
+      // Both dispatch paths of the LIBRARY entry point, forced via
+      // foldCap (Long.MaxValue = greedy fold, 0 = chained joins —
+      // Funnel.funnelSteps picks between them on a volume probe; the
+      // "auto" row below shows the dispatcher's own pick). The A/B runs
+      // both orders via SCALE_FUNNEL_ORDER.
+      def funnelSum(cap: Long): Long =
         Funnel.funnelSteps(ev, "ts", "user_id", "event_type",
-            funnelTypes, 604800L)
-          .agg(sum(col("users"))).collect()(0).getLong(0))
-      // The ALTERNATIVE the fold scaladoc rejects: k chained step-joins,
-      // each intermediate localCheckpointed (it feeds both the next stage
-      // and its own step count — round-4 rule (d) applies to this shape,
-      // which is exactly its cost). Same 4-row report, same oracle
-      // semantics; the A/B runs both orders via SCALE_FUNNEL_ORDER.
-      def joinShape(): Unit = t(s"funnel chained-joins ($evN events)") {
-        val ep = col("ts").cast("long")
-        val e = ev.filter(col("event_type").isin(funnelTypes: _*))
-          .select(col("user_id"), col("event_type"), ep.as("_t"))
-          .localCheckpoint()
-        var cur = e.filter(col("event_type") === funnelTypes.head)
-          .groupBy(col("user_id")).agg(min(col("_t")).as("t1"))
-          .withColumn("tp", col("t1")).localCheckpoint()
-        var users = cur.count()
-        funnelTypes.tail.foreach { st =>
-          cur = e.filter(col("event_type") === st)
-            .join(cur, Seq("user_id"))
-            .filter(col("_t") > col("tp") && col("_t") <= col("t1") + 604800L)
-            .groupBy(col("user_id"), col("t1"))
-            .agg(min(col("_t")).as("tp"))
-            .localCheckpoint()
-          users += cur.count()
-        }
-        users
-      }
+            funnelTypes, 604800L, foldCap = cap)
+          .agg(sum(col("users"))).collect()(0).getLong(0)
+      def foldShape(): Unit =
+        t(s"funnel fold ($evN events)")(funnelSum(Long.MaxValue))
+      def joinShape(): Unit =
+        t(s"funnel chained-joins ($evN events)")(funnelSum(0L))
       if (sys.env.get("SCALE_FUNNEL_ORDER").contains("joins_first")) {
         joinShape(); foldShape()
       } else { foldShape(); joinShape() }
+      t(s"funnel auto-dispatch ($evN events)")(
+        funnelSum(Funnel.foldEventsCap))
       t("retention cohorts")(
         Funnel.retentionCohorts(ev, "ts", "user_id")
           .agg(sum(col("users"))).collect()(0).getLong(0))

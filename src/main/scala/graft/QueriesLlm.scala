@@ -3054,10 +3054,26 @@ object QueriesLlm {
       }
       g1 +: rest
     }
-    val abBody = FunnelSteps.indices.map { i =>
-      s"SELECT variant, ${i + 1} AS step_idx, '${FunnelSteps(i)}' AS step, " +
-        s"CAST(count(*) AS BIGINT) AS users FROM g${i + 1} GROUP BY 1"
+    // The A/B report's shape is STATIC — both variant labels × all steps,
+    // zero-filled: a per-g_j `GROUP BY variant` alone would drop any
+    // (variant, step) with zero converters (a skewed corpus where one
+    // variant never reaches a step), diverging from the engine's
+    // universe-completed output. LEFT JOIN the counts onto the literal
+    // variant×step frame instead, mirroring Funnel.abFunnel.
+    val abUniverse =
+      s"""abu AS (
+        |  SELECT v.variant, s.step_idx, s.step
+        |  FROM (VALUES ('treatment'), ('control')) v(variant)
+        |  CROSS JOIN (VALUES ${FunnelSteps.indices
+          .map(i => s"(${i + 1}, '${FunnelSteps(i)}')").mkString(", ")}) s(step_idx, step))""".stripMargin
+    val abCounts = FunnelSteps.indices.map { i =>
+      s"SELECT variant, ${i + 1} AS step_idx, count(*) AS n FROM g${i + 1} GROUP BY 1"
     }.mkString("\nUNION ALL\n")
+    val abBody =
+      s"""SELECT abu.variant, abu.step_idx, abu.step,
+        |       CAST(coalesce(c.n, 0) AS BIGINT) AS users
+        |FROM abu LEFT JOIN (
+        |$abCounts) c USING (variant, step_idx)""".stripMargin
 
     Seq(
       Q("ev_funnel",
@@ -3068,7 +3084,7 @@ object QueriesLlm {
       Q("ev_ab_funnel",
         (s, d) => Funnel.abFunnel(Tables.events(s, d), "ts", "user_id",
           "event_type", FunnelSteps, FunnelWindowS),
-        Some(withCtes(abCtes: _*)(abBody))),
+        Some(withCtes(abCtes :+ abUniverse: _*)(abBody))),
 
       Q("ev_retention",
         (s, d) => Funnel.retentionCohorts(Tables.events(s, d), "ts", "user_id"),

@@ -10,18 +10,26 @@ import org.apache.spark.sql.functions._
   * (which documents got sampled, which users converted, how sessions flow).
   *
   * Scale shapes, deliberately:
-  *  - [[funnelSteps]] is ONE shuffle on the user key: per-user events are
+  *  - [[funnelSteps]] / [[abFunnel]] DISPATCH on the funnel-relevant event
+  *    volume (stats pre-filter + LIMIT-bounded probe, the
+  *    `Similarity.fitsSmallCorpus` pattern): under [[foldEventsCap]]
+  *    events they run as ONE shuffle on the user key — per-user events
   *    collected sorted and folded greedily in a single `aggregate` HOF
-  *    pass (k conditions per event). The alternative — k chained
-  *    step-joins with a checkpointed user-cardinality intermediate per
-  *    step — was MEASURED both orders at 1M and 10M events (ScaleSmoke):
-  *    the fold wins 2-2.5× at 1M, the join chain wins 1.2-1.6× at 10M
-  *    (the per-user collect+sort buffer outgrows the join chain's k
-  *    bounded checkpoints). Both shapes are sublinear; the fold ships as
-  *    the registered form because it is the single-shuffle,
-  *    oracle-cross-checked one and the crossover sits well above the
-  *    bench scale — revisit if production funnels run at 10M+ events per
-  *    cycle (see BENCHNOTES round-9).
+  *    pass (k conditions per event); above it they run the chained
+  *    conditional-min join formulation (k step-joins over checkpointed
+  *    user-cardinality intermediates). Both shapes were MEASURED both
+  *    orders at 1M and 10M events (ScaleSmoke/BENCHNOTES round-9): the
+  *    fold wins 2-2.5× at 1M, the join chain wins 1.2-1.6× at 10M (the
+  *    per-user collect+sort buffer outgrows the join chain's k bounded
+  *    checkpoints), so the dispatcher picks each shape on its winning
+  *    side of the crossover. The two paths are provably equivalent (the
+  *    first qualifying event in ascending time order IS the conditional
+  *    min) and spec-pinned output-identical (FunnelSpec).
+  *    Both report the FULL step universe: a step no user reached is a
+  *    `users = 0` row, never an absent row (and the A/B flavor reports
+  *    both variants × all steps) — the DuckDB oracle's chained CTEs emit
+  *    the same zero rows, so the engines agree even on corpora with zero
+  *    funnel-relevant events.
   *  - [[retentionCohorts]] is two keyed aggregations (first-seen week per
   *    user, then distinct users per (cohort, offset)); both shuffles hash
   *    on keys whose cardinality collapses, and the output is a bounded
@@ -37,45 +45,154 @@ object Funnel {
 
   private def epochS(tsCol: String): Column = col(tsCol).cast("long")
 
+  /** Funnel-relevant events the greedy-fold path may process before the
+    * dispatcher switches to the chained-join path. Measured crossover
+    * (ScaleSmoke, both orders): fold wins 2-2.5× at 1M events, join chain
+    * wins 1.2-1.6× at 10M — the default sits between them. Override via
+    * SPARK_GRAFT_FUNNEL_FOLD_CAP; 0 forces the join chain,
+    * Long.MaxValue forces the fold (specs pin both). */
+  val foldEventsCap: Long =
+    sys.env.get("SPARK_GRAFT_FUNNEL_FOLD_CAP").map(_.toLong)
+      .getOrElse(3000000L)
+
+  /** Stats pre-filter for the fold probe: a relevant slice whose optimizer
+    * size estimate exceeds this never probes — at 100 TB the chained-path
+    * decision is free (no job), and under it the probe's LIMIT-bounded
+    * count reads at most cap+1 rows, never the corpus. */
+  private val foldBytesCap = BigInt(512L << 20)
+
+  /** True when `relevant` verifiably holds ≤ `cap` rows (the
+    * `Similarity.fitsSmallCorpus` / `decontaminate` dispatch pattern). */
+  def fitsFold(relevant: DataFrame, cap: Long = foldEventsCap): Boolean =
+    cap > 0 && (cap == Long.MaxValue ||
+      (relevant.queryExecution.optimizedPlan.stats.sizeInBytes <= foldBytesCap &&
+        relevant.limit(math.min(cap, Int.MaxValue - 1L).toInt + 1).count() <= cap))
+
   /** Greedy sequential funnel: for each user, t1 = earliest `steps(0)`
     * event; t_{j+1} = earliest `steps(j)` event strictly after t_j and
-    * within `windowSeconds` of t1. Returns one row per step:
-    * (step_idx, step, users) with users = count reaching that step.
+    * within `windowSeconds` of t1. Returns EXACTLY one row per step —
+    * (step_idx, step, users) with users = count reaching that step, 0 for
+    * steps nobody reached (the report's shape is the funnel definition,
+    * never the data).
     *
-    * The greedy fold over time-sorted events is equivalent to the chained
-    * conditional-min formulation (the first qualifying event in ascending
-    * time order IS the min) — the DuckDB oracle uses the chained form, so
-    * the two engines cross-check each other's strategy.
+    * Strategy is volume-dispatched (see the object scaladoc): the greedy
+    * fold under [[foldEventsCap]] relevant events, the chained
+    * conditional-min join formulation above it. The DuckDB oracle always
+    * uses the chained form, so on the fold side the two engines
+    * cross-check each other's strategy.
     */
   def funnelSteps(events: DataFrame, tsCol: String, userCol: String,
                   typeCol: String, steps: Seq[String],
                   windowSeconds: Long,
-                  maxEventsPerUser: Option[Int] = None): DataFrame =
-    foldedStepTimes(events, tsCol, userCol, typeCol, steps, windowSeconds,
+                  maxEventsPerUser: Option[Int] = None,
+                  foldCap: Long = foldEventsCap): DataFrame = {
+    val rel = boundedRelevant(events, tsCol, userCol, typeCol, steps,
       maxEventsPerUser)
-      .select(explode(stepHitRows(steps)).as("s"))
-      .groupBy(col("s.step_idx").as("step_idx"), col("s.step").as("step"))
-      .agg(sum(col("s.hit")).as("users"))
+    val counts =
+      if (fitsFold(rel, foldCap))
+        foldedStepTimes(rel, tsCol, userCol, typeCol, steps, windowSeconds)
+          .select(explode(stepHitRows(steps)).as("s"))
+          .groupBy(col("s.step_idx").as("step_idx"), col("s.step").as("step"))
+          .agg(sum(col("s.hit")).as("users"))
+      else
+        chainedStepCounts(
+          rel.select(col(userCol).as("_u"), lit("all").as("_v"),
+            col(typeCol).as("_y"), epochS(tsCol).as("_t")),
+          steps, windowSeconds).drop("_v")
+    stepUniverse(events, steps)
+      .join(counts, Seq("step_idx", "step"), "left")
+      .select(col("step_idx"), col("step"),
+        coalesce(col("users"), lit(0L)).as("users"))
+  }
 
   /** A/B-experiment funnel: deterministic content-addressed variant
     * assignment (`Sampling.bucketOf` on the user key — stable across
     * runs, engines and data growth, like every split in [[Sampling]])
-    * followed by the same greedy fold, reported per (variant, step). The
-    * variant is a pure function of the user key, so it rides the fold's
-    * one user-keyed shuffle for free — no extra join, no second pass. */
+    * followed by the same volume-dispatched funnel, reported per
+    * (variant, step). On the fold path the variant is a pure function of
+    * the user key, so it rides the fold's one user-keyed shuffle for
+    * free — no extra join, no second pass. The report always covers BOTH
+    * variant labels × all steps (zeros where nobody converted), so a
+    * variant with no users is visible as zeros, not absent. */
   def abFunnel(events: DataFrame, tsCol: String, userCol: String,
                typeCol: String, steps: Seq[String], windowSeconds: Long,
                treatPermille: Int = 500, salt: String = "ab",
-               maxEventsPerUser: Option[Int] = None): DataFrame = {
+               maxEventsPerUser: Option[Int] = None,
+               foldCap: Long = foldEventsCap): DataFrame = {
     val variant = when(
       Sampling.bucketOf(col(userCol), salt) < treatPermille, "treatment")
       .otherwise("control")
-    foldedStepTimes(events, tsCol, userCol, typeCol, steps, windowSeconds,
+    val rel = boundedRelevant(events, tsCol, userCol, typeCol, steps,
       maxEventsPerUser)
-      .select(variant.as("variant"), explode(stepHitRows(steps)).as("s"))
-      .groupBy(col("variant"), col("s.step_idx").as("step_idx"),
-        col("s.step").as("step"))
-      .agg(sum(col("s.hit")).as("users"))
+    val counts =
+      if (fitsFold(rel, foldCap))
+        foldedStepTimes(rel, tsCol, userCol, typeCol, steps, windowSeconds)
+          .select(variant.as("variant"), explode(stepHitRows(steps)).as("s"))
+          .groupBy(col("variant"), col("s.step_idx").as("step_idx"),
+            col("s.step").as("step"))
+          .agg(sum(col("s.hit")).as("users"))
+      else
+        chainedStepCounts(
+          rel.select(col(userCol).as("_u"), variant.as("_v"),
+            col(typeCol).as("_y"), epochS(tsCol).as("_t")),
+          steps, windowSeconds).withColumnRenamed("_v", "variant")
+    variantStepUniverse(events, steps)
+      .join(counts, Seq("variant", "step_idx", "step"), "left")
+      .select(col("variant"), col("step_idx"), col("step"),
+        coalesce(col("users"), lit(0L)).as("users"))
+  }
+
+  /** The k-row literal step frame: (step_idx, step) for every step. */
+  private def stepUniverse(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val session = events.sparkSession
+    import session.implicits._
+    steps.zipWithIndex.map { case (s, i) => (i + 1, s) }
+      .toDF("step_idx", "step")
+  }
+
+  /** Both variant labels × all steps — the A/B report's static shape. */
+  private def variantStepUniverse(events: DataFrame,
+                                  steps: Seq[String]): DataFrame = {
+    val session = events.sparkSession
+    import session.implicits._
+    (for {
+      v <- Seq("treatment", "control")
+      (s, i) <- steps.zipWithIndex
+    } yield (v, i + 1, s)).toDF("variant", "step_idx", "step")
+  }
+
+  /** The chained conditional-min formulation: t1 = min step-1 time per
+    * (user, variant); t_j = min step-j time strictly after t_{j-1} and
+    * within the window of t1, via one step-filtered join per level. Each
+    * intermediate is user-cardinality (not event-cardinality) and
+    * localCheckpointed because it feeds BOTH the next level's join and
+    * its own step count (round-4 rule d). `prepared` must carry
+    * (_u, _v, _y, _t); output is one row per (_v, step) with the count of
+    * users whose funnel reached it (variants absent from the data emit
+    * nothing — the public entry points complete the universe). */
+  private def chainedStepCounts(prepared: DataFrame, steps: Seq[String],
+                                windowSeconds: Long): DataFrame = {
+    val e = prepared.localCheckpoint() // feeds k step-filtered joins
+    var cur = e.filter(col("_y") === steps.head)
+      .groupBy(col("_u"), col("_v")).agg(min(col("_t")).as("t1"))
+      .withColumn("tp", col("t1"))
+      .localCheckpoint()
+    def stepCount(i: Int): DataFrame =
+      cur.groupBy(col("_v")).agg(count(lit(1)).as("users"))
+        .select(col("_v"), lit(i + 1).as("step_idx"),
+          lit(steps(i)).as("step"), col("users"))
+    val counts = scala.collection.mutable.ArrayBuffer(stepCount(0))
+    steps.indices.tail.foreach { i =>
+      cur = e.filter(col("_y") === steps(i)).select(col("_u"), col("_t"))
+        .join(cur, Seq("_u"))
+        .filter(col("_t") > col("tp") &&
+          col("_t") <= col("t1") + windowSeconds)
+        .groupBy(col("_u"), col("_v"), col("t1"))
+        .agg(min(col("_t")).as("tp"))
+        .localCheckpoint()
+      counts += stepCount(i)
+    }
+    counts.reduce(_ unionByName _)
   }
 
   /** Per-step (step_idx, step, hit) rows read off the fold's `f` struct. */
@@ -85,25 +202,24 @@ object Funnel {
         when(col(s"f.t${i + 1}").isNotNull, 1L).otherwise(0L).as("hit"))
     }: _*)
 
-  /** The shared greedy fold: one row per user with the k nullable step
-    * epochs as struct `f` (see [[funnelSteps]] for the semantics). */
-  private def foldedStepTimes(events: DataFrame, tsCol: String,
+  /** The funnel-relevant slice both strategies consume: events filtered
+    * to the step types, optionally truncated to each user's EARLIEST
+    * `cap` relevant events — the abusive-key guard (the LSH maxBucket
+    * analog): a bot with 10^8 funnel-type events would otherwise
+    * materialize them all in one fold buffer. Ordering is (ts, type) —
+    * the same ordering the fold consumes — so since the greedy fold is
+    * prefix-driven, any user whose true funnel completes within the cap
+    * is unaffected. The cap costs one user-keyed window pass (on the
+    * fold path it reuses the groupBy's partitioning); both dispatch
+    * paths apply the SAME truncation so their outputs stay identical. */
+  private def boundedRelevant(events: DataFrame, tsCol: String,
                               userCol: String, typeCol: String,
-                              steps: Seq[String], windowSeconds: Long,
+                              steps: Seq[String],
                               maxEventsPerUser: Option[Int]): DataFrame = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       "funnel steps must be non-empty and distinct")
-    val k = steps.size
-    // Abusive-key guard (the LSH maxBucket analog): a bot with 10^8
-    // funnel-type events would otherwise materialize them all in one
-    // user's aggregation buffer. When capped, only each user's EARLIEST
-    // `cap` funnel-relevant events (by ts, then tie-break on the type —
-    // same ordering the fold consumes) are folded; since the greedy fold
-    // is prefix-driven, any user whose true funnel completes within the
-    // cap is unaffected. One extra user-keyed window pass, reusing the
-    // groupBy's partitioning.
     val relevant = events.filter(col(typeCol).isin(steps: _*))
-    val bounded = maxEventsPerUser match {
+    maxEventsPerUser match {
       case None => relevant
       case Some(cap) =>
         val w = Window.partitionBy(col(userCol))
@@ -111,9 +227,19 @@ object Funnel {
         relevant.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= cap).drop("_rn")
     }
+  }
+
+  /** The shared greedy fold: one row per user with the k nullable step
+    * epochs as struct `f` (see [[funnelSteps]] for the semantics).
+    * `relevant` must already be the [[boundedRelevant]] slice. */
+  private def foldedStepTimes(relevant: DataFrame, tsCol: String,
+                              userCol: String, typeCol: String,
+                              steps: Seq[String],
+                              windowSeconds: Long): DataFrame = {
+    val k = steps.size
     // One corpus pass: only funnel-relevant events survive the pushed
     // filter; ONE shuffle on the user key builds the sorted per-user list.
-    val perUser = bounded
+    val perUser = relevant
       .groupBy(col(userCol))
       .agg(array_sort(collect_list(
         struct(epochS(tsCol).as("t"), col(typeCol).as("y")))).as("evs"))

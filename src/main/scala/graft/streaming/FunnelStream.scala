@@ -81,7 +81,15 @@ object FunnelStream {
     require(steps.nonEmpty && steps.distinct.size == steps.size)
     val k = steps.size
     val stepIdx = steps.zipWithIndex.toMap
-    events.withWatermark("ts", watermarkDelay)
+    // Only funnel-step events reach the stateful operator: on a real
+    // stream the majority of events are other types, and each would
+    // otherwise be shuffled per user, deserialize state and rewrite
+    // state+timeout every batch without ever changing the funnel. A
+    // Column filter (not a typed lambda) so it pushes to the source scan.
+    // Semantics are unchanged — stepIdx.get ignores them anyway.
+    events.filter(org.apache.spark.sql.functions.col("eventType")
+        .isin(steps: _*))
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.userId)
       .flatMapGroupsWithState[FunnelState, FunnelUpdate](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

@@ -100,6 +100,14 @@ class FunnelPropertySpec extends SparkSpec {
       val want = referenceCounts(events, windowS)
       assert(got === want,
         s"trial $trial (users=$nUsers window=$windowS): fold $got vs reference $want")
+      // BOTH dispatch paths must hit the reference: foldCap = 0 forces the
+      // chained conditional-min join path the dispatcher picks at 10M+
+      // events — this is the path-equality pin for the volume dispatch.
+      val chained = Funnel.funnelSteps(df, "ts", "user_id", "event_type",
+          steps, windowS, foldCap = 0L)
+        .orderBy(col("step_idx")).as[(Int, String, Long)].collect().map(_._3).toSeq
+      assert(chained === want,
+        s"trial $trial (users=$nUsers window=$windowS): chained $chained vs reference $want")
     }
   }
 }

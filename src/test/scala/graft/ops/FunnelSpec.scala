@@ -115,6 +115,74 @@ class FunnelSpec extends SparkSpec {
     assert(ab.toSet === again.toSet)
   }
 
+  test("funnelSteps/abFunnel: full step universe even with zero relevant events") {
+    val steps = Seq("signup", "view", "purchase")
+    val noise = Seq((1L, ts(100L), 1L, "error"), (2L, ts(200L), 2L, "scroll"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    // the report's shape is the funnel definition, never the data: a
+    // corpus with zero funnel-relevant events still yields one zero row
+    // per step (and per variant × step) — exactly what the oracle's
+    // chained CTEs emit, so the engines agree on the degenerate corpus
+    val plain = Funnel.funnelSteps(noise, "ts", "user_id", "event_type", steps, 500L)
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(plain === steps.indices.map(i => (i + 1, steps(i), 0L)))
+    val ab = Funnel.abFunnel(noise, "ts", "user_id", "event_type", steps, 500L)
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(ab === (for {
+      v <- Set("treatment", "control"); i <- steps.indices
+    } yield (v, i + 1, steps(i), 0L)))
+    // one variant converting while the other has zero relevant users
+    // still reports BOTH variants at every step (the ADVICE divergence)
+    val one = Seq((1L, ts(100L), 1L, "signup")).toDF("event_id", "ts", "user_id", "event_type")
+    val abOne = Funnel.abFunnel(one, "ts", "user_id", "event_type", steps, 500L)
+      .as[(String, Int, String, Long)].collect()
+    assert(abOne.length === 6 && abOne.map(_._4).sum === 1L)
+  }
+
+  test("funnelSteps/abFunnel: both dispatch paths are output-identical; the probe picks the fold on small data") {
+    val steps = Seq("signup", "view", "purchase")
+    val fold = Funnel.funnelSteps(events, "ts", "user_id", "event_type",
+        steps, 500L, foldCap = Long.MaxValue)
+      .as[(Int, String, Long)].collect().toSet
+    val chained = Funnel.funnelSteps(events, "ts", "user_id", "event_type",
+        steps, 500L, foldCap = 0L)
+      .as[(Int, String, Long)].collect().toSet
+    assert(fold === chained)
+    val abFold = Funnel.abFunnel(events, "ts", "user_id", "event_type",
+        steps, 500L, foldCap = Long.MaxValue)
+      .as[(String, Int, String, Long)].collect().toSet
+    val abChained = Funnel.abFunnel(events, "ts", "user_id", "event_type",
+        steps, 500L, foldCap = 0L)
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(abFold === abChained)
+    // strategy pin: the chained path's checkpoints surface as LogicalRDD
+    // leaves; the fold path (which the default cap must pick on a tiny
+    // corpus) has none — so the dispatcher's choice is observable
+    import org.apache.spark.sql.execution.LogicalRDD
+    def checkpoints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case l: LogicalRDD => l }.size
+    assert(checkpoints(Funnel.funnelSteps(events, "ts", "user_id",
+      "event_type", steps, 500L)) === 0, "default cap must pick the fold here")
+    assert(checkpoints(Funnel.funnelSteps(events, "ts", "user_id",
+      "event_type", steps, 500L, foldCap = 0L)) > 0)
+  }
+
+  test("funnelSteps: chained path honors the per-user event cap identically") {
+    val storm = (1 to 50).map(i => (100L + i, ts(1000L + i), 7L, "view"))
+    val e = (Seq(
+      (1L, ts(100L), 7L, "signup"), (2L, ts(200L), 7L, "view"),
+      (3L, ts(300L), 7L, "purchase")) ++ storm)
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val steps = Seq("signup", "view", "purchase")
+    val foldCapped = Funnel.funnelSteps(e, "ts", "user_id", "event_type",
+        steps, 2000L, maxEventsPerUser = Some(10), foldCap = Long.MaxValue)
+      .as[(Int, String, Long)].collect().toSet
+    val chainCapped = Funnel.funnelSteps(e, "ts", "user_id", "event_type",
+        steps, 2000L, maxEventsPerUser = Some(10), foldCap = 0L)
+      .as[(Int, String, Long)].collect().toSet
+    assert(foldCapped === chainCapped)
+  }
+
   test("funnelSteps: per-user event cap keeps early funnels intact, truncates storms") {
     val storm = (1 to 50).map(i => (100L + i, ts(1000L + i), 7L, "view"))
     val e = (Seq(
