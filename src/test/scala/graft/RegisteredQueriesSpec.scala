@@ -134,7 +134,13 @@ class RegisteredQueriesSpec extends SparkSpec {
     // input + join input) — the "recompute" is a local scan, never a
     // shuffle, and materializing each branch would copy occurrence-scale
     // data (DedupOps.sourceDupRollup).
-    "llm_source_dup")
+    "llm_source_dup",
+    // cell-skew guard salt join: both self-join sides re-apply the same
+    // MAP-ONLY broadcast join (checkpointed assignment leaf × tiny
+    // checkpointed cell-size rollup) to compute the sub-cell salt — a
+    // local scan per side, cheaper than materializing a second
+    // corpus-scale salted copy (Similarity.semanticDedup).
+    "dedup_semantic")
 
   test("plan lint v2: no duplicated expensive subtrees (shared work must be checkpointed)") {
     import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}

@@ -62,6 +62,48 @@ class SemanticDedupSpec extends SparkSpec {
       "a vector dropped at minCos=0.6 must also drop at 0.2")
   }
 
+  test("cell-skew guard: idle on balanced cells (bit-identical to unguarded), bounded on a collapsed cell") {
+    import spark.implicits._
+    // balanced corpus: the default cap must change nothing vs guard-off
+    val guarded = Similarity.semanticDedup(emb, minCos = 0.2, numCells = 16)
+      .collect().map(_.toSeq).toSet
+    val unguarded = Similarity.semanticDedup(emb, minCos = 0.2, numCells = 16,
+      maxCellSize = Long.MaxValue).collect().map(_.toSeq).toSet
+    assert(guarded === unguarded, "guard engaged on balanced cells")
+
+    // deliberately collapsed cell: 96 identical vectors + 4 distinct seeds
+    // (seeds are the first-4 centroid rows). The duplicates all assign to
+    // cell 3 (their largest coordinate is index 3 among the seeds), which
+    // also holds seed 3 itself → a 97-member degenerate cell, 97² pair
+    // work unguarded. With cap=8 it salts into ceil(97/8)=13 sub-cells;
+    // per salt group exactly one duplicate survives (identical vectors
+    // tie on c_milli, lowest id wins; seed 3 is below the cos threshold
+    // against them so it pairs with nothing).
+    val dim = 64
+    val base = Array.tabulate(dim)(i => 0.001f * ((i % 7) + 1))
+    val collapsed = ((0 until 4).map(c =>
+      (c.toLong, Array.tabulate(dim)(i => if (i == c) 1.0f else -1.0f))) ++
+      (100 until 196).map(id => (id.toLong, base)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(collapsed, minCos = 0.95,
+        numCells = 4, maxCellSize = 8)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(out.size === 100, "every vector must appear exactly once")
+    // survivors of the duplicate clique = one per sub-cell salt group
+    val salts = collapsed.filter(col("vec_id") >= 100)
+      .select(pmod(xxhash64(col("vec_id")), lit(13L)).as("s"))
+      .as[Long].collect()
+    val expectedSurvivors = salts.distinct.length
+    val keptDups = (100 until 196).count(id => !out(id.toLong))
+    assert(keptDups === expectedSurvivors,
+      s"expected one survivor per salt group ($expectedSurvivors), got $keptDups")
+    // determinism: a second run is identical
+    val again = Similarity.semanticDedup(collapsed, minCos = 0.95,
+        numCells = 4, maxCellSize = 8)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(again === out)
+  }
+
   test("plan: corpus-scale stages are aggregates/joins, never a corpus-wide window") {
     val plan = Similarity.semanticDedup(emb, minCos = 0.2, numCells = 16)
       .queryExecution.executedPlan.toString
