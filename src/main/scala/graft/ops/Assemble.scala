@@ -107,7 +107,15 @@ object Assemble {
     * above `targetTokens` pass through untouched (`compact = false`,
     * `merge_group` = own shard id) and undersized shards are packed into
     * merge groups by shard-id-ordered prefix sum:
-    * `merge_group = floor(prefix_before / target)`.
+    * `merge_group = −(floor(prefix_before / target) + 1)`.
+    *
+    * Packed group ids are NEGATIVE so the two id spaces are disjoint:
+    * shard ids (and hence pass-through group ids) are the non-negative
+    * `_start div target` values from [[shardPlan]], so without the
+    * negation the first packed group (0) would collide with the
+    * pass-through group of shard 0 and a consumer grouping on
+    * `merge_group` alone would merge unrelated shards. With it,
+    * `merge_group` alone is a safe grouping key.
     *
     * Bin bound, stated honestly: every merge group totals strictly under
     * `2·targetTokens` (members are each < target and a group spans one
@@ -129,7 +137,7 @@ object Assemble {
       .withColumn("_pre", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
       .select(col(shardCol), col(tokensCol).as("shard_tokens"),
         lit(true).as("compact"),
-        expr(s"_pre div ${targetTokens}L").as("merge_group"))
+        (-(expr(s"_pre div ${targetTokens}L") + 1L)).as("merge_group"))
     full.unionByName(small)
   }
 

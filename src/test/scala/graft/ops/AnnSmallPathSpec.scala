@@ -80,6 +80,25 @@ class AnnSmallPathSpec extends SparkSpec {
     assert(rows(small) == rows(large))
   }
 
+  test("mmrSelect: missing probe rejects clearly; fewer than k candidates returns the partial selection") {
+    // absent probe id must be a clear contract error on BOTH paths, not a
+    // NoSuchElementException from a driver-side .get/.head()
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(emb, "vec_id", "embedding", probeId = -99L, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(emb, "vec_id", "embedding", probeId = -99L, k = 3,
+        smallCap = 0)
+    }
+    // 4 candidates, k=10: the greedy loop must terminate with 4 ranks on
+    // both paths (previously maxBy/getStruct on empty data hung or threw)
+    val tiny = emb.filter(col("vec_id") < 5)
+    val small = Similarity.mmrSelect(tiny, "vec_id", "embedding", probeId = 0L, k = 10)
+    val large = Similarity.mmrSelect(tiny, "vec_id", "embedding", probeId = 0L, k = 10,
+      smallCap = 0)
+    assert(small.count() === 4L && rows(small) == rows(large))
+  }
+
   test("ANN top-k is the bounded topk_pairs aggregate, not a rank window") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec

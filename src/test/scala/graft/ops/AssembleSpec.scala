@@ -176,7 +176,14 @@ class AssembleSpec extends SparkSpec {
       "full shards untouched, merge_group = own id")
     val groups = got.values.filter(_._3).groupBy(_._4)
       .view.mapValues(_.map(_._2).sum).toMap
-    assert(groups == Map(0L -> 120L, 1L -> 90L, 2L -> 40L), s"got $groups")
+    // packed group ids are negative — disjoint from pass-through ids, so
+    // merge_group alone is a safe grouping key (shard 0's pass-through
+    // group 0 must never collide with the first packed group)
+    assert(groups == Map(-1L -> 120L, -2L -> 90L, -3L -> 40L), s"got $groups")
+    val allGroups = got.values.map(g => (g._3, g._4)).toSeq
+    assert(allGroups.filter(_._1).map(_._2).toSet
+      .intersect(allGroups.filterNot(_._1).map(_._2).toSet).isEmpty,
+      "packed and pass-through merge_group id spaces must be disjoint")
     // every merge group strictly under 2x target
     assert(groups.values.forall(_ < 200L))
     // deterministic: same input -> same plan
