@@ -482,6 +482,26 @@ object QueriesCore {
           |         id, ${tsSecSql("\"timestamp\"")} AS ts
           |  FROM dlq) WHERE rn > 25 AND rn <= 50""".stripMargin))),
 
+    Q("w1_pagination_keyset",
+      // Keyset ("seek") twin of w1_pagination — the data-scale shape: the
+      // cursor is page 0's last row (a bounded 25-row TakeOrdered
+      // collect), then Dlq.pageAfter seeks past it with a pushed-down
+      // predicate + TakeOrderedAndProject instead of a global row_number
+      // window. The oracle keeps the window formulation, so the two
+      // strategies cross-check each other (same page-2 rows).
+      (s, d) => {
+        val t = dlq(s, d)
+        val cur = Dlq.pageAfter(t, 25).select(col("timestamp"), col("id"))
+          .collect().lastOption.map(r => (r.getTimestamp(0), r.getLong(1)))
+        Dlq.pageAfter(t, 25, cur)
+          .select(col("id"), tsSec(col("timestamp")).as("ts"))
+      },
+      Some(withCtes(OracleCtes.deadLetters)(
+        s"""SELECT id, ts FROM (
+          |  SELECT row_number() OVER (ORDER BY "timestamp" DESC, id DESC) AS rn,
+          |         id, ${tsSecSql("\"timestamp\"")} AS ts
+          |  FROM dlq) WHERE rn > 25 AND rn <= 50""".stripMargin))),
+
     Q("f13_threshold_status",
       (s, d) => dlq(s, d).groupBy(col("environment_name"))
         .agg(count(lit(1)).as("total"))

@@ -106,6 +106,27 @@ object Dlq {
       .filter(col("rn") > pageIndex * pageSize && col("rn") <= (pageIndex + 1) * pageSize)
   }
 
+  /** W1 at data scale — keyset ("seek") pagination: the next `pageSize`
+    * rows strictly AFTER `cursor` in newest-first (timestamp, id) order;
+    * `cursor` = the last row of the previous page, `None` = first page.
+    * Page-identical to [[page]] on a fixed snapshot (spec-pinned), but
+    * with no global row_number window: the cursor predicate pushes to
+    * the scan and Spark plans the orderBy+limit as TakeOrderedAndProject
+    * (each partition keeps ≤ pageSize rows, the driver merges the
+    * partials) — so this stays flat while a DLQ grows unbounded under
+    * sustained sink failure, where [[page]]'s single-partition window
+    * sort would become the one hot task. */
+  def pageAfter(dlq: DataFrame, pageSize: Int,
+                cursor: Option[(java.sql.Timestamp, Long)] = None): DataFrame = {
+    val after = cursor.fold(lit(true)) { case (cts, cid) =>
+      col("timestamp") < lit(cts) ||
+        (col("timestamp") === lit(cts) && col("id") < cid)
+    }
+    dlq.filter(after)
+      .orderBy(col("timestamp").desc, col("id").desc)
+      .limit(pageSize)
+  }
+
   /** Retention purge — drop rows older than the cutoff.
     * Ref: DeadLetterService.cs:146-161. */
   def purgeExpired(dlq: DataFrame, now: Column, retentionDays: Int = 60): DataFrame =

@@ -48,6 +48,34 @@ class DlqQuerySpec extends SparkSpec {
     assert(first.toSeq == Seq(1L, 2L)) // newest timestamps first
   }
 
+  test("W1 keyset: pageAfter walks the same pages as the window path, flat plan") {
+    // richer snapshot with a duplicate timestamp to exercise the id
+    // tie-break across a page boundary
+    val snap = (dlq.as[(Long, String, String, String, Timestamp)].collect().toSeq ++ Seq(
+      (5L, "obj_d", "x", "db0", ts("2024-01-14 10:00:00")), // ties with id 2
+      (6L, "obj_e", "y", "db2", ts("2024-01-12 00:00:00"))
+    )).toDF("id", "tracking_object_name", "error_message", "database_name", "timestamp")
+    val pageSize = 2
+    // walk keyset pages, feeding each page's last row in as the cursor
+    var cursor: Option[(Timestamp, Long)] = None
+    val keyset = Iterator.continually {
+      val p = Dlq.pageAfter(snap, pageSize, cursor)
+        .select("timestamp", "id").as[(Timestamp, Long)].collect()
+      cursor = p.lastOption.map { case (t, i) => (t, i) }
+      p.map(_._2).toSeq
+    }.takeWhile(_.nonEmpty).toVector
+    val windowed = (0 to 3).map(i =>
+      Dlq.page(snap, pageSize, i).orderBy("rn").select("id").as[Long].collect().toSeq)
+      .filter(_.nonEmpty).toVector
+    assert(keyset === windowed, "keyset pages must equal the window pages")
+    // structural pin: no window exec, and the sort+limit collapses to a
+    // bounded TakeOrderedAndProject (never a global sort of the table)
+    val plan = Dlq.pageAfter(snap, pageSize, cursor = Some((ts("2024-01-14 10:00:00"), 2L)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
   test("O1: replay batch is oldest-first and capped") {
     val due = dlq.withColumn("attempts", lit(0))
       .withColumn("environment_name", lit("e"))
