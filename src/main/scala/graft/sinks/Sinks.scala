@@ -136,6 +136,38 @@ object Sinks {
       body))
   }
 
+  /** The real HTTP transport for a [[prepareHttp]] request: one POST via
+    * the JDK's HttpURLConnection (no added dependency), success = any 2xx.
+    * Non-2xx and transport exceptions both map to [[ExportFailure]] so the
+    * caller's failure path (→ DLQ) is uniform with the guard layer
+    * (ExportService.cs:199-331 posts exactly this shape: templated URL,
+    * auth/batch headers, optionally gzipped body). Callers opt IN
+    * (ChangeRelay's default stays prepare-only — zero-egress posture);
+    * each call is independent, so executor-side fan-out parallelizes
+    * per-partition exactly like the guard path. */
+  def httpPost(req: HttpRequest, timeoutMs: Int = 10000): Either[ExportFailure, Int] =
+    try {
+      val conn = new java.net.URL(req.url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        conn.setRequestMethod("POST")
+        conn.setConnectTimeout(timeoutMs)
+        conn.setReadTimeout(timeoutMs)
+        conn.setDoOutput(true)
+        req.headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        val os = conn.getOutputStream
+        try os.write(req.body) finally os.close()
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        if (is != null) try { is.readAllBytes(); () } finally is.close()
+        if (code >= 200 && code < 300) Right(code)
+        else Left(ExportFailure("http", s"HTTP $code from ${req.url}"))
+      } finally conn.disconnect()
+    } catch {
+      case e: Exception =>
+        Left(ExportFailure("http", s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
+
   /** Broker caps (bytes) — reference MessageQueueService.cs:31-36. */
   val BrokerCaps: Map[String, Long] = Map(
     "rabbitmq" -> 128L * 1024 * 1024,

@@ -23,7 +23,10 @@ final class ChangeRelay(
     store: ParquetStateStore,
     config: EnvironmentConfig,
     fileSinkTemplate: Option[String] = None,
-    horizonOf: DataFrame => Long = ChangeRelay.defaultHorizon) {
+    horizonOf: DataFrame => Long = ChangeRelay.defaultHorizon,
+    // opt-in REAL HTTP delivery for "http" endpoints (Sinks.httpPost);
+    // default keeps the zero-egress prepare-only guard behavior
+    performHttp: Boolean = false) {
 
   import spark.implicits._
 
@@ -157,7 +160,7 @@ final class ChangeRelay(
         // of plain values, never `this` (the relay holds the session/store).
         val plan = ChangeRelay.ExportPlan(config.name, obj.name, obj.database,
           nowUtc, totalBatches, fileSinkTemplate, config.endpoints,
-          config.maxPayloadSizeBytes)
+          config.maxPayloadSizeBytes, performHttp)
         val acc = spark.sparkContext.longAccumulator("graft.relay.envelopesExportedOnExecutors")
         val failures = envelopes.select("g", "envelope_json").as[(String, String)]
           .mapPartitions(it => ChangeRelay.exportPartition(plan, it, acc))
@@ -195,11 +198,21 @@ final class ChangeRelay(
     * FIRST so a letter past retention is never re-attempted — the
     * reference purges in the same service loop
     * (DeadLetterService.cs:148-159). */
-  def replayCycle(attempt: String => Boolean, nowUtc: java.sql.Timestamp): (Long, Long) = {
+  def replayCycle(attempt: String => Boolean, nowUtc: java.sql.Timestamp): (Long, Long) =
+    replayCycle((key, _: String) => attempt(key), nowUtc)
+
+  /** Data-aware flavor: `attempt(sourceKey, data)` receives the letter's
+    * stored envelope JSON, so a real replay re-sends EXACTLY what failed —
+    * the reference's DeadLetterReplayer.cs:49-72 contract (it posts the
+    * stored Data). The loopback HTTP e2e spec drives this with a real
+    * POST. */
+  def replayCycle(attempt: (String, String) => Boolean,
+                  nowUtc: java.sql.Timestamp): (Long, Long) = {
     store.purgeExpiredDeadLetters(nowUtc)
     val due = store.dueDeadLetters(config.deadLetterMaxReplayAttempts,
       graft.model.Defaults.DlqReplayBatchSize).collect()
-    val (ok, bad) = due.partition(r => attempt(r.getAs[String]("source_key")))
+    val (ok, bad) = due.partition(r =>
+      attempt(r.getAs[String]("source_key"), r.getAs[String]("data")))
     if (ok.nonEmpty) store.deleteDeadLetters(ok.map(_.getAs[Long]("id")).toSeq)
     if (bad.nonEmpty) {
       val badIds = bad.map(_.getAs[Long]("id")).toSeq
@@ -225,7 +238,8 @@ object ChangeRelay {
       totalBatches: Int,
       fileSinkTemplate: Option[String],
       endpoints: Seq[graft.model.SinkEndpoint],
-      maxPayloadSizeBytes: Long)
+      maxPayloadSizeBytes: Long,
+      performHttp: Boolean = false)
 
   /** Fan one partition of `(g, envelope_json)` rows out to every configured
     * sink, executor-side. Emits only the failures as (error, payload) — the
@@ -251,7 +265,10 @@ object ChangeRelay {
         val result = ep.kind match {
           case "http" =>
             Sinks.prepareHttp(json, ep.target, meta, ep.headers,
-              ep.enableCompression, plan.maxPayloadSizeBytes).map(_ => ())
+              ep.enableCompression, plan.maxPayloadSizeBytes)
+              .flatMap(r =>
+                if (plan.performHttp) Sinks.httpPost(r).map(_ => ())
+                else Right(()))
           case broker =>
             Sinks.prepareBrokerMessage(broker, json, ep.headers).map(_ => ())
         }
