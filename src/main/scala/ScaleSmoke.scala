@@ -222,6 +222,33 @@ object ScaleSmoke {
         Funnel.transitionCounts(ev, "ts", "user_id", "event_type", "event_id")
           .agg(sum(col("transitions"))).collect()(0).getLong(0))
     }
+    // Multimodal growth (r10): REAL javax.imageio / javax.sound decodes
+    // over binary rows — previously the only extension family without a
+    // measured growth law. Synthesis is materialized UNTIMED
+    // (localCheckpoint after an explicit repartition — the round-4
+    // single-row-group rule: heavy per-row work needs pre-split input);
+    // the timed stages are the per-row header/frame decodes + the framing
+    // rollup, embarrassingly parallel map-side work that must grow
+    // ~linearly in media rows. count() cannot prune a typed mapPartitions
+    // (opaque function barrier), so no forcing filter is needed.
+    locally {
+      import graft.ops.Multimodal
+      import spark.implicits._
+      val mmN = math.max(n / 10, 1000L)
+      val ids = spark.range(mmN).select(col("id").as("doc_id")).repartition(64)
+      val pngs = Multimodal.syntheticImages(ids).localCheckpoint()
+      val wavs = Multimodal.syntheticWavs(ids).localCheckpoint()
+      t(s"mm image decode ($mmN media)")(
+        Multimodal.realDecodeMeta(pngs).count())
+      t(s"mm audio decode ($mmN media)")(
+        Multimodal.realDecodeAudio(wavs).count())
+      t(s"mm frame energy ($mmN media)") {
+        val media = Multimodal.asMedia(
+          docs.filter(col("doc_id") % 10 === 0), "text", "audio")
+        Multimodal.frameWindows(media, frameBytes = 64, hop = 32)
+          .groupBy(col("doc_id")).agg(sum(col("energy"))).count()
+      }
+    }
     // The relay's export path at data scale: one full-sync cycle over an
     // outbox of `n/10` rows through encode → batch-number → executor-side
     // fan-out (a guarded HTTP endpoint; no files — disk would dominate).

@@ -18,11 +18,16 @@ import org.apache.spark.sql.functions._
   *    pass (k conditions per event); above it they run the chained
   *    conditional-min join formulation (k step-joins over checkpointed
   *    user-cardinality intermediates). Both shapes were MEASURED both
-  *    orders at 1M and 10M events (ScaleSmoke/BENCHNOTES round-9): the
-  *    fold wins 2-2.5× at 1M, the join chain wins 1.2-1.6× at 10M (the
-  *    per-user collect+sort buffer outgrows the join chain's k bounded
-  *    checkpoints), so the dispatcher picks each shape on its winning
-  *    side of the crossover. The two paths are provably equivalent (the
+  *    orders at 1M and 10M events, twice: round 9 had the fold winning
+  *    2-2.5× at 1M and the join chain 1.2-1.6× at 10M; the round-10
+  *    re-measurement (both orders, library entry points) had the fold
+  *    ahead ~1.9× at 1M AND 1.2-1.7× at 10M — so the 10M crossover sits
+  *    inside this box's load-noise band (BENCHNOTES round-10). The fold
+  *    clearly wins small; above the cap the shapes are within ~1.5×
+  *    locally and the dispatcher's value is structural: the chained
+  *    path's k user-cardinality checkpoints bound memory where the
+  *    fold's per-user collect+sort buffers grow with events-per-user.
+  *    The two paths are provably equivalent (the
   *    first qualifying event in ascending time order IS the conditional
   *    min) and spec-pinned output-identical (FunnelSpec).
   *    Both report the FULL step universe: a step no user reached is a
