@@ -3207,6 +3207,200 @@ object QueriesLlm {
     )
   }
 
+  /** Model-based curation classifiers (graft.ops.Classify) plus the
+    * corpus-lexicon health reports — the "train a cheap gate, audit it,
+    * read the lexicon" tier of a pretraining pipeline. All integer-exact
+    * (ppm points, truncating division); see Classify's scaladoc for the
+    * log-vs-points portability trade-off. */
+  def classifiers: Seq[Q] = {
+    // Shared DuckDB fragments: token occurrences with lang, the train-slice
+    // (token, class) counts and the derived smoothed ppm weights/floors.
+    // occ and cnts are each multiply-referenced → MATERIALIZED (round-9
+    // session-2 rule a: DuckDB 1.0 inlines CTEs and would re-derive them).
+    val clsBucket = s"${h60("'cls:' || CAST(doc_id AS VARCHAR)")} % 1000"
+    val occCte =
+      """occ AS MATERIALIZED (
+        |  SELECT t.doc_id, d.lang, unnest(t.toks) AS token
+        |  FROM tok_docs t JOIN documents d USING (doc_id)
+        |  WHERE length(t.norm) > 0)""".stripMargin
+    val cntsCtes =
+      s"""cnts AS MATERIALIZED (
+        |  SELECT token, lang AS cls, CAST(count(*) AS BIGINT) AS c
+        |  FROM occ WHERE $clsBucket < 700 GROUP BY 1, 2),
+        |tot AS (SELECT cls, CAST(sum(c) AS BIGINT) AS t FROM cnts GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM cnts),
+        |wt AS MATERIALIZED (
+        |  SELECT c.token, c.cls, (c.c + 1) * 1000000 // (t.t + vv.v) AS pts
+        |  FROM cnts c JOIN tot t USING (cls) CROSS JOIN vv),
+        |floors AS (SELECT cls, 1000000 // (t + v) AS fl FROM tot CROSS JOIN vv)""".stripMargin
+    // Eval-slice scoring: every occurrence crossed with the class list,
+    // weight lookup with floor fallback, per-(doc, class) integer sums,
+    // argmax = min class among maxima.
+    val scoreCtes =
+      s"""classes AS (SELECT DISTINCT cls FROM cnts),
+        |evalocc AS (SELECT doc_id, lang, token FROM occ WHERE $clsBucket >= 700),
+        |pairs AS (
+        |  SELECT e.doc_id, e.lang, cl.cls, coalesce(w.pts, f.fl) AS pts
+        |  FROM evalocc e
+        |  CROSS JOIN classes cl
+        |  LEFT JOIN wt w ON w.token = e.token AND w.cls = cl.cls
+        |  JOIN floors f ON f.cls = cl.cls),
+        |persum AS (
+        |  SELECT doc_id, lang, cls, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(pts) AS BIGINT) AS s
+        |  FROM pairs GROUP BY 1, 2, 3),
+        |chosen AS (
+        |  SELECT doc_id, lang, n_tokens, cls AS pred, s AS pts,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cls) AS rn
+        |  FROM persum)""".stripMargin
+
+    def fit(s: SparkSession, d: String) =
+      Classify.fitTokenClassifier(Tables.documents(s, d), "doc_id", "text",
+        "lang", 700, "cls")
+    def evalDocs(s: SparkSession, d: String) =
+      Tables.documents(s, d).filter(
+        Sampling.bucketOf(col("doc_id"), "cls") >= 700)
+
+    Seq(
+      Q("llm_cls_train",
+        // Model readout: top-10 highest-points tokens per class — the
+        // interpretable artifact reviewers actually look at. The rank
+        // window runs over the vocabulary-bounded weights table, never the
+        // corpus.
+        (s, d) => {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("cls"))
+            .orderBy(col("pts").desc, col("token"))
+          fit(s, d).weightsLong
+            .withColumn("rank", row_number().over(w).cast("long"))
+            .filter(col("rank") <= 10)
+            .select(col("cls"), col("token"), col("pts"), col("rank"))
+        },
+        Some(withCtes(normDocsCte, occCte, cntsCtes)(
+          """SELECT cls, token, pts, rank FROM (
+            |  SELECT cls, token, pts,
+            |         CAST(row_number() OVER (PARTITION BY cls
+            |                ORDER BY pts DESC, token) AS BIGINT) AS rank
+            |  FROM wt) WHERE rank <= 10""".stripMargin))),
+
+      Q("llm_cls_scores",
+        // Held-out per-document classification: one broadcast join +
+        // one doc-keyed aggregation with k points-sum columns (the class
+        // dimension never multiplies the row count on the Spark side).
+        (s, d) => Classify.classifyDocs(evalDocs(s, d), "doc_id", "text", fit(s, d)),
+        Some(withCtes(normDocsCte, occCte, cntsCtes, scoreCtes)(
+          "SELECT doc_id, n_tokens, pred, pts FROM chosen WHERE rn = 1"))),
+
+      Q("llm_cls_confusion",
+        // Held-out confusion matrix: the classifier audit (k² bounded
+        // rows). Exercises the full fit + score path end-to-end.
+        (s, d) => Classify.confusionMatrix(Tables.documents(s, d), "doc_id",
+          "text", "lang", 700, "cls"),
+        Some(withCtes(normDocsCte, occCte, cntsCtes, scoreCtes)(
+          """SELECT lang AS actual, pred, CAST(count(*) AS BIGINT) AS n_docs
+            |FROM chosen WHERE rn = 1 GROUP BY 1, 2""".stripMargin))),
+
+      Q("llm_lexical_diversity",
+        (s, d) => TextOps.lexicalDiversity(Tables.documents(s, d), "text", "source"),
+        Some(withCtes(normDocsCte,
+          """socc AS (
+            |  SELECT d.source, unnest(t.toks) AS token
+            |  FROM tok_docs t JOIN documents d USING (doc_id)),
+            |stc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+            |        FROM socc GROUP BY 1, 2),
+            |sagg AS (
+            |  SELECT source, CAST(sum(c) AS BIGINT) AS nt,
+            |         CAST(count(*) AS BIGINT) AS ty,
+            |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hp
+            |  FROM stc GROUP BY 1)""".stripMargin)(
+          """SELECT source, nt AS n_tokens, ty AS n_types, hp AS n_hapax,
+            |       ty * 1000000 // nt AS ttr_ppm,
+            |       hp * 1000000 // ty AS hapax_ppm
+            |FROM sagg""".stripMargin))),
+
+      Q("llm_freq_spectrum",
+        (s, d) => TextOps.frequencySpectrum(Tables.documents(s, d), "text"),
+        Some(withCtes(normDocsCte,
+          """gocc AS (SELECT unnest(toks) AS token FROM tok_docs),
+            |gtc AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+            |        FROM gocc GROUP BY 1)""".stripMargin)(
+          """SELECT CAST(length(CAST(c AS VARCHAR)) - 1 AS BIGINT) AS decade,
+            |       CAST(count(*) AS BIGINT) AS n_types,
+            |       CAST(sum(c) AS BIGINT) AS n_occurrences,
+            |       CAST(min(c) AS BIGINT) AS min_freq,
+            |       CAST(max(c) AS BIGINT) AS max_freq
+            |FROM gtc GROUP BY 1""".stripMargin))),
+
+      Q("ann_centroid_model",
+        // Integer class centroids (k × dim bounded): element sums via one
+        // (label, pos) aggregation, truncating-division means — exact in
+        // both engines including negative sums.
+        (s, d) => Classify.centroidModel(Tables.embeddings(s, d), 700, "cent")
+          .select(col("clabel"), col("n"),
+            concat_ws(",", expr("transform(mu, x -> CAST(x AS STRING))")).as("mu_str")),
+        Some(withCtes(
+          """quant AS MATERIALIZED (
+            |  SELECT vec_id, label,
+            |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            |  FROM embeddings)""".stripMargin,
+          s"""ctrain AS (SELECT * FROM quant
+            |  WHERE ${h60("'cent:' || CAST(vec_id AS VARCHAR)")} % 1000 < 700),
+            |cex AS (
+            |  SELECT label, u.pos AS pos, u.x AS x
+            |  FROM (SELECT label, unnest(list_transform(range(len(v)),
+            |               i -> struct_pack(pos := i, x := v[i+1]))) AS u
+            |        FROM ctrain)),
+            |csums AS (SELECT label, pos, CAST(sum(x) AS BIGINT) AS s,
+            |                 CAST(count(*) AS BIGINT) AS n
+            |          FROM cex GROUP BY 1, 2),
+            |cmodel AS (SELECT label AS clabel, max(n) AS n,
+            |                  list(s // n ORDER BY pos) AS mu
+            |           FROM csums GROUP BY 1)""".stripMargin)(
+          "SELECT clabel, n, array_to_string(mu, ',') AS mu_str FROM cmodel"))),
+
+      Q("ann_centroid_confusion",
+        // Held-out nearest-centroid label audit: broadcast k-row centroid
+        // table × eval vectors, int64 squared-L2 argmin, bounded confusion
+        // rollup. The prototype-classifier complement to ann_label_purity's
+        // kNN audit.
+        (s, d) => Classify.centroidConfusion(Tables.embeddings(s, d), 700, "cent"),
+        Some(withCtes(
+          """quant AS MATERIALIZED (
+            |  SELECT vec_id, label,
+            |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            |  FROM embeddings)""".stripMargin,
+          s"""ctrain AS (SELECT * FROM quant
+            |  WHERE ${h60("'cent:' || CAST(vec_id AS VARCHAR)")} % 1000 < 700),
+            |cex AS (
+            |  SELECT label, u.pos AS pos, u.x AS x
+            |  FROM (SELECT label, unnest(list_transform(range(len(v)),
+            |               i -> struct_pack(pos := i, x := v[i+1]))) AS u
+            |        FROM ctrain)),
+            |csums AS (SELECT label, pos, CAST(sum(x) AS BIGINT) AS s,
+            |                 CAST(count(*) AS BIGINT) AS n
+            |          FROM cex GROUP BY 1, 2),
+            |cmodel AS MATERIALIZED (
+            |  SELECT label AS clabel, max(n) AS n,
+            |         list(s // n ORDER BY pos) AS mu
+            |  FROM csums GROUP BY 1),
+            |cscored AS (
+            |  SELECT e.vec_id, e.label, m.clabel,
+            |         list_sum(list_transform(range(len(e.v)),
+            |           i -> (e.v[i+1] - m.mu[i+1]) * (e.v[i+1] - m.mu[i+1]))) AS d2
+            |  FROM (SELECT * FROM quant
+            |        WHERE ${h60("'cent:' || CAST(vec_id AS VARCHAR)")} % 1000 >= 700) e
+            |  CROSS JOIN cmodel m),
+            |cchosen AS (
+            |  SELECT vec_id, label, clabel,
+            |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+            |  FROM cscored)""".stripMargin)(
+          """SELECT label AS actual, clabel AS pred,
+            |       CAST(count(*) AS BIGINT) AS n_vecs
+            |FROM cchosen WHERE rn = 1 GROUP BY 1, 2""".stripMargin)))
+    )
+  }
+
   def all: Seq[Q] = text ++ dedup ++ ann ++ embDedup ++ multimodal ++ tpch ++
-    timeWindows ++ pipeline ++ assemble ++ eventsAnalytics ++ retrieval ++ textAnalysis2
+    timeWindows ++ pipeline ++ assemble ++ eventsAnalytics ++ retrieval ++
+    textAnalysis2 ++ classifiers
 }

@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based data-curation classifiers for a training-data pipeline:
+  *
+  *  1. a token-weight document classifier (the fastText/NB-style quality or
+  *     language gate every pretraining corpus runs before mixing), and
+  *  2. a nearest-class-centroid embedding classifier (prototype
+  *     classification — the cheap label audit for embedding spaces).
+  *
+  * Reference semantics anchor: the reference engine's quality gates are
+  * exact-value filters over scored rows (e.g. the threshold/lockout math of
+  * `Source/Services/AuthenticationService.cs` and the per-object rollups of
+  * `Source/Services/StatisticsService.cs`); these operators generalize that
+  * score-then-gate discipline to corpus curation.
+  *
+  * Integer-exact scoring, by design. All weights are parts-per-million
+  * integer conditional probabilities (`(c+1)*1e6 div (total+V)` with add-one
+  * smoothing) and document scores are integer sums of those points, so the
+  * classifier is bit-identical in any engine — the same portability rule as
+  * [[TextOps.lmScore]]. A log-likelihood formulation would force float `ln`
+  * onto the oracle path (cross-engine ulp drift); the points-sum scorer
+  * keeps the per-token monotonicity that matters for a curation gate while
+  * staying hash-comparable. Documented trade-off: points-sums weight
+  * high-frequency tokens more than log-sums would.
+  *
+  * Scale shape (100 TB):
+  *  - fit = ONE pass over the content-addressed train slice; the count
+  *    aggregation keys are (token, class) — Zipf-bounded vocabulary × a
+  *    handful of classes, so partial aggregation collapses the explode
+  *    map-side (round-9 rule b).
+  *  - the model is vocabulary-bounded and pivoted to ONE row per token with
+  *    a per-class points array → broadcastable at any corpus size.
+  *  - scoring = occurrence explode → broadcast hash join → per-document
+  *    k-column partial aggregation. One document-keyed shuffle total; the
+  *    class dimension rides as k sum columns, never as k× row blow-up.
+  *  - the only collects are the class list and per-class totals (k rows —
+  *    class-scale, never corpus-scale).
+  */
+object Classify {
+
+  /** Points scale: weights are ppm of smoothed conditional probability. */
+  val PtsScale = 1000000L
+
+  /** Fitted token classifier. `classes` is sorted ascending; `floors(i)` is
+    * the out-of-vocabulary smoothing points for `classes(i)`; `counts` is
+    * the checkpointed vocabulary-bounded (token, class, count) table;
+    * `denoms(i)` = class-i token total + vocabulary size. */
+  final case class TokenClassifier(
+      classes: Seq[String],
+      floors: Seq[Long],
+      denoms: Seq[Long],
+      counts: DataFrame) {
+
+    /** Broadcastable wide model: one row per token with nullable per-class
+      * points columns `_p0.._p{k-1}` (null = unseen in that class → the
+      * scorer coalesces to the floor). One vocabulary-bounded pivot. */
+    def wide: DataFrame = {
+      val cols = classes.zipWithIndex.map { case (c, i) =>
+        max(when(col("_cls") === c,
+          expr(s"(_cnt + 1) * $PtsScale div ${denoms(i)}"))).as(s"_p$i")
+      }
+      counts.groupBy(col("_token")).agg(cols.head, cols.tail: _*)
+    }
+
+    /** Long-format model readout: (cls, token, pts) for every (token,
+      * class) pair seen in training — the interpretable "which tokens vote
+      * for which class" artifact. Vocabulary-bounded, single pass. */
+    def weightsLong: DataFrame = {
+      val denomByCls = classes.zip(denoms).map { case (c, v) =>
+        (when(col("_cls") === c, lit(v)), v)
+      }
+      val denomCol = coalesce(denomByCls.map(_._1): _*)
+      counts.select(col("_cls").as("cls"), col("_token").as("token"),
+        ((col("_cnt") + 1) * PtsScale).as("_num"), denomCol.as("_den"))
+        .select(col("cls"), col("token"), expr("_num div _den").as("pts"))
+    }
+  }
+
+  private def occurrences(docs: DataFrame, idCol: String, textCol: String,
+                          extra: Seq[String] = Nil): DataFrame =
+    docs.select((Seq(col(idCol)) ++ extra.map(col) :+
+        explode(TextOps.tokens(col(textCol))).as("_token")): _*)
+      .filter(col("_token") =!= "")
+
+  /** Fit on the content-addressed `trainPermille` slice of `docs`. Classes
+    * are the distinct `classCol` values observed in the slice (collected —
+    * k rows, class-scale). */
+  def fitTokenClassifier(docs: DataFrame, idCol: String, textCol: String,
+                         classCol: String, trainPermille: Int = 700,
+                         salt: String = "cls"): TokenClassifier = {
+    val train = docs.filter(Sampling.bucketOf(col(idCol), salt) < trainPermille)
+    // One pass over the slice straight to the Zipf-bounded (token, class)
+    // table; checkpointed because it feeds totals, vocab AND the pivot
+    // (round-4 rule d).
+    val counts = occurrences(train, idCol, textCol, Seq(classCol))
+      .groupBy(col("_token"), col(classCol).as("_cls"))
+      .agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint()
+    // Class totals and vocabulary size: class-scale / single-row collects.
+    val stats = counts.groupBy(col("_cls")).agg(sum(col("_cnt")).as("_tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = counts.select(countDistinct(col("_token"))).head().getLong(0)
+    val classes = stats.keys.toSeq.sorted
+    require(classes.nonEmpty,
+      "token classifier: train slice has no (token, class) observations — " +
+        "raise trainPermille or check the class column")
+    val denoms = classes.map(c => stats(c) + vocab)
+    TokenClassifier(classes, denoms.map(PtsScale / _), denoms, counts)
+  }
+
+  /** Score every document with at least one token: per-class points sums as
+    * k aggregation columns, argmax with ascending-class tie-break (the
+    * coalesce-of-whens below tests classes in sorted order, so the FIRST
+    * class attaining the max wins a tie — mirrors the oracle's
+    * `ORDER BY s DESC, cls`). Empty/no-token documents are absent from the
+    * output on both engines. */
+  def classifyDocs(docs: DataFrame, idCol: String, textCol: String,
+                   m: TokenClassifier,
+                   extra: Seq[String] = Nil): DataFrame = {
+    val occ = occurrences(docs, idCol, textCol, extra)
+    val joined = occ.join(broadcast(m.wide), Seq("_token"), "left")
+    val sums = m.classes.indices.map(i =>
+      sum(coalesce(col(s"_p$i"), lit(m.floors(i)))).as(s"_s$i"))
+    val scored = joined.groupBy((col(idCol) +: extra.map(col)): _*)
+      .agg(count(lit(1)).as("n_tokens"), sums: _*)
+    val maxS =
+      if (m.classes.size == 1) col("_s0")
+      else greatest(m.classes.indices.map(i => col(s"_s$i")): _*)
+    val pred = coalesce(m.classes.zipWithIndex.map { case (c, i) =>
+      when(col(s"_s$i") === maxS, lit(c))
+    }: _*)
+    scored.withColumn("pred", pred).withColumn("pts", maxS)
+      .select((Seq(col(idCol)) ++ extra.map(col) ++
+        Seq(col("n_tokens"), col("pred"), col("pts"))): _*)
+  }
+
+  /** Held-out confusion matrix: fit on the train slice, score the
+    * complement, count (actual, pred) cells. Bounded k² output. */
+  def confusionMatrix(docs: DataFrame, idCol: String, textCol: String,
+                      classCol: String, trainPermille: Int = 700,
+                      salt: String = "cls"): DataFrame = {
+    val m = fitTokenClassifier(docs, idCol, textCol, classCol,
+      trainPermille, salt)
+    val eval = docs.filter(Sampling.bucketOf(col(idCol), salt) >= trainPermille)
+    classifyDocs(eval, idCol, textCol, m, Seq(classCol))
+      .groupBy(col(classCol).as("actual"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  // -----------------------------------------------------------------------
+  // Nearest-class-centroid embedding classifier.
+  //
+  // Scale shape: centroids are (k × dim)-bounded — per-class element sums
+  // via ONE (label, pos) aggregation over the train slice, floor-divided by
+  // the class count into integer milli-unit means (div truncates toward
+  // zero identically in Spark and DuckDB, verified round-9 session-2 rule
+  // f, so negative sums are safe). Assignment is a broadcast cross join of
+  // the k-row centroid table against the corpus — map-side argmin, no
+  // corpus shuffle beyond the final bounded confusion rollup. All distances
+  // are int64 on quantized vectors: with milli-quantized unit-scale
+  // embeddings, d² ≤ dim · (2·1000·max|x|)², overflow-free for any
+  // realistic dim.
+  // -----------------------------------------------------------------------
+
+  /** Integer centroid table: (clabel, n, mu ARRAY<BIGINT>) from the
+    * content-addressed train slice of (vec_id, embedding, label) rows.
+    * mu(i) = Σx(i) div n — truncating integer division, identical in both
+    * engines even for negative sums. The per-class element sums come from
+    * ONE (label, pos) aggregation; the collect_list is dim-bounded per
+    * class. */
+  def centroidModel(emb: DataFrame, trainPermille: Int = 700,
+                    salt: String = "cent"): DataFrame = {
+    val train = emb.filter(Sampling.bucketOf(col("vec_id"), salt) < trainPermille)
+      .select(col("label"), Similarity.quantize(col("embedding")).as("_qv"))
+    train.select(col("label"), posexplode(col("_qv")).as(Seq("_pos", "_x")))
+      .groupBy(col("label"), col("_pos"))
+      .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
+      .groupBy(col("label").as("clabel"))
+      .agg(max(col("_n")).as("n"),
+        array_sort(collect_list(struct(col("_pos"), col("_s")))).as("_ps"))
+      .select(col("clabel"), col("n"),
+        expr("transform(_ps, e -> e._s div n)").as("mu"))
+  }
+
+  /** Held-out nearest-centroid confusion matrix on quantized vectors. */
+  def centroidConfusion(emb: DataFrame, trainPermille: Int = 700,
+                        salt: String = "cent"): DataFrame = {
+    val cent = broadcast(centroidModel(emb, trainPermille, salt))
+    val eval = emb.filter(Sampling.bucketOf(col("vec_id"), salt) >= trainPermille)
+      .select(col("vec_id"), col("label"),
+        Similarity.quantize(col("embedding")).as("_v"))
+    eval.crossJoin(cent)
+      .withColumn("_d2", Similarity.qdist2(col("_v"), col("mu")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max_by(col("clabel"), struct(-col("_d2"), -col("clabel"))).as("pred"))
+      .groupBy(col("label").as("actual"), col("pred"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+}

@@ -593,4 +593,47 @@ object TextOps {
         pmod(DedupOps.hash60(concat(lit(salt + ":"), col(idCol).cast("string"))),
           lit(1000000L)) < col("accept_ppm"))
   }
+
+  /** Per-group lexical diversity: token occurrences, distinct types, hapax
+    * legomena (types occurring exactly once), type-token ratio and hapax
+    * share in ppm. The corpus-health readout that catches template spam
+    * (TTR collapses) and OCR noise (hapax share explodes) per source before
+    * the mix is assembled.
+    *
+    * Scale: ONE corpus pass exploding occurrences into a (group, token)
+    * aggregation — keys are Zipf-bounded vocabulary × #groups, so partial
+    * aggregation collapses map-side (round-9 rule b); the second rollup is
+    * vocabulary-scale, the output #groups rows. No windows, no joins. */
+  def lexicalDiversity(docs: DataFrame, textCol: String,
+                       groupCol: String): DataFrame =
+    docs.select(col(groupCol), explode(tokens(col(textCol))).as("_token"))
+      .filter(col("_token") =!= "")
+      .groupBy(col(groupCol), col("_token"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+
+  /** Corpus frequency spectrum: how many token types occur 1-9 times, 10-99,
+    * 100-999, … (frequency decades). The Zipf-law readout: on natural text
+    * the type counts fall roughly geometrically across decades; a bulge in a
+    * high decade is boilerplate, a bloated decade-0 is noise/OCR junk.
+    *
+    * Scale: the same one-pass vocabulary aggregation as above, then a
+    * decade rollup over the vocabulary table — decade = digits(freq)-1 via
+    * string length, no log() float on the oracle path, no rank window. */
+  def frequencySpectrum(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("_token"))
+      .filter(col("_token") =!= "")
+      .groupBy(col("_token"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy((length(col("_c").cast("string")) - 1).cast("long").as("decade"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("_c")).as("n_occurrences"),
+        min(col("_c")).as("min_freq"),
+        max(col("_c")).as("max_freq"))
 }
