@@ -94,6 +94,16 @@ object ScaleSmoke {
     t("dsir resample")(graft.ops.TextOps.dsirResample(docs, "doc_id", "text",
       isTarget = pmod(col("doc_id"), lit(5)) === 0)
       .filter(col("accepted")).count())
+    // Token classifier (r10): fit = one Zipf-bounded (token, class) agg
+    // over the 70% train slice; score = occurrence explode -> wide-model
+    // join (LIMIT-probed broadcast vs shuffle) -> doc-keyed k-column
+    // partial agg. The SALTED fixture grows the vocabulary ~linearly with
+    // copies, so at high copies the dispatcher takes the shuffle path —
+    // that flip is part of what this stage observes. count() is safe: the
+    // confusion output is an aggregation, nothing prunes.
+    t("token classifier (fit+score)")(graft.ops.Classify.confusionMatrix(
+      docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(4)))),
+      "doc_id", "text", "lang", 700, "cls").count())
     // BPE training (r9): the corpus pass collapses to the word vocabulary
     // map-side; each of the 6 merge rounds is vocabulary-scale. The salted
     // fixture grows the vocab ~linearly with copies, so expect ~linear.

@@ -119,9 +119,20 @@ object Classify {
     * output on both engines. */
   def classifyDocs(docs: DataFrame, idCol: String, textCol: String,
                    m: TokenClassifier,
-                   extra: Seq[String] = Nil): DataFrame = {
+                   extra: Seq[String] = Nil,
+                   broadcastMaxTokens: Long = 4000000L): DataFrame = {
     val occ = occurrences(docs, idCol, textCol, extra)
-    val joined = occ.join(broadcast(m.wide), Seq("_token"), "left")
+    // Broadcast-vs-shuffle auto-selection, same LIMIT-probe discipline as
+    // lmScore/decontaminate (round-5 rule b): a natural-text vocabulary is
+    // Zipf-bounded and broadcasts at any corpus size, but the operator must
+    // not assume it — an adversarial vocabulary (id-salted tokens, binary
+    // junk) falls back to a shuffle join. The probe reads at most cap+1
+    // rows, never the vocabulary.
+    val wide0 = m.wide
+    val probe = math.min(broadcastMaxTokens, Int.MaxValue - 1L).toInt
+    val wideJ = if (wide0.limit(probe + 1).count() <= probe) broadcast(wide0)
+                else wide0
+    val joined = occ.join(wideJ, Seq("_token"), "left")
     val sums = m.classes.indices.map(i =>
       sum(coalesce(col(s"_p$i"), lit(m.floors(i)))).as(s"_s$i"))
     val scored = joined.groupBy((col(idCol) +: extra.map(col)): _*)
