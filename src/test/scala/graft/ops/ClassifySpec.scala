@@ -103,6 +103,35 @@ class ClassifySpec extends SparkSpec {
     assert(total == expected)
   }
 
+  test("randomized: classifier equals the driver-side reference on 20 random corpora") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    (1 to 20).foreach { trial =>
+      val nDocs = 5 + rnd.nextInt(40)
+      val nCls = 1 + rnd.nextInt(3)
+      val rows = (1L to nDocs.toLong).map { id =>
+        val text = Seq.fill(rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.size)))
+          .mkString(" ") // may be empty
+        (id, text, s"c${rnd.nextInt(nCls)}")
+      }
+      // train on the whole trial corpus; classify it too (the split is
+      // covered by the confusion test — here we pin the scoring math)
+      val hasTokens = rows.exists(_._2.nonEmpty)
+      if (hasTokens) {
+        val m = Classify.fitTokenClassifier(docsDf(rows), "doc_id", "text",
+          "lang", 1000, s"t$trial")
+        val (classes, pts, floors) = refFit(rows)
+        assert(m.classes == classes, s"trial $trial classes")
+        val got = Classify.classifyDocs(docsDf(rows), "doc_id", "text", m)
+          .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+        val want = rows.flatMap { case (id, text, _) =>
+          refPredict(text, classes, pts, floors).map(id -> _)
+        }.toMap
+        assert(got == want, s"trial $trial predictions")
+      }
+    }
+  }
+
   test("centroid model uses truncating division (negative sums round toward zero)") {
     val emb = Seq(
       (1L, Seq(-0.001f, 0.003f), 0),
