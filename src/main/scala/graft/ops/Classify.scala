@@ -130,8 +130,14 @@ object Classify {
     // rows, never the vocabulary.
     val wide0 = m.wide
     val probe = math.min(broadcastMaxTokens, Int.MaxValue - 1L).toInt
+    // On the fallback path the model is checkpointed first: AQE's
+    // OptimizeSkewedJoin structurally declines SMJs whose build side is an
+    // aggregate (round-6 rule c), and a hot token ("the") would otherwise
+    // concentrate occurrence rows into one unsplittable partition. A
+    // LogicalRDD scan keeps the join skew-split eligible; the table is
+    // vocabulary-bounded so the materialization is not corpus-scale.
     val wideJ = if (wide0.limit(probe + 1).count() <= probe) broadcast(wide0)
-                else wide0
+                else wide0.localCheckpoint()
     val joined = occ.join(wideJ, Seq("_token"), "left")
     val sums = m.classes.indices.map(i =>
       sum(coalesce(col(s"_p$i"), lit(m.floors(i)))).as(s"_s$i"))

@@ -481,8 +481,13 @@ object TextOps {
       .select(col("w1"), col("w2"),
         expr("c2 * 1000000 div (c1 + v)").as("pts"))
     val probe = math.min(broadcastMaxBigrams, Int.MaxValue - 1L).toInt
+    // Fallback path checkpoints the weight table: AQE's skew split declines
+    // SMJs with an aggregate build side (round-6 rule c), and hot bigrams
+    // would pile occurrence rows into one unsplittable partition; a
+    // LogicalRDD scan keeps the join eligible. Bigram-vocab-bounded, never
+    // corpus-scale.
     val weights = if (weights0.limit(probe + 1).count() <= probe) broadcast(weights0)
-                  else weights0
+                  else weights0.localCheckpoint()
     bigrams(docs.select(col(idCol), col(textCol)))
       .join(weights, Seq("w1", "w2"), "left")
       .groupBy(col(idCol))
