@@ -45,37 +45,24 @@ object Classify {
   val PtsScale = 1000000L
 
   /** Fitted token classifier. `classes` is sorted ascending; `floors(i)` is
-    * the out-of-vocabulary smoothing points for `classes(i)`; `counts` is
-    * the checkpointed vocabulary-bounded (token, class, count) table;
-    * `denoms(i)` = class-i token total + vocabulary size. */
+    * the out-of-vocabulary smoothing points for `classes(i)`; `weightsLong`
+    * is the vocabulary-bounded (cls, token, pts) table — the model's entire
+    * data state, which makes it trivially persistable (see
+    * graft.streaming.StreamingClassify for the versioned serve path). */
   final case class TokenClassifier(
       classes: Seq[String],
       floors: Seq[Long],
-      denoms: Seq[Long],
-      counts: DataFrame) {
+      weightsLong: DataFrame) {
 
     /** Broadcastable wide model: one row per token with nullable per-class
       * points columns `_p0.._p{k-1}` (null = unseen in that class → the
       * scorer coalesces to the floor). One vocabulary-bounded pivot. */
     def wide: DataFrame = {
       val cols = classes.zipWithIndex.map { case (c, i) =>
-        max(when(col("_cls") === c,
-          expr(s"(_cnt + 1) * $PtsScale div ${denoms(i)}"))).as(s"_p$i")
+        max(when(col("cls") === c, col("pts"))).as(s"_p$i")
       }
-      counts.groupBy(col("_token")).agg(cols.head, cols.tail: _*)
-    }
-
-    /** Long-format model readout: (cls, token, pts) for every (token,
-      * class) pair seen in training — the interpretable "which tokens vote
-      * for which class" artifact. Vocabulary-bounded, single pass. */
-    def weightsLong: DataFrame = {
-      val denomByCls = classes.zip(denoms).map { case (c, v) =>
-        (when(col("_cls") === c, lit(v)), v)
-      }
-      val denomCol = coalesce(denomByCls.map(_._1): _*)
-      counts.select(col("_cls").as("cls"), col("_token").as("token"),
-        ((col("_cnt") + 1) * PtsScale).as("_num"), denomCol.as("_den"))
-        .select(col("cls"), col("token"), expr("_num div _den").as("pts"))
+      weightsLong.groupBy(col("token").as("_token"))
+        .agg(cols.head, cols.tail: _*)
     }
   }
 
@@ -93,8 +80,8 @@ object Classify {
                          salt: String = "cls"): TokenClassifier = {
     val train = docs.filter(Sampling.bucketOf(col(idCol), salt) < trainPermille)
     // One pass over the slice straight to the Zipf-bounded (token, class)
-    // table; checkpointed because it feeds totals, vocab AND the pivot
-    // (round-4 rule d).
+    // table; checkpointed because it feeds totals, vocab AND the weights
+    // derivation (round-4 rule d).
     val counts = occurrences(train, idCol, textCol, Seq(classCol))
       .groupBy(col("_token"), col(classCol).as("_cls"))
       .agg(count(lit(1)).as("_cnt"))
@@ -108,7 +95,15 @@ object Classify {
       "token classifier: train slice has no (token, class) observations — " +
         "raise trainPermille or check the class column")
     val denoms = classes.map(c => stats(c) + vocab)
-    TokenClassifier(classes, denoms.map(PtsScale / _), denoms, counts)
+    // (cls, token, pts): the interpretable, persistable model artifact —
+    // "which tokens vote for which class", in smoothed ppm points.
+    val denomCol = coalesce(classes.zip(denoms).map { case (c, v) =>
+      when(col("_cls") === c, lit(v))
+    }: _*)
+    val weights = counts.select(col("_cls").as("cls"), col("_token").as("token"),
+        ((col("_cnt") + 1) * PtsScale).as("_num"), denomCol.as("_den"))
+      .select(col("cls"), col("token"), expr("_num div _den").as("pts"))
+    TokenClassifier(classes, denoms.map(PtsScale / _), weights)
   }
 
   /** Score every document with at least one token: per-class points sums as
