@@ -332,6 +332,12 @@ object ScaleSmoke {
     t(s"ivf top-k ($m corpus)")(
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16), 10,
         numCentroids = 32, nprobe = 3).count())
+    // Nearest-centroid classifier (r10): fit = one (label, pos) agg with
+    // k×dim-bounded state; eval = broadcast k-row centroid cross join +
+    // argmin + bounded confusion rollup. Expect ~linear in vectors.
+    t(s"centroid classify ($m vecs)")(graft.ops.Classify.centroidConfusion(
+      emb.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int")),
+      700, "cent").count())
     // MMR distributed path pinned (smallCap = 0): k map-only argmax rounds
     // over the corpus — job count is k at any size, so growth must track
     // the k linear scans, ~linear in vectors.

@@ -132,6 +132,36 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  test("broadcast and forced-shuffle scoring paths are output-identical; strategies actually differ") {
+    val rows = (1L to 120L).map { i =>
+      (i, s"shared${i % 7} tok$i shared${(i + 3) % 7}",
+        if (i % 2 == 0) "en" else "fr")
+    }
+    val m = Classify.fitTokenClassifier(docsDf(rows), "doc_id", "text",
+      "lang", 1000, "spec")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val bc = Classify.classifyDocs(docsDf(rows), "doc_id", "text", m)
+    val bcKey = key(bc)
+    // The over-cap fallback drops the broadcast HINT; at fixture scale
+    // Catalyst's own size threshold (and AQE) would still broadcast the
+    // tiny table — which is exactly right — so to pin the strategy
+    // difference the threshold is disabled: a genuinely over-cap model at
+    // scale is over that threshold too, and must plan a shuffle join.
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (shKey, shPlan) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sh = Classify.classifyDocs(docsDf(rows), "doc_id", "text", m,
+        broadcastMaxTokens = 0L)
+      (key(sh), sh.queryExecution.sparkPlan.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert(bcKey == shKey)
+    assert(bc.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "under the cap the model join must broadcast")
+    assert(!shPlan.contains("BroadcastHashJoin"),
+      "over the cap (threshold off) the planned model join must not broadcast")
+  }
+
   test("centroid model uses truncating division (negative sums round toward zero)") {
     val emb = Seq(
       (1L, Seq(-0.001f, 0.003f), 0),
