@@ -3238,7 +3238,8 @@ object QueriesLlm {
     // argmax = min class among maxima.
     val scoreCtes =
       s"""classes AS (SELECT DISTINCT cls FROM cnts),
-        |evalocc AS (SELECT doc_id, lang, token FROM occ WHERE $clsBucket >= 700),
+        |evalocc AS MATERIALIZED (
+        |  SELECT doc_id, lang, token FROM occ WHERE $clsBucket >= 700),
         |pairs AS (
         |  SELECT e.doc_id, e.lang, cl.cls, coalesce(w.pts, f.fl) AS pts
         |  FROM evalocc e
@@ -3252,7 +3253,13 @@ object QueriesLlm {
         |chosen AS (
         |  SELECT doc_id, lang, n_tokens, cls AS pred, s AS pts,
         |         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cls) AS rn
-        |  FROM persum)""".stripMargin
+        |  FROM persum),
+        |known AS (SELECT DISTINCT token FROM wt),
+        |oovd AS (
+        |  SELECT e.doc_id,
+        |         CAST(sum(CASE WHEN kn.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS oov_tokens
+        |  FROM evalocc e LEFT JOIN known kn USING (token) GROUP BY 1)""".stripMargin
 
     def fit(s: SparkSession, d: String) =
       Classify.fitTokenClassifier(Tables.documents(s, d), "doc_id", "text",
@@ -3289,7 +3296,8 @@ object QueriesLlm {
         // dimension never multiplies the row count on the Spark side).
         (s, d) => Classify.classifyDocs(evalDocs(s, d), "doc_id", "text", fit(s, d)),
         Some(withCtes(normDocsCte, occCte, cntsCtes, scoreCtes)(
-          "SELECT doc_id, n_tokens, pred, pts FROM chosen WHERE rn = 1"))),
+          """SELECT c.doc_id, c.n_tokens, c.pred, c.pts, o.oov_tokens
+            |FROM chosen c JOIN oovd o USING (doc_id) WHERE rn = 1""".stripMargin))),
 
       Q("llm_cls_confusion",
         // Held-out confusion matrix: the classifier audit (k² bounded

@@ -111,7 +111,13 @@ object Classify {
     * coalesce-of-whens below tests classes in sorted order, so the FIRST
     * class attaining the max wins a tie — mirrors the oracle's
     * `ORDER BY s DESC, cls`). Empty/no-token documents are absent from the
-    * output on both engines. */
+    * output on both engines.
+    *
+    * `oov_tokens` counts the document's occurrences whose token the model
+    * has never seen in ANY class (the all-floor rows) — the serve-time
+    * staleness signal: a rising corpus-wide OOV share means the vocabulary
+    * drifted and the model needs retraining. It rides the existing
+    * aggregation, zero extra passes. */
   def classifyDocs(docs: DataFrame, idCol: String, textCol: String,
                    m: TokenClassifier,
                    extra: Seq[String] = Nil,
@@ -123,7 +129,10 @@ object Classify {
     // not assume it — an adversarial vocabulary (id-salted tokens, binary
     // junk) falls back to a shuffle join. The probe reads at most cap+1
     // rows, never the vocabulary.
-    val wide0 = m.wide
+    // _inv marks "token known to the model" (a wide row exists iff the
+    // token was seen in at least one class) — its null after the left join
+    // is the OOV flag.
+    val wide0 = m.wide.withColumn("_inv", lit(1))
     val probe = math.min(broadcastMaxTokens, Int.MaxValue - 1L).toInt
     // On the fallback path the model is checkpointed first: AQE's
     // OptimizeSkewedJoin structurally declines SMJs whose build side is an
@@ -137,7 +146,8 @@ object Classify {
     val sums = m.classes.indices.map(i =>
       sum(coalesce(col(s"_p$i"), lit(m.floors(i)))).as(s"_s$i"))
     val scored = joined.groupBy((col(idCol) +: extra.map(col)): _*)
-      .agg(count(lit(1)).as("n_tokens"), sums: _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        sums :+ sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("oov_tokens"): _*)
     val maxS =
       if (m.classes.size == 1) col("_s0")
       else greatest(m.classes.indices.map(i => col(s"_s$i")): _*)
@@ -146,7 +156,7 @@ object Classify {
     }: _*)
     scored.withColumn("pred", pred).withColumn("pts", maxS)
       .select((Seq(col(idCol)) ++ extra.map(col) ++
-        Seq(col("n_tokens"), col("pred"), col("pts"))): _*)
+        Seq(col("n_tokens"), col("pred"), col("pts"), col("oov_tokens"))): _*)
   }
 
   /** Held-out confusion matrix: fit on the train slice, score the

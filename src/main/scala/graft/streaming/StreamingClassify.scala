@@ -96,7 +96,7 @@ object StreamingClassify {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           new StructType().add(idCol, LongType).add("n_tokens", LongType)
             .add("pred", StringType).add("pts", LongType)
-            .add("model_version", LongType))
+            .add("oov_tokens", LongType).add("model_version", LongType))
     }
     scored.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
     spark.read.parquet(s"$outDir/batch=$batchId").count()

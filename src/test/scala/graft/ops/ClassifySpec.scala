@@ -74,6 +74,13 @@ class ClassifySpec extends SparkSpec {
     assert(got == want)
     assert(!got.contains(14L))
     assert(got(13L)._1 == classes.head) // OOV tie broken to the min class
+
+    // staleness signal: the fully-OOV doc reports every token OOV, an
+    // in-vocabulary doc reports zero
+    val oov = Classify.classifyDocs(docsDf(eval), "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    assert(oov(13L)._1 == oov(13L)._2 && oov(13L)._2 == 3L)
+    assert(oov(11L)._2 == 0L)
   }
 
   test("token weights readout equals the reference pts table") {

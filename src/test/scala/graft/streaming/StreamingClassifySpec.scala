@@ -91,7 +91,8 @@ class StreamingClassifySpec extends SparkSpec {
     assert(StreamingClassify.scoreBatch(store, "gate", batch, 0L, outDir) == 0L)
     val empty = spark.read.parquet(s"$outDir/batch=0")
     assert(empty.count() == 0 &&
-      empty.columns.toSet == Set("doc_id", "n_tokens", "pred", "pts", "model_version"))
+      empty.columns.toSet ==
+        Set("doc_id", "n_tokens", "pred", "pts", "oov_tokens", "model_version"))
 
     val m = Classify.fitTokenClassifier(docsDf(trainV1), "doc_id", "text",
       "lang", 1000, "spec")
