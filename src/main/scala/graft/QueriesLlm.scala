@@ -3108,6 +3108,55 @@ object QueriesLlm {
           |WHERE to_type IS NOT NULL
           |GROUP BY 1, 2""".stripMargin)),
 
+      Q("ev_pagerank",
+        // Behavioral PageRank of event types (see Funnel.typePageRank for
+        // the integer power-iteration contract). The oracle replays all 8
+        // rounds as chained CTEs; every r_i is referenced twice (contrib +
+        // dangling mass) so each is MATERIALIZED — round-9 session-2 rule
+        // (a), the DuckDB CTE-inlining 2^k re-derivation trap.
+        (s, d) => Funnel.typePageRank(Tables.events(s, d), "ts", "user_id",
+          "event_type", "event_id"),
+        Some {
+          val prelude = Seq(
+            """prtr AS MATERIALIZED (
+              |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+              |  FROM (SELECT event_type AS from_type,
+              |               lead(event_type) OVER (PARTITION BY user_id
+              |                 ORDER BY ts, event_id) AS to_type
+              |        FROM events)
+              |  WHERE to_type IS NOT NULL GROUP BY 1, 2)""".stripMargin,
+            "prnodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events)",
+            "prn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM prnodes)",
+            """proutdeg AS MATERIALIZED (
+              |  SELECT from_type, CAST(sum(cnt) AS BIGINT) AS outc
+              |  FROM prtr GROUP BY 1)""".stripMargin,
+            """prp AS MATERIALIZED (
+              |  SELECT t.from_type, t.to_type, t.cnt * 1000000 // o.outc AS p_ppm
+              |  FROM prtr t JOIN proutdeg o USING (from_type))""".stripMargin,
+            """r0 AS MATERIALIZED (
+              |  SELECT node, 1000000 // prn.n AS r FROM prnodes CROSS JOIN prn)""".stripMargin)
+          val rounds = (1 to 8).map { i =>
+            s"""r$i AS MATERIALIZED (
+              |  SELECT nd.node,
+              |         (150000000000 // prn.n
+              |          + 850000 * (coalesce(c.contrib, 0) + d.dang // prn.n))
+              |           // 1000000 AS r
+              |  FROM prnodes nd
+              |  CROSS JOIN prn
+              |  LEFT JOIN (
+              |    SELECT p.to_type AS node,
+              |           CAST(sum(r.r * p.p_ppm // 1000000) AS BIGINT) AS contrib
+              |    FROM r${i - 1} r JOIN prp p ON p.from_type = r.node
+              |    GROUP BY 1) c ON c.node = nd.node
+              |  CROSS JOIN (
+              |    SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dang
+              |    FROM r${i - 1} r LEFT JOIN proutdeg o ON o.from_type = r.node
+              |    WHERE o.from_type IS NULL) d)""".stripMargin
+          }
+          withCtes(prelude ++ rounds: _*)(
+            "SELECT node, r AS rank_ppm FROM r8")
+        }),
+
       Q("ev_rolling_revenue",
         (s, d) => Funnel.rollingRevenue(Tables.events(s, d), "ts", "event_type", "value"),
         Some(withCtes(

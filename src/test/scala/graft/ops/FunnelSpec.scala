@@ -38,6 +38,29 @@ class FunnelSpec extends SparkSpec {
     (13L, ts(100L), 6L, "view"), (14L, ts(200L), 6L, "purchase")
   ).toDF("event_id", "ts", "user_id", "event_type")
 
+  test("typePageRank: mass conserved up to truncation, sinks absorb, deterministic") {
+    // every user's journey funnels into 'end' (a pure sink: no outgoing
+    // transitions anywhere), 'mid' only forwards
+    val g = Seq(
+      (1L, ts(1), 10L, "start"), (2L, ts(2), 10L, "mid"), (3L, ts(3), 10L, "end"),
+      (4L, ts(1), 11L, "start"), (5L, ts(2), 11L, "mid"), (6L, ts(3), 11L, "end"),
+      (7L, ts(1), 12L, "start"), (8L, ts(2), 12L, "end"),
+      (9L, ts(1), 13L, "mid"), (10L, ts(2), 13L, "end")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val pr = Funnel.typePageRank(g, "ts", "user_id", "event_type", "event_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr.keySet == Set("start", "mid", "end"))
+    // truncating division loses at most a few ppm per node per round
+    val total = pr.values.sum
+    assert(total > 900000L && total <= 1000000L, s"mass $total")
+    // the sink every path ends in must dominate; 'start' (no in-edges
+    // except teleport) must rank last
+    assert(pr("end") > pr("mid") && pr("mid") > pr("start"))
+    val again = Funnel.typePageRank(g, "ts", "user_id", "event_type", "event_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == pr)
+  }
+
   test("funnelSteps: greedy fold matches the hand-computed chained-min funnel") {
     val got = Funnel.funnelSteps(events, "ts", "user_id", "event_type",
         Seq("signup", "view", "purchase"), windowSeconds = 500L)
