@@ -104,6 +104,16 @@ object ScaleSmoke {
     t("token classifier (fit+score)")(graft.ops.Classify.confusionMatrix(
       docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(4)))),
       "doc_id", "text", "lang", 700, "cls").count())
+    // Incremental corpus accounting (r10): one (source)-keyed agg with
+    // k-bounded KMV state per batch + a sources×k merge against the store.
+    // Expect ~linear in docs; the merge term is source-alphabet-scale.
+    locally {
+      val statsDir = java.nio.file.Files.createTempDirectory("scale-sstats")
+      val store = new graft.state.ParquetStateStore(spark, statsDir.toString)
+      val src = docs.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(16))))
+      t("incr stats merge")(graft.streaming.StreamingStats.mergeBatch(
+        store, src, 0L))
+    }
     // BPE training (r9): the corpus pass collapses to the word vocabulary
     // map-side; each of the 6 merge rounds is vocabulary-scale. The salted
     // fixture grows the vocab ~linearly with copies, so expect ~linear.

@@ -48,12 +48,19 @@ object StreamingStats {
     readState(store).agg(coalesce(max(col("committed_batch")), lit(-1L)))
       .head().getLong(0)
 
-  /** One (source)-keyed aggregation over a static batch. */
+  /** One (source)-keyed aggregation over a static batch. The normalized
+    * text is materialized ONCE through a Generate barrier before the token
+    * count and the content hash consume it — CollapseProject would
+    * otherwise inline the two-regex normalize chain into BOTH consumers
+    * (round-4 perf trap; measured 43.2→30.3 s at 1M docs). */
   def batchStats(batch: DataFrame, srcCol: String, textCol: String,
                  k: Int): DataFrame =
     batch.select(col(srcCol).as("source"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("_nt"),
-        DedupOps.hash60(TextOps.normalize(col(textCol))).as("_h"))
+        explode(array(TextOps.normalize(col(textCol)))).as("_norm"))
+      .select(col("source"),
+        when(length(col("_norm")) === 0, 0L)
+          .otherwise(size(split(col("_norm"), " ")).cast("long")).as("_nt"),
+        DedupOps.hash60(col("_norm")).as("_h"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs"), sum(col("_nt")).as("tokens"),
         expr(s"kmv_mins(_h, $k)").as("mins"))
