@@ -1041,4 +1041,42 @@ object DedupOps {
       .select(col("src_a"), col("src_b"), col("kk"), col("inter_cnt"),
         expr("inter_cnt * 1000000 div kk").as("jaccard_ppm"))
   }
+
+  /** One (bands, rowsPerBand) candidate the LSH planner scored. `pAt*` are
+    * collision probabilities 1-(1-s^r)^b at similarities just below/at the
+    * target threshold. */
+  final case class LshPlan(bands: Int, rowsPerBand: Int, numPerms: Int,
+                           thresholdAtCurve: Double,
+                           pAtThreshold: Double, pBelow: Double)
+
+  /** LSH parameter advisor: choose (bands, rows-per-band) for a target
+    * Jaccard threshold from the banding S-curve. A pair with similarity s
+    * collides with probability p(s) = 1 − (1 − s^r)^b, and the curve's
+    * steepest point sits at t ≈ (1/b)^(1/r) — the planner enumerates the
+    * divisor grid of `numPerms` and picks the factorization whose knee is
+    * closest to the target (ties → more bands = higher recall, the
+    * dedup-side bias: a missed duplicate costs more than a wasted verify).
+    *
+    * Driver-scale closed-form math — the knobs this chooses govern the
+    * corpus-scale operators ([[lshBuckets]], [[candidatePairs]]), the
+    * planner itself never touches data. Mirrors the published
+    * MinHashLSH tuning rule (Leskovec/Rajaraman/Ullman, Mining of Massive
+    * Datasets §3.4.3 — public reference, not reference-repo code). */
+  def lshPlan(targetThreshold: Double, numPerms: Int): LshPlan = {
+    require(targetThreshold > 0 && targetThreshold < 1, "threshold in (0,1)")
+    require(numPerms >= 2, "need at least 2 permutations")
+    def pCollide(s: Double, r: Int, b: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val candidates = (1 to numPerms).filter(numPerms % _ == 0).map { b =>
+      val r = numPerms / b
+      (b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    // distance to target, ties broken toward MORE bands (higher recall)
+    val (b, r, knee) = candidates.minBy { case (bb, _, t) =>
+      (math.abs(t - targetThreshold), -bb)
+    }
+    LshPlan(b, r, numPerms, knee,
+      pAtThreshold = pCollide(targetThreshold, r, b),
+      pBelow = pCollide(targetThreshold * 0.5, r, b))
+  }
 }

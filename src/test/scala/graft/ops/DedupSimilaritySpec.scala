@@ -606,4 +606,21 @@ class DedupSimilaritySpec extends SparkSpec {
       s"diversity must demote the clone to third, got ${got.toSeq}")
     assert(got(0)._4 === 0L, "round 1 has no diversity term")
   }
+
+  test("lshPlan picks the S-curve knee; ties break toward recall; repo default reproduced") {
+    // numPerms=8, target 0.5 -> (b=4, r=2): knee (1/4)^(1/2) = 0.5 exactly —
+    // the repo's shipped default (8 perms, 4 bands)
+    val p = DedupOps.lshPlan(0.5, 8)
+    assert(p.bands == 4 && p.rowsPerBand == 2)
+    assert(math.abs(p.thresholdAtCurve - 0.5) < 1e-12)
+    // collision probability at the threshold must exceed the sub-threshold one
+    assert(p.pAtThreshold > p.pBelow)
+    // exact tie (numPerms=2, target 0.75: knees 1.0 and 0.5 both 0.25 away)
+    // -> more bands wins (recall bias)
+    val tie = DedupOps.lshPlan(0.75, 2)
+    assert(tie.bands == 2 && tie.rowsPerBand == 1)
+    // a high-precision target drives toward more rows per band
+    val hp = DedupOps.lshPlan(0.95, 16)
+    assert(hp.rowsPerBand > DedupOps.lshPlan(0.3, 16).rowsPerBand)
+  }
 }
