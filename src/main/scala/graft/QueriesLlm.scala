@@ -3081,6 +3081,23 @@ object QueriesLlm {
           "event_type", FunnelSteps, FunnelWindowS),
         Some(withCtes(funnelCtes: _*)(funnelBody))),
 
+      Q("ev_funnel_latency",
+        // Time-to-convert decade histogram per step (see
+        // Funnel.funnelLatency). The oracle reads durations off the same
+        // chained conditional-min CTEs as ev_funnel — on the fold side the
+        // engines cross-check each other's strategy here too.
+        (s, d) => Funnel.funnelLatency(Tables.events(s, d), "ts", "user_id",
+          "event_type", FunnelSteps, FunnelWindowS),
+        Some(withCtes(funnelCtes: _*)(
+          s"""SELECT step_idx, CAST(length(CAST(dur AS VARCHAR)) - 1 AS BIGINT) AS decade,
+            |       CAST(count(*) AS BIGINT) AS users,
+            |       CAST(min(dur) AS BIGINT) AS min_s,
+            |       CAST(max(dur) AS BIGINT) AS max_s
+            |FROM (${(2 to FunnelSteps.size).map(j =>
+              s"SELECT $j AS step_idx, t$j - t1 AS dur FROM f$j")
+              .mkString("\nUNION ALL\n")})
+            |GROUP BY 1, 2""".stripMargin))),
+
       Q("ev_ab_funnel",
         (s, d) => Funnel.abFunnel(Tables.events(s, d), "ts", "user_id",
           "event_type", FunnelSteps, FunnelWindowS),

@@ -147,6 +147,48 @@ object Funnel {
         coalesce(col("users"), lit(0L)).as("users"))
   }
 
+  /** Time-to-convert histogram: for each step j ≥ 2, the decade
+    * distribution of (t_j − t1) seconds over users who reached it —
+    * decade = digits(duration) − 1 (1-9 s, 10-99 s, …), the same no-float
+    * bucketing as the frequency spectrum, so both engines bucket
+    * identically. Durations are ≥ 1 by construction (strict ordering in
+    * integer seconds), so the digit count is well-defined.
+    *
+    * Volume-dispatched like [[funnelSteps]]: the fold path reads durations
+    * off the per-user step struct; the chained path reads them off each
+    * level's (t1, tp). Output: (step_idx, decade, users, min_s, max_s). */
+  def funnelLatency(events: DataFrame, tsCol: String, userCol: String,
+                    typeCol: String, steps: Seq[String],
+                    windowSeconds: Long,
+                    maxEventsPerUser: Option[Int] = None,
+                    foldCap: Long = foldEventsCap): DataFrame = {
+    val rel = boundedRelevant(events, tsCol, userCol, typeCol, steps,
+      maxEventsPerUser)
+    val k = steps.size
+    val durRows =
+      if (fitsFold(rel, foldCap))
+        foldedStepTimes(rel, tsCol, userCol, typeCol, steps, windowSeconds)
+          .select(explode(array((2 to k).map(j =>
+            struct(lit(j).as("step_idx"),
+              (col(s"f.t$j") - col("f.t1")).as("dur"))): _*)).as("d"))
+          .filter(col("d.dur").isNotNull)
+          .select(col("d.step_idx"), col("d.dur"))
+      else {
+        val levels = chainedLevels(
+          rel.select(col(userCol).as("_u"), lit("all").as("_v"),
+            col(typeCol).as("_y"), epochS(tsCol).as("_t")),
+          steps, windowSeconds)
+        levels.zipWithIndex.drop(1).map { case (cur, i) =>
+          cur.select(lit(i + 1).as("step_idx"),
+            (col("tp") - col("t1")).as("dur"))
+        }.reduce(_ unionByName _)
+      }
+    durRows.groupBy(col("step_idx"),
+        (length(col("dur").cast("string")) - 1).cast("long").as("decade"))
+      .agg(count(lit(1)).as("users"),
+        min(col("dur")).as("min_s"), max(col("dur")).as("max_s"))
+  }
+
   /** The k-row literal step frame: (step_idx, step) for every step. */
   private def stepUniverse(events: DataFrame, steps: Seq[String]): DataFrame = {
     val session = events.sparkSession
@@ -177,16 +219,28 @@ object Funnel {
     * nothing — the public entry points complete the universe). */
   private def chainedStepCounts(prepared: DataFrame, steps: Seq[String],
                                 windowSeconds: Long): DataFrame = {
+    val levels = chainedLevels(prepared, steps, windowSeconds)
+    val counts = levels.zipWithIndex.map { case (cur, i) =>
+      cur.groupBy(col("_v")).agg(count(lit(1)).as("users"))
+        .select(col("_v"), lit(i + 1).as("step_idx"),
+          lit(steps(i)).as("step"), col("users"))
+    }
+    counts.reduce(_ unionByName _)
+  }
+
+  /** The chained levels themselves: element i is the user-cardinality
+    * frame (_u, _v, t1, tp) of users whose funnel reached step i+1, with
+    * tp = that step's time. Each level is localCheckpointed — it feeds
+    * both the next level's join and whatever readout the caller derives
+    * (counts, latency histograms). */
+  private def chainedLevels(prepared: DataFrame, steps: Seq[String],
+                            windowSeconds: Long): Seq[DataFrame] = {
     val e = prepared.localCheckpoint() // feeds k step-filtered joins
     var cur = e.filter(col("_y") === steps.head)
       .groupBy(col("_u"), col("_v")).agg(min(col("_t")).as("t1"))
       .withColumn("tp", col("t1"))
       .localCheckpoint()
-    def stepCount(i: Int): DataFrame =
-      cur.groupBy(col("_v")).agg(count(lit(1)).as("users"))
-        .select(col("_v"), lit(i + 1).as("step_idx"),
-          lit(steps(i)).as("step"), col("users"))
-    val counts = scala.collection.mutable.ArrayBuffer(stepCount(0))
+    val levels = scala.collection.mutable.ArrayBuffer(cur)
     steps.indices.tail.foreach { i =>
       cur = e.filter(col("_y") === steps(i)).select(col("_u"), col("_t"))
         .join(cur, Seq("_u"))
@@ -195,9 +249,9 @@ object Funnel {
         .groupBy(col("_u"), col("_v"), col("t1"))
         .agg(min(col("_t")).as("tp"))
         .localCheckpoint()
-      counts += stepCount(i)
+      levels += cur
     }
-    counts.reduce(_ unionByName _)
+    levels.toSeq
   }
 
   /** Per-step (step_idx, step, hit) rows read off the fold's `f` struct. */

@@ -38,6 +38,26 @@ class FunnelSpec extends SparkSpec {
     (13L, ts(100L), 6L, "view"), (14L, ts(200L), 6L, "purchase")
   ).toDF("event_id", "ts", "user_id", "event_type")
 
+  test("funnelLatency: hand-checked decades; fold and chained paths agree") {
+    val steps = Seq("signup", "view", "purchase")
+    def run(foldCap: Long) = Funnel.funnelLatency(events, "ts", "user_id",
+      "event_type", steps, windowSeconds = 500L, foldCap = foldCap)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val fold = run(Long.MaxValue)
+    val chained = run(0L) // forces the chained conditional-min path
+    // u1: view 100 s after signup (decade 2), purchase 200 s (decade 2);
+    // u2: view 50 s (decade 1); u3 same-second view rejected; u4 past the
+    // window; u5 skipped view; u6 never signed up
+    val expected = Set(
+      (2, 1L, 1L, 50L, 50L),
+      (2, 2L, 1L, 100L, 100L),
+      (3, 2L, 1L, 200L, 200L))
+    assert(fold == expected)
+    assert(chained == expected)
+  }
+
   test("typePageRank: mass conserved up to truncation, sinks absorb, deterministic") {
     // every user's journey funnels into 'end' (a pure sink: no outgoing
     // transitions anywhere), 'mid' only forwards
