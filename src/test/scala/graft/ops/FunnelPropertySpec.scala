@@ -23,10 +23,10 @@ class FunnelPropertySpec extends SparkSpec {
   private val steps = Seq("s1", "s2", "s3", "s4")
   private val types = steps ++ Seq("noise1", "noise2")
 
-  private def referenceCounts(events: Seq[(Long, Long, String)],
-                              windowS: Long): Seq[Long] = {
+  private def referenceStepTimes(events: Seq[(Long, Long, String)],
+                                 windowS: Long): Vector[Vector[Option[Long]]] = {
     val byUser = events.groupBy(_._1)
-    val stepTimes = byUser.values.map { evs =>
+    byUser.values.map { evs =>
       def minAfter(step: String, after: Option[Long],
                    start: Option[Long]): Option[Long] = {
         val cands = evs.collect {
@@ -41,8 +41,24 @@ class FunnelPropertySpec extends SparkSpec {
                 else minAfter(s, acc.last, t1))
       }
     }.toVector
+  }
+
+  private def referenceCounts(events: Seq[(Long, Long, String)],
+                              windowS: Long): Seq[Long] = {
+    val stepTimes = referenceStepTimes(events, windowS)
     steps.indices.map(j => stepTimes.count(ts => ts(j).isDefined).toLong)
   }
+
+  private def referenceLatency(events: Seq[(Long, Long, String)],
+                               windowS: Long): Set[(Int, Long, Long, Long, Long)] =
+    referenceStepTimes(events, windowS).flatMap { ts =>
+      (1 until steps.size).flatMap { j =>
+        for { tj <- ts(j); t1 <- ts.head } yield (j + 1, tj - t1)
+      }
+    }.groupBy { case (j, d) => (j, (d.toString.length - 1).toLong) }
+      .map { case ((j, dec), xs) =>
+        (j, dec, xs.size.toLong, xs.map(_._2).min, xs.map(_._2).max)
+      }.toSet
 
   test("retention and transitions equal driver references on random event streams") {
     val rnd = new Random(777)
@@ -108,6 +124,16 @@ class FunnelPropertySpec extends SparkSpec {
         .orderBy(col("step_idx")).as[(Int, String, Long)].collect().map(_._3).toSeq
       assert(chained === want,
         s"trial $trial (users=$nUsers window=$windowS): chained $chained vs reference $want")
+
+      // latency histograms hit the same reference on BOTH dispatch paths
+      val wantLat = referenceLatency(events, windowS)
+      def gotLat(foldCap: Long) = Funnel.funnelLatency(df, "ts", "user_id",
+          "event_type", steps, windowS, foldCap = foldCap)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(gotLat(Long.MaxValue) === wantLat, s"trial $trial latency fold")
+      assert(gotLat(0L) === wantLat, s"trial $trial latency chained")
     }
   }
 }
