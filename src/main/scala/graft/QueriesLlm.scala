@@ -1780,6 +1780,49 @@ object QueriesLlm {
         |       doc_id % 7 <> 0 AS ok
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin)),
 
+    Q("mm_phash_dedup",
+      // Perceptual-hash image dedup over REAL decodes: aHash every
+      // decodable synthetic PNG (see Multimodal.realPhash — integer-exact
+      // grayscale + 8x8 block means + global-mean threshold), then group
+      // identical hashes. DuckDB replays the whole hash from the pixel
+      // formula without decoding a single image: the per-pixel grid is
+      // unnested from range(w*h), grayscaled, block-assigned with the same
+      // x*8 div w partition, and string_agg'd in bit order. Any divergence
+      // in channel order, rounding, or block boundaries fails the gate.
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.syntheticImages(
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 0))
+        Multimodal.realPhash(media).toDF()
+          .filter(col("ok"))
+          .groupBy(col("phash"))
+          .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("min_doc"))
+      },
+      Some("""WITH mi AS (
+        |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + doc_id % 24 AS h
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0),
+        |px AS (
+        |  SELECT doc_id, w, h, i // h AS x, i % h AS y,
+        |         ((i // h) * 31 + (i % h) * 17 + doc_id) % 16777216 AS v
+        |  FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM mi)),
+        |cells AS (
+        |  SELECT doc_id, (y * 8) // h AS gy, (x * 8) // w AS gx,
+        |         CAST(sum(((v // 65536) % 256 * 299 + (v // 256) % 256 * 587
+        |                   + (v % 256) * 114) // 1000) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM px GROUP BY 1, 2, 3),
+        |cmeans AS (SELECT doc_id, gy, gx, s // c AS m FROM cells),
+        |gmean AS (SELECT doc_id, CAST(sum(m) AS BIGINT) // 64 AS gm
+        |          FROM cmeans GROUP BY 1),
+        |ph AS (
+        |  SELECT c.doc_id,
+        |         string_agg(CASE WHEN c.m > g.gm THEN '1' ELSE '0' END, ''
+        |                    ORDER BY c.gy * 8 + c.gx) AS phash
+        |  FROM cmeans c JOIN gmean g USING (doc_id) GROUP BY 1)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
+        |       CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM ph GROUP BY 1""".stripMargin)),
+
     Q("mm_real_audio",
       // REAL javax.sound.sampled decode, oracle-checked exactly like
       // mm_real_decode: executors synthesize deterministic PCM WAVs (every

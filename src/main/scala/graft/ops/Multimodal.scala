@@ -288,6 +288,76 @@ object Multimodal {
       }
     }(enc)
 
+  /** One perceptual-hash row — see [[realPhash]]. */
+  final case class PhashedImage(doc_id: Long, phash: String, ok: Boolean)
+
+  /** REAL-decode perceptual average-hash (aHash): grayscale every pixel
+    * (integer 299/587/114 ppt weights), block-average into an 8×8 grid
+    * (block of x = x·8 div w — the exact partition both engines can
+    * replay), threshold each cell against the global mean of the 64 cell
+    * means, emit the 64 bits as a '0'/'1' string in row-major order. The
+    * string form keeps the hash sortable by the driver's comparator and
+    * sidesteps the int64 sign bit.
+    *
+    * Every step is integer-exact arithmetic on the decoded pixels, so for
+    * the formula-synthesized fixtures the DuckDB oracle can reproduce the
+    * hash WITHOUT decoding images — misread channel order, wrong gamma, or
+    * a lossy downscale all land off the formula and fail the gate. The
+    * block-average is computed in plain JVM loops per row (a codegen-free
+    * map — the image IS the hot loop, round-9 rule a).
+    *
+    * Scale: map-only over the binary column, embarrassingly parallel;
+    * grouping identical hashes afterwards is the first-line image dedup of
+    * a multimodal corpus, and hamming-banded near-dup (split the 64 bits
+    * into 4 bands of 16 — hamming ≤ 3 guarantees a shared band) reuses the
+    * LSH bucket shape. */
+  def realPhash(media: DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[PhashedImage]): org.apache.spark.sql.Dataset[PhashedImage] =
+    media.select(col("doc_id").cast("long"), col("media")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) PhashedImage(id, "", ok = false)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val sums = Array.ofDim[Long](8, 8)
+            val cnts = Array.ofDim[Long](8, 8)
+            var x = 0
+            while (x < w) {
+              val gx = x * 8 / w
+              var y = 0
+              while (y < h) {
+                val v = img.getRGB(x, y) & 0xffffff
+                val gray = (((v >> 16) & 255) * 299L + ((v >> 8) & 255) * 587L +
+                  (v & 255) * 114L) / 1000L
+                val gy = y * 8 / h
+                sums(gy)(gx) += gray; cnts(gy)(gx) += 1L
+                y += 1
+              }
+              x += 1
+            }
+            val means = Array.tabulate(8, 8)((gy, gx) =>
+              if (cnts(gy)(gx) == 0) 0L else sums(gy)(gx) / cnts(gy)(gx))
+            val gmean = means.map(_.sum).sum / 64L
+            val sb = new StringBuilder(64)
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                sb.append(if (means(gy)(gx) > gmean) '1' else '0'); gx += 1
+              }
+              gy += 1
+            }
+            PhashedImage(id, sb.toString, ok = true)
+          }
+        } catch {
+          case _: Exception => PhashedImage(id, "", ok = false)
+        }
+      }
+    }(enc)
+
   /** REAL pixel decode + resize + re-encode: `ImageIO.read` → scaled draw
     * onto a fresh raster → PNG bytes. Pure raster work — headless-safe, no
     * display required. The (binary, metadata) → (binary, metadata) contract

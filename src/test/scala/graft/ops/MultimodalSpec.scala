@@ -149,6 +149,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("realPhash: identical bytes hash identically; a one-pixel change stays hamming-near; corrupt rows drop") {
+    def png(id: Long, tweak: Boolean): Array[Byte] = {
+      val (w, h) = (24, 20)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, ((x * 31 + y * 17 + id.toInt) & 0xffffff))
+      if (tweak) img.setRGB(0, 0, 0xffffff) // one-pixel perturbation
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(5L, tweak = false)),
+      (2L, png(5L, tweak = false)),   // byte-identical content to 1
+      (3L, png(5L, tweak = true)),    // near-dup of 1
+      (4L, "not an image".getBytes("UTF-8"))
+    ).toDF("doc_id", "media")
+    val got = Multimodal.realPhash(media).collect()
+      .map(p => p.doc_id -> ((p.phash, p.ok))).toMap
+    assert(!got(4L)._2 && got(4L)._1.isEmpty)
+    assert(got(1L)._2 && got(1L)._1.length == 64 &&
+      got(1L)._1.forall(c => c == '0' || c == '1'))
+    assert(got(1L)._1 == got(2L)._1, "identical content must collide exactly")
+    val hamming = got(1L)._1.zip(got(3L)._1).count { case (a, b) => a != b }
+    assert(hamming <= 2, s"one-pixel change moved $hamming bits")
+    // hamming-banded near-dup recovery: 4 bands of 16 bits — hamming <= 3
+    // pigeonholes at least one untouched band
+    def bands(s: String) = (0 until 4).map(i => (i, s.substring(i * 16, i * 16 + 16)))
+    assert(bands(got(1L)._1).toSet.intersect(bands(got(3L)._1).toSet).nonEmpty,
+      "near-dup pair must share an LSH band")
+  }
+
   test("resizeStub halves dimensions and keeps the leading half of the payload") {
     val m = Multimodal.asMedia(docs, "text", "image")
     val r = Multimodal.resizeStub(m, factor = 2)
