@@ -1852,6 +1852,43 @@ object QueriesLlm {
         |       d.doc_id % 7 <> 0 AS ok
         |FROM ids d JOIN pk p USING (doc_id)""".stripMargin)),
 
+    Q("mm_audio_dedup",
+      // Energy-envelope audio fingerprint over REAL decodes (the audio
+      // twin of mm_phash_dedup — see Multimodal.realAudioFingerprint):
+      // 16-window mean |amplitude| thresholded against the global mean,
+      // grouped. DuckDB replays the fingerprint from the generative WAV
+      // formula without decoding audio.
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.syntheticWavs(
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 0))
+        Multimodal.realAudioFingerprint(media).toDF()
+          .filter(col("ok"))
+          .groupBy(col("afp"))
+          .agg(count(lit(1)).as("n_clips"), min(col("doc_id")).as("min_doc"))
+      },
+      Some("""WITH aids AS (
+        |  SELECT doc_id, 64 + doc_id % 128 AS n
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0),
+        |aidx AS (SELECT unnest(range(0, 192)) AS i),
+        |asm AS (
+        |  SELECT doc_id, (i * 16) // n AS w,
+        |         abs((doc_id * 31 + i * 17) % 2003 - 1001) AS a
+        |  FROM aids JOIN aidx ON aidx.i < aids.n),
+        |awm AS (SELECT doc_id, w,
+        |               CAST(sum(a) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+        |        FROM asm GROUP BY 1, 2),
+        |agm AS (SELECT doc_id, CAST(sum(m) AS BIGINT) // 16 AS g
+        |        FROM awm GROUP BY 1),
+        |afp AS (
+        |  SELECT w.doc_id,
+        |         string_agg(CASE WHEN w.m > g.g THEN '1' ELSE '0' END, ''
+        |                    ORDER BY w.w) AS afp
+        |  FROM awm w JOIN agm g USING (doc_id) GROUP BY 1)
+        |SELECT afp, CAST(count(*) AS BIGINT) AS n_clips,
+        |       CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM afp GROUP BY 1""".stripMargin)),
+
     Q("mm_frame_sample",
       (s, d) => {
         val media = Multimodal.asMedia(Tables.documents(s, d), "text", "image")

@@ -250,6 +250,57 @@ object Multimodal {
       }
     }(enc)
 
+  /** One audio-fingerprint row — see [[realAudioFingerprint]]. */
+  final case class FingerprintedAudio(doc_id: Long, afp: String, ok: Boolean)
+
+  /** REAL-decode audio energy-envelope fingerprint — the audio twin of
+    * [[realPhash]]: decode the actual PCM frames, split the sample index
+    * range into 16 windows (window of i = i·16 div n, the same exact
+    * integer partition as the image block grid), mean |amplitude| per
+    * window (integer div), threshold each window against the global mean
+    * of the 16 window means, emit 16 '0'/'1' chars. Identical-content
+    * clips collide exactly; a clipped/re-padded copy stays hamming-near.
+    * Integer-exact end to end, so the oracle replays the fingerprint from
+    * the generative WAV formula without decoding audio. Map-only. */
+  def realAudioFingerprint(media: DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[FingerprintedAudio]): org.apache.spark.sql.Dataset[FingerprintedAudio] =
+    media.select(col("doc_id").cast("long"), col("media")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val f = ais.getFormat
+            val pcm = ais.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(pcm).order(
+              if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val n = pcm.length / 2
+            if (n == 0) FingerprintedAudio(id, "", ok = false)
+            else {
+              val sums = new Array[Long](16); val cnts = new Array[Long](16)
+              var i = 0
+              while (bb.remaining() >= 2) {
+                val w = i * 16 / n
+                sums(w) += math.abs(bb.getShort.toLong); cnts(w) += 1L
+                i += 1
+              }
+              val means = Array.tabulate(16)(w =>
+                if (cnts(w) == 0) 0L else sums(w) / cnts(w))
+              val gmean = means.sum / 16L
+              val sb = new StringBuilder(16)
+              means.foreach(m => sb.append(if (m > gmean) '1' else '0'))
+              FingerprintedAudio(id, sb.toString, ok = true)
+            }
+          } finally ais.close()
+        } catch {
+          case _: Exception => FingerprintedAudio(id, "", ok = false)
+        }
+      }
+    }(enc)
+
   /** One REAL resize result: re-encoded PNG bytes + new dimensions. */
   final case class ResizedImage(doc_id: Long, width: Int, height: Int,
       resized: Array[Byte], ok: Boolean)

@@ -182,6 +182,36 @@ class MultimodalSpec extends SparkSpec {
       "near-dup pair must share an LSH band")
   }
 
+  test("realAudioFingerprint: identical clips collide; a trimmed copy stays hamming-near; garbage drops") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(pcm.putShort)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm.array()), fmt, samples.length),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val base = Array.tabulate(160)(i => ((i * 37) % 1800 - 900).toShort)
+    val media = Seq(
+      (1L, wav(base)),
+      (2L, wav(base)),               // byte-identical clip
+      (3L, wav(base.dropRight(8))),  // trimmed copy
+      (4L, "static noise".getBytes("UTF-8"))
+    ).toDF("doc_id", "media")
+    val got = Multimodal.realAudioFingerprint(media).collect()
+      .map(p => p.doc_id -> ((p.afp, p.ok))).toMap
+    assert(!got(4L)._2)
+    assert(got(1L)._2 && got(1L)._1.length == 16 &&
+      got(1L)._1.forall(c => c == '0' || c == '1'))
+    assert(got(1L)._1 == got(2L)._1, "identical clips must collide exactly")
+    val hamming = got(1L)._1.zip(got(3L)._1).count { case (a, b) => a != b }
+    assert(hamming <= 3, s"trimmed copy moved $hamming bits")
+  }
+
   test("resizeStub halves dimensions and keeps the leading half of the payload") {
     val m = Multimodal.asMedia(docs, "text", "image")
     val r = Multimodal.resizeStub(m, factor = 2)
