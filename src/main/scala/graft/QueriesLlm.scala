@@ -1548,7 +1548,30 @@ object QueriesLlm {
         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
         |  FROM scored)
         |SELECT query_id, rank, vec_id, score, neg_label
-        |FROM ranked WHERE rank <= 10""".stripMargin))
+        |FROM ranked WHERE rank <= 10""".stripMargin)),
+
+    Q("ann_integrity",
+      // Embedding-store integrity audit: per-label dim violations, zero
+      // vectors, quantized-norm² range, and doc-pairing orphans — the
+      // data-quality gate before any ANN/dedup pass trusts the table.
+      (s, d) => Similarity.integrityAudit(Tables.embeddings(s, d),
+        Tables.documents(s, d), "vec_id", "doc_id", "embedding", "label", 64),
+      Some("""WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(len(embedding) AS BIGINT) AS dims,
+        |         CAST(coalesce(list_sum(list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)
+        |              * CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))), 0) AS BIGINT) AS norm2
+        |  FROM embeddings),
+        |j AS (
+        |  SELECT q.*, d.doc_id FROM q
+        |  LEFT JOIN documents d ON d.doc_id = q.vec_id)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(CASE WHEN dims <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_bad,
+        |       CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |       min(norm2) AS min_norm2, max(norm2) AS max_norm2,
+        |       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unpaired
+        |FROM j GROUP BY 1""".stripMargin))
   )
 
   /** Shared by ann_ivf_kmeans and ann_ivf_persisted: one Lloyd round on the
@@ -3310,6 +3333,72 @@ object QueriesLlm {
           """SELECT d.event_type, day_idx, rev_cents,
             |       (dev2 * 2 > mad4 * 3) AS is_anomaly
             |FROM dev d JOIN mad USING (event_type)""".stripMargin))),
+
+      Q("ev_sessions",
+        // Gap-based sessionization (30-min rule) + per-session rollup.
+        // Both engines split sessions on truncated epoch SECONDS over the
+        // identical (ep_s, event_id) per-user order, so the boundary flag
+        // can never flip on one side; money is integer cents throughout.
+        (s, d) => Funnel.sessionize(Tables.events(s, d), "ts", "user_id",
+          "event_type", "value", "event_id"),
+        Some(withCtes(
+          s"""ev AS MATERIALIZED (
+            |  SELECT user_id, $ep AS ep_s, event_type,
+            |         CAST(floor(value * 100) AS BIGINT) AS v_cents, event_id
+            |  FROM events)""".stripMargin,
+          """marked AS MATERIALIZED (
+            |  SELECT user_id, ep_s, event_type, v_cents, event_id,
+            |         CASE WHEN ep_s - lag(ep_s) OVER
+            |                (PARTITION BY user_id ORDER BY ep_s, event_id) <= 1800
+            |              THEN 0 ELSE 1 END AS new_sess
+            |  FROM ev)""".stripMargin,
+          """sess AS (
+            |  SELECT user_id, ep_s, event_type, v_cents,
+            |         sum(new_sess) OVER (PARTITION BY user_id
+            |           ORDER BY ep_s, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+            |  FROM marked)""".stripMargin)(
+          """SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+            |       CAST(count(*) AS BIGINT) AS n_events,
+            |       min(ep_s) AS start_s, max(ep_s) AS end_s,
+            |       max(ep_s) - min(ep_s) AS duration_s,
+            |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+            |       CAST(sum(v_cents) AS BIGINT) AS rev_cents
+            |FROM sess GROUP BY 1, 2""".stripMargin))),
+
+      Q("ev_entry_exit",
+        // Landing/exit analysis over the same session boundaries: sessions
+        // counted by (first event type, last event type, converted). The
+        // first/last ride min_by/max_by on a zero-padded (ep_s, event_id)
+        // string key — deterministic in both engines, partial-agg friendly.
+        (s, d) => Funnel.sessionEntryExit(Tables.events(s, d), "ts",
+          "user_id", "event_type", "event_id", convType = "purchase"),
+        Some(withCtes(
+          s"""ev AS MATERIALIZED (
+            |  SELECT user_id, $ep AS ep_s, event_type, event_id
+            |  FROM events)""".stripMargin,
+          """marked AS MATERIALIZED (
+            |  SELECT user_id, ep_s, event_type, event_id,
+            |         CASE WHEN ep_s - lag(ep_s) OVER
+            |                (PARTITION BY user_id ORDER BY ep_s, event_id) <= 1800
+            |              THEN 0 ELSE 1 END AS new_sess
+            |  FROM ev)""".stripMargin,
+          """sess AS (
+            |  SELECT user_id, ep_s, event_type, event_id,
+            |         sum(new_sess) OVER (PARTITION BY user_id
+            |           ORDER BY ep_s, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+            |  FROM marked)""".stripMargin,
+          """per_sess AS (
+            |  SELECT user_id, session_idx,
+            |         arg_min(event_type, lpad(CAST(ep_s AS VARCHAR), 12, '0')
+            |           || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS entry_type,
+            |         arg_max(event_type, lpad(CAST(ep_s AS VARCHAR), 12, '0')
+            |           || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS exit_type,
+            |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+            |           AS converted
+            |  FROM sess GROUP BY 1, 2)""".stripMargin)(
+          """SELECT entry_type, exit_type, converted,
+            |       CAST(count(*) AS BIGINT) AS sessions
+            |FROM per_sess GROUP BY 1, 2, 3""".stripMargin))),
 
       Q("dedup_edit_verify",
         (s, d) => {

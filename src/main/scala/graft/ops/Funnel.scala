@@ -479,4 +479,77 @@ object Funnel {
     }
     nodes.map(v => (v, r(v))).toDF("node", "rank_ppm")
   }
+
+  /** Gap-based sessionization: a new session starts whenever a user's
+    * inter-event gap exceeds `gapSecs` (the GA-classic 30-minute rule).
+    * Per-session rollup: event count, start/end/duration in epoch seconds,
+    * distinct event types, and revenue in integer cents.
+    *
+    * Scale shape: both windows (lag for the boundary flag, running sum for
+    * the session index) partition by USER and share one sort — Spark plans
+    * a single user-keyed exchange + sort for the pair, never a global
+    * window. The per-(user, session) aggregation that follows partially
+    * aggregates map-side, so its exchange carries session-cardinality
+    * rows, not events. Ordering inside a user is (epoch-second, tieBreak),
+    * a total order shared verbatim with the DuckDB oracle; the boundary
+    * flag compares truncated epoch SECONDS on both engines so sub-second
+    * jitter can never flip a session split on one side only. */
+  def sessionize(events: DataFrame, tsCol: String, userCol: String,
+                 typeCol: String, valueCol: String, tieBreakCol: String,
+                 gapSecs: Long = 1800L): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep_s"), col("tie"))
+    events
+      .select(col(userCol).as("user_id"), epochS(tsCol).as("ep_s"),
+        col(typeCol).as("event_type"),
+        floor(col(valueCol) * 100).cast("long").as("v_cents"),
+        col(tieBreakCol).as("tie"))
+      .withColumn("new_sess",
+        when(col("ep_s") - lag(col("ep_s"), 1).over(perUser) <= gapSecs, 0L)
+          .otherwise(1L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ep_s")).as("start_s"),
+        max(col("ep_s")).as("end_s"),
+        (max(col("ep_s")) - min(col("ep_s"))).as("duration_s"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("v_cents")).as("rev_cents"))
+  }
+
+  /** Entry/exit analysis over [[sessionize]] boundaries: how many sessions
+    * begin with one event type and end with another (landing/exit pages in
+    * web terms), with converted sessions (any `convType` event) split out.
+    *
+    * The first/last event ride the SAME per-(user, session) aggregation as
+    * the session rollup via `min_by`/`max_by` on a zero-padded
+    * (epoch-second, tieBreak) string key — the lpad-string argmax trick
+    * (llm_mixed_lang) that both engines order identically and that keeps
+    * map-side partial aggregation (no second window over the events). The
+    * output is bounded by |types|² × 2, never by sessions. */
+  def sessionEntryExit(events: DataFrame, tsCol: String, userCol: String,
+                       typeCol: String, tieBreakCol: String,
+                       convType: String, gapSecs: Long = 1800L): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep_s"), col("tie"))
+    val ordKey = concat(lpad(col("ep_s").cast("string"), 12, "0"),
+      lpad(col("tie").cast("string"), 12, "0"))
+    events
+      .select(col(userCol).as("user_id"), epochS(tsCol).as("ep_s"),
+        col(typeCol).as("event_type"), col(tieBreakCol).as("tie"))
+      .withColumn("new_sess",
+        when(col("ep_s") - lag(col("ep_s"), 1).over(perUser) <= gapSecs, 0L)
+          .otherwise(1L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min_by(col("event_type"), ordKey).as("entry_type"),
+        max_by(col("event_type"), ordKey).as("exit_type"),
+        max(when(col("event_type") === convType, 1L).otherwise(0L)).as("converted"))
+      .groupBy(col("entry_type"), col("exit_type"), col("converted"))
+      .agg(count(lit(1)).as("sessions"))
+  }
 }

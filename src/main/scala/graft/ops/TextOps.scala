@@ -641,4 +641,60 @@ object TextOps {
         sum(col("_c")).as("n_occurrences"),
         min(col("_c")).as("min_freq"),
         max(col("_c")).as("max_freq"))
+
+  /** PMI collocations: the top-k adjacent token pairs most over-represented
+    * vs their unigram frequencies — multi-word-expression mining (Church &
+    * Hanks 1990) and a templated-boilerplate detector (a phrase repeated
+    * verbatim across documents shows up with an extreme ratio).
+    *
+    * Integer PMI surrogate, monotone in the real PMI at fixed supports:
+    * `pmi_ppm = ((c_ab·10⁶ div c_a) · T) div c_b` where c_a/c_b are
+    * unigram occurrence counts and T the total token count — 10⁶ means
+    * the pair occurs exactly as often as independence predicts. Division
+    * first (round-10 rule d): `c_ab ≤ c_a` caps the first factor at 10⁶,
+    * so the product stays ≤ 10⁶·T — no int64 overflow at any corpus size
+    * where T < 9·10¹². A `minCount` support floor drops the noise tail
+    * (singleton pairs otherwise dominate any PMI ranking).
+    *
+    * Scale shape: two Zipf-bounded aggregations (unigram vocab, bigram
+    * vocab with map-side partials), two equi-joins of the DISTINCT-bigram
+    * table against the unigram table (post-aggregation rows, so the hot
+    * 'the'-key carries one row per distinct partner, not per occurrence),
+    * a 1-row total broadcast, and a TakeOrdered top-k. No windows. */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    // Compact token-array projection, checkpointed: BOTH aggregations
+    // below consume it, and without the barrier the plan re-tokenizes the
+    // corpus once per consumer (round-4 rule d / round-9 rule b — always
+    // the token-ARRAY rows, never exploded occurrences).
+    // `tokens` never yields an empty array (split of "" is [""]), so the
+    // empty-doc filter is exactly "first token non-empty" — safe under
+    // ANSI element_at.
+    val toks = docs.select(tokens(col(textCol)).as("_toks"))
+      .filter(element_at(col("_toks"), 1) =!= "")
+      .localCheckpoint()
+    val uni = toks.select(explode(col("_toks")).as("_token"))
+      .groupBy(col("_token"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint() // consumed by 3 subtrees (round-4 rule d)
+    val total = uni.agg(sum(col("_c")).as("_t"))
+    val bi = toks.filter(size(col("_toks")) >= 2)
+      .select(col("_toks"),
+        explode(sequence(lit(0), size(col("_toks")) - 2)).as("_i"))
+      .select(concat_ws(" ",
+        expr("element_at(_toks, _i + 1)"),
+        expr("element_at(_toks, _i + 2)")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .withColumn("_w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("_w2", split(col("bigram"), " ").getItem(1))
+    bi.join(uni.select(col("_token").as("_w1"), col("_c").as("n_a")), Seq("_w1"))
+      .join(uni.select(col("_token").as("_w2"), col("_c").as("n_b")), Seq("_w2"))
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("n_pair"), col("n_a"), col("n_b"),
+        expr("((n_pair * 1000000 div n_a) * _t) div n_b").as("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("bigram"))
+      .limit(topK)
+  }
 }

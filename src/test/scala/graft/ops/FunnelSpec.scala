@@ -316,4 +316,56 @@ class FunnelSpec extends SparkSpec {
     val dup = est.find(r => r._1 == 1L && r._2 == 2L).get
     assert(dup._3 === 1000L && dup._4 === 1000L && dup._5 === 0L)
   }
+
+  test("sessionize: gap rule splits on > gap, exact-gap stays; rollup is hand-exact") {
+    // u1: events at 0, 1000, 2800 (gaps 1000, 1800 — both ≤ 1800, ONE
+    // session), then 4601 (gap 1801 > 1800, new session).
+    // u2: one lone event.
+    val ev = Seq(
+      (1L, ts(0L), 1L, "view", 1.23),
+      (2L, ts(1000L), 1L, "click", 2.00),
+      (3L, ts(2800L), 1L, "view", 0.50),
+      (4L, ts(4601L), 1L, "purchase", 10.99),
+      (5L, ts(500L), 2L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Funnel.sessionize(ev, "ts", "user_id", "event_type", "value", "event_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      // user, sess, n_events, start, end, duration, n_types, rev_cents
+      (1L, 1L, 3L, 0L, 2800L, 2800L, 2L, 123L + 200L + 50L),
+      (1L, 2L, 1L, 4601L, 4601L, 0L, 1L, 1099L),
+      (2L, 1L, 1L, 500L, 500L, 0L, 1L, 0L)))
+  }
+
+  test("sessionize: same-second events use the tie-break and never split") {
+    val ev = Seq(
+      (2L, ts(100L), 1L, "b", 0.0),
+      (1L, ts(100L), 1L, "a", 0.0),
+      (3L, ts(100L), 1L, "c", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Funnel.sessionize(ev, "ts", "user_id", "event_type", "value", "event_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 3L, 100L, 100L, 0L, 3L, 0L)))
+  }
+
+  test("sessionEntryExit: first/last by (ts, event_id); conversion flag per session") {
+    val ev = Seq(
+      // u1 session 1: view -> click -> purchase (entry view, exit purchase, converted)
+      (1L, ts(0L), 1L, "view"),
+      (2L, ts(100L), 1L, "click"),
+      (3L, ts(200L), 1L, "purchase"),
+      // u1 session 2 (gap > 1800): lone view
+      (4L, ts(5000L), 1L, "view"),
+      // u2: same-second entry decided by event_id (5 before 6)
+      (6L, ts(0L), 2L, "click"),
+      (5L, ts(0L), 2L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Funnel.sessionEntryExit(ev, "ts", "user_id", "event_type",
+      "event_id", convType = "purchase")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("view", "purchase", 1L, 1L),
+      ("view", "view", 0L, 1L),
+      ("view", "click", 0L, 1L)))
+  }
 }

@@ -95,4 +95,23 @@ class LabelQualitySpec extends SparkSpec {
       "docs carrying rare tokens outscore all-common docs on rarity")
     assert(commonDoc.forall(_._2 == 0L), "all-common docs have zero OOV")
   }
+
+  test("integrityAudit: planted dim violation, zero vector, and orphan are each counted") {
+    val emb = Seq(
+      (0L, Array(0.5f, 0.5f), 0),     // clean, paired: norm2 = 2*500²
+      (1L, Array(0.25f, 0.75f), 0),   // clean, paired
+      (2L, Array(0.5f), 0),           // dim violation (1 != 2)
+      (3L, Array(0f, 0f), 1),         // zero vector
+      (9L, Array(1f, 1f), 1)          // orphan: no doc row 9
+    ).toDF("vec_id", "embedding", "label")
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("doc_id", "text")
+    val got = Similarity.integrityAudit(emb, docs,
+        "vec_id", "doc_id", "embedding", "label", dim = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // label, n_vecs, n_dim_bad, n_zero, min_norm2, max_norm2, n_unpaired
+    assert(got(0L) === ((0L, 3L, 1L, 0L, 250000L, 625000L, 0L)))
+    assert(got(1L) === ((1L, 2L, 0L, 1L, 0L, 2000000L, 1L)))
+  }
 }
