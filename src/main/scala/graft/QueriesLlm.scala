@@ -319,6 +319,30 @@ object QueriesLlm {
           |FROM bigram_docs b LEFT JOIN top_bigrams t USING (bigram)
           |GROUP BY doc_id""".stripMargin))),
 
+    Q("llm_collocations",
+      // PMI collocations: top-50 adjacent pairs most over-represented vs
+      // unigram independence — MWE mining / boilerplate-phrase detector.
+      // Integer division-first surrogate (TextOps.collocations scaladoc);
+      // both engines rank by (pmi_ppm DESC, bigram) so the top-k cut is
+      // deterministic at ties.
+      (s, d) => TextOps.collocations(Tables.documents(s, d), "text"),
+      Some(withCtes(normDocsCte,
+        """uni AS MATERIALIZED (
+          |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+          |    SELECT unnest(toks) AS tok FROM tok_docs) GROUP BY 1)""".stripMargin,
+        """tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni)""",
+        """bi AS (
+          |  SELECT bigram, CAST(count(*) AS BIGINT) AS n_pair FROM (
+          |    SELECT unnest(list_transform(range(len(toks) - 1),
+          |             i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+          |    FROM tok_docs WHERE len(toks) >= 2) GROUP BY 1
+          |  HAVING count(*) >= 5)""".stripMargin)(
+        """SELECT bigram, n_pair, a.c AS n_a, b.c AS n_b,
+          |       ((n_pair * 1000000 // a.c) * (SELECT t FROM tot)) // b.c AS pmi_ppm
+          |FROM bi JOIN uni a ON a.tok = split_part(bigram, ' ', 1)
+          |        JOIN uni b ON b.tok = split_part(bigram, ' ', 2)
+          |ORDER BY pmi_ppm DESC, bigram LIMIT 50""".stripMargin))),
+
     Q("llm_token_diversity",
       // Token-diversity signals: distinct-token (type-token) ratio and the
       // dominant token's share, in exact integer milli-units. Two

@@ -109,4 +109,20 @@ class TextSearchSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(res(0L) === 0L && res(1L) === 3L)
   }
+
+  test("collocations: exclusive pair tops the PMI ranking, support floor drops singletons") {
+    // T = 29 tokens. "zx qv" ×5 exclusive (c=5/5): pmi = 1e6·29 div 5.
+    // "cc dd" ×2 with cc diluted to 10: ((2e6 div 10)·29) div 2.
+    // "cc cc" ×7 inside the cc-run doc: ((7e6 div 10)·29) div 10.
+    // "aa bb" ×1 and each "qv wI" ×1 fall under minCount=2.
+    val docs = docsOf(
+      (0 until 5).map(i => s"zx qv w$i") ++
+      Seq("aa bb", "cc dd", "cc dd", "cc cc cc cc cc cc cc cc"))
+    val got = TextOps.collocations(docs, "text", minCount = 2L, topK = 10)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("zx qv", 5L, 5L, 5L, 5800000L),
+      ("cc dd", 2L, 10L, 2L, 2900000L),
+      ("cc cc", 7L, 10L, 10L, 2030000L)))
+  }
 }
