@@ -595,6 +595,57 @@ object QueriesLlm {
           |       CAST(count(*) AS BIGINT) AS n_words,
           |       CAST(sum(len(string_split(trim(v.w, '|'), '||'))) AS BIGINT) AS n_bpe
           |FROM doc_words d JOIN v$BpeTrainRounds v USING (word)
+          |GROUP BY 1""".stripMargin))),
+
+    Q("llm_bpe_fertility",
+      // Tokenizer fertility by language: BPE tokens per word (milli) and
+      // chars per BPE token — the per-language cost report that drives
+      // vocab-size and mixing decisions (a lang with 2× fertility pays 2×
+      // the context budget per word). Rides the SAME flat map-only
+      // segmentation as llm_bpe_tokenize, rolled up per lang; the oracle
+      // reaches the counts via its vocabulary join instead.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = Bpe.train(docs, "text", BpeTrainRounds)
+        TextOps.withNormToks(docs.select(col("lang"), col("text")), "text")
+          .select(col("lang"), col("_norm"),
+            size(col("_toks")).cast("long").as("n_words"))
+          .filter(length(col("_norm")) > 0)
+          .select(col("lang"), col("n_words"),
+            length(col("_norm")).cast("long").as("n_chars"),
+            explode(array(Bpe.segmentTextFlat(col("_norm"), merges))).as("_m"))
+          .select(col("lang"), col("n_words"), col("n_chars"),
+            Bpe.flatSymbolCount(col("_m"), col("n_words")).as("n_bpe"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("n_bpe")).as("n_bpe"))
+          .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
+            col("n_bpe"),
+            expr("n_bpe * 1000 div n_words").as("fertility_milli"),
+            expr("n_chars * 1000 div n_bpe").as("chars_per_tok_milli"))
+      },
+      Some(withCtes(bpeRoundCtes(BpeTrainRounds) ++ Seq(
+        """doc_words AS (
+          |  SELECT doc_id, unnest(toks) AS word FROM tok_docs)""".stripMargin,
+        s"""per_doc AS (
+          |  SELECT d.doc_id,
+          |         CAST(count(*) AS BIGINT) AS n_words,
+          |         CAST(sum(len(string_split(trim(v.w, '|'), '||'))) AS BIGINT) AS n_bpe
+          |  FROM doc_words d JOIN v$BpeTrainRounds v USING (word)
+          |  GROUP BY 1)""".stripMargin,
+        """meta AS (
+          |  SELECT n.doc_id, doc.lang, CAST(length(n.norm) AS BIGINT) AS n_chars
+          |  FROM norm_docs n JOIN documents doc USING (doc_id)
+          |  WHERE length(n.norm) > 0)""".stripMargin): _*)(
+        """SELECT m.lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(p.n_words) AS BIGINT) AS n_words,
+          |       CAST(sum(m.n_chars) AS BIGINT) AS n_chars,
+          |       CAST(sum(p.n_bpe) AS BIGINT) AS n_bpe,
+          |       CAST(sum(p.n_bpe) * 1000 // sum(p.n_words) AS BIGINT) AS fertility_milli,
+          |       CAST(sum(m.n_chars) * 1000 // sum(p.n_bpe) AS BIGINT) AS chars_per_tok_milli
+          |FROM per_doc p JOIN meta m USING (doc_id)
           |GROUP BY 1""".stripMargin)))
   )
 
