@@ -319,6 +319,57 @@ object QueriesLlm {
           |FROM bigram_docs b LEFT JOIN top_bigrams t USING (bigram)
           |GROUP BY doc_id""".stripMargin))),
 
+    Q("llm_extract_text",
+      // Web-crawl step zero: markup-strip + link-density features. The
+      // corpus has no real HTML, so the markup is SYNTHESIZED by a
+      // deterministic formula both engines replay (the mm_* real-decode
+      // discipline): title + paragraph with an escaped '&', a per-doc
+      // anchor, and a nav block of two more anchors. The extraction is
+      // the REAL regex pipeline (TextOps.extractMarkup); clean_hash makes
+      // the recovered text byte-exact checkable.
+      (s, d) => {
+        val idStr = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><body><h1>Doc "), idStr, lit("</h1><p>"),
+          replace(col("text"), lit(" and "), lit(" &amp; ")),
+          lit("</p><a href=\"/d/"), idStr, lit("\">doc "), idStr,
+          lit("</a><div class=\"nav\"><a href=\"/home\">home</a> "),
+          lit("<a href=\"/about\">about</a></div></body></html>"))
+        TextOps.extractMarkup(
+          Tables.documents(s, d).select(col("doc_id"), html.as("html")),
+          "doc_id", "html")
+      },
+      Some(withCtes(
+        """wrapped AS (
+          |  SELECT doc_id,
+          |         '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+          |         replace(text, ' and ', ' &amp; ') ||
+          |         '</p><a href="/d/' || CAST(doc_id AS VARCHAR) || '">doc ' ||
+          |         CAST(doc_id AS VARCHAR) ||
+          |         '</a><div class="nav"><a href="/home">home</a> ' ||
+          |         '<a href="/about">about</a></div></body></html>' AS html
+          |  FROM documents)""".stripMargin,
+        """feat AS (
+          |  SELECT doc_id, html,
+          |         trim(regexp_replace(
+          |           replace(replace(replace(replace(replace(replace(
+          |             regexp_replace(html, '<[^>]*>', ' ', 'g'),
+          |             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+          |             '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+          |           ' +', ' ', 'g')) AS clean,
+          |         CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+          |         CAST((length(html) - length(replace(html, '</a>', ''))) // 4 AS BIGINT) AS n_links,
+          |         CAST(length(regexp_replace(
+          |           array_to_string(regexp_extract_all(html, '<a[^>]*>(.*?)</a>', 1), ''),
+          |           '<[^>]*>', '', 'g')) AS BIGINT) AS link_chars
+          |  FROM wrapped)""".stripMargin)(
+        """SELECT doc_id, n_tags, n_links,
+          |       CAST(length(clean) AS BIGINT) AS text_chars, link_chars,
+          |       CAST(link_chars * 1000000 // greatest(length(clean), 1) AS BIGINT)
+          |         AS link_density_ppm,
+          |       substr(sha256(clean), 1, 16) AS clean_hash
+          |FROM feat""".stripMargin))),
+
     Q("llm_collocations",
       // PMI collocations: top-50 adjacent pairs most over-represented vs
       // unigram independence — MWE mining / boilerplate-phrase detector.

@@ -642,6 +642,49 @@ object TextOps {
         min(col("_c")).as("min_freq"),
         max(col("_c")).as("max_freq"))
 
+  /** Markup-stripped visible text: tags → space, the 6 common HTML
+    * entities unescaped (fixed order — the oracle replays the identical
+    * chain), space runs collapsed, trimmed. Pure codegen'd regex/replace
+    * passes over the whole string — the flat-whole-text shape (round-9
+    * rule f), zero HOFs. */
+  def htmlText(html: Column): Column = {
+    val unescaped = Seq(
+      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(regexp_replace(html, "<[^>]*>", " ")) {
+        case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+      }
+    trim(regexp_replace(unescaped, " +", " "))
+  }
+
+  /** Text extraction + markup-density features — the step-zero operator of
+    * any web-crawl pipeline (trafilatura/boilerpipe class): visible text,
+    * tag count, link count, and boilerpipe's link-density signal (chars of
+    * anchor text per char of visible text, ppm) — nav/footer boilerplate
+    * pages score high and get dropped before tokenization ever runs.
+    *
+    * Map-only: every feature is a regex/replace/length composition on the
+    * row's own string (link text via one `regexp_extract_all` join —
+    * no per-element lambda), so the operator scales embarrassingly and
+    * whole-stage codegen keeps it fused. `clean_hash` is the portable
+    * sha256-prefix of the extracted text, making the extraction itself
+    * byte-exact oracle-checkable. */
+  def extractMarkup(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    df.select(col(idCol),
+        htmlText(h).as("_clean"),
+        size(regexp_extract_all(h, lit("<[^>]*>"), lit(0))).cast("long").as("n_tags"),
+        ((length(h) - length(replace(h, lit("</a>"), lit("")))) / 4)
+          .cast("long").as("n_links"),
+        length(regexp_replace(
+          array_join(regexp_extract_all(h, lit("<a[^>]*>(.*?)</a>"), lit(1)), ""),
+          "<[^>]*>", "")).cast("long").as("link_chars"))
+      .select(col(idCol), col("n_tags"), col("n_links"),
+        length(col("_clean")).cast("long").as("text_chars"), col("link_chars"),
+        expr("link_chars * 1000000 div greatest(length(_clean), 1)").as("link_density_ppm"),
+        substring(sha2(col("_clean"), 256), 1, 16).as("clean_hash"))
+  }
+
   /** PMI collocations: the top-k adjacent token pairs most over-represented
     * vs their unigram frequencies — multi-word-expression mining (Church &
     * Hanks 1990) and a templated-boilerplate detector (a phrase repeated

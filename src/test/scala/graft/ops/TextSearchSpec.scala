@@ -110,6 +110,32 @@ class TextSearchSpec extends SparkSpec {
     assert(res(0L) === 0L && res(1L) === 3L)
   }
 
+  test("extractMarkup: real HTML — nested link tags, entities, boilerplate density") {
+    val pages = Seq(
+      (1L, "<html><p>Tom &amp; Jerry say &quot;hi&quot;</p></html>"),
+      // nav-boilerplate page: almost all visible text is anchor text
+      (2L, "<div><a href=\"/a\">home</a> <a href=\"/b\"><b>about us</b></a> x</div>"),
+      (3L, "no markup at all"),
+      (4L, "")
+    ).toDF("doc_id", "html")
+    val got = TextOps.extractMarkup(pages, "doc_id", "html").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // p1: 4 tags, no links; clean = «Tom & Jerry say "hi"» = 20 chars
+    assert(got(1L) === ((4L, 0L, 20L, 0L, 0L)))
+    // p2: clean = «home about us x» (15); link chars = 4 + 8 («about us»,
+    // inner <b> stripped) = 12 -> density 800000 ppm
+    assert(got(2L) === ((8L, 2L, 15L, 12L, 800000L)))
+    assert(got(3L) === ((0L, 0L, 16L, 0L, 0L)))
+    // empty page: zero everything, density guard avoids div-by-zero
+    assert(got(4L) === ((0L, 0L, 0L, 0L, 0L)))
+    // extraction equality: same visible text => same clean_hash
+    val h = TextOps.extractMarkup(Seq(
+      (1L, "<p>same text</p>"), (2L, "same <b>text</b>")).toDF("doc_id", "html"),
+      "doc_id", "html").collect().map(_.getString(6))
+    assert(h(0) === h(1))
+  }
+
   test("collocations: exclusive pair tops the PMI ranking, support floor drops singletons") {
     // T = 29 tokens. "zx qv" ×5 exclusive (c=5/5): pmi = 1e6·29 div 5.
     // "cc dd" ×2 with cc diluted to 10: ((2e6 div 10)·29) div 2.
