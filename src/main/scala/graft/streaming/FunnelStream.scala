@@ -74,6 +74,47 @@ object FunnelStream {
       }
   }
 
+  final case class SessionEvent(userId: Long, ts: Timestamp,
+      eventType: String, value: Double)
+
+  /** Streaming counterpart of [[graft.ops.Funnel.sessionize]], built on
+    * Spark's NATIVE `session_window` aggregation: the state store merges
+    * overlapping per-user windows across micro-batches and Append mode
+    * emits each session exactly once, when the watermark passes its end —
+    * no custom state code, RocksDB-backed at scale.
+    *
+    * Exact batch parity: event times are truncated to SECONDS first (the
+    * projected column carries the watermark, as the windowed aggregation
+    * requires), and the native gap is `gapSeconds` verbatim: Spark merges
+    * sessions whose windows TOUCH (next.start ≤ prev.end, verified by the
+    * boundary cases in the spec — an exact-gap event stays in-session, a
+    * gap+1 event opens a new one), so the native predicate is already the
+    * batch rule's `t₂ − t₁ ≤ gapSeconds` on truncated seconds and the
+    * emitted sessions match the batch rollup row for row (spec-pinned).
+    * `n_types` uses `collect_set` size (streaming aggregation cannot
+    * count distinct) — bounded by the type alphabet per session. */
+  def sessions(events: Dataset[SessionEvent], gapSeconds: Long = 1800L,
+               watermarkDelay: String = "10 minutes"):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events.toDF()
+      .select(col("userId").as("user_id"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        col("eventType").as("event_type"),
+        floor(col("value") * 100).cast("long").as("v_cents"))
+      .withWatermark("ts_s", watermarkDelay)
+      .groupBy(col("user_id"),
+        session_window(col("ts_s"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_s").cast("long")).as("start_s"),
+        max(col("ts_s").cast("long")).as("end_s"),
+        size(collect_set(col("event_type"))).cast("long").as("n_types"),
+        sum(col("v_cents")).as("rev_cents"))
+      .select(col("user_id"), col("n_events"), col("start_s"), col("end_s"),
+        (col("end_s") - col("start_s")).as("duration_s"),
+        col("n_types"), col("rev_cents"))
+  }
+
   def advance(events: Dataset[FunnelEvent], steps: Seq[String],
               windowSeconds: Long,
               watermarkDelay: String = "10 minutes"): Dataset[FunnelUpdate] = {

@@ -74,6 +74,51 @@ class FunnelStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming sessions stitch across batches and equal the batch sessionize rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val query = sessions(input.toDS(), gapSeconds = 1800L,
+      watermarkDelay = "0 seconds").writeStream
+      .format("memory").queryName("sess_stream").outputMode("append").start()
+    // u1's session SPANS the batch boundary (gap 1000 ≤ 1800 across
+    // batches — the state store must merge); the exact-gap event (1800)
+    // stays in-session, 1801 opens a new one. u2 is a lone event.
+    val b1 = Seq(
+      SessionEvent(1L, ts(0L), "view", 1.23),
+      SessionEvent(1L, ts(1000L), "click", 2.00),
+      SessionEvent(2L, ts(500L), "view", 0.0))
+    val b2 = Seq(
+      SessionEvent(1L, ts(2800L), "view", 0.50),
+      SessionEvent(1L, ts(4601L), "purchase", 10.99))
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      // sentinel batches only advance the watermark (emission happens in
+      // the batch AFTER the one whose max event time passes session end)
+      input.addData(SessionEvent(99L, ts(100000L), "view", 0.0))
+      query.processAllAvailable()
+      input.addData(SessionEvent(99L, ts(200000L), "view", 0.0))
+      query.processAllAvailable()
+      val got = spark.sql(
+        "SELECT * FROM sess_stream WHERE user_id <> 99")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      val all = (b1 ++ b2).zipWithIndex.map { case (e, i) =>
+        (i.toLong, e.ts, e.userId, e.eventType, e.value)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val want = Funnel.sessionize(all, "ts", "user_id", "event_type",
+          "value", "event_id")
+        .select("user_id", "n_events", "start_s", "end_s", "duration_s",
+          "n_types", "rev_cents")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === want, s"stream $got vs batch $want")
+      // and the batch reference itself is the hand-computed truth
+      assert(want === Set(
+        (1L, 3L, 0L, 2800L, 2800L, 2L, 373L),
+        (1L, 1L, 4601L, 4601L, 0L, 1L, 1099L),
+        (2L, 1L, 500L, 500L, 0L, 1L, 0L)))
+    } finally query.stop()
+  }
+
   test("funnel state advances across batches and matches the batch fold in-order") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[FunnelEvent]
