@@ -241,6 +241,19 @@ object ScaleSmoke {
       t("transition counts")(
         Funnel.transitionCounts(ev, "ts", "user_id", "event_type", "event_id")
           .agg(sum(col("transitions"))).collect()(0).getLong(0))
+      // Sessionization (r10): one user-keyed window pair + session-keyed
+      // rollup — the window sort is the suspect term; must grow ~linearly
+      // in events at fixed events-per-user.
+      val evv = ev.withColumn("value",
+        (pmod(xxhash64(col("event_id"), lit(7)), lit(5000)) / lit(100.0)))
+      t(s"sessionize ($evN events)")(
+        Funnel.sessionize(evv, "ts", "user_id", "event_type", "value", "event_id")
+          .agg(sum(col("n_events")) + sum(col("rev_cents")) + sum(col("n_types")))
+          .collect()(0).getLong(0))
+      t(s"session entry/exit ($evN events)")(
+        Funnel.sessionEntryExit(evv, "ts", "user_id", "event_type",
+            "event_id", convType = "purchase")
+          .agg(sum(col("sessions"))).collect()(0).getLong(0))
     }
     // Multimodal growth (r10): REAL javax.imageio / javax.sound decodes
     // over binary rows — previously the only extension family without a

@@ -478,6 +478,22 @@ object QueriesLlm {
           |         AS dup_trigram_ppm
           |FROM tok_docs t LEFT JOIN agg a USING (doc_id)""".stripMargin))),
 
+    Q("llm_profile",
+      // Generic per-column dataset profile (row/null/distinct counts +
+      // string-rendering value range): the Great-Expectations-class report
+      // published next to every dataset version. One unpivot scan + one
+      // #cols-bounded aggregation; exact distinct via Expand.
+      (s, d) => Profile.profile(Tables.documents(s, d),
+        Seq("doc_id", "text", "lang", "source", "n_chars")),
+      Some(Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+          |       CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct,
+          |       min(CAST($c AS VARCHAR)) AS min_v,
+          |       max(CAST($c AS VARCHAR)) AS max_v
+          |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n"))),
+
     Q("llm_dataset_card",
       // Dataset-card stats with subtotal rows: ROLLUP over (lang, source)
       // gives per-cell, per-lang, and grand-total docs / chars / tokens in
@@ -3525,6 +3541,25 @@ object QueriesLlm {
           """SELECT entry_type, exit_type, converted,
             |       CAST(count(*) AS BIGINT) AS sessions
             |FROM per_sess GROUP BY 1, 2, 3""".stripMargin))),
+
+      Q("ev_json_metrics",
+        // JSON property extraction at event scale (the F6 json-access
+        // class applied to the analytics tier): per event type, exact
+        // integer stats of props.k — get_json_object stays inside
+        // whole-stage codegen, map-side partials collapse to |types| rows.
+        (s, d) => Tables.events(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("k_sum"),
+            min(col("k")).as("k_min"),
+            max(col("k")).as("k_max")),
+        Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+          |       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+          |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+          |FROM events GROUP BY 1""".stripMargin)),
 
       Q("dedup_edit_verify",
         (s, d) => {
