@@ -914,6 +914,41 @@ object QueriesLlm {
           |FROM documents d LEFT JOIN losers l ON d.doc_id = l.node
           |WHERE l.node IS NULL""".stripMargin)),
 
+    Q("dedup_cc_survivors_longest",
+      // The survivor pipeline under the PRODUCTION election rule: each
+      // cluster keeps its longest member (n_chars, ties → lowest id)
+      // instead of the min-id representative. Same LSH/CC front as
+      // dedup_cc_survivors; only the election differs.
+      (s, d) => DedupOps.nearDupSurvivorsBy(Tables.documents(s, d),
+          "doc_id", "text", col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some("WITH RECURSIVE " +
+        Seq(normDocsCte, shinglesCte, sigCte, bucketCte, pairsCte).mkString(",\n") + ",\n" +
+        """edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pair_docs
+          |  UNION SELECT id_b, id_a FROM pair_docs),
+          |reach(node, label) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+          |members AS (
+          |  SELECT node, min(label) AS label FROM reach GROUP BY node),
+          |scored AS (
+          |  SELECT m.node, m.label, d.n_chars
+          |  FROM members m JOIN documents d ON d.doc_id = m.node),
+          |reps AS (
+          |  SELECT label, node AS rep FROM (
+          |    SELECT label, node,
+          |           row_number() OVER (PARTITION BY label
+          |             ORDER BY n_chars DESC, node) AS rn
+          |    FROM scored) WHERE rn = 1),
+          |losers AS (
+          |  SELECT s.node FROM scored s JOIN reps r USING (label)
+          |  WHERE s.node <> r.rep)
+          |SELECT d.doc_id, d.lang, d.n_chars
+          |FROM documents d LEFT JOIN losers l ON d.doc_id = l.node
+          |WHERE l.node IS NULL""".stripMargin)),
+
     Q("llm_segment_dedup",
       // Cross-document boilerplate removal: aligned 8-token segments
       // occurring in >1 distinct document are dropped from every document

@@ -501,6 +501,42 @@ object DedupOps {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[nearDupSurvivors]] with a SURVIVORSHIP POLICY: each duplicate
+    * cluster keeps the member maximizing `metric` (ties → lowest id)
+    * instead of the arbitrary min-id representative — the production rule
+    * is "keep the longest / highest-quality copy", not "keep the one with
+    * the smallest key". With a constant metric the election degenerates to
+    * min-id exactly (spec-pinned), so this strictly generalizes the plain
+    * pipeline.
+    *
+    * Scale shape: identical LSH → star-edge → CC front; the election adds
+    * one hash join of the (tiny, pair-participant-scale) member table
+    * against the corpus metric projection and one label-keyed `max_by`
+    * (struct tie-break keeps map-side partial aggregation — the window
+    * formulation would sort every member copy). The corpus-side work is
+    * still a single anti-join probe of the loser set. */
+  def nearDupSurvivorsBy(docs: DataFrame, idCol: String, textCol: String,
+                         metric: Column, numPerms: Int = 8,
+                         smallEdgeCap: Int = ccSmallEdgeCap): DataFrame = {
+    val pairs = bucketStarEdges(
+      lshBuckets(minhashSignature(docs, idCol, textCol, numPerms), idCol,
+        numPerms),
+      idCol).localCheckpoint() // consumed twice seeding the CC loop
+    val members = connectedComponents(pairs, "id_a", "id_b",
+      smallEdgeCap = smallEdgeCap)
+    // member-scale (pair participants only), consumed by both the
+    // election and the loser filter — checkpoint, never recompute the CC
+    val scored = members
+      .join(docs.select(col(idCol).as("node"), metric.as("_m")), Seq("node"))
+      .localCheckpoint()
+    val reps = scored.groupBy(col("label"))
+      .agg(max_by(col("node"), struct(col("_m"), -col("node"))).as("_rep"))
+    val losers = scored.join(reps, Seq("label"))
+      .filter(col("node") =!= col("_rep"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** One row per fixed-size token segment: (idCol, seg_idx, segment). The
     * cross-document unit for boilerplate removal — "lines" when the corpus
     * has real line structure (split on newline upstream), aligned

@@ -183,6 +183,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.contains(4L) && got.contains(5L), "singletons survive")
   }
 
+  test("policy survivors: longest member wins its cluster; constant metric ≡ min-id") {
+    // doc 2 is the exact dup of doc 1 (same text, same n_chars-by-length)
+    // — give doc 2 a LARGER metric so the policy election must flip the
+    // representative away from the min id.
+    val metricDocs = docs.withColumn("m",
+      when(col("doc_id") === 2L, lit(100L)).otherwise(lit(10L)))
+    val byMetric = DedupOps.nearDupSurvivorsBy(metricDocs, "doc_id", "text",
+      col("m")).select("doc_id").as[Long].collect().toSet
+    assert(byMetric.contains(2L) && !byMetric.contains(1L),
+      s"higher-metric member must win the cluster: $byMetric")
+    assert(byMetric.contains(4L) && byMetric.contains(5L), "singletons survive")
+    // constant metric: max_by ties break to the lowest id, which IS the
+    // min-label representative — the policy pipeline degenerates exactly
+    val flat = DedupOps.nearDupSurvivorsBy(metricDocs, "doc_id", "text",
+      lit(1L)).select("doc_id").as[Long].collect().toSet
+    val plain = DedupOps.nearDupSurvivors(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(flat === plain)
+  }
+
   test("segment dedup: shared segments removed, order preserved, all docs returned") {
     // 8-token segments: docs 1 and 2 share segment [a..h]; doc 1 keeps its
     // unique tail, doc 3 is untouched, doc 4 is empty text.
