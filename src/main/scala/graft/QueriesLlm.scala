@@ -3577,6 +3577,43 @@ object QueriesLlm {
             |       CAST(count(*) AS BIGINT) AS sessions
             |FROM per_sess GROUP BY 1, 2, 3""".stripMargin))),
 
+      Q("ev_attribution",
+        // Session-scoped first-touch × last-touch conversion attribution;
+        // conversions that open their session credit '(direct)'.
+        (s, d) => Funnel.attribution(Tables.events(s, d), "ts", "user_id",
+          "event_type", "event_id", convType = "purchase"),
+        Some(withCtes(
+          s"""ev AS MATERIALIZED (
+            |  SELECT user_id, $ep AS ep_s, event_type, event_id
+            |  FROM events)""".stripMargin,
+          """marked AS MATERIALIZED (
+            |  SELECT user_id, ep_s, event_type, event_id,
+            |         CASE WHEN ep_s - lag(ep_s) OVER
+            |                (PARTITION BY user_id ORDER BY ep_s, event_id) <= 1800
+            |              THEN 0 ELSE 1 END AS new_sess,
+            |         lag(event_type) OVER
+            |           (PARTITION BY user_id ORDER BY ep_s, event_id) AS prev_type
+            |  FROM ev)""".stripMargin,
+          """sess AS MATERIALIZED (
+            |  SELECT user_id, ep_s, event_type, event_id, new_sess, prev_type,
+            |         sum(new_sess) OVER (PARTITION BY user_id
+            |           ORDER BY ep_s, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+            |  FROM marked)""".stripMargin,
+          """conv AS (
+            |  SELECT user_id, session_idx,
+            |         CASE WHEN new_sess = 0 THEN prev_type
+            |              ELSE '(direct)' END AS last_touch
+            |  FROM sess WHERE event_type = 'purchase')""".stripMargin,
+          """entry AS (
+            |  SELECT user_id, session_idx,
+            |         arg_min(event_type, lpad(CAST(ep_s AS VARCHAR), 12, '0')
+            |           || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS first_touch
+            |  FROM sess GROUP BY 1, 2)""".stripMargin)(
+          """SELECT first_touch, last_touch,
+            |       CAST(count(*) AS BIGINT) AS conversions
+            |FROM conv JOIN entry USING (user_id, session_idx)
+            |GROUP BY 1, 2""".stripMargin))),
+
       Q("ev_json_metrics",
         // JSON property extraction at event scale (the F6 json-access
         // class applied to the analytics tier): per event type, exact

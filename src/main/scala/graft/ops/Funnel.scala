@@ -519,6 +519,49 @@ object Funnel {
         sum(col("v_cents")).as("rev_cents"))
   }
 
+  /** Session-scoped conversion attribution: every `convType` event is
+    * credited to (first touch of its session, immediately preceding touch)
+    * — the first-touch × last-touch report of marketing analytics. A
+    * conversion that OPENS its session (no preceding event within the
+    * gap) is labeled `(direct)` on the last-touch axis, the standard
+    * convention.
+    *
+    * The same-session test for the preceding event is exactly the session
+    * boundary flag (`new_sess = 0` ⇔ the gap to the previous event is
+    * within `gapSecs`), so no second session-index lag is needed. The
+    * event-scale projection with its window columns is consumed by BOTH
+    * the conversion filter and the session-entry election — checkpointed
+    * (round-4 rule d; locally expensive at occurrence scale, but the
+    * alternative recomputes the user-keyed window sort twice at 100 TB).
+    * Output is bounded by |types|² + a direct row. */
+  def attribution(events: DataFrame, tsCol: String, userCol: String,
+                  typeCol: String, tieBreakCol: String, convType: String,
+                  gapSecs: Long = 1800L): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep_s"), col("tie"))
+    val ordKey = concat(lpad(col("ep_s").cast("string"), 12, "0"),
+      lpad(col("tie").cast("string"), 12, "0"))
+    val base = events
+      .select(col(userCol).as("user_id"), epochS(tsCol).as("ep_s"),
+        col(typeCol).as("event_type"), col(tieBreakCol).as("tie"))
+      .withColumn("new_sess",
+        when(col("ep_s") - lag(col("ep_s"), 1).over(perUser) <= gapSecs, 0L)
+          .otherwise(1L))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(perUser))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    val conv = base.filter(col("event_type") === convType)
+      .select(col("user_id"), col("session_idx"),
+        when(col("new_sess") === 0L, col("prev_type"))
+          .otherwise(lit("(direct)")).as("last_touch"))
+    val entry = base.groupBy(col("user_id"), col("session_idx"))
+      .agg(min_by(col("event_type"), ordKey).as("first_touch"))
+    conv.join(entry, Seq("user_id", "session_idx"))
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("conversions"))
+  }
+
   /** Entry/exit analysis over [[sessionize]] boundaries: how many sessions
     * begin with one event type and end with another (landing/exit pages in
     * web terms), with converted sessions (any `convType` event) split out.

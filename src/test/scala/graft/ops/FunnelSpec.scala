@@ -348,6 +348,30 @@ class FunnelSpec extends SparkSpec {
     assert(got === Set((1L, 1L, 3L, 100L, 100L, 0L, 3L, 0L)))
   }
 
+  test("attribution: session entry × preceding touch; session-opening conversions are (direct)") {
+    val ev = Seq(
+      // u1 session: view -> click -> purchase  => (view, click)
+      (1L, ts(0L), 1L, "view"),
+      (2L, ts(100L), 1L, "click"),
+      (3L, ts(200L), 1L, "purchase"),
+      // u1 next session OPENS with purchase (gap > 1800) => (purchase, (direct))
+      (4L, ts(5000L), 1L, "purchase"),
+      // u2: view then purchase straddling a session split: the purchase
+      // opens session 2, so its in-partition prev (view) must NOT count
+      (5L, ts(0L), 2L, "view"),
+      (6L, ts(1801L), 2L, "purchase"),
+      // u3: no purchase at all -> contributes nothing
+      (7L, ts(0L), 3L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Funnel.attribution(ev, "ts", "user_id", "event_type",
+      "event_id", convType = "purchase")
+      .as[(String, String, Long)].collect().toSet
+    // u1 #2 and u2's purchase both OPEN their sessions -> (purchase, direct) ×2
+    assert(got === Set(
+      ("view", "click", 1L),
+      ("purchase", "(direct)", 2L)))
+  }
+
   test("sessionEntryExit: first/last by (ts, event_id); conversion flag per session") {
     val ev = Seq(
       // u1 session 1: view -> click -> purchase (entry view, exit purchase, converted)
