@@ -3872,7 +3872,53 @@ object QueriesLlm {
             |  FROM cscored)""".stripMargin)(
           """SELECT label AS actual, clabel AS pred,
             |       CAST(count(*) AS BIGINT) AS n_vecs
-            |FROM cchosen WHERE rn = 1 GROUP BY 1, 2""".stripMargin)))
+            |FROM cchosen WHERE rn = 1 GROUP BY 1, 2""".stripMargin))),
+
+      Q("ann_centroid_drift",
+        // Embedding-distribution drift between two content-addressed
+        // dataset halves (the embedding analog of llm_token_drift): per
+        // label, the int64 squared-L2 between each half's class centroid —
+        // a re-embed or distribution shift shows up as a per-class spike.
+        // Two (label, pos)-bounded aggregations + a k-row join; labels
+        // missing from either half drop symmetrically on both engines.
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+          val split = Sampling.bucketOf(col("vec_id"), "drift")
+          Classify.centroidDrift(emb.filter(split < 500),
+            emb.filter(split >= 500))
+        },
+        Some(withCtes(
+          """quant AS MATERIALIZED (
+            |  SELECT vec_id, label,
+            |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            |  FROM embeddings)""".stripMargin,
+          s"""aex AS (
+            |  SELECT label, u.pos AS pos, u.x AS x
+            |  FROM (SELECT label, unnest(list_transform(range(len(v)),
+            |               i -> struct_pack(pos := i, x := v[i+1]))) AS u
+            |        FROM quant
+            |        WHERE ${h60("'drift:' || CAST(vec_id AS VARCHAR)")} % 1000 < 500)),
+            |amodel AS (
+            |  SELECT label AS clabel, max(n) AS n_a, list(s // n ORDER BY pos) AS mu
+            |  FROM (SELECT label, pos, CAST(sum(x) AS BIGINT) AS s,
+            |               CAST(count(*) AS BIGINT) AS n
+            |        FROM aex GROUP BY 1, 2) GROUP BY 1),
+            |bex AS (
+            |  SELECT label, u.pos AS pos, u.x AS x
+            |  FROM (SELECT label, unnest(list_transform(range(len(v)),
+            |               i -> struct_pack(pos := i, x := v[i+1]))) AS u
+            |        FROM quant
+            |        WHERE ${h60("'drift:' || CAST(vec_id AS VARCHAR)")} % 1000 >= 500)),
+            |bmodel AS (
+            |  SELECT label AS clabel, max(n) AS n_b, list(s // n ORDER BY pos) AS mu
+            |  FROM (SELECT label, pos, CAST(sum(x) AS BIGINT) AS s,
+            |               CAST(count(*) AS BIGINT) AS n
+            |        FROM bex GROUP BY 1, 2) GROUP BY 1)""".stripMargin)(
+          """SELECT a.clabel, a.n_a, b.n_b,
+            |       CAST(list_sum(list_transform(range(len(a.mu)),
+            |         i -> (a.mu[i+1] - b.mu[i+1]) * (a.mu[i+1] - b.mu[i+1]))) AS BIGINT)
+            |         AS drift_d2
+            |FROM amodel a JOIN bmodel b USING (clabel)""".stripMargin)))
     )
   }
 

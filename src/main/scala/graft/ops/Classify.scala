@@ -207,6 +207,22 @@ object Classify {
         expr("transform(_ps, e -> e._s div n)").as("mu"))
   }
 
+  /** Embedding-distribution drift between two cohorts of (vec_id,
+    * embedding, label) rows: per label, the int64 squared-L2 between the
+    * cohorts' class centroids — the embedding analog of token drift. A
+    * re-embed, encoder upgrade, or data shift shows up as a per-class
+    * spike. Two (label, pos)-bounded aggregations + a k-row join; labels
+    * absent from either cohort drop (inner join) — symmetric by design. */
+  def centroidDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    val ma = centroidModel(a, 1000, "all")
+      .select(col("clabel"), col("n").as("n_a"), col("mu").as("_ma"))
+    val mb = centroidModel(b, 1000, "all")
+      .select(col("clabel"), col("n").as("n_b"), col("mu").as("_mb"))
+    ma.join(mb, Seq("clabel"))
+      .select(col("clabel"), col("n_a"), col("n_b"),
+        Similarity.qdist2(col("_ma"), col("_mb")).as("drift_d2"))
+  }
+
   /** Held-out nearest-centroid confusion matrix on quantized vectors. */
   def centroidConfusion(emb: DataFrame, trainPermille: Int = 700,
                         salt: String = "cent"): DataFrame = {

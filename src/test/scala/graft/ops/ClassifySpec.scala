@@ -215,4 +215,26 @@ class ClassifySpec extends SparkSpec {
       .filter(col("actual") === 1 && col("pred") === 0).collect()
     assert(conf2.map(_.getLong(2)).sum >= 1L)
   }
+
+  test("centroid drift: identical cohorts drift 0; a planted shift spikes its label only") {
+    val base = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val zero = Classify.centroidDrift(base, base).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(zero === Map(0 -> 0L, 1 -> 0L))
+    // shift label 1 by (0, 0.5) in cohort B: drift = 500² = 250000 milli²
+    val shifted = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.5f), 1), (4L, Seq(0.0f, 1.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Classify.centroidDrift(base, shifted).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(got === Map(0 -> 0L, 1 -> 250000L))
+    // a label absent from one cohort drops symmetrically (inner join)
+    val missing = Classify.centroidDrift(base,
+      shifted.filter(col("label") === 0)).collect().map(_.getInt(0)).toSet
+    assert(missing === Set(0))
+  }
 }
