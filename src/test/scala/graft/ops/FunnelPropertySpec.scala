@@ -136,4 +136,47 @@ class FunnelPropertySpec extends SparkSpec {
       assert(gotLat(0L) === wantLat, s"trial $trial latency chained")
     }
   }
+
+  test("sessionize equals a driver-side greedy-fold reference on random event streams") {
+    val rnd = new Random(77)
+    for (trial <- 1 to 5) {
+      val nUsers = 1 + rnd.nextInt(8)
+      val gap = 120L + rnd.nextInt(300)
+      // dense small time range: plenty of exact-gap ties and same-second
+      // collisions; values exercise negative-free integer cents
+      val events = (0 until (200 + rnd.nextInt(300))).map { i =>
+        (i.toLong, rnd.nextInt(nUsers).toLong,
+          rnd.nextInt(4000).toLong, types(rnd.nextInt(types.size)),
+          rnd.nextInt(10000) / 100.0)
+      }
+      val df = events.map { case (id, u, t, y, v) =>
+        (id, new Timestamp(t * 1000L), u, y, v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = Funnel.sessionize(df, "ts", "user_id", "event_type",
+          "value", "event_id")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      // reference: per user, sort by (t, id), split greedily on gap > g
+      val want = events.groupBy(_._2).flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e._3, e._1))
+        val sessions = sorted.tail.foldLeft(Vector(Vector(sorted.head))) {
+          (acc, e) =>
+            if (e._3 - acc.last.last._3 <= gap) acc.init :+ (acc.last :+ e)
+            else acc :+ Vector(e)
+        }
+        sessions.zipWithIndex.map { case (s, i) =>
+          (u, i + 1L, s.size.toLong, s.head._3, s.last._3,
+            s.last._3 - s.head._3, s.map(_._4).distinct.size.toLong,
+            s.map(e => math.floor(e._5 * 100).toLong).sum)
+        }
+      }.toSet
+      val gotG = Funnel.sessionize(df, "ts", "user_id", "event_type",
+          "value", "event_id", gapSecs = gap)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      assert(gotG === want, s"trial $trial (users=$nUsers gap=$gap)")
+      // default-gap run sanity: sessions partition the events
+      assert(got.toSeq.map(_._3).sum === events.size.toLong)
+    }
+  }
 }
