@@ -71,6 +71,15 @@ object ScaleSmoke {
     t("dup spans (hash 2-pass)")(
       DedupOps.duplicatedSpansHashKeyed(docs, "doc_id", "text").count())
     t("chunk windows")(graft.ops.TextOps.chunkWindows(docs, "doc_id", "text").count())
+    // PMI collocations (r10): two vocab-bounded aggregations + distinct-
+    // bigram joins — must grow like refFreqQuality (Zipf-bounded keys),
+    // not like the corpus. The salted fixture inflates vocab ~linearly
+    // with copies, so this is the adversarial case for the claim. The
+    // final agg forces the TakeOrdered + joins (count alone would too —
+    // limit is a full-aggregation barrier — but the sum pins values).
+    t("pmi collocations")(
+      graft.ops.TextOps.collocations(docs, "text")
+        .agg(sum(col("pmi_ppm"))).collect()(0).getLong(0))
     // Map-only repetition signals (r8 verdict #3: the old explode+shuffle
     // shape was the slowest query in the round artifact). Row-local →
     // growth must be ~linear in docs. The filter sums all three ppm
