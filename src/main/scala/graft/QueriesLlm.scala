@@ -494,6 +494,27 @@ object QueriesLlm {
           |FROM documents""".stripMargin
       }.mkString("\nUNION ALL\n"))),
 
+    Q("llm_length_stats",
+      // Robust per-source length report: min/max/2·median chars — the
+      // length-filter tuning table. The doubled-median trick (ev_anomaly)
+      // keeps the even-count midpoint exact-integer in both engines.
+      // Exactness note: percentile-class aggregates buffer group values
+      // (ObjectHashAggregate) — fine for |sources|-bounded groups; for
+      // corpus-scale groups use the bounded-state sk_quantile_sample
+      // sketch instead (same registry, estimate semantics).
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          (median(col("n_chars")) * 2).cast("long").as("median2_chars"),
+          sum(col("n_chars")).as("sum_chars")),
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |       CAST(median(n_chars) * 2 AS BIGINT) AS median2_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin)),
+
     Q("llm_dataset_card",
       // Dataset-card stats with subtotal rows: ROLLUP over (lang, source)
       // gives per-cell, per-lang, and grand-total docs / chars / tokens in
@@ -2902,6 +2923,35 @@ object QueriesLlm {
         |       CAST(sum(energy) AS BIGINT) AS energy_sum,
         |       max(energy) AS energy_max
         |FROM f GROUP BY doc_id""".stripMargin)),
+
+    Q("mm_scene_cuts",
+      // Shot-boundary detection over the per-frame feature stream: a cut
+      // is a >= 2500 jump in the (stub, hash-derived) frame feature; the
+      // rollup reports cuts + total feature motion per video — the
+      // sample-per-shot signal. Same 64/32 hop framing as mm_audio_energy.
+      (s, d) => {
+        val media = Multimodal.asMedia(Tables.documents(s, d), "text", "video")
+        Multimodal.sceneCuts(media, frameBytes = 64, hop = 32)
+      },
+      Some(withCtes(
+        """m AS (
+          |  SELECT doc_id, hex(encode(text)) AS hx,
+          |         unnest(range(0, CAST(floor((strlen(text) - 64) / 32.0) + 1 AS BIGINT))) AS i
+          |  FROM documents WHERE strlen(text) >= 64)""".stripMargin,
+        """f AS MATERIALIZED (
+          |  SELECT doc_id, i,
+          |         CAST('0x' || substr(sha256(substring(hx, CAST(64 * i + 1 AS INTEGER), 128)), 1, 15) AS BIGINT) % 10000 AS energy
+          |  FROM m)""".stripMargin,
+        """lagged AS (
+          |  SELECT doc_id, i, energy,
+          |         lag(energy) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+          |  FROM f)""".stripMargin)(
+        """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+          |       CAST(sum(CASE WHEN prev IS NOT NULL AND abs(energy - prev) >= 2500
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+          |       CAST(sum(CASE WHEN prev IS NOT NULL THEN abs(energy - prev)
+          |                     ELSE 0 END) AS BIGINT) AS motion_sum
+          |FROM lagged GROUP BY 1""".stripMargin))),
 
     Q("llm_ref_quality",
       // Reference-frequency quality scoring (the CCNet recipe without the

@@ -120,6 +120,38 @@ object Multimodal {
       .drop("_nwin")
   }
 
+  /** Scene-cut detection over the [[frameWindows]] feature stream: a cut
+    * is a frame whose feature jumps by ≥ `cutThreshold` from its
+    * predecessor — the shot-boundary heuristic every video curation
+    * pipeline runs before frame sampling (sample per SHOT, not per
+    * uniform stride, or long static scenes dominate the sample). Reports
+    * per-video frame count, cut count, and total feature motion
+    * (Σ|Δfeature| — a static clip scores ~0, a rapid montage high).
+    *
+    * The frame feature is [[frameWindows]]'s stub energy (portable-hash
+    * derived, so the DuckDB oracle replays cuts exactly); a real decoder
+    * plugs RMS/luma into the same contract. One doc-keyed window (lag
+    * over frame_index — frames of one video stay on one partition) + a
+    * doc-bounded rollup: embarrassingly parallel across videos. */
+  def sceneCuts(df: DataFrame, frameBytes: Int, hop: Int,
+                cutThreshold: Long = 2500L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_index"))
+    frameWindows(df, frameBytes, hop)
+      .select(col("doc_id"), col("frame_index"), col("energy"))
+      .withColumn("_prev", lag(col("energy"), 1).over(w))
+      .withColumn("_delta",
+        when(col("_prev").isNotNull, abs(col("energy") - col("_prev")))
+          .otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        // the null-prev guard matters at cutThreshold = 0: the first
+        // frame's coalesced delta would otherwise count as a cut
+        sum(when(col("_prev").isNotNull && col("_delta") >= cutThreshold, 1L)
+          .otherwise(0L)).as("n_cuts"),
+        sum(col("_delta")).as("motion_sum"))
+  }
+
   /** One decoded media row. */
   final case class DecodedMedia(doc_id: Long, width: Long, height: Long,
       frames: Int)

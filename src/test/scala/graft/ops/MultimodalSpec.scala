@@ -233,4 +233,27 @@ class MultimodalSpec extends SparkSpec {
       .filter($"resized_hash" =!= $"prefix_hash")
     assert(check.count() == 0)
   }
+
+  test("sceneCuts: static clips score zero motion; frame math and thresholds bound cuts") {
+    // a 32-byte block repeated 6x: every 64-byte frame at hop 32 is
+    // blockblock — identical features, zero motion, zero cuts
+    val block = "abcdefghijklmnopqrstuvwxyz012345"
+    val media = Multimodal.asMedia(Seq(
+      (1L, block * 6),
+      (2L, (1 to 8).map(i => s"frame$i").mkString("x" * 20, "x" * 26, "")),
+      (3L, "short")
+    ).toDF("doc_id", "text"), "text", "video")
+    val got = Multimodal.sceneCuts(media, frameBytes = 64, hop = 32)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1: len 192 -> (192-64)/32+1 = 5 frames, static
+    assert(got(1L) === ((1L, 5L, 0L, 0L)))
+    assert(!got.contains(3L), "sub-frame payloads emit no rows")
+    // threshold extremes on a varying clip: 0 counts every transition,
+    // 10001 counts none; motion is threshold-independent
+    val varying = got(2L)
+    def cuts(th: Long) = Multimodal.sceneCuts(media, 64, 32, cutThreshold = th)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(cuts(0L)(2L) === varying._2 - 1L, "threshold 0 counts every transition")
+    assert(cuts(10001L)(2L) === 0L, "threshold above the feature range counts none")
+  }
 }
