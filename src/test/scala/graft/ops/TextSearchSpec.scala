@@ -136,6 +136,48 @@ class TextSearchSpec extends SparkSpec {
     assert(h(0) === h(1))
   }
 
+  test("extractMarkup: generative property — random pages recover their known visible text") {
+    // Build pages from a SPEC (segments of plain words, links, bold spans,
+    // escaped entities), so the expected visible text, tag count and link
+    // chars are known by construction — an independent check on the regex
+    // pipeline, not a re-implementation of it.
+    val rnd = new scala.util.Random(31)
+    val entities = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">")
+    val pages = (0 until 40).map { id =>
+      val nSeg = 1 + rnd.nextInt(6)
+      var tags = 0L; var linkChars = 0L
+      val visible = new StringBuilder; val html = new StringBuilder
+      (0 until nSeg).foreach { _ =>
+        val word = ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(5))
+        rnd.nextInt(4) match {
+          case 0 => // plain word
+            html.append(word).append(" "); visible.append(word).append(" ")
+          case 1 => // link
+            html.append(s"""<a href="/x">$word</a> """); visible.append(word).append(" ")
+            tags += 2; linkChars += word.length
+          case 2 => // bold span
+            html.append(s"<b>$word</b> "); visible.append(word).append(" ")
+            tags += 2
+          case 3 => // escaped entity between words
+            val (ent, ch) = entities(rnd.nextInt(entities.size))
+            html.append(word).append(ent).append(word).append(" ")
+            visible.append(word).append(ch).append(word).append(" ")
+        }
+      }
+      (id.toLong, html.toString, visible.toString.trim, tags,
+        (visible.toString.trim.length.toLong, linkChars))
+    }
+    val df = pages.map(p => (p._1, p._2)).toDF("doc_id", "html")
+    val got = TextOps.extractMarkup(df, "doc_id", "html").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    pages.foreach { case (id, _, _, tags, (textChars, linkChars)) =>
+      val (gTags, gText, gLink) = got(id)
+      assert(gTags === tags, s"page $id tags")
+      assert(gText === textChars, s"page $id visible chars")
+      assert(gLink === linkChars, s"page $id link chars")
+    }
+  }
+
   test("collocations: exclusive pair tops the PMI ranking, support floor drops singletons") {
     // T = 29 tokens. "zx qv" ×5 exclusive (c=5/5): pmi = 1e6·29 div 5.
     // "cc dd" ×2 with cc diluted to 10: ((2e6 div 10)·29) div 2.
