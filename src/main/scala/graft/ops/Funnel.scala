@@ -488,9 +488,11 @@ object Funnel {
     * Scale shape: both windows (lag for the boundary flag, running sum for
     * the session index) partition by USER and share one sort — Spark plans
     * a single user-keyed exchange + sort for the pair, never a global
-    * window. The per-(user, session) aggregation that follows partially
-    * aggregates map-side, so its exchange carries session-cardinality
-    * rows, not events. Ordering inside a user is (epoch-second, tieBreak),
+    * window. The per-(user, session) rollup then REUSES that partitioning
+    * (hashpartitioning(user) satisfies the (user, session) clustering by
+    * the subset rule), so the whole operator is ONE shuffle + ONE sort
+    * end-to-end — plan-pinned in RegisteredQueriesSpec.
+    * Ordering inside a user is (epoch-second, tieBreak),
     * a total order shared verbatim with the DuckDB oracle; the boundary
     * flag compares truncated epoch SECONDS on both engines so sub-second
     * jitter can never flip a session split on one side only. */

@@ -186,6 +186,36 @@ class RegisteredQueriesSpec extends SparkSpec {
     assert(violations.isEmpty, violations.mkString("\n"))
   }
 
+  test("plan pin: ev_sessions is ONE exchange + ONE sort end-to-end") {
+    // The sessionize scaladoc claims the boundary-lag and session-index
+    // windows share a single exchange + sort; the plan is better still:
+    // hashpartitioning(user) SATISFIES the (user, session_idx) clustering
+    // of the rollup (subset rule), so the aggregation reuses the window's
+    // exchange and the whole operator is exactly 1 shuffle + 1 sort at
+    // any scale. AQE off for the pin: the adaptive wrapper hides the
+    // inner plan from collect() (round-10 rule b's sibling).
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = SparkEntry.allQueries.find(_.name == "ev_sessions").get
+        .run(spark, sfDir).queryExecution.executedPlan
+      val shuffles = phys.collectWithSubqueries { case e: ShuffleExchangeLike => e }
+      val sorts = phys.collectWithSubqueries { case s: SortExec => s }
+      val windows = phys.collectWithSubqueries { case w: WindowExec => w }
+      // different frames (lag [-1,-1] vs cumulative) stack two WindowExec
+      // nodes, but they must share one partitioning and one sort
+      assert(windows.size == 2, s"expected the stacked lag+sum windows, got ${windows.size}")
+      assert(windows.map(_.partitionSpec.map(_.toString)).distinct.size == 1 &&
+        windows.map(_.orderSpec.map(_.toString)).distinct.size == 1,
+        "both windows must share the user partitioning and (ep_s, tie) order")
+      assert(shuffles.size == 1,
+        s"expected ONE exchange (rollup reuses the window partitioning), got ${shuffles.size}")
+      assert(sorts.size == 1, s"expected the windows' single shared sort, got ${sorts.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("plan pin: j3_route_fanout broadcasts the endpoint side (never a cartesian/shuffle fan-out)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
