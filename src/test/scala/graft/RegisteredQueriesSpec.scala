@@ -175,14 +175,21 @@ class RegisteredQueriesSpec extends SparkSpec {
     "llm_token_count", "llm_pii_redact")
 
   test("map-only pin: row-local queries have zero exchanges") {
+    // MUST read executedPlan with AQE off: sparkPlan predates
+    // EnsureRequirements (exchanges not yet inserted — a shuffle-ful plan
+    // shows zero Exchange nodes there, making the pin vacuous), and the
+    // AQE wrapper hides the inner plan from collect(). Caught in round-10
+    // session 3 while pinning ev_sessions.
     import org.apache.spark.sql.execution.exchange.Exchange
-    val violations = SparkEntry.allQueries.filter(q => mapOnlyPinned(q.name)).flatMap { q =>
-      val phys = q.run(spark, sfDir).queryExecution.sparkPlan
-      val ex = phys.collectWithSubqueries { case e: Exchange => e }
-      if (ex.isEmpty) None
-      else Some(s"${q.name}: ${ex.size} exchange(s) in a row-local query — " +
-        "signals never cross rows, the plan must stay map-only")
-    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val violations =
+      try SparkEntry.allQueries.filter(q => mapOnlyPinned(q.name)).flatMap { q =>
+        val phys = q.run(spark, sfDir).queryExecution.executedPlan
+        val ex = phys.collectWithSubqueries { case e: Exchange => e }
+        if (ex.isEmpty) None
+        else Some(s"${q.name}: ${ex.size} exchange(s) in a row-local query — " +
+          "signals never cross rows, the plan must stay map-only")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert(violations.isEmpty, violations.mkString("\n"))
   }
 
@@ -217,15 +224,20 @@ class RegisteredQueriesSpec extends SparkSpec {
   }
 
   test("plan pin: j3_route_fanout broadcasts the endpoint side (never a cartesian/shuffle fan-out)") {
+    // executedPlan + AQE off for the shuffle-absence half (see map-only
+    // pin note); the join-strategy half is visible in either plan.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    val phys = SparkEntry.allQueries.find(_.name == "j3_route_fanout").get
-      .run(spark, sfDir).queryExecution.sparkPlan
-    val bnlj = phys.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
-    assert(bnlj.nonEmpty,
-      "fan-out must plan as a broadcast nested-loop join of the tiny endpoint dim")
-    assert(phys.collectWithSubqueries { case e: ShuffleExchangeLike => e }.isEmpty,
-      "fan-out of a batch against a bounded endpoint dim must not shuffle the batch")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = SparkEntry.allQueries.find(_.name == "j3_route_fanout").get
+        .run(spark, sfDir).queryExecution.executedPlan
+      val bnlj = phys.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnlj.nonEmpty,
+        "fan-out must plan as a broadcast nested-loop join of the tiny endpoint dim")
+      assert(phys.collectWithSubqueries { case e: ShuffleExchangeLike => e }.isEmpty,
+        "fan-out of a batch against a bounded endpoint dim must not shuffle the batch")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("plan pin: a10_overview_totals keeps partial (map-side) aggregation below the exchange") {
