@@ -80,6 +80,21 @@ object ScaleSmoke {
     t("pmi collocations")(
       graft.ops.TextOps.collocations(docs, "text")
         .agg(sum(col("pmi_ppm"))).collect()(0).getLong(0))
+    // Dataset profiler (r10): one unpivot explode (#cols × corpus rows)
+    // into a #cols-bounded agg with an exact-distinct Expand — the
+    // heaviest generic-profiling shape; linear in rows × cols.
+    t("dataset profile")(
+      graft.ops.Profile.profile(docs, Seq("doc_id", "text"))
+        .agg(sum(col("n_distinct"))).collect()(0).getLong(0))
+    // Markup extraction (r10): flat per-row regex/replace passes — must be
+    // map-only linear (the round-9 rule f shape).
+    t("markup extract")(
+      graft.ops.TextOps.extractMarkup(
+          docs.select(col("doc_id"),
+            concat(lit("<p>"), col("text"), lit("</p><a href=\"/x\">l</a>")).as("html")),
+          "doc_id", "html")
+        .agg(sum(col("text_chars")) + sum(col("link_chars")))
+        .collect()(0).getLong(0))
     // Map-only repetition signals (r8 verdict #3: the old explode+shuffle
     // shape was the slowest query in the round artifact). Row-local →
     // growth must be ~linear in docs. The filter sums all three ppm
