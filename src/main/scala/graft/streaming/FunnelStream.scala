@@ -115,6 +115,56 @@ object FunnelStream {
         col("n_types"), col("rev_cents"))
   }
 
+  /** One attribution row per conversion (emitted as it happens). */
+  final case class Attribution(userId: Long, firstTouch: String,
+      lastTouch: String)
+  /** Per-user live-session state: entry type, last type, last epoch-s. */
+  final case class SessState(entry: String, last: String, lastEs: Long)
+
+  /** Streaming counterpart of [[graft.ops.Funnel.attribution]]: every
+    * `convType` event emits its (session entry, preceding touch) credit
+    * the moment it arrives, `(direct)` when it opens its session. State
+    * per user is THREE fields (entry/last/lastEs) and is evicted by
+    * event-time timeout once the watermark passes the session gap — a
+    * closed session can never influence a future credit (the next event
+    * necessarily opens a new session), so eviction is lossless and the
+    * store holds only LIVE sessions regardless of history length.
+    * Same prefix-greedy caveat as [[advance]]: in-order per user across
+    * batches ⇒ identical to the batch window form (spec-pinned). */
+  def attribution(events: Dataset[FunnelEvent], convType: String,
+                  gapSecs: Long = 1800L,
+                  watermarkDelay: String = "10 minutes"): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, it, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption
+            val out = Vector.newBuilder[Attribution]
+            it.toVector.sortBy(e => (e.ts.getTime, e.eventType)).foreach { e =>
+              val es = e.ts.getTime / 1000
+              val opens = s.forall(es - _.lastEs > gapSecs)
+              val (entry, lastTouch) =
+                if (opens) (e.eventType, "(direct)")
+                else (s.get.entry, s.get.last)
+              if (e.eventType == convType)
+                out += Attribution(user, entry, lastTouch)
+              s = Some(SessState(entry, e.eventType, es))
+            }
+            s.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 60000L,
+                (st.lastEs + gapSecs) * 1000L + 60000L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   def advance(events: Dataset[FunnelEvent], steps: Seq[String],
               windowSeconds: Long,
               watermarkDelay: String = "10 minutes"): Dataset[FunnelUpdate] = {

@@ -119,6 +119,45 @@ class FunnelStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming attribution across batches equals the batch window form; state spans sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val query = attribution(input.toDS(), convType = "purchase")
+      .writeStream.format("memory").queryName("att_stream")
+      .outputMode("append").start()
+    // u1's session spans the batch boundary: view (b1) then click/purchase
+    // (b2) -> credit (view, click); u2's later purchase opens its own
+    // session -> (purchase, (direct)). Times sit WELL past epoch 0: a row
+    // whose event time equals the initial watermark (0) is dropped as
+    // late by flatMapGroupsWithState (numRowsDroppedByWatermark=1 —
+    // verified), unlike the windowed-aggregation path which drops by
+    // window end.
+    val base = 100000L
+    val b1 = Seq(
+      FunnelEvent(1L, ts(base), "view"),
+      FunnelEvent(2L, ts(base), "view"))
+    val b2 = Seq(
+      FunnelEvent(1L, ts(base + 1000L), "click"),
+      FunnelEvent(1L, ts(base + 1200L), "purchase"),
+      FunnelEvent(2L, ts(base + 5000L), "purchase"))
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      val got = spark.sql("SELECT firstTouch, lastTouch FROM att_stream")
+        .as[(String, String)].collect()
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val all = (b1 ++ b2).zipWithIndex.map { case (e, i) =>
+        (i.toLong, e.ts, e.userId, e.eventType)
+      }.toDF("event_id", "ts", "user_id", "event_type")
+      val want = Funnel.attribution(all, "ts", "user_id", "event_type",
+          "event_id", convType = "purchase")
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === want, s"stream $got vs batch $want")
+      assert(got === Map(("view", "click") -> 1L, ("purchase", "(direct)") -> 1L))
+    } finally query.stop()
+  }
+
   test("funnel state advances across batches and matches the batch fold in-order") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[FunnelEvent]
