@@ -360,7 +360,7 @@ object QueriesLlm {
           |         CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
           |         CAST((length(html) - length(replace(html, '</a>', ''))) // 4 AS BIGINT) AS n_links,
           |         CAST(length(regexp_replace(
-          |           array_to_string(regexp_extract_all(html, '<a[^>]*>(.*?)</a>', 1), ''),
+          |           array_to_string(regexp_extract_all(html, '<a(?:\s[^>]*)?>(.*?)</a>', 1), ''),
           |           '<[^>]*>', '', 'g')) AS BIGINT) AS link_chars
           |  FROM wrapped)""".stripMargin)(
         """SELECT doc_id, n_tags, n_links,
@@ -485,13 +485,17 @@ object QueriesLlm {
       // #cols-bounded aggregation; exact distinct via Expand.
       (s, d) => Profile.profile(Tables.documents(s, d),
         Seq("doc_id", "text", "lang", "source", "n_chars")),
+      // GROUP BY the constant col_name: an ungrouped aggregate would emit
+      // one row per column even on an EMPTY table, where Spark's groupBy
+      // emits none (review catch — keeps the two engines row-identical on
+      // any filtered-to-empty fixture).
       Some(Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
         s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
           |       CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct,
           |       min(CAST($c AS VARCHAR)) AS min_v,
           |       max(CAST($c AS VARCHAR)) AS max_v
-          |FROM documents""".stripMargin
+          |FROM documents GROUP BY 1""".stripMargin
       }.mkString("\nUNION ALL\n"))),
 
     Q("llm_length_stats",

@@ -195,7 +195,12 @@ object Classify {
     * class. */
   def centroidModel(emb: DataFrame, trainPermille: Int = 700,
                     salt: String = "cent"): DataFrame = {
-    val train = emb.filter(Sampling.bucketOf(col("vec_id"), salt) < trainPermille)
+    // permille >= 1000 keeps every row: skip the filter entirely rather
+    // than pay an always-true sha256 bucket probe per row (round-4 rule a
+    // — centroidDrift trains on pre-filtered cohorts this way)
+    val slice = if (trainPermille >= 1000) emb
+      else emb.filter(Sampling.bucketOf(col("vec_id"), salt) < trainPermille)
+    val train = slice
       .select(col("label"), Similarity.quantize(col("embedding")).as("_qv"))
     train.select(col("label"), posexplode(col("_qv")).as(Seq("_pos", "_x")))
       .groupBy(col("label"), col("_pos"))

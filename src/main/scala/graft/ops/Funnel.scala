@@ -496,21 +496,42 @@ object Funnel {
     * a total order shared verbatim with the DuckDB oracle; the boundary
     * flag compares truncated epoch SECONDS on both engines so sub-second
     * jitter can never flip a session split on one side only. */
-  def sessionize(events: DataFrame, tsCol: String, userCol: String,
-                 typeCol: String, valueCol: String, tieBreakCol: String,
-                 gapSecs: Long = 1800L): DataFrame = {
+  /** Shared sessionization prologue: project (user_id, ep_s, event_type,
+    * tie, extras), then stamp `new_sess` (gap-boundary flag), `prev_type`
+    * and `session_idx` over ONE user-keyed window pair. Every session
+    * operator below derives from this block, so the gap rule and the
+    * (ep_s, tie) total order can never drift between them — and their
+    * DuckDB oracles all replay this one formula. */
+  private def withSessionIdx(events: DataFrame, tsCol: String,
+                             userCol: String, typeCol: String,
+                             tieBreakCol: String, gapSecs: Long,
+                             extra: Seq[(String, Column)] = Nil): DataFrame = {
     val perUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ep_s"), col("tie"))
     events
-      .select(col(userCol).as("user_id"), epochS(tsCol).as("ep_s"),
-        col(typeCol).as("event_type"),
-        floor(col(valueCol) * 100).cast("long").as("v_cents"),
-        col(tieBreakCol).as("tie"))
+      .select(Seq(col(userCol).as("user_id"), epochS(tsCol).as("ep_s"),
+        col(typeCol).as("event_type"), col(tieBreakCol).as("tie")) ++
+        extra.map { case (n, c) => c.as(n) }: _*)
       .withColumn("new_sess",
         when(col("ep_s") - lag(col("ep_s"), 1).over(perUser) <= gapSecs, 0L)
           .otherwise(1L))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(perUser))
       .withColumn("session_idx",
         sum(col("new_sess")).over(perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Deterministic in-session order key (zero-padded (ep_s, tie) string —
+    * the lpad-argmax trick): identical in both engines, keeps
+    * min_by/max_by partial-aggregation-friendly. */
+  private def sessionOrdKey: Column =
+    concat(lpad(col("ep_s").cast("string"), 12, "0"),
+      lpad(col("tie").cast("string"), 12, "0"))
+
+  def sessionize(events: DataFrame, tsCol: String, userCol: String,
+                 typeCol: String, valueCol: String, tieBreakCol: String,
+                 gapSecs: Long = 1800L): DataFrame = {
+    withSessionIdx(events, tsCol, userCol, typeCol, tieBreakCol, gapSecs,
+      extra = Seq("v_cents" -> floor(col(valueCol) * 100).cast("long")))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -539,26 +560,14 @@ object Funnel {
   def attribution(events: DataFrame, tsCol: String, userCol: String,
                   typeCol: String, tieBreakCol: String, convType: String,
                   gapSecs: Long = 1800L): DataFrame = {
-    val perUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ep_s"), col("tie"))
-    val ordKey = concat(lpad(col("ep_s").cast("string"), 12, "0"),
-      lpad(col("tie").cast("string"), 12, "0"))
-    val base = events
-      .select(col(userCol).as("user_id"), epochS(tsCol).as("ep_s"),
-        col(typeCol).as("event_type"), col(tieBreakCol).as("tie"))
-      .withColumn("new_sess",
-        when(col("ep_s") - lag(col("ep_s"), 1).over(perUser) <= gapSecs, 0L)
-          .otherwise(1L))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(perUser))
-      .withColumn("session_idx",
-        sum(col("new_sess")).over(perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint()
+    val base = withSessionIdx(events, tsCol, userCol, typeCol, tieBreakCol,
+      gapSecs).localCheckpoint()
     val conv = base.filter(col("event_type") === convType)
       .select(col("user_id"), col("session_idx"),
         when(col("new_sess") === 0L, col("prev_type"))
           .otherwise(lit("(direct)")).as("last_touch"))
     val entry = base.groupBy(col("user_id"), col("session_idx"))
-      .agg(min_by(col("event_type"), ordKey).as("first_touch"))
+      .agg(min_by(col("event_type"), sessionOrdKey).as("first_touch"))
     conv.join(entry, Seq("user_id", "session_idx"))
       .groupBy(col("first_touch"), col("last_touch"))
       .agg(count(lit(1)).as("conversions"))
@@ -576,25 +585,13 @@ object Funnel {
     * output is bounded by |types|² × 2, never by sessions. */
   def sessionEntryExit(events: DataFrame, tsCol: String, userCol: String,
                        typeCol: String, tieBreakCol: String,
-                       convType: String, gapSecs: Long = 1800L): DataFrame = {
-    val perUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ep_s"), col("tie"))
-    val ordKey = concat(lpad(col("ep_s").cast("string"), 12, "0"),
-      lpad(col("tie").cast("string"), 12, "0"))
-    events
-      .select(col(userCol).as("user_id"), epochS(tsCol).as("ep_s"),
-        col(typeCol).as("event_type"), col(tieBreakCol).as("tie"))
-      .withColumn("new_sess",
-        when(col("ep_s") - lag(col("ep_s"), 1).over(perUser) <= gapSecs, 0L)
-          .otherwise(1L))
-      .withColumn("session_idx",
-        sum(col("new_sess")).over(perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+                       convType: String, gapSecs: Long = 1800L): DataFrame =
+    withSessionIdx(events, tsCol, userCol, typeCol, tieBreakCol, gapSecs)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
-        min_by(col("event_type"), ordKey).as("entry_type"),
-        max_by(col("event_type"), ordKey).as("exit_type"),
+        min_by(col("event_type"), sessionOrdKey).as("entry_type"),
+        max_by(col("event_type"), sessionOrdKey).as("exit_type"),
         max(when(col("event_type") === convType, 1L).otherwise(0L)).as("converted"))
       .groupBy(col("entry_type"), col("exit_type"), col("converted"))
       .agg(count(lit(1)).as("sessions"))
-  }
 }

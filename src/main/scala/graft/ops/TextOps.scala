@@ -674,10 +674,13 @@ object TextOps {
     df.select(col(idCol),
         htmlText(h).as("_clean"),
         size(regexp_extract_all(h, lit("<[^>]*>"), lit(0))).cast("long").as("n_tags"),
-        ((length(h) - length(replace(h, lit("</a>"), lit("")))) / 4)
+        // exact-substring count; integer via shiftright (CLAUDE type rule)
+        shiftright(length(h) - length(replace(h, lit("</a>"), lit(""))), 2)
           .cast("long").as("n_links"),
+        // the (?:\s...) guard keeps <article>/<aside>/<abbr> from matching
+        // as anchors (review catch: bare '<a[^>]*>' matches any a-tag)
         length(regexp_replace(
-          array_join(regexp_extract_all(h, lit("<a[^>]*>(.*?)</a>"), lit(1)), ""),
+          array_join(regexp_extract_all(h, lit("<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)), ""),
           "<[^>]*>", "")).cast("long").as("link_chars"))
       .select(col(idCol), col("n_tags"), col("n_links"),
         length(col("_clean")).cast("long").as("text_chars"), col("link_chars"),

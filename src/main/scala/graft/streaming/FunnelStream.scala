@@ -130,7 +130,14 @@ object FunnelStream {
     * necessarily opens a new session), so eviction is lossless and the
     * store holds only LIVE sessions regardless of history length.
     * Same prefix-greedy caveat as [[advance]]: in-order per user across
-    * batches ⇒ identical to the batch window form (spec-pinned). */
+    * batches ⇒ identical to the batch window form (spec-pinned). One
+    * further tie caveat: within a batch, equal-MILLISECOND events sort by
+    * eventType (FunnelEvent carries no id), while the batch form breaks
+    * truncated-second ties by event id — a user with two different-type
+    * events in the same millisecond (or id-order ≠ type-order within one
+    * second) can credit a different preceding touch than the batch replay.
+    * Real keyed logs are sub-second distinct per user; carry an id column
+    * into the event type if that guarantee doesn't hold. */
   def attribution(events: Dataset[FunnelEvent], convType: String,
                   gapSecs: Long = 1800L,
                   watermarkDelay: String = "10 minutes"): Dataset[Attribution] = {

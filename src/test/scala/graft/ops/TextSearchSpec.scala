@@ -129,6 +129,14 @@ class TextSearchSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, 16L, 0L, 0L)))
     // empty page: zero everything, density guard avoids div-by-zero
     assert(got(4L) === ((0L, 0L, 0L, 0L, 0L)))
+    // non-anchor a-tags (<article>) must NOT count as link text; a bare
+    // attribute-less <a> still does (review catch on the anchor regex)
+    val aTags = TextOps.extractMarkup(Seq(
+      (1L, "<article>Long intro</article><a href=\"/x\">hi</a>"),
+      (2L, "<a>bare</a>")).toDF("doc_id", "html"), "doc_id", "html")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(aTags(1L) === ((1L, 2L)), "only the real anchor's 'hi' counts")
+    assert(aTags(2L) === ((1L, 4L)))
     // extraction equality: same visible text => same clean_hash
     val h = TextOps.extractMarkup(Seq(
       (1L, "<p>same text</p>"), (2L, "same <b>text</b>")).toDF("doc_id", "html"),
