@@ -3740,6 +3740,30 @@ object QueriesLlm {
     // occ and cnts are each multiply-referenced → MATERIALIZED (round-9
     // session-2 rule a: DuckDB 1.0 inlines CTEs and would re-derive them).
     val clsBucket = s"${h60("'cls:' || CAST(doc_id AS VARCHAR)")} % 1000"
+    // Shared centroid fragments (review catch: ann_centroid_model and
+    // ann_centroid_confusion carried two drift-prone copies of this block).
+    // cmodel is MATERIALIZED for the confusion query's double use; harmless
+    // for the model query's single reference.
+    val centQuantCte =
+      """quant AS MATERIALIZED (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings)""".stripMargin
+    val centModelCtes =
+      s"""ctrain AS (SELECT * FROM quant
+        |  WHERE ${h60("'cent:' || CAST(vec_id AS VARCHAR)")} % 1000 < 700),
+        |cex AS (
+        |  SELECT label, u.pos AS pos, u.x AS x
+        |  FROM (SELECT label, unnest(list_transform(range(len(v)),
+        |               i -> struct_pack(pos := i, x := v[i+1]))) AS u
+        |        FROM ctrain)),
+        |csums AS (SELECT label, pos, CAST(sum(x) AS BIGINT) AS s,
+        |                 CAST(count(*) AS BIGINT) AS n
+        |          FROM cex GROUP BY 1, 2),
+        |cmodel AS MATERIALIZED (
+        |  SELECT label AS clabel, max(n) AS n,
+        |         list(s // n ORDER BY pos) AS mu
+        |  FROM csums GROUP BY 1)""".stripMargin
     val occCte =
       """occ AS MATERIALIZED (
         |  SELECT t.doc_id, d.lang, unnest(t.toks) AS token
@@ -3868,24 +3892,7 @@ object QueriesLlm {
         (s, d) => Classify.centroidModel(Tables.embeddings(s, d), 700, "cent")
           .select(col("clabel"), col("n"),
             concat_ws(",", expr("transform(mu, x -> CAST(x AS STRING))")).as("mu_str")),
-        Some(withCtes(
-          """quant AS MATERIALIZED (
-            |  SELECT vec_id, label,
-            |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
-            |  FROM embeddings)""".stripMargin,
-          s"""ctrain AS (SELECT * FROM quant
-            |  WHERE ${h60("'cent:' || CAST(vec_id AS VARCHAR)")} % 1000 < 700),
-            |cex AS (
-            |  SELECT label, u.pos AS pos, u.x AS x
-            |  FROM (SELECT label, unnest(list_transform(range(len(v)),
-            |               i -> struct_pack(pos := i, x := v[i+1]))) AS u
-            |        FROM ctrain)),
-            |csums AS (SELECT label, pos, CAST(sum(x) AS BIGINT) AS s,
-            |                 CAST(count(*) AS BIGINT) AS n
-            |          FROM cex GROUP BY 1, 2),
-            |cmodel AS (SELECT label AS clabel, max(n) AS n,
-            |                  list(s // n ORDER BY pos) AS mu
-            |           FROM csums GROUP BY 1)""".stripMargin)(
+        Some(withCtes(centQuantCte, centModelCtes)(
           "SELECT clabel, n, array_to_string(mu, ',') AS mu_str FROM cmodel"))),
 
       Q("ann_centroid_confusion",
@@ -3894,26 +3901,8 @@ object QueriesLlm {
         // rollup. The prototype-classifier complement to ann_label_purity's
         // kNN audit.
         (s, d) => Classify.centroidConfusion(Tables.embeddings(s, d), 700, "cent"),
-        Some(withCtes(
-          """quant AS MATERIALIZED (
-            |  SELECT vec_id, label,
-            |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
-            |  FROM embeddings)""".stripMargin,
-          s"""ctrain AS (SELECT * FROM quant
-            |  WHERE ${h60("'cent:' || CAST(vec_id AS VARCHAR)")} % 1000 < 700),
-            |cex AS (
-            |  SELECT label, u.pos AS pos, u.x AS x
-            |  FROM (SELECT label, unnest(list_transform(range(len(v)),
-            |               i -> struct_pack(pos := i, x := v[i+1]))) AS u
-            |        FROM ctrain)),
-            |csums AS (SELECT label, pos, CAST(sum(x) AS BIGINT) AS s,
-            |                 CAST(count(*) AS BIGINT) AS n
-            |          FROM cex GROUP BY 1, 2),
-            |cmodel AS MATERIALIZED (
-            |  SELECT label AS clabel, max(n) AS n,
-            |         list(s // n ORDER BY pos) AS mu
-            |  FROM csums GROUP BY 1),
-            |cscored AS (
+        Some(withCtes(centQuantCte, centModelCtes,
+          s"""cscored AS (
             |  SELECT e.vec_id, e.label, m.clabel,
             |         list_sum(list_transform(range(len(e.v)),
             |           i -> (e.v[i+1] - m.mu[i+1]) * (e.v[i+1] - m.mu[i+1]))) AS d2

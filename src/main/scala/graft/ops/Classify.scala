@@ -238,7 +238,11 @@ object Classify {
     eval.crossJoin(cent)
       .withColumn("_d2", Similarity.qdist2(col("_v"), col("mu")))
       .groupBy(col("vec_id"), col("label"))
-      .agg(max_by(col("clabel"), struct(-col("_d2"), -col("clabel"))).as("pred"))
+      // min_by over (d2, clabel): argmin distance, ties to the LOWEST
+      // label — lexicographic struct order works for ANY orderable label
+      // type, where the old max_by(-d2, -clabel) negation silently broke
+      // (null under non-ANSI / runtime error under ANSI) on string labels
+      .agg(min_by(col("clabel"), struct(col("_d2"), col("clabel"))).as("pred"))
       .groupBy(col("label").as("actual"), col("pred"))
       .agg(count(lit(1)).as("n_vecs"))
   }

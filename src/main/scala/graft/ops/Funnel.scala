@@ -162,6 +162,10 @@ object Funnel {
                     windowSeconds: Long,
                     maxEventsPerUser: Option[Int] = None,
                     foldCap: Long = foldEventsCap): DataFrame = {
+    // latency is step-to-step: k = 1 has no durations and would crash
+    // both paths (empty explode array / empty reduce) — review catch
+    require(steps.size >= 2,
+      s"funnelLatency needs at least 2 steps, got ${steps.size}")
     val rel = boundedRelevant(events, tsCol, userCol, typeCol, steps,
       maxEventsPerUser)
     val k = steps.size

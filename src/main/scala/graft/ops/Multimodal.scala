@@ -305,6 +305,14 @@ object Multimodal {
             new java.io.ByteArrayInputStream(bytes))
           try {
             val f = ais.getFormat
+            // the short-reading loop below is ONLY valid for 16-bit
+            // single-channel signed PCM; other valid formats (8-bit,
+            // A-law/µ-law, stereo) would fingerprint garbage with ok=true
+            // (review catch) — they report ok=false explicitly instead
+            if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+                f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              FingerprintedAudio(id, "", ok = false)
+            else {
             val pcm = ais.readAllBytes()
             val bb = java.nio.ByteBuffer.wrap(pcm).order(
               if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
@@ -313,9 +321,11 @@ object Multimodal {
             if (n == 0) FingerprintedAudio(id, "", ok = false)
             else {
               val sums = new Array[Long](16); val cnts = new Array[Long](16)
-              var i = 0
+              var i = 0L
               while (bb.remaining() >= 2) {
-                val w = i * 16 / n
+                // long index math: Int `i * 16` wraps past ~134M samples
+                // (a ~51-minute 44.1 kHz clip) — review catch
+                val w = (i * 16L / n).toInt
                 sums(w) += math.abs(bb.getShort.toLong); cnts(w) += 1L
                 i += 1
               }
@@ -325,6 +335,7 @@ object Multimodal {
               val sb = new StringBuilder(16)
               means.foreach(m => sb.append(if (m > gmean) '1' else '0'))
               FingerprintedAudio(id, sb.toString, ok = true)
+            }
             }
           } finally ais.close()
         } catch {

@@ -179,14 +179,19 @@ object FunnelStream {
     require(steps.nonEmpty && steps.distinct.size == steps.size)
     val k = steps.size
     val stepIdx = steps.zipWithIndex.toMap
-    // Only funnel-step events reach the stateful operator: on a real
-    // stream the majority of events are other types, and each would
-    // otherwise be shuffled per user, deserialize state and rewrite
-    // state+timeout every batch without ever changing the funnel. A
-    // Column filter (not a typed lambda) so it pushes to the source scan.
-    // Semantics are unchanged — stepIdx.get ignores them anyway.
-    events.filter(org.apache.spark.sql.functions.col("eventType")
-        .isin(steps: _*))
+    // Deliberately NO pre-filter to step events: the watermark node
+    // computes its max-event-time from the rows that REACH it, so a
+    // steps-only filter (whether written before withWatermark, or after
+    // it — PushPredicateThroughNonJoin pushes an eventType predicate
+    // below the watermark either way) makes the watermark advance only on
+    // step events. On the very stream the filter targets (mostly other
+    // types), a step-quiet period then FREEZES the watermark: EventTime
+    // timeouts stop firing (in-flight funnel state is never evicted) and
+    // late step events the old watermark would discard get accepted.
+    // The non-step shuffle cost this keeps is per-event but touches no
+    // state: stepIdx.get ignores the rows and step-0 users store nothing.
+    // Pre-filter UPSTREAM only if something else drives that watermark.
+    events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.userId)
       .flatMapGroupsWithState[FunnelState, FunnelUpdate](

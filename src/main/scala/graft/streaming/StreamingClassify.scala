@@ -93,8 +93,12 @@ object StreamingClassify {
         Classify.classifyDocs(batch, idCol, textCol, m)
           .withColumn("model_version", lit(version))
       case None =>
+        // id field typed from the BATCH schema: a hardcoded LongType
+        // would write conflicting parquet schemas across batch dirs for a
+        // non-long id corpus (review catch)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          new StructType().add(idCol, LongType).add("n_tokens", LongType)
+          new StructType().add(idCol, batch.schema(idCol).dataType)
+            .add("n_tokens", LongType)
             .add("pred", StringType).add("pts", LongType)
             .add("oov_tokens", LongType).add("model_version", LongType))
     }

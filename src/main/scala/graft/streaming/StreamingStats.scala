@@ -55,8 +55,11 @@ object StreamingStats {
     * (round-4 perf trap; measured 43.2→30.3 s at 1M docs). */
   def batchStats(batch: DataFrame, srcCol: String, textCol: String,
                  k: Int): DataFrame =
+    // coalesce: a null text row would otherwise count -1 tokens
+    // (size(split(null)) = -1 under legacy sizeOfNull) and skip the KMV
+    // probe while still counting as a doc — review catch
     batch.select(col(srcCol).as("source"),
-        explode(array(TextOps.normalize(col(textCol)))).as("_norm"))
+        explode(array(TextOps.normalize(coalesce(col(textCol), lit(""))))).as("_norm"))
       .select(col("source"),
         when(length(col("_norm")) === 0, 0L)
           .otherwise(size(split(col("_norm"), " ")).cast("long")).as("_nt"),

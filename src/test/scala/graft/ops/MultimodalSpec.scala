@@ -234,6 +234,21 @@ class MultimodalSpec extends SparkSpec {
     assert(check.count() == 0)
   }
 
+  test("realAudioFingerprint rejects non-16-bit-mono formats instead of fingerprinting garbage") {
+    import javax.sound.sampled._
+    // a VALID 8-bit mono PCM WAV: decodes fine, but the 16-bit short
+    // reader would span two samples per read — must report ok=false
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val raw = Array.tabulate[Byte](1600)(i => (i % 251).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, raw.length.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val media = Seq((1L, bos.toByteArray)).toDF("doc_id", "media")
+    val got = Multimodal.realAudioFingerprint(media).collect().head
+    assert(!got.ok, "8-bit PCM must be rejected, not misread as 16-bit")
+  }
+
   test("sceneCuts: static clips score zero motion; frame math and thresholds bound cuts") {
     // a 32-byte block repeated 6x: every 64-byte frame at hop 32 is
     // blockblock — identical features, zero motion, zero cuts
