@@ -3668,6 +3668,47 @@ object QueriesLlm {
             |FROM conv JOIN entry USING (user_id, session_idx)
             |GROUP BY 1, 2""".stripMargin))),
 
+      Q("ev_user_rfm",
+        // RFM segmentation: converting users banded above/below the
+        // deterministic sample median on each axis (Funnel.userRfm — the
+        // bounded-state quantile sample, not a global median), rolled up
+        // into the 8 segments with counts and totals.
+        (s, d) => Funnel.userRfm(Tables.events(s, d), "ts", "user_id",
+          "event_type", "value", convType = "purchase"),
+        Some {
+          def medCte(name: String, vcol: String, salt: String) =
+            s"""$name AS (
+              |  SELECT v FROM (
+              |    SELECT v, row_number() OVER (ORDER BY v, user_id) AS rn,
+              |           count(*) OVER () AS n
+              |    FROM (SELECT user_id, $vcol AS v FROM per
+              |          ORDER BY CAST('0x' || substr(sha256('$salt:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT),
+              |                   user_id
+              |          LIMIT 256))
+              |  WHERE rn = greatest(1, CAST(ceil(50 * n / 100.0) AS BIGINT)))""".stripMargin
+          withCtes(
+            s"""per0 AS MATERIALIZED (
+              |  SELECT user_id, max($ep) AS last_s,
+              |         CAST(count(*) AS BIGINT) AS freq,
+              |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1)""".stripMargin,
+            """per AS MATERIALIZED (
+              |  SELECT user_id, freq, monetary_cents,
+              |         ((SELECT max(last_s) FROM per0) - last_s) // 86400 AS recency_days
+              |  FROM per0)""".stripMargin,
+            medCte("medr", "recency_days", "rfm_r"),
+            medCte("medf", "freq", "rfm_f"),
+            medCte("medm", "monetary_cents", "rfm_m"))(
+            """SELECT per.recency_days < medr.v AS recent,
+              |       per.freq > medf.v AS frequent,
+              |       per.monetary_cents > medm.v AS high_value,
+              |       CAST(count(*) AS BIGINT) AS n_users,
+              |       CAST(sum(per.freq) AS BIGINT) AS sum_freq,
+              |       CAST(sum(per.monetary_cents) AS BIGINT) AS sum_cents
+              |FROM per, medr, medf, medm
+              |GROUP BY 1, 2, 3""".stripMargin)
+        }),
+
       Q("ev_json_metrics",
         // JSON property extraction at event scale (the F6 json-access
         // class applied to the analytics tier): per event type, exact

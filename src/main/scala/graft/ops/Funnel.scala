@@ -587,6 +587,48 @@ object Funnel {
     * (llm_mixed_lang) that both engines order identically and that keeps
     * map-side partial aggregation (no second window over the events). The
     * output is bounded by |types|² × 2, never by sessions. */
+  /** RFM user segmentation (recency / frequency / monetary): each
+    * converting user is banded above/below the population median on each
+    * axis, and the 8 segments are rolled up with their user counts and
+    * totals — the classic churn/VIP screen, here exact-integer end to end.
+    *
+    * The medians come from [[Sketches.quantileSample]]'s deterministic
+    * bottom-k-by-hash sample, NOT a global `median()`: the user table at
+    * 100 TB is ~10⁸ rows and an exact percentile would buffer all of them
+    * in one ObjectHashAggregate, while the sample keeps k triples per
+    * partition at every stage AND stays integer-deterministic, so the
+    * DuckDB oracle reproduces the thresholds exactly (same hash order,
+    * same rank row). Shapes: one conversion-filtered user rollup
+    * (checkpointed — four consumers), three k-bounded sample aggregates,
+    * three 1-row broadcasts, one 8-row rollup. */
+  def userRfm(events: DataFrame, tsCol: String, userCol: String,
+              typeCol: String, valueCol: String, convType: String,
+              k: Int = 256): DataFrame = {
+    val per0 = events.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(max(epochS(tsCol)).as("last_s"),
+        count(lit(1)).as("freq"),
+        sum(floor(col(valueCol) * 100).cast("long")).as("monetary_cents"))
+    val mx = per0.agg(max(col("last_s")).as("_mx"))
+    val per = per0.crossJoin(broadcast(mx))
+      .withColumn("recency_days", expr("(_mx - last_s) div 86400"))
+      .localCheckpoint()
+    def p50(vCol: String, salt: String, as: String) = broadcast(
+      Sketches.quantileSample(per, col(vCol), col("user_id"), Seq(50), k, salt)
+        .select(col("value").as(as)))
+    per
+      .crossJoin(p50("recency_days", "rfm_r", "_med_r"))
+      .crossJoin(p50("freq", "rfm_f", "_med_f"))
+      .crossJoin(p50("monetary_cents", "rfm_m", "_med_m"))
+      .groupBy(
+        (col("recency_days") < col("_med_r")).as("recent"),
+        (col("freq") > col("_med_f")).as("frequent"),
+        (col("monetary_cents") > col("_med_m")).as("high_value"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("freq")).as("sum_freq"),
+        sum(col("monetary_cents")).as("sum_cents"))
+  }
+
   def sessionEntryExit(events: DataFrame, tsCol: String, userCol: String,
                        typeCol: String, tieBreakCol: String,
                        convType: String, gapSecs: Long = 1800L): DataFrame =

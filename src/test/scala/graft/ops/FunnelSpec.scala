@@ -372,6 +372,36 @@ class FunnelSpec extends SparkSpec {
       ("purchase", "(direct)", 2L)))
   }
 
+  test("userRfm: hand-exact segments; sub-k population degrades to exact medians; non-conversions ignored") {
+    val day = 86400L
+    val ev = Seq(
+      // u1: 1 old purchase of $10       -> recency 10, freq 1, 1000c
+      (1L, ts(0L), 1L, "purchase", 10.0),
+      // u2: 3 purchases, newest overall -> recency 0, freq 3, 3000c
+      (2L, ts(8 * day), 2L, "purchase", 10.0),
+      (3L, ts(9 * day), 2L, "purchase", 10.0),
+      (4L, ts(10 * day), 2L, "purchase", 10.0),
+      // u3: 2 purchases, last day 5     -> recency 5, freq 2, 200c
+      (5L, ts(4 * day), 3L, "purchase", 1.0),
+      (6L, ts(5 * day), 3L, "purchase", 1.0),
+      // u4: 1 purchase day 9            -> recency 1, freq 1, 5000c
+      (7L, ts(9 * day), 4L, "purchase", 50.0),
+      // noise: non-conversions (incl. a newer one) must not shift anything
+      (8L, ts(10 * day + 500L), 1L, "view", 999.0),
+      (9L, ts(3 * day), 5L, "click", 999.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    // exact medians (population of 4 < k): rank-2 of (v, id) order ->
+    // med_r = 1, med_f = 1, med_m = 1000; strict compares band the users
+    val got = Funnel.userRfm(ev, "ts", "user_id", "event_type", "value",
+        convType = "purchase")
+      .as[(Boolean, Boolean, Boolean, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (false, false, false, 1L, 1L, 1000L), // u1
+      (true, true, true, 1L, 3L, 3000L),    // u2
+      (false, true, false, 1L, 2L, 200L),   // u3
+      (false, false, true, 1L, 1L, 5000L))) // u4
+  }
+
   test("sessionEntryExit: first/last by (ts, event_id); conversion flag per session") {
     val ev = Seq(
       // u1 session 1: view -> click -> purchase (entry view, exit purchase, converted)
