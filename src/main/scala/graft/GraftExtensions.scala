@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CmsCounts, GzipCompress, GzipDecompress, KmvMins, RepetitionStats, TopKPairs, TopKPairsTagged}
+import graft.expressions.{CmsCounts, GramMatrix, GzipCompress, GzipDecompress, KmvMins, RepetitionStats, TopKPairs, TopKPairsTagged}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are callable from SQL in any session configured with
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("topk_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
       (children: Seq[Expression]) => TopKPairs(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("gram_matrix"),
+      new ExpressionInfo(classOf[GramMatrix].getName, "gram_matrix"),
+      (children: Seq[Expression]) => GramMatrix(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("topk_pairs_tag"),
       new ExpressionInfo(classOf[TopKPairsTagged].getName, "topk_pairs_tag"),

@@ -4006,7 +4006,127 @@ object QueriesLlm {
     )
   }
 
+  /** Graph analytics and spectral/embedding-structure extraction — the
+    * co-occurrence-mining and PCA tier (GraphOps, Pca), plus the
+    * engagement-shape event rollups they're usually read next to. */
+  def graphSpectral: Seq[Q] = {
+    val ep = "CAST(floor(date_part('epoch', ts)) AS BIGINT)"
+
+    /** DuckDB replay of Pca.powerIteration: gram via range×range lateral,
+      * then `rounds` chained MATERIALIZED (w, v) CTE pairs — every
+      * multiply-referenced level materialized (round-9 session-2 rule a)
+      * so the denominator is fair. */
+    def pcaOracleSql(dim: Int, quantScale: Long, rounds: Int): String = {
+      val roundCtes = (1 to rounds).flatMap { r =>
+        val prev = if (r == 1) "v0" else s"v${r - 1}"
+        Seq(
+          s"""w$r AS MATERIALIZED (
+            |  SELECT g.i AS i, CAST(sum(g.g * v.v) AS BIGINT) AS w
+            |  FROM gram g JOIN $prev v ON g.j = v.i GROUP BY 1)""".stripMargin,
+          s"""v$r AS MATERIALIZED (
+            |  SELECT i, w // (SELECT greatest(1, CAST(max(abs(w)) AS BIGINT) // ${Pca.VScale})
+            |                  FROM w$r) AS v
+            |  FROM w$r)""".stripMargin)
+      }
+      withCtes((Seq(
+        s"""q AS MATERIALIZED (
+          |  SELECT list_transform(embedding,
+          |           x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale) AS BIGINT)) AS q
+          |  FROM embeddings)""".stripMargin,
+        s"""gram AS MATERIALIZED (
+          |  SELECT r1.i AS i, r2.j AS j,
+          |         CAST(sum(q.q[r1.i + 1] * q.q[r2.j + 1]) AS BIGINT)
+          |           // (SELECT greatest(1, count(*)) FROM q) AS g
+          |  FROM q, range($dim) r1(i), range($dim) r2(j)
+          |  GROUP BY 1, 2)""".stripMargin,
+        s"""v0 AS (SELECT r.i AS i, CAST(${Pca.VScale} AS BIGINT) AS v
+          |        FROM range($dim) r(i))""".stripMargin) ++ roundCtes).toSeq: _*)(
+        s"SELECT CAST(i AS INT) AS dim_idx, v AS component FROM v$rounds")
+    }
+
+    Seq(
+      Q("graph_triangles",
+        // Part co-purchase graph from lineitem (min-support-2 backbone),
+        // degree-ordered wedge-join triangle count — see GraphOps scaladoc
+        // for why support pruning precedes graph algebra at 100 TB.
+        (s, d) => GraphOps.triangleSummary(
+          GraphOps.coOccurrenceEdges(Tables.lineitem(s, d),
+            "l_orderkey", "l_partkey", minSupport = 2)),
+        Some(withCtes(
+          """op AS MATERIALIZED (
+            |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""".stripMargin,
+          """edges AS MATERIALIZED (
+            |  SELECT pa, pb FROM (
+            |    SELECT a.p AS pa, b.p AS pb, count(*) AS w
+            |    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+            |  WHERE w >= 2)""".stripMargin,
+          """deg AS MATERIALIZED (
+            |  SELECT p, CAST(count(*) AS BIGINT) AS d FROM (
+            |    SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
+            |  GROUP BY 1)""".stripMargin,
+          """oriented AS MATERIALIZED (
+            |  SELECT least(da.d * 1000000000 + e.pa, db.d * 1000000000 + e.pb) AS ku,
+            |         greatest(da.d * 1000000000 + e.pa, db.d * 1000000000 + e.pb) AS kv
+            |  FROM edges e JOIN deg da ON da.p = e.pa JOIN deg db ON db.p = e.pb)""".stripMargin,
+          """wedges AS (
+            |  SELECT e1.kv AS k1, e2.kv AS k2
+            |  FROM oriented e1 JOIN oriented e2
+            |    ON e1.ku = e2.ku AND e1.kv < e2.kv)""".stripMargin)(
+          """SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+            |       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+            |       w.n_wedges, w.n_triangles
+            |FROM (SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+            |             CAST(count(o.ku) AS BIGINT) AS n_triangles
+            |      FROM wedges w LEFT JOIN oriented o
+            |        ON w.k1 = o.ku AND w.k2 = o.kv) w""".stripMargin))),
+
+      Q("ann_pca_power",
+        // Dominant eigenvector of the quantized-embedding Gram matrix:
+        // one corpus aggregation (native gram_matrix, dim²-bounded
+        // partials), then 5 integer power-iteration rounds driver-side.
+        (s, d) => Pca.powerIteration(Tables.embeddings(s, d), "embedding",
+          dim = 64, quantScale = 1000L, rounds = 5),
+        Some(pcaOracleSql(dim = 64, quantScale = 1000L, rounds = 5))),
+
+      Q("ev_stickiness",
+        // Weekly avg-DAU/WAU engagement in basis points; corpus collapses
+        // in the (user, day) distinct (Funnel.stickiness scaladoc).
+        (s, d) => Funnel.stickiness(Tables.events(s, d), "ts", "user_id"),
+        Some(withCtes(
+          s"""base AS MATERIALIZED (
+            |  SELECT DISTINCT user_id, $ep // 86400 AS day_idx FROM events)""".stripMargin,
+          """b2 AS MATERIALIZED (
+            |  SELECT user_id, day_idx, day_idx // 7 AS week_idx FROM base)""".stripMargin,
+          """dau AS (SELECT week_idx, day_idx, CAST(count(*) AS BIGINT) AS dau
+            |        FROM b2 GROUP BY 1, 2)""".stripMargin,
+          """wk AS (SELECT week_idx, CAST(sum(dau) AS BIGINT) AS sum_dau,
+            |              CAST(count(*) AS BIGINT) AS active_days
+            |       FROM dau GROUP BY 1)""".stripMargin,
+          """wau AS (SELECT week_idx, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            |        FROM b2 GROUP BY 1)""".stripMargin)(
+          """SELECT week_idx, wk.sum_dau, wk.active_days, wau.wau,
+            |       wk.sum_dau * 10000 // (7 * wau.wau) AS stickiness_bp
+            |FROM wk JOIN wau USING (week_idx)""".stripMargin))),
+
+      Q("ev_seasonality",
+        // Weekday share index per event type in basis points over the
+        // |types|×7-bounded rollup; weekday = epoch_day % 7 (0=Thursday),
+        // a pure integer bucket identical in both engines.
+        (s, d) => Funnel.weekdaySeasonality(Tables.events(s, d), "ts", "event_type"),
+        Some(withCtes(
+          s"""c AS (
+            |  SELECT event_type, ($ep // 86400) % 7 AS weekday_idx,
+            |         CAST(count(*) AS BIGINT) AS n
+            |  FROM events GROUP BY 1, 2)""".stripMargin)(
+          """SELECT event_type, weekday_idx, n,
+            |       CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS type_total,
+            |       n * 7 * 10000
+            |         // CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS season_bp
+            |FROM c""".stripMargin)))
+    )
+  }
+
   def all: Seq[Q] = text ++ dedup ++ ann ++ embDedup ++ multimodal ++ tpch ++
     timeWindows ++ pipeline ++ assemble ++ eventsAnalytics ++ retrieval ++
-    textAnalysis2 ++ classifiers
+    textAnalysis2 ++ classifiers ++ graphSpectral
 }

@@ -629,6 +629,55 @@ object Funnel {
         sum(col("monetary_cents")).as("sum_cents"))
   }
 
+  /** Weekly engagement stickiness — average DAU over WAU in integer basis
+    * points (`sum_dau · 10000 div (7 · wau)`), the DAU/MAU-style ratio
+    * product analytics reads as "how many of the week's users come back
+    * daily".
+    *
+    * Scale shape: the corpus collapses in the FIRST distinct — one row
+    * per (user, active day), whose cardinality is the engagement matrix
+    * (users × calendar days), orders of magnitude below the event count
+    * and reached with map-side partial aggregation (the keys repeat
+    * heavily, unlike the round-6 rule-b unique-key trap). Both weekly
+    * rollups then run on that bounded matrix; `localCheckpoint` because
+    * two aggregation subtrees consume it (round-4 rule d). */
+  def stickiness(events: DataFrame, tsCol: String, userCol: String): DataFrame = {
+    val base = events
+      .select(col(userCol).as("user_id"),
+        expr(s"CAST($tsCol AS LONG) div 86400").as("day_idx"))
+      .distinct()
+      .withColumn("week_idx", expr("day_idx div 7"))
+      .localCheckpoint()
+    val weekly = base.groupBy(col("week_idx"), col("day_idx"))
+      .agg(count(lit(1)).as("dau"))
+      .groupBy(col("week_idx"))
+      .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("active_days"))
+    val wau = base.groupBy(col("week_idx"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    weekly.join(wau, Seq("week_idx"))
+      .withColumn("stickiness_bp", expr("sum_dau * 10000 div (7 * wau)"))
+  }
+
+  /** Weekday seasonality index per event type in integer basis points:
+    * `n · 7 · 10000 div type_total` — 10000 means "this weekday carries
+    * exactly its uniform share of the type's events". `weekday_idx` is
+    * `(epoch_day) % 7` (0 = Thursday, the epoch's weekday) — a pure
+    * integer bucket both engines compute identically, deliberately not a
+    * locale-touched date_part. The corpus collapses in the first
+    * aggregation to ≤ |types| × 7 rows; the share window runs on that
+    * bounded rollup. */
+  def weekdaySeasonality(events: DataFrame, tsCol: String,
+                         typeCol: String): DataFrame = {
+    val counts = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"(CAST($tsCol AS LONG) div 86400) % 7").as("weekday_idx"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("type_total", sum(col("n")).over(w))
+      .withColumn("season_bp", expr("n * 7 * 10000 div type_total"))
+  }
+
   def sessionEntryExit(events: DataFrame, tsCol: String, userCol: String,
                        typeCol: String, tieBreakCol: String,
                        convType: String, gapSecs: Long = 1800L): DataFrame =

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Integer-exact principal-component extraction over an embedding column:
+  * quantize, aggregate the dim² Gram matrix with the native
+  * [[graft.expressions.GramMatrix]] aggregate, then run a fixed number of
+  * power-iteration rounds on the driver-held matrix. The dominant
+  * eigenvector is the direction a curation pipeline watches for embedding
+  * collapse (one direction swallowing the space) and is the first step of
+  * any PCA-whitening / low-rank-projection stage.
+  *
+  * Scale shape — the MLlib covariance shape (round-7 rule e): the corpus
+  * appears in exactly ONE aggregation job whose shuffled state is a single
+  * dim² long array per partition (map-side partial, see GramMatrix);
+  * everything after is driver compute on a 64×64 integer matrix — k×dim²
+  * bounded, never corpus-scale, zero extra jobs regardless of N.
+  *
+  * Integer-exact and oracle-replayable: quantization is
+  * `floor(x · quantScale)` (floor, not cast — DuckDB rounds, Spark
+  * truncates), the Gram is normalized by N with truncating division, and
+  * each round rescales `v ← (G·v) / max(1, max|G·v| / 10⁶)` in pure Long
+  * arithmetic (Scala `/` and DuckDB `//` both truncate toward zero —
+  * verified round-9). The DuckDB oracle replays the identical rounds as
+  * chained MATERIALIZED CTEs. Overflow audit at quantScale=1000 over
+  * unit-norm-ish embeddings: |q| ≤ ~600 ⇒ normalized Gram entries
+  * ≤ 3.6·10⁵, |v| ≤ 2·10⁶ ⇒ |G·v| ≤ dim · 7.2·10¹¹ ≈ 4.6·10¹³ — four
+  * orders inside int64 at any corpus size.
+  */
+object Pca {
+
+  /** Rescale target for the iterated vector (components stay ~10⁶). */
+  val VScale = 1000000L
+
+  /** Dominant eigenvector of the N-normalized Gram matrix after `rounds`
+    * integer power-iteration rounds, as (dim_idx, component) rows.
+    * Vectors that are NULL or not exactly `dim` long are skipped by the
+    * aggregate (audited separately by ann_integrity). */
+  def powerIteration(emb: DataFrame, embCol: String, dim: Int,
+                     quantScale: Long = 1000L, rounds: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    val q = emb.select(expr(
+      s"transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale) AS BIGINT))")
+      .as("q"))
+    // ONE row: a dim² array + a count — matrix-scale, never corpus-scale.
+    val row = q.agg(expr(s"gram_matrix(q, $dim)").as("g"), count(lit(1)).as("n")).head()
+    val g = row.getSeq[Long](0).toArray
+    val n = math.max(1L, row.getLong(1))
+    val gn = g.map(_ / n)
+    var v = Array.fill(dim)(VScale)
+    var r = 0
+    while (r < rounds) {
+      val w = new Array[Long](dim)
+      var i = 0
+      while (i < dim) {
+        var s = 0L
+        var j = 0
+        val base = i * dim
+        while (j < dim) { s += gn(base + j) * v(j); j += 1 }
+        w(i) = s
+        i += 1
+      }
+      var m = 0L
+      i = 0
+      while (i < dim) { val a = math.abs(w(i)); if (a > m) m = a; i += 1 }
+      val d = math.max(1L, m / VScale)
+      v = w.map(_ / d)
+      r += 1
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      v.toSeq.zipWithIndex
+        .map { case (c, i) => Row(i, c) }.asJava,
+      StructType(Seq(
+        StructField("dim_idx", IntegerType, nullable = false),
+        StructField("component", LongType, nullable = false))))
+  }
+}

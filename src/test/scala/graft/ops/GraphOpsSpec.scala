@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coOccurrenceEdges: canonical pairs, support counts, min-support pruning") {
+    // baskets: t10 {1,2,3} (with a dup item row), t11 {1,2}, t12 {2,3,4}, t13 {1,2}
+    val fact = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 2L),
+      (11L, 1L), (11L, 2L),
+      (12L, 2L), (12L, 3L), (12L, 4L),
+      (13L, 1L), (13L, 2L)
+    ).toDF("txn", "item")
+    val all = GraphOps.coOccurrenceEdges(fact, "txn", "item", minSupport = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(all == Set((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (2L, 4L, 1L), (3L, 4L, 1L)),
+      "distinct items per txn, pa<pb canonical, support = #txns containing both")
+    val backbone = GraphOps.coOccurrenceEdges(fact, "txn", "item", minSupport = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(backbone == Set((1L, 2L, 3L), (2L, 3L, 2L)), "support-2 backbone only")
+  }
+
+  test("triangleSummary: K4 → 4 nodes, 6 edges, 4 wedges, 4 triangles") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("pa", "pb")
+    val r = GraphOps.triangleSummary(edges)
+      .as[(Long, Long, Long, Long)].head()
+    // all degrees 3 → rank order = id order; out-degrees 3,2,1,0 →
+    // wedges C(3,2)+C(2,2) = 4, all of which close.
+    assert(r == ((4L, 6L, 4L, 4L)))
+  }
+
+  test("triangleSummary: triangle-free bipartite graph → 0 triangles") {
+    val edges = (for (a <- 1L to 4L; b <- 11L to 14L) yield (a, b)).toDF("pa", "pb")
+    val r = GraphOps.triangleSummary(edges).as[(Long, Long, Long, Long)].head()
+    assert(r._1 == 8L && r._2 == 16L && r._4 == 0L)
+    assert(r._3 > 0L, "K4,4 has wedges, just none that close")
+  }
+
+  test("degree-ordered count equals brute-force triple enumeration (randomized)") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      val n = 25
+      val edgeList = (for {
+        a <- 1 to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.18
+      } yield (a.toLong, b.toLong)).toVector
+      val adj = edgeList.toSet
+      val expected = (for {
+        x <- 1 to n; y <- (x + 1) to n; z <- (y + 1) to n
+        if adj((x.toLong, y.toLong)) && adj((x.toLong, z.toLong)) && adj((y.toLong, z.toLong))
+      } yield 1).size.toLong
+      val r = GraphOps.triangleSummary(edgeList.toDF("pa", "pb"))
+        .as[(Long, Long, Long, Long)].head()
+      assert(r._4 == expected, s"trial $trial: ${r._4} vs brute-force $expected")
+      assert(r._2 == edgeList.size.toLong)
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gram_matrix equals the brute-force sum of outer products") {
+    val vecs = Seq(Seq(1L, 2L, 3L), Seq(-4L, 0L, 5L), Seq(2L, 2L, 2L))
+    val g = vecs.map(Tuple1(_)).toDF("q")
+      .agg(expr("gram_matrix(q, 3)")).head().getSeq[Long](0)
+    val exp = Array.ofDim[Long](9)
+    for (v <- vecs; i <- 0 until 3; j <- 0 until 3) exp(i * 3 + j) += v(i) * v(j)
+    assert(g == exp.toSeq)
+  }
+
+  test("gram_matrix skips NULL and ragged rows, partial-merges across partitions") {
+    val df = Seq(
+      Some(Seq(2L, 3L)), None, Some(Seq(1L)), // ragged 1-element row skipped
+      Some(Seq(-1L, 4L))
+    ).toDF("q").repartition(3)
+    val g = df.agg(expr("gram_matrix(q, 2)")).head().getSeq[Long](0)
+    // rows (2,3) and (-1,4): [[4+1, 6-4], [6-4, 9+16]]
+    assert(g == Seq(5L, 2L, 2L, 25L))
+  }
+
+  test("powerIteration recovers a planted dominant axis") {
+    val rnd = new scala.util.Random(42L)
+    val dim = 8
+    val rows = (1 to 200).map { _ =>
+      val v = Array.fill(dim)((rnd.nextFloat() - 0.5f) * 0.2f)
+      v(5) = 2.0f + rnd.nextFloat() // planted heavy positive axis 5
+      Tuple1(v.toSeq)
+    }
+    val out = Pca.powerIteration(rows.toDF("embedding"), "embedding", dim,
+        quantScale = 1000L, rounds = 5)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(out.length == dim)
+    val maxIdx = out.indices.maxBy(i => math.abs(out(i)))
+    assert(maxIdx == 5, s"dominant axis should be 5, got $maxIdx in ${out.toSeq}")
+    assert(out(5) > 0L, "all-ones start + positive axis → positive component")
+    assert(math.abs(out(5)) > 5L * out.indices.filter(_ != 5).map(i => math.abs(out(i))).max,
+      "planted axis dominates the noise axes decisively")
+  }
+
+  test("powerIteration is deterministic across runs and partitionings") {
+    val rows = (1 to 100).map { i =>
+      Tuple1(Seq.tabulate(4)(j => ((i * 31 + j * 7) % 13 - 6) / 10.0f))
+    }
+    val a = Pca.powerIteration(rows.toDF("embedding").repartition(2), "embedding", 4)
+      .as[(Int, Long)].collect().toSeq.sorted
+    val b = Pca.powerIteration(rows.toDF("embedding").repartition(7), "embedding", 4)
+      .as[(Int, Long)].collect().toSeq.sorted
+    assert(a == b, "integer Gram + integer iteration must not depend on partitioning")
+  }
+
+  test("empty corpus yields the all-zero vector, not a crash") {
+    val out = Pca.powerIteration(
+        Seq.empty[Tuple1[Seq[Float]]].toDF("embedding"), "embedding", 4)
+      .as[(Int, Long)].collect().toSeq
+    assert(out == (0 until 4).map(i => (i, 0L)))
+  }
+}
