@@ -369,11 +369,42 @@ object ScaleSmoke {
       }
     }
 
+    // Co-occurrence triangles (r10): baskets ∝ docs with a FIXED 64-item
+    // popular head (12.5% of draws) over a linearly growing tail catalog —
+    // the real co-purchase shape. The support-2 backbone then stays
+    // head-bounded while the pair explode + support groupBy (the corpus
+    // term) grows linearly in baskets; the wedge join runs on the bounded
+    // backbone. A fixed catalog would instead densify toward the complete
+    // graph (quadratic in catalog — a data artifact, round-5 rule e).
+    locally {
+      import graft.ops.GraphOps
+      val txN = n
+      val catalog = math.max(1000L, txN / 10)
+      val rows = spark.range(txN * 4).select(
+        expr("id div 4").as("txn"),
+        when(pmod(xxhash64(col("id")), lit(8)) === 0,
+            pmod(xxhash64(col("id"), lit(1)), lit(64)))
+          .otherwise(lit(64) + pmod(xxhash64(col("id"), lit(2)), lit(catalog)))
+          .as("item"))
+      t(s"co-occurrence backbone ($txN baskets)")(
+        GraphOps.coOccurrenceEdges(rows, "txn", "item", minSupport = 2).count())
+      t(s"triangle count ($txN baskets)") {
+        val s = GraphOps.triangleSummary(
+          GraphOps.coOccurrenceEdges(rows, "txn", "item", minSupport = 2)).head()
+        s.getLong(3)
+      }
+    }
+
     val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val emb = emb0.crossJoin(spark.range(embCopies).withColumnRenamed("id", "c"))
       .select((col("vec_id") + col("c") * 10000000L).as("vec_id"), col("embedding"))
     emb.cache(); val m = emb.count()
     t(s"embedding near-dup ($m)")(Similarity.embeddingNearDup(emb, 0.2).count())
+    // PCA power iteration (r10): ONE corpus aggregation with dim²-bounded
+    // partials (native gram_matrix) + driver-side rounds — must be ~linear
+    // in vectors with a constant job count regardless of m.
+    t(s"pca power iteration ($m vecs)")(
+      graft.ops.Pca.powerIteration(emb, "embedding", 64).count())
     t(s"multiband near-dup ($m)")(
       Similarity.embeddingNearDupMultiband(emb, 0.2, bands = 3, planesPerBand = 8).count())
     t(s"ivf top-k ($m corpus)")(
