@@ -4012,11 +4012,12 @@ object QueriesLlm {
   def graphSpectral: Seq[Q] = {
     val ep = "CAST(floor(date_part('epoch', ts)) AS BIGINT)"
 
-    /** DuckDB replay of Pca.powerIteration: gram via range×range lateral,
-      * then `rounds` chained MATERIALIZED (w, v) CTE pairs — every
-      * multiply-referenced level materialized (round-9 session-2 rule a)
-      * so the denominator is fair. */
-    def pcaOracleSql(dim: Int, quantScale: Long, rounds: Int): String = {
+    /** DuckDB replay of Pca.dominantEigenvector: gram via range×range
+      * lateral, then `rounds` chained MATERIALIZED (w, v) CTE pairs —
+      * every multiply-referenced level materialized (round-9 session-2
+      * rule a) so the denominator is fair. The final eigenvector lives in
+      * CTE `v$rounds`. */
+    def pcaCtes(dim: Int, quantScale: Long, rounds: Int): Seq[String] = {
       val roundCtes = (1 to rounds).flatMap { r =>
         val prev = if (r == 1) "v0" else s"v${r - 1}"
         Seq(
@@ -4028,7 +4029,7 @@ object QueriesLlm {
             |                  FROM w$r) AS v
             |  FROM w$r)""".stripMargin)
       }
-      withCtes((Seq(
+      Seq(
         s"""q AS MATERIALIZED (
           |  SELECT list_transform(embedding,
           |           x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale) AS BIGINT)) AS q
@@ -4040,9 +4041,11 @@ object QueriesLlm {
           |  FROM q, range($dim) r1(i), range($dim) r2(j)
           |  GROUP BY 1, 2)""".stripMargin,
         s"""v0 AS (SELECT r.i AS i, CAST(${Pca.VScale} AS BIGINT) AS v
-          |        FROM range($dim) r(i))""".stripMargin) ++ roundCtes).toSeq: _*)(
-        s"SELECT CAST(i AS INT) AS dim_idx, v AS component FROM v$rounds")
+          |        FROM range($dim) r(i))""".stripMargin) ++ roundCtes
     }
+    def pcaOracleSql(dim: Int, quantScale: Long, rounds: Int): String =
+      withCtes(pcaCtes(dim, quantScale, rounds): _*)(
+        s"SELECT CAST(i AS INT) AS dim_idx, v AS component FROM v$rounds")
 
     Seq(
       Q("graph_triangles",
@@ -4087,6 +4090,55 @@ object QueriesLlm {
         (s, d) => Pca.powerIteration(Tables.embeddings(s, d), "embedding",
           dim = 64, quantScale = 1000L, rounds = 5),
         Some(pcaOracleSql(dim = 64, quantScale = 1000L, rounds = 5))),
+
+      Q("ann_spectral_hist",
+        // Projection histogram onto the dominant eigenvector — the
+        // embedding-collapse detector. One extra map-only pass with the
+        // eigenvector broadcast as a literal; bucket-bounded output.
+        (s, d) => Pca.spectralHistogram(Tables.embeddings(s, d), "embedding",
+          dim = 64, quantScale = 1000L, rounds = 5),
+        Some(withCtes(pcaCtes(dim = 64, quantScale = 1000L, rounds = 5) ++ Seq(
+          """vlist AS MATERIALIZED (
+            |  SELECT list(v ORDER BY i) AS vl FROM v5)""".stripMargin,
+          s"""proj AS MATERIALIZED (
+            |  SELECT CAST(list_sum(list_transform(range(64),
+            |           j -> q.q[j + 1] * vlist.vl[j + 1])) AS BIGINT) AS proj
+            |  FROM q, vlist)""".stripMargin): _*)(
+          s"""SELECT proj // ${1L << 30} AS bucket,
+            |       CAST(count(*) AS BIGINT) AS n,
+            |       CAST(min(proj) AS BIGINT) AS min_proj,
+            |       CAST(max(proj) AS BIGINT) AS max_proj
+            |FROM proj GROUP BY 1""".stripMargin))),
+
+      Q("graph_assoc_rules",
+        // Apriori step-1 association rules on the support-2 co-purchase
+        // backbone: both rule directions with exact-integer confidence
+        // (bp) and division-first lift (ppm).
+        (s, d) => GraphOps.associationRules(Tables.lineitem(s, d),
+          "l_orderkey", "l_partkey", minSupport = 2),
+        Some(withCtes(
+          """op AS MATERIALIZED (
+            |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""".stripMargin,
+          """edges AS MATERIALIZED (
+            |  SELECT pa, pb, w FROM (
+            |    SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS w
+            |    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+            |  WHERE w >= 2)""".stripMargin,
+          """itemn AS MATERIALIZED (
+            |  SELECT p AS item, CAST(count(*) AS BIGINT) AS n_item
+            |  FROM op GROUP BY 1)""".stripMargin,
+          """total AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_tx FROM op)""",
+          """bidir AS (
+            |  SELECT pa AS ante, pb AS cons, w FROM edges
+            |  UNION ALL
+            |  SELECT pb AS ante, pa AS cons, w FROM edges)""".stripMargin)(
+          """SELECT b.ante, b.cons, b.w, a.n_item AS n_ante, c.n_item AS n_cons,
+            |       b.w * 10000 // a.n_item AS conf_bp,
+            |       (b.w * 1000000 // a.n_item) * (SELECT n_tx FROM total)
+            |         // c.n_item AS lift_ppm
+            |FROM bidir b
+            |JOIN itemn a ON a.item = b.ante
+            |JOIN itemn c ON c.item = b.cons""".stripMargin))),
 
       Q("ev_stickiness",
         // Weekly avg-DAU/WAU engagement in basis points; corpus collapses

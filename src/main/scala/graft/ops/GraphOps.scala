@@ -35,14 +35,12 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Distinct item pairs co-occurring in a transaction, with the number of
-    * transactions supporting each pair; `pa < pb` canonical. `minSupport`
-    * prunes to the co-occurrence backbone (see object scaladoc). */
-  def coOccurrenceEdges(fact: DataFrame, txnCol: String, itemCol: String,
-                        minSupport: Int): DataFrame =
-    fact
-      .groupBy(col(txnCol).as("_txn"))
-      .agg(sort_array(collect_set(col(itemCol))).as("_items"))
+  /** Support-counted canonical pairs from (_txn, item) rows — the shared
+    * row-local pair explode (collect_set dedups within-txn repeats). */
+  private def supportedPairs(rows: DataFrame, minSupport: Int): DataFrame =
+    rows
+      .groupBy(col("_txn"))
+      .agg(sort_array(collect_set(col("item"))).as("_items"))
       .select(explode(expr(
         """flatten(transform(_items, (x, i) ->
           |  transform(slice(_items, i + 2, size(_items)), y ->
@@ -51,6 +49,47 @@ object GraphOps {
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minSupport)
+
+  /** Distinct item pairs co-occurring in a transaction, with the number of
+    * transactions supporting each pair; `pa < pb` canonical. `minSupport`
+    * prunes to the co-occurrence backbone (see object scaladoc). */
+  def coOccurrenceEdges(fact: DataFrame, txnCol: String, itemCol: String,
+                        minSupport: Int): DataFrame =
+    supportedPairs(
+      fact.select(col(txnCol).as("_txn"), col(itemCol).as("item")), minSupport)
+
+  /** Pairwise association rules over the support-pruned co-occurrence
+    * backbone (the Apriori step-1 surface a recommender mines):
+    * both directions of every backbone edge, with exact-integer
+    * confidence (`w · 10000 div n_ante` basis points) and lift
+    * (`(w · 10⁶ div n_ante) · n_tx div n_cons` ppm — division-FIRST so
+    * the intermediate stays ≤ 10⁶ · n_tx; safe through ~10¹² baskets,
+    * past which drop to 10³-scale lift units).
+    *
+    * Scale shape: one transaction-keyed aggregation for the pair explode
+    * (row-local, domain-capped baskets — see [[coOccurrenceEdges]]), one
+    * item-keyed count, then joins that run on the support-pruned backbone
+    * and the item table, never the fact table. The item-count table and
+    * the edge set each feed two subtrees → `localCheckpoint` (round-4
+    * rule d). */
+  def associationRules(fact: DataFrame, txnCol: String, itemCol: String,
+                       minSupport: Int): DataFrame = {
+    val op = fact.select(col(txnCol).as("_txn"), col(itemCol).as("item"))
+      .distinct().localCheckpoint() // feeds pairs, item counts, and n_tx
+    val edges = supportedPairs(op, minSupport)
+      .localCheckpoint() // both directions of the union read it
+    val itemN = op.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      .localCheckpoint() // joined on both rule sides
+    val total = op.agg(countDistinct(col("_txn")).as("n_tx"))
+    edges.select(col("pa").as("ante"), col("pb").as("cons"), col("w"))
+      .unionAll(edges.select(col("pb").as("ante"), col("pa").as("cons"), col("w")))
+      .join(itemN.select(col("item").as("ante"), col("n_item").as("n_ante")), Seq("ante"))
+      .join(itemN.select(col("item").as("cons"), col("n_item").as("n_cons")), Seq("cons"))
+      .crossJoin(broadcast(total))
+      .select(col("ante"), col("cons"), col("w"), col("n_ante"), col("n_cons"),
+        expr("w * 10000 div n_ante").as("conf_bp"),
+        expr("(w * 1000000 div n_ante) * n_tx div n_cons").as("lift_ppm"))
+  }
 
   /** Degree-ordered triangle count over an undirected edge list
     * (`pa`/`pb`, canonical `pa < pb`): one summary row with node, edge,

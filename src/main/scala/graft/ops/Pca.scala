@@ -34,16 +34,20 @@ object Pca {
   /** Rescale target for the iterated vector (components stay ~10⁶). */
   val VScale = 1000000L
 
+  /** The quantization projection shared by every spectral op (and
+    * replayed verbatim by the oracles): `floor(x · quantScale)` per
+    * element, as BIGINT. */
+  def quantizeExpr(embCol: String, quantScale: Long): String =
+    s"transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale) AS BIGINT))"
+
   /** Dominant eigenvector of the N-normalized Gram matrix after `rounds`
-    * integer power-iteration rounds, as (dim_idx, component) rows.
-    * Vectors that are NULL or not exactly `dim` long are skipped by the
-    * aggregate (audited separately by ann_integrity). */
-  def powerIteration(emb: DataFrame, embCol: String, dim: Int,
-                     quantScale: Long = 1000L, rounds: Int = 5): DataFrame = {
-    val spark = emb.sparkSession
-    val q = emb.select(expr(
-      s"transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale) AS BIGINT))")
-      .as("q"))
+    * integer power-iteration rounds, as a driver-held dim-length array —
+    * the bounded model state (like Lloyd centroids) the distributed
+    * passes broadcast back. Vectors that are NULL or not exactly `dim`
+    * long are skipped by the aggregate (audited by ann_integrity). */
+  def dominantEigenvector(emb: DataFrame, embCol: String, dim: Int,
+                          quantScale: Long = 1000L, rounds: Int = 5): Array[Long] = {
+    val q = emb.select(expr(quantizeExpr(embCol, quantScale)).as("q"))
     // ONE row: a dim² array + a count — matrix-scale, never corpus-scale.
     val row = q.agg(expr(s"gram_matrix(q, $dim)").as("g"), count(lit(1)).as("n")).head()
     val g = row.getSeq[Long](0).toArray
@@ -69,12 +73,46 @@ object Pca {
       v = w.map(_ / d)
       r += 1
     }
+    v
+  }
+
+  /** [[dominantEigenvector]] as (dim_idx, component) rows — the
+    * registry/oracle surface. */
+  def powerIteration(emb: DataFrame, embCol: String, dim: Int,
+                     quantScale: Long = 1000L, rounds: Int = 5): DataFrame = {
+    val v = dominantEigenvector(emb, embCol, dim, quantScale, rounds)
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
+    emb.sparkSession.createDataFrame(
       v.toSeq.zipWithIndex
         .map { case (c, i) => Row(i, c) }.asJava,
       StructType(Seq(
         StructField("dim_idx", IntegerType, nullable = false),
         StructField("component", LongType, nullable = false))))
+  }
+
+  /** Histogram of corpus projections onto the dominant eigenvector — the
+    * embedding-collapse detector: a healthy space spreads its mass across
+    * many projection buckets; a collapsed one (one direction swallowing
+    * the geometry) piles into few. Two corpus passes total: the Gram
+    * aggregation inside [[dominantEigenvector]], then ONE map-only
+    * projection pass with the dim-length eigenvector broadcast as a
+    * literal array (`zip_with` dot product + truncating-div bucket),
+    * collapsing into a bucket-bounded aggregation. The per-row HOF cost
+    * is dim interpreted lambda evals (~1 µs each, round-9 rule a) —
+    * acceptable here; a native dot-product Expression is the upgrade
+    * path if a profile ever shows this pass hot. */
+  def spectralHistogram(emb: DataFrame, embCol: String, dim: Int,
+                        quantScale: Long = 1000L, rounds: Int = 5,
+                        bucketWidth: Long = 1L << 30): DataFrame = {
+    val v = dominantEigenvector(emb, embCol, dim, quantScale, rounds)
+    val vLit = array(v.map(lit(_)): _*)
+    emb
+      .select(expr(quantizeExpr(embCol, quantScale)).as("q"))
+      .select(aggregate(zip_with(col("q"), vLit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("proj"))
+      .groupBy(expr(s"proj div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("proj")).as("min_proj"),
+        max(col("proj")).as("max_proj"))
   }
 }

@@ -39,6 +39,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(r._3 > 0L, "K4,4 has wedges, just none that close")
   }
 
+  test("associationRules: hand-exact confidence and lift, truncation asymmetry") {
+    // baskets: {1,2}, {1,2}, {1,2,3}, {2,3}, {3} → n_tx=5,
+    // n(1)=3, n(2)=4, n(3)=3; support-2 pairs: (1,2):3, (2,3):2
+    val fact = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L), (3L, 3L),
+      (4L, 2L), (4L, 3L), (5L, 3L)
+    ).toDF("txn", "item")
+    val got = GraphOps.associationRules(fact, "txn", "item", minSupport = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 3L, 3L, 4L, 10000L, 1250000L),
+      (2L, 1L, 3L, 4L, 3L, 7500L, 1250000L),
+      (2L, 3L, 2L, 4L, 3L, 5000L, 833333L),
+      // division-first truncation: (2e6 // 3) * 5 // 4 = 833332, not the
+      // symmetric 833333 — the documented exact-integer trade-off
+      (3L, 2L, 2L, 3L, 4L, 6666L, 833332L)))
+  }
+
   test("degree-ordered count equals brute-force triple enumeration (randomized)") {
     val rnd = new scala.util.Random(20260814L)
     for (trial <- 1 to 3) {

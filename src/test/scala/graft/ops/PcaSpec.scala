@@ -55,6 +55,32 @@ class PcaSpec extends SparkSpec {
     assert(a == b, "integer Gram + integer iteration must not depend on partitioning")
   }
 
+  test("spectralHistogram matches a driver-side replay of quantize+dot+bucket") {
+    val rnd = new scala.util.Random(99L)
+    val dim = 8
+    val rows = (1 to 150).map { _ =>
+      val v = Array.fill(dim)((rnd.nextFloat() - 0.5f) * 0.4f)
+      v(2) = 1.5f + rnd.nextFloat()
+      Tuple1(v.toSeq)
+    }
+    val df = rows.toDF("embedding")
+    val width = 1L << 12
+    val got = Pca.spectralHistogram(df, "embedding", dim, 1000L, 5, width)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val ev = Pca.dominantEigenvector(df, "embedding", dim, 1000L, 5)
+    val projs = rows.map { r =>
+      r._1.zip(ev).map { case (x, vi) =>
+        math.floor(x.toDouble * 1000).toLong * vi
+      }.sum
+    }
+    val expected = projs.groupBy(_ / width).map { case (b, ps) =>
+      (b, ps.size.toLong, ps.min, ps.max)
+    }.toSet
+    assert(got == expected)
+    assert(got.toSeq.map(_._2).sum == rows.size.toLong, "every vector lands in a bucket")
+  }
+
   test("empty corpus yields the all-zero vector, not a crash") {
     val out = Pca.powerIteration(
         Seq.empty[Tuple1[Seq[Float]]].toDF("embedding"), "embedding", 4)
