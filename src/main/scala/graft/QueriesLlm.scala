@@ -4140,6 +4140,102 @@ object QueriesLlm {
             |JOIN itemn a ON a.item = b.ante
             |JOIN itemn c ON c.item = b.cons""".stripMargin))),
 
+      Q("dedup_simhash_pairs",
+        // Manku-banded simhash near-dup pairs: 4×4-bit band buckets →
+        // candidate pairs (mega-bucket cap rides along) → hamming ≤ 3
+        // verify on candidates only.
+        (s, d) => DedupOps.simhashPairs(Tables.documents(s, d), "doc_id", "text"),
+        Some {
+          val bits = (0 until 16).map(i =>
+            s"CASE WHEN sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << i} ELSE 0 END")
+            .mkString(" + ")
+          withCtes(normDocsCte,
+            s"""tok_h AS (
+              |  SELECT doc_id, ${h60("t.tok")} AS h
+              |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok_docs) t)""".stripMargin,
+            s"""sim AS MATERIALIZED (
+              |  SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+              |  FROM tok_h GROUP BY doc_id)""".stripMargin,
+            """banded AS MATERIALIZED (
+              |  SELECT doc_id, b.band, (simhash >> (4 * b.band)) & 15 AS bucket
+              |  FROM sim, range(4) b(band))""".stripMargin,
+            """ok_buckets AS (
+              |  SELECT band, bucket FROM banded GROUP BY 1, 2
+              |  HAVING count(*) > 1 AND count(*) <= 1000)""".stripMargin,
+            """cand AS MATERIALIZED (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded a
+              |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+              |              AND a.doc_id < b.doc_id
+              |  JOIN ok_buckets o ON o.band = a.band AND o.bucket = a.bucket)""".stripMargin)(
+            """SELECT id_a, id_b,
+              |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+              |FROM cand
+              |JOIN sim sa ON sa.doc_id = id_a
+              |JOIN sim sb ON sb.doc_id = id_b
+              |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""".stripMargin)
+        }),
+
+      Q("ev_top_paths",
+        // First-5-event session paths with a support floor — the "how do
+        // sessions flow" rollup over the one user-keyed session window.
+        (s, d) => Funnel.topPaths(Tables.events(s, d), "ts", "user_id",
+          "event_type", "event_id"),
+        Some(withCtes(
+          s"""ev AS MATERIALIZED (
+            |  SELECT user_id, $ep AS ep_s, event_type, event_id
+            |  FROM events)""".stripMargin,
+          """marked AS MATERIALIZED (
+            |  SELECT user_id, ep_s, event_type, event_id,
+            |         CASE WHEN ep_s - lag(ep_s) OVER
+            |                (PARTITION BY user_id ORDER BY ep_s, event_id) <= 1800
+            |              THEN 0 ELSE 1 END AS new_sess
+            |  FROM ev)""".stripMargin,
+          """sess AS MATERIALIZED (
+            |  SELECT user_id, ep_s, event_type, event_id,
+            |         sum(new_sess) OVER (PARTITION BY user_id
+            |           ORDER BY ep_s, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+            |  FROM marked)""".stripMargin,
+          """pathed AS (
+            |  SELECT user_id, session_idx,
+            |         string_agg(event_type, '>' ORDER BY ep_s, event_id) AS path
+            |  FROM (SELECT user_id, session_idx, event_type, ep_s, event_id,
+            |               row_number() OVER (PARTITION BY user_id, session_idx
+            |                 ORDER BY ep_s, event_id) AS rn
+            |        FROM sess)
+            |  WHERE rn <= 5 GROUP BY 1, 2)""".stripMargin)(
+          """SELECT path, CAST(count(*) AS BIGINT) AS sessions
+            |FROM pathed GROUP BY 1 HAVING count(*) >= 2""".stripMargin))),
+
+      Q("ev_cohort_ltv",
+        // Cohort LTV curve: first-seen-week cohorts, purchase revenue by
+        // week offset, cumulative, per-user-normalized (truncating div).
+        (s, d) => Funnel.cohortLtv(Tables.events(s, d), "ts", "user_id",
+          "event_type", "value"),
+        Some(withCtes(
+          s"""ev AS MATERIALIZED (
+            |  SELECT user_id, $ep // 604800 AS wk, event_type,
+            |         CAST(floor(value * 100) AS BIGINT) AS v_cents
+            |  FROM events)""".stripMargin,
+          """cohorts AS MATERIALIZED (
+            |  SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)""".stripMargin,
+          """sizes AS (SELECT cohort_week,
+            |              CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_users
+            |        FROM cohorts GROUP BY 1)""".stripMargin,
+          """rev AS (
+            |  SELECT f.cohort_week, e.wk - f.cohort_week AS week_offset,
+            |         CAST(sum(v_cents) AS BIGINT) AS rev_cents
+            |  FROM ev e JOIN cohorts f USING (user_id)
+            |  WHERE event_type = 'purchase' GROUP BY 1, 2)""".stripMargin,
+          """cum AS (
+            |  SELECT cohort_week, week_offset, rev_cents,
+            |         CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+            |           ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+            |  FROM rev)""".stripMargin)(
+          """SELECT c.cohort_week, week_offset, rev_cents, cum_cents,
+            |       s.cohort_users, cum_cents // s.cohort_users AS ltv_cents_per_user
+            |FROM cum c JOIN sizes s USING (cohort_week)""".stripMargin))),
+
       Q("ev_stickiness",
         // Weekly avg-DAU/WAU engagement in basis points; corpus collapses
         // in the (user, day) distinct (Funnel.stickiness scaladoc).

@@ -1037,6 +1037,36 @@ object DedupOps {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-dup pairs, Manku-style (WWW'07): band the fingerprint
+    * into 4×4-bit keys, bucket-join per band (any shared band is a
+    * candidate — pigeonhole guarantees recall for hamming ≤ 3 over 4
+    * bands), then verify `bit_count(xor)` ≤ `maxHamming` on candidates
+    * only. Reuses [[candidatePairs]], so the mega-bucket skew cap and its
+    * observe metric ride along.
+    *
+    * The 16-bit width is this repo's oracle-portable proxy (the sign-sum
+    * simhash is replayed exactly in DuckDB); a production 100 TB corpus
+    * wants 64-bit fingerprints with 16-bit bands — identical banding
+    * structure, 2¹⁶ buckets per band, and the same pigeonhole bound.
+    * At 16 bits each band has only 16 buckets, so candidate volume is
+    * corpus²/64-ish — fine at test scale, and exactly why the width (not
+    * the shape) is what changes at scale. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = simhash16(docs, idCol, textCol)
+      .localCheckpoint() // feeds the band explode AND both verify joins
+    val banded = sh.select(col(idCol),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), 4 * b).bitwiseAND(15)): _*))
+        .as(Seq("band", "bucket")))
+    candidatePairs(banded, idCol)
+      .join(sh.select(col(idCol).as("id_a"), col("simhash").as("_ha")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("simhash").as("_hb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Cross-source overlap matrix: estimated shingle-set Jaccard between
     * every pair of sources — the "which feeds copy from each other"
     * curation report.

@@ -629,6 +629,60 @@ object Funnel {
         sum(col("monetary_cents")).as("sum_cents"))
   }
 
+  /** Top session paths: the first `pathLen` event types of each
+    * gap-based session joined with '>', counted across sessions; only
+    * paths with at least `minSessions` occurrences survive (the support
+    * floor that keeps output bounded — raw path space is |types|^len).
+    *
+    * Scale shape: the session window is the ONE user-keyed shuffle (the
+    * round-10 sessionization pin); per-session path assembly is a
+    * collect_list bounded by session length truncated at `pathLen`+rest
+    * of the session — sessions are gap-bounded, never corpus-scale — and
+    * the final rollup keys on the support-floored path alphabet. */
+  def topPaths(events: DataFrame, tsCol: String, userCol: String,
+               typeCol: String, tieBreakCol: String,
+               gapSecs: Long = 1800L, pathLen: Int = 5,
+               minSessions: Long = 2L): DataFrame =
+    withSessionIdx(events, tsCol, userCol, typeCol, tieBreakCol, gapSecs)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(concat_ws(">", transform(
+        slice(array_sort(collect_list(struct(sessionOrdKey.as("k"),
+          col("event_type").as("y")))), 1, pathLen),
+        e => e.getField("y"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("sessions"))
+      .filter(col("sessions") >= minSessions)
+
+  /** Weekly cohort LTV curve: users cohorted by first-seen week (any
+    * event type), purchase revenue rolled to (cohort_week, week_offset),
+    * cumulative within each cohort, and normalized per cohort user
+    * (truncating div — exact integers). The same two-aggregation shape as
+    * [[retentionCohorts]]; the cumulative window runs on the bounded
+    * cohort triangle, and cohort sizes broadcast back. */
+  def cohortLtv(events: DataFrame, tsCol: String, userCol: String,
+                typeCol: String, valueCol: String,
+                revType: String = "purchase"): DataFrame = {
+    val ev = events.select(col(userCol).as("user_id"),
+      expr(s"CAST($tsCol AS LONG) div 604800").as("wk"),
+      col(typeCol).as("event_type"),
+      floor(col(valueCol) * 100).cast("long").as("v_cents"))
+      .localCheckpoint() // feeds first-seen AND the revenue join
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+      .localCheckpoint() // feeds cohort sizes AND the revenue join
+    val sizes = first.groupBy(col("cohort_week"))
+      .agg(countDistinct(col("user_id")).as("cohort_users"))
+    val rev = ev.filter(col("event_type") === revType)
+      .join(first, Seq("user_id")) // same key as the groupBy — co-partitioned
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(sum(col("v_cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("ltv_cents_per_user", expr("cum_cents div cohort_users"))
+  }
+
   /** Weekly engagement stickiness — average DAU over WAU in integer basis
     * points (`sum_dau · 10000 div (7 · wau)`), the DAU/MAU-style ratio
     * product analytics reads as "how many of the week's users come back

@@ -46,6 +46,55 @@ class EngagementSpec extends SparkSpec {
     }
   }
 
+  test("topPaths: session boundaries, path truncation at 5, support floor") {
+    val base = 1700000000L
+    def ev(u: Long, offS: Long, t: String, id: Long) = (u, base + offS, t, id)
+    val rows = Seq(
+      // u1 session 1: 7 events — path truncates to first 5
+      ev(1, 0, "view", 1), ev(1, 10, "click", 2), ev(1, 20, "view", 3),
+      ev(1, 30, "click", 4), ev(1, 40, "purchase", 5), ev(1, 50, "view", 6),
+      ev(1, 60, "error", 7),
+      // u1 session 2 (gap > 1800): same prefix as u2's session
+      ev(1, 10000, "view", 8), ev(1, 10010, "click", 9),
+      // u2 one session, same path as u1 session 2 → support 2
+      ev(2, 0, "view", 10), ev(2, 5, "click", 11),
+      // u3 singleton path → support 1, filtered out
+      ev(3, 0, "signup", 12))
+    val df = rows.toDF("user_id", "es", "event_type", "event_id")
+      .withColumn("ts", col("es").cast("timestamp"))
+    val got = Funnel.topPaths(df, "ts", "user_id", "event_type", "event_id")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("view>click", 2L)),
+      s"truncated 7-event path has support 1 and is floored out; got $got")
+    val all = Funnel.topPaths(df, "ts", "user_id", "event_type", "event_id",
+      minSessions = 1L).as[(String, Long)].collect().toSet
+    assert(all == Set(("view>click", 2L),
+      ("view>click>view>click>purchase", 1L), ("signup", 1L)))
+  }
+
+  test("cohortLtv: hand-exact cumulative revenue and per-user normalization") {
+    val wk = 604800L
+    def ev(u: Long, week: Long, t: String, v: Double) = (u, week * wk + u, t, v)
+    val rows = Seq(
+      // cohort week 0: users 1, 2 (user 2 first appears via a view)
+      ev(1, 0, "purchase", 10.00), ev(2, 0, "view", 0.0),
+      ev(1, 1, "purchase", 5.00), ev(2, 1, "purchase", 3.00),
+      // cohort week 2: user 3
+      ev(3, 2, "purchase", 7.50), ev(3, 3, "purchase", 2.49))
+    val df = rows.toDF("user_id", "es", "event_type", "value")
+      .withColumn("ts", col("es").cast("timestamp"))
+    val got = Funnel.cohortLtv(df, "ts", "user_id", "event_type", "value")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 1000L, 1000L, 2L, 500L),
+      (0L, 1L, 800L, 1800L, 2L, 900L),
+      (2L, 0L, 750L, 750L, 1L, 750L),
+      // floor(2.49 * 100): 2.49 in binary is 2.4900000000000002, so the
+      // product is 249.00000000000003 and floor gives 249 — identical in
+      // both engines because both do the same double multiply first
+      (2L, 1L, 249L, 999L, 1L, 999L)))
+  }
+
   test("weekday seasonality matches a driver-side reference and shares ~sum to 7x10000") {
     val rnd = new scala.util.Random(11L)
     val base = 1700000000L
