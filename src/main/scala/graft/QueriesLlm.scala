@@ -4140,6 +4140,63 @@ object QueriesLlm {
             |JOIN itemn a ON a.item = b.ante
             |JOIN itemn c ON c.item = b.cons""".stripMargin))),
 
+      Q("llm_quality_buckets",
+        // Decile bucketing around bounded-state sample quantiles — the
+        // map-only alternative to percentile-ranking the corpus.
+        (s, d) => TextOps.qualityDecileBuckets(Tables.documents(s, d),
+          "doc_id", "text"),
+        Some(withCtes(normDocsCte,
+          """scored AS MATERIALIZED (
+            |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words
+            |  FROM tok_docs)""".stripMargin,
+          s"""samp AS MATERIALIZED (
+            |  SELECT n_words AS v, doc_id AS i FROM scored
+            |  ORDER BY ${h60("'qbuck:' || CAST(doc_id AS VARCHAR)")}, doc_id
+            |  LIMIT 256)""".stripMargin,
+          """cuts AS MATERIALIZED (
+            |  SELECT q, v FROM
+            |    (SELECT v, row_number() OVER (ORDER BY v, i) AS rn,
+            |            count(*) OVER () AS n FROM samp),
+            |    (SELECT unnest([10,20,30,40,50,60,70,80,90]) AS q)
+            |  WHERE rn = greatest(1, CAST(ceil(q * n / 100.0) AS BIGINT)))""".stripMargin,
+          """cutl AS (SELECT list(v ORDER BY v) AS vl FROM cuts)""",
+          """b AS (
+            |  SELECT len(list_filter(cutl.vl, c -> c <= s.n_words)) AS bucket,
+            |         s.n_words
+            |  FROM scored s, cutl)""".stripMargin)(
+          """SELECT CAST(bucket AS BIGINT) AS bucket,
+            |       CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n_words) AS BIGINT) AS sum_words,
+            |       CAST(min(n_words) AS BIGINT) AS min_words,
+            |       CAST(max(n_words) AS BIGINT) AS max_words
+            |FROM b GROUP BY 1""".stripMargin))),
+
+      Q("q10_returned_revenue",
+        // TPC-H Q10 shape: returned-item revenue per customer — three
+        // fact joins sharing the orderkey/custkey shuffles + a broadcast
+        // nation dim; deterministic top-20 tie-break on custkey.
+        (s, d) => {
+          val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          l.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+            .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+            .join(broadcast(Tables.nation(s, d)),
+              col("c_nationkey") === col("n_nationkey"))
+            .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+            .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .as("revenue_cents"))
+            .orderBy(col("revenue_cents").desc, col("c_custkey"))
+            .limit(20)
+        },
+        Some(s"""SELECT c_custkey, c_name, n_name,
+          |       CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_cents
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |GROUP BY 1, 2, 3
+          |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)),
+
       Q("dedup_simhash_pairs",
         // Manku-banded simhash near-dup pairs: 4×4-bit band buckets →
         // candidate pairs (mega-bucket cap rides along) → hamming ≤ 3

@@ -743,4 +743,30 @@ object TextOps {
       .orderBy(col("pmi_ppm").desc, col("bigram"))
       .limit(topK)
   }
+
+  /** Decile bucketing of the per-doc token count around DETERMINISTIC
+    * sample quantiles — the scale answer to "percentile-rank every doc":
+    * an exact percentile window would globally sort the corpus per
+    * source; here the 9 cutpoints come from the bounded-state
+    * [[Sketches.quantileSample]] (k-row sample, one aggregation), bucket
+    * assignment is a map-only 9-element compare against the broadcast
+    * cutpoint array, and the rollup is 10-bounded. The narrow
+    * (id, n_words) projection is checkpointed because the sample
+    * aggregate and the bucket pass both consume it (round-4 rule d —
+    * recomputing means re-running the tokenizer regexes). */
+  def qualityDecileBuckets(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 256, salt: String = "qbuck"): DataFrame = {
+    val scored = qualityFeatures(docs, textCol)
+      .select(col(idCol), col("n_words").cast("long").as("n_words"))
+      .localCheckpoint()
+    val cuts = Sketches.quantileSample(scored, col("n_words"), col(idCol),
+        (1 to 9).map(_ * 10), k, salt)
+      .agg(sort_array(collect_list(col("value"))).as("vl"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("n_words"),
+        size(filter(col("vl"), c => c <= col("n_words"))).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"),
+        min(col("n_words")).as("min_words"), max(col("n_words")).as("max_words"))
+  }
 }

@@ -201,4 +201,21 @@ class TextSearchSpec extends SparkSpec {
       ("cc dd", 2L, 10L, 2L, 2900000L),
       ("cc cc", 7L, 10L, 10L, 2030000L)))
   }
+
+  test("qualityDecileBuckets: exact deciles when the sample covers the corpus") {
+    // 100 docs with token counts exactly 1..100 → the 256-cap sample IS
+    // the corpus, so cut_q = q-th smallest = q·10, and bucket membership
+    // is hand-computable: bucket 0 ← 1..9 (9 docs), buckets 1..8 ← ten
+    // docs each, bucket 9 ← 90..100 (11 docs).
+    val docs = (1 to 100).map(w => (w.toLong, Seq.fill(w)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.qualityDecileBuckets(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val expected = (0 to 9).map { b =>
+      val ws = (1 to 100).filter(w => (1 to 9).count(c => c * 10 <= w) == b)
+      (b.toLong, ws.size.toLong, ws.map(_.toLong).sum, ws.min.toLong, ws.max.toLong)
+    }.toSet
+    assert(got == expected)
+    assert(got.toSeq.map(_._2).sum == 100L, "buckets partition the corpus")
+  }
 }
