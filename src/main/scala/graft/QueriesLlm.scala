@@ -4198,12 +4198,12 @@ object QueriesLlm {
           |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)),
 
       Q("dedup_simhash_pairs",
-        // Manku-banded simhash near-dup pairs: 4×4-bit band buckets →
-        // candidate pairs (mega-bucket cap rides along) → hamming ≤ 3
-        // verify on candidates only.
+        // Manku-banded simhash near-dup pairs: 60-bit fingerprint,
+        // 4×15-bit band buckets → candidate pairs (mega-bucket cap rides
+        // along) → hamming ≤ 3 verify on candidates only.
         (s, d) => DedupOps.simhashPairs(Tables.documents(s, d), "doc_id", "text"),
         Some {
-          val bits = (0 until 16).map(i =>
+          val bits = (0 until 60).map(i =>
             s"CASE WHEN sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << i} ELSE 0 END")
             .mkString(" + ")
           withCtes(normDocsCte,
@@ -4214,7 +4214,7 @@ object QueriesLlm {
               |  SELECT doc_id, CAST($bits AS BIGINT) AS simhash
               |  FROM tok_h GROUP BY doc_id)""".stripMargin,
             """banded AS MATERIALIZED (
-              |  SELECT doc_id, b.band, (simhash >> (4 * b.band)) & 15 AS bucket
+              |  SELECT doc_id, b.band, (simhash >> (15 * b.band)) & 32767 AS bucket
               |  FROM sim, range(4) b(band))""".stripMargin,
             """ok_buckets AS (
               |  SELECT band, bucket FROM banded GROUP BY 1, 2
