@@ -4140,6 +4140,45 @@ object QueriesLlm {
             |JOIN itemn a ON a.item = b.ante
             |JOIN itemn c ON c.item = b.cons""".stripMargin))),
 
+      Q("llm_shard_zonemap",
+        // Layout-locality audit: zone maps of the SAME corpus under the
+        // token-balanced hash-shuffled shard plan vs a fixed-width
+        // id-range layout. Range shards show tight span_ppm (prunable);
+        // hash shards show ~10⁶ (shuffle-balanced, unprunable) — the
+        // both-layouts lakehouse trade-off, measured per shard.
+        (s, d) => {
+          val based = TextOps.withNormToks(Tables.documents(s, d), "text")
+          val nTokens = when(length(col("_norm")) === 0, 0L)
+            .otherwise(size(col("_toks")).cast("long"))
+          val narrow = based.select(col("doc_id"), nTokens.as("n_tokens"))
+            .localCheckpoint() // feeds both layout assignments
+          val hashPlan = Assemble.shardPlan(narrow, "doc_id", "n_tokens",
+              shardTokens = 2000L, salt = "shard")
+            .select(lit("hash").as("layout"), col("shard_id"), col("doc_id"))
+          val rangePlan = narrow
+            .select(lit("range").as("layout"),
+              expr("doc_id div 100").as("shard_id"), col("doc_id"))
+          Assemble.zoneMap(hashPlan.unionAll(rangePlan),
+            Seq("layout", "shard_id"), "doc_id")
+        },
+        Some(withCtes(normDocsCte,
+          s"""zc AS MATERIALIZED (
+            |  SELECT 'hash' AS layout,
+            |         CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id, doc_id
+            |  FROM (
+            |    SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY hk, doc_id) AS cum
+            |    FROM (
+            |      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+            |             ${h60("'shard:' || CAST(doc_id AS VARCHAR)")} AS hk
+            |      FROM tok_docs) t) c
+            |  UNION ALL
+            |  SELECT 'range', doc_id // 100, doc_id FROM documents)""".stripMargin,
+          """g AS (SELECT greatest(max(doc_id) - min(doc_id), 1) AS gspan FROM zc)""")(
+          """SELECT layout, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+            |       min(doc_id) AS min_key, max(doc_id) AS max_key,
+            |       (max(doc_id) - min(doc_id)) * 1000000 // (SELECT gspan FROM g) AS span_ppm
+            |FROM zc GROUP BY 1, 2""".stripMargin))),
+
       Q("llm_quality_buckets",
         // Decile bucketing around bounded-state sample quantiles — the
         // map-only alternative to percentile-ranking the corpus.

@@ -303,4 +303,26 @@ object Assemble {
       .select(col("_b").as(stratumCol), col("avail_tokens"), col("cap_tokens"),
         col("alloc_tokens"), col("epochs_milli"))
   }
+
+  /** Zone map + locality audit over a shard assignment: per shard group,
+    * the doc count, key min/max, and the shard's key-span as ppm of the
+    * global span — the number a scan planner reads to decide whether a
+    * key-range predicate can PRUNE shards. A range/sorted layout shows
+    * tight spans (span_ppm ≈ 10⁶/shards → most shards prunable); a
+    * hash-shuffled layout shows span_ppm ≈ 10⁶ on every shard (zero
+    * pruning — the price of shuffle-balanced training shards, and why a
+    * lakehouse keeps BOTH layouts). Plan rows are shard metadata scale
+    * after the groupBy; the input projection is checkpointed because the
+    * zone rollup and the global-span aggregate both consume it. */
+  def zoneMap(plan: DataFrame, shardCols: Seq[String], keyCol: String): DataFrame = {
+    val p = plan.select(shardCols.map(col) :+ col(keyCol): _*).localCheckpoint()
+    val zones = p.groupBy(shardCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"))
+    val global = p.agg((max(col(keyCol)) - min(col(keyCol))).as("_gspan"))
+    zones.crossJoin(broadcast(global))
+      .withColumn("span_ppm",
+        expr("(max_key - min_key) * 1000000 div greatest(_gspan, 1)"))
+      .drop("_gspan")
+  }
 }

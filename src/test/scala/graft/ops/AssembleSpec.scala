@@ -191,4 +191,24 @@ class AssembleSpec extends SparkSpec {
       .as[(Long, Long, Boolean, Long)].collect().map(r => r._1 -> r).toMap
     assert(again == got)
   }
+
+  test("zoneMap: range layout shows tight spans, interleaved layout full spans") {
+    // keys 0..99; range shards = contiguous tens; "shuffled" shards =
+    // key % 10 (every shard spans nearly the whole key space)
+    val rows = (0L until 100L).flatMap(k =>
+      Seq(("range", k / 10, k), ("mod", k % 10, k)))
+      .toDF("layout", "shard_id", "k")
+    val got = Assemble.zoneMap(rows, Seq("layout", "shard_id"), "k")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.size == 20)
+    (0L until 10L).foreach { s =>
+      val (_, _, n, lo, hi, ppm) = got(("range", s))
+      assert(n == 10L && lo == s * 10 && hi == s * 10 + 9)
+      assert(ppm == 9L * 1000000L / 99L, "span 9 of global 99")
+      val (_, _, nm, lom, him, ppmM) = got(("mod", s))
+      assert(nm == 10L && lom == s && him == 90 + s)
+      assert(ppmM == 90L * 1000000L / 99L, "interleaved shards span ~everything")
+    }
+  }
 }
