@@ -4083,6 +4083,69 @@ object QueriesLlm {
             |      FROM wedges w LEFT JOIN oriented o
             |        ON w.k1 = o.ku AND w.k2 = o.kv) w""".stripMargin))),
 
+      Q("graph_components",
+        // Connected components of the support-2 backbone (communities of
+        // co-purchased parts) via the engine's CC machinery — checked
+        // against a DuckDB RECURSIVE transitive closure, a different
+        // algorithm that must agree on every component.
+        (s, d) => {
+          val edges = GraphOps.coOccurrenceEdges(Tables.lineitem(s, d),
+              "l_orderkey", "l_partkey", minSupport = 2)
+            .localCheckpoint()
+          DedupOps.connectedComponents(edges, "pa", "pb")
+            .groupBy(col("label").as("component_id"))
+            .agg(count(lit(1)).as("n_nodes"))
+        },
+        Some("WITH RECURSIVE " + Seq(
+          """op AS MATERIALIZED (
+            |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""".stripMargin,
+          """edges AS MATERIALIZED (
+            |  SELECT pa, pb FROM (
+            |    SELECT a.p AS pa, b.p AS pb, count(*) AS w
+            |    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+            |  WHERE w >= 2)""".stripMargin,
+          """bidir AS (
+            |  SELECT pa AS src, pb AS dst FROM edges
+            |  UNION SELECT pb, pa FROM edges)""".stripMargin,
+          """reach(node, label) AS (
+            |  SELECT src, src FROM bidir
+            |  UNION
+            |  SELECT e.src, r.label FROM bidir e JOIN reach r ON e.dst = r.node)""".stripMargin,
+          """labels AS (SELECT node, min(label) AS label FROM reach GROUP BY node)""")
+          .mkString(",\n") +
+          "\nSELECT label AS component_id, CAST(count(*) AS BIGINT) AS n_nodes FROM labels GROUP BY 1"),
+        ),
+
+      Q("graph_degrees",
+        // Degree spectrum of the backbone in Zipf decades (digit count —
+        // no float log), the hub-structure report.
+        (s, d) => {
+          val edges = GraphOps.coOccurrenceEdges(Tables.lineitem(s, d),
+              "l_orderkey", "l_partkey", minSupport = 2)
+            .localCheckpoint()
+          edges.select(col("pa").as("p")).unionAll(edges.select(col("pb").as("p")))
+            .groupBy(col("p")).agg(count(lit(1)).as("d"))
+            .groupBy((length(col("d").cast("string")) - 1).cast("long").as("deg_decade"))
+            .agg(count(lit(1)).as("n_nodes"),
+              min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+        },
+        Some(withCtes(
+          """op AS MATERIALIZED (
+            |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""".stripMargin,
+          """edges AS MATERIALIZED (
+            |  SELECT pa, pb FROM (
+            |    SELECT a.p AS pa, b.p AS pb, count(*) AS w
+            |    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+            |  WHERE w >= 2)""".stripMargin,
+          """deg AS (
+            |  SELECT p, CAST(count(*) AS BIGINT) AS d FROM (
+            |    SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
+            |  GROUP BY 1)""".stripMargin)(
+          """SELECT CAST(length(CAST(d AS VARCHAR)) - 1 AS BIGINT) AS deg_decade,
+            |       CAST(count(*) AS BIGINT) AS n_nodes,
+            |       min(d) AS min_deg, max(d) AS max_deg
+            |FROM deg GROUP BY 1""".stripMargin))),
+
       Q("ann_pca_power",
         // Dominant eigenvector of the quantized-embedding Gram matrix:
         // one corpus aggregation (native gram_matrix, dim²-bounded

@@ -39,6 +39,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(r._3 > 0L, "K4,4 has wedges, just none that close")
   }
 
+  test("backbone components: two cliques stay separate, sizes exact") {
+    // two K3s and one isolated edge
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("pa", "pb")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val comps = DedupOps.connectedComponents(edges, "pa", "pb")
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toSet
+    assert(comps == Set((1L, 3L), (10L, 3L), (20L, 2L)))
+  }
+
   test("associationRules: hand-exact confidence and lift, truncation asymmetry") {
     // baskets: {1,2}, {1,2}, {1,2,3}, {2,3}, {3} → n_tx=5,
     // n(1)=3, n(2)=4, n(3)=3; support-2 pairs: (1,2):3, (2,3):2
