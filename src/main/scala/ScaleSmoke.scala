@@ -393,7 +393,28 @@ object ScaleSmoke {
           GraphOps.coOccurrenceEdges(rows, "txn", "item", minSupport = 2)).head()
         s.getLong(3)
       }
+      // Association rules (r10 s4): backbone + one item-keyed count + rule
+      // joins on the backbone — the corpus term is the same pair explode,
+      // so growth must track the backbone stage.
+      t(s"assoc rules ($txN baskets)")(
+        GraphOps.associationRules(rows, "txn", "item", minSupport = 2)
+          .agg(sum(col("conf_bp")) + sum(col("lift_ppm"))).collect()(0).getLong(0))
+      // Backbone components (r10 s4): CC over the support-2 backbone —
+      // smallEdgeCap = 0 pins the DISTRIBUTED min-label path (the toy
+      // backbone would otherwise take the driver union-find fast path).
+      t(s"backbone components ($txN baskets)")(
+        graft.ops.DedupOps.connectedComponentsDistributed(
+          GraphOps.coOccurrenceEdges(rows, "txn", "item", minSupport = 2)
+            .localCheckpoint(), "pa", "pb").count())
     }
+
+    // SimHash banded pairs (r10 s4): 60-bit fingerprint aggregate (60
+    // map-side sums over the token explode — linear) + 4×15-bit band
+    // buckets; on the salted fixture only the copy-0/copy-1 exact-dup
+    // cliques share fingerprints, so candidates stay ~linear in docs and
+    // the verify join is pair-bounded.
+    t("simhash banded pairs")(
+      DedupOps.simhashPairs(docs, "doc_id", "text").count())
 
     val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val emb = emb0.crossJoin(spark.range(embCopies).withColumnRenamed("id", "c"))
