@@ -4012,6 +4012,23 @@ object QueriesLlm {
   def graphSpectral: Seq[Q] = {
     val ep = "CAST(floor(date_part('epoch', ts)) AS BIGINT)"
 
+    // Shared co-purchase backbone fragments (one definition — the four
+    // graph oracles must never drift apart on what "the backbone" means).
+    val coOpCte =
+      """op AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""".stripMargin
+    val coEdgesWCte =
+      """edges AS MATERIALIZED (
+        |  SELECT pa, pb, w FROM (
+        |    SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS w
+        |    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+        |  WHERE w >= 2)""".stripMargin
+    val coDegCte =
+      """deg AS MATERIALIZED (
+        |  SELECT p, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
+        |  GROUP BY 1)""".stripMargin
+
     /** DuckDB replay of Pca.dominantEigenvector: gram via range×range
       * lateral, then `rounds` chained MATERIALIZED (w, v) CTE pairs —
       * every multiply-referenced level materialized (round-9 session-2
@@ -4033,7 +4050,7 @@ object QueriesLlm {
         s"""q AS MATERIALIZED (
           |  SELECT list_transform(embedding,
           |           x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale) AS BIGINT)) AS q
-          |  FROM embeddings)""".stripMargin,
+          |  FROM embeddings WHERE len(embedding) = $dim)""".stripMargin,
         s"""gram AS MATERIALIZED (
           |  SELECT r1.i AS i, r2.j AS j,
           |         CAST(sum(q.q[r1.i + 1] * q.q[r2.j + 1]) AS BIGINT)
@@ -4055,26 +4072,16 @@ object QueriesLlm {
         (s, d) => GraphOps.triangleSummary(
           GraphOps.coOccurrenceEdges(Tables.lineitem(s, d),
             "l_orderkey", "l_partkey", minSupport = 2)),
-        Some(withCtes(
-          """op AS MATERIALIZED (
-            |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""".stripMargin,
-          """edges AS MATERIALIZED (
-            |  SELECT pa, pb FROM (
-            |    SELECT a.p AS pa, b.p AS pb, count(*) AS w
-            |    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
-            |  WHERE w >= 2)""".stripMargin,
-          """deg AS MATERIALIZED (
-            |  SELECT p, CAST(count(*) AS BIGINT) AS d FROM (
-            |    SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
-            |  GROUP BY 1)""".stripMargin,
+        Some(withCtes(coOpCte, coEdgesWCte, coDegCte,
           """oriented AS MATERIALIZED (
-            |  SELECT least(da.d * 1000000000 + e.pa, db.d * 1000000000 + e.pb) AS ku,
-            |         greatest(da.d * 1000000000 + e.pa, db.d * 1000000000 + e.pb) AS kv
+            |  SELECT CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN e.pa ELSE e.pb END AS ku,
+            |         CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN e.pb ELSE e.pa END AS kv,
+            |         CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN db.d ELSE da.d END AS dv
             |  FROM edges e JOIN deg da ON da.p = e.pa JOIN deg db ON db.p = e.pb)""".stripMargin,
           """wedges AS (
             |  SELECT e1.kv AS k1, e2.kv AS k2
             |  FROM oriented e1 JOIN oriented e2
-            |    ON e1.ku = e2.ku AND e1.kv < e2.kv)""".stripMargin)(
+            |    ON e1.ku = e2.ku AND (e1.dv, e1.kv) < (e2.dv, e2.kv))""".stripMargin)(
           """SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
             |       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
             |       w.n_wedges, w.n_triangles
@@ -4096,14 +4103,7 @@ object QueriesLlm {
             .groupBy(col("label").as("component_id"))
             .agg(count(lit(1)).as("n_nodes"))
         },
-        Some("WITH RECURSIVE " + Seq(
-          """op AS MATERIALIZED (
-            |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""".stripMargin,
-          """edges AS MATERIALIZED (
-            |  SELECT pa, pb FROM (
-            |    SELECT a.p AS pa, b.p AS pb, count(*) AS w
-            |    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
-            |  WHERE w >= 2)""".stripMargin,
+        Some("WITH RECURSIVE " + Seq(coOpCte, coEdgesWCte,
           """bidir AS (
             |  SELECT pa AS src, pb AS dst FROM edges
             |  UNION SELECT pb, pa FROM edges)""".stripMargin,
@@ -4129,18 +4129,7 @@ object QueriesLlm {
             .agg(count(lit(1)).as("n_nodes"),
               min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
         },
-        Some(withCtes(
-          """op AS MATERIALIZED (
-            |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""".stripMargin,
-          """edges AS MATERIALIZED (
-            |  SELECT pa, pb FROM (
-            |    SELECT a.p AS pa, b.p AS pb, count(*) AS w
-            |    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
-            |  WHERE w >= 2)""".stripMargin,
-          """deg AS (
-            |  SELECT p, CAST(count(*) AS BIGINT) AS d FROM (
-            |    SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
-            |  GROUP BY 1)""".stripMargin)(
+        Some(withCtes(coOpCte, coEdgesWCte, coDegCte)(
           """SELECT CAST(length(CAST(d AS VARCHAR)) - 1 AS BIGINT) AS deg_decade,
             |       CAST(count(*) AS BIGINT) AS n_nodes,
             |       min(d) AS min_deg, max(d) AS max_deg
@@ -4179,14 +4168,7 @@ object QueriesLlm {
         // (bp) and division-first lift (ppm).
         (s, d) => GraphOps.associationRules(Tables.lineitem(s, d),
           "l_orderkey", "l_partkey", minSupport = 2),
-        Some(withCtes(
-          """op AS MATERIALIZED (
-            |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""".stripMargin,
-          """edges AS MATERIALIZED (
-            |  SELECT pa, pb, w FROM (
-            |    SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS w
-            |    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
-            |  WHERE w >= 2)""".stripMargin,
+        Some(withCtes(coOpCte, coEdgesWCte,
           """itemn AS MATERIALIZED (
             |  SELECT p AS item, CAST(count(*) AS BIGINT) AS n_item
             |  FROM op GROUP BY 1)""".stripMargin,

@@ -635,23 +635,32 @@ object Funnel {
     * floor that keeps output bounded — raw path space is |types|^len).
     *
     * Scale shape: the session window is the ONE user-keyed shuffle (the
-    * round-10 sessionization pin); per-session path assembly is a
-    * collect_list bounded by session length truncated at `pathLen`+rest
-    * of the session — sessions are gap-bounded, never corpus-scale — and
-    * the final rollup keys on the support-floored path alphabet. */
+    * round-10 sessionization pin), and the per-session `row_number` that
+    * truncates to `pathLen` REUSES it (partitioning on `user_id`
+    * satisfies the (user, session) clustering by the subset rule) — so
+    * the rows entering the collect_list are HARD-capped at `pathLen` per
+    * session before aggregation. Without that cap a bot user pinging
+    * under the gap for weeks would funnel its entire months-long session
+    * through one aggregation buffer just to keep 5 elements. The final
+    * rollup keys on the support-floored path alphabet. */
   def topPaths(events: DataFrame, tsCol: String, userCol: String,
                typeCol: String, tieBreakCol: String,
                gapSecs: Long = 1800L, pathLen: Int = 5,
-               minSessions: Long = 2L): DataFrame =
+               minSessions: Long = 2L): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ep_s"), col("tie"))
     withSessionIdx(events, tsCol, userCol, typeCol, tieBreakCol, gapSecs)
+      .withColumn("_rn", row_number().over(seq))
+      .filter(col("_rn") <= pathLen)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(concat_ws(">", transform(
-        slice(array_sort(collect_list(struct(sessionOrdKey.as("k"),
-          col("event_type").as("y")))), 1, pathLen),
+        array_sort(collect_list(struct(col("_rn").as("k"),
+          col("event_type").as("y")))),
         e => e.getField("y"))).as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("sessions"))
       .filter(col("sessions") >= minSessions)
+  }
 
   /** Weekly cohort LTV curve: users cohorted by first-seen week (any
     * event type), purchase revenue rolled to (cohort_week, week_offset),

@@ -93,11 +93,15 @@ object GraphOps {
 
   /** Degree-ordered triangle count over an undirected edge list
     * (`pa`/`pb`, canonical `pa < pb`): one summary row with node, edge,
-    * wedge, and triangle counts. Rank key = `degree · 10^9 + id` (a total
-    * order — degree ties broken by id), edges oriented low→high rank,
-    * wedges joined at the low-rank hub and closed against the oriented
-    * set. Every triangle {x<y<z in rank order} is counted exactly once:
-    * as the wedge (y,z) at hub x closed by the oriented edge y→z. */
+    * wedge, and triangle counts. Nodes are totally ordered by the
+    * LEXICOGRAPHIC (degree, id) pair — compared directly, never packed
+    * into one long (a `deg·C + id` key silently collides once ids reach
+    * C) — edges oriented low→high, wedges joined at the low hub and
+    * closed against the oriented set. Every triangle {x<y<z in rank
+    * order} is counted exactly once: as the wedge (y,z) at hub x closed
+    * by the oriented edge y→z. The oriented set carries each endpoint's
+    * degree so the wedge pair order (v1 before v2) uses the same
+    * (degree, id) order without a re-join. */
   def triangleSummary(edges: DataFrame): DataFrame = {
     val e = edges.select(col("pa"), col("pb")).localCheckpoint()
     val deg = e.select(col("pa").as("p"))
@@ -107,15 +111,17 @@ object GraphOps {
     val ranked = e
       .join(deg.select(col("p").as("pa"), col("d").as("_da")), Seq("pa"))
       .join(deg.select(col("p").as("pb"), col("d").as("_db")), Seq("pb"))
-      .select((col("_da") * lit(1000000000L) + col("pa")).as("ka"),
-        (col("_db") * lit(1000000000L) + col("pb")).as("kb"))
+    val aFirst = col("_da") < col("_db") ||
+      (col("_da") === col("_db") && col("pa") < col("pb"))
     val oriented = ranked
-      .select(least(col("ka"), col("kb")).as("ku"),
-        greatest(col("ka"), col("kb")).as("kv"))
+      .select(when(aFirst, col("pa")).otherwise(col("pb")).as("ku"),
+        when(aFirst, col("pb")).otherwise(col("pa")).as("kv"),
+        when(aFirst, col("_db")).otherwise(col("_da")).as("dv"))
       .localCheckpoint() // wedge self-join (both sides) + closing join
+    val spokeOrder = col("e1.dv") < col("e2.dv") ||
+      (col("e1.dv") === col("e2.dv") && col("e1.kv") < col("e2.kv"))
     val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.ku") === col("e2.ku") && col("e1.kv") < col("e2.kv"))
+      .join(oriented.as("e2"), col("e1.ku") === col("e2.ku") && spokeOrder)
       .select(col("e1.kv").as("k1"), col("e2.kv").as("k2"))
     val closed = wedges
       .join(oriented.as("c"),

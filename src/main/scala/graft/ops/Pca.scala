@@ -43,15 +43,24 @@ object Pca {
   /** Dominant eigenvector of the N-normalized Gram matrix after `rounds`
     * integer power-iteration rounds, as a driver-held dim-length array —
     * the bounded model state (like Lloyd centroids) the distributed
-    * passes broadcast back. Vectors that are NULL or not exactly `dim`
-    * long are skipped by the aggregate (audited by ann_integrity). */
+    * passes broadcast back. Returns None on an empty (or all-ragged)
+    * corpus — there is no spectrum to report, and the registry queries
+    * must emit ZERO rows to stay oracle-identical.
+    *
+    * Ragged/NULL vectors are filtered out HERE, not just inside the
+    * aggregate: the oracle's `WHERE len(embedding) = dim` and the
+    * projection pass must see the same row set, and a `zip_with` over a
+    * short vector would otherwise poison the dot product with NULLs
+    * (they're counted by ann_integrity, never silently summed). */
   def dominantEigenvector(emb: DataFrame, embCol: String, dim: Int,
-                          quantScale: Long = 1000L, rounds: Int = 5): Array[Long] = {
-    val q = emb.select(expr(quantizeExpr(embCol, quantScale)).as("q"))
+                          quantScale: Long = 1000L, rounds: Int = 5): Option[Array[Long]] = {
+    val q = wellFormed(emb, embCol, dim)
+      .select(expr(quantizeExpr(embCol, quantScale)).as("q"))
     // ONE row: a dim² array + a count — matrix-scale, never corpus-scale.
     val row = q.agg(expr(s"gram_matrix(q, $dim)").as("g"), count(lit(1)).as("n")).head()
     val g = row.getSeq[Long](0).toArray
-    val n = math.max(1L, row.getLong(1))
+    val n = row.getLong(1)
+    if (n == 0L) return None
     val gn = g.map(_ / n)
     var v = Array.fill(dim)(VScale)
     var r = 0
@@ -73,17 +82,22 @@ object Pca {
       v = w.map(_ / d)
       r += 1
     }
-    v
+    Some(v)
   }
 
+  private def wellFormed(emb: DataFrame, embCol: String, dim: Int): DataFrame =
+    emb.filter(size(col(embCol)) === dim)
+
   /** [[dominantEigenvector]] as (dim_idx, component) rows — the
-    * registry/oracle surface. */
+    * registry/oracle surface. Empty corpus → empty result (oracle
+    * parity: the DuckDB CTE chain yields zero rows too). */
   def powerIteration(emb: DataFrame, embCol: String, dim: Int,
                      quantScale: Long = 1000L, rounds: Int = 5): DataFrame = {
     val v = dominantEigenvector(emb, embCol, dim, quantScale, rounds)
+      .map(_.toSeq).getOrElse(Seq.empty)
     import scala.jdk.CollectionConverters._
     emb.sparkSession.createDataFrame(
-      v.toSeq.zipWithIndex
+      v.zipWithIndex
         .map { case (c, i) => Row(i, c) }.asJava,
       StructType(Seq(
         StructField("dim_idx", IntegerType, nullable = false),
@@ -105,8 +119,9 @@ object Pca {
                         quantScale: Long = 1000L, rounds: Int = 5,
                         bucketWidth: Long = 1L << 30): DataFrame = {
     val v = dominantEigenvector(emb, embCol, dim, quantScale, rounds)
-    val vLit = array(v.map(lit(_)): _*)
-    emb
+      .getOrElse(new Array[Long](dim)) // no well-formed rows → no buckets below anyway
+    val vLit = array(v.map(lit(_)).toIndexedSeq: _*)
+    wellFormed(emb, embCol, dim)
       .select(expr(quantizeExpr(embCol, quantScale)).as("q"))
       .select(aggregate(zip_with(col("q"), vLit, (a, b) => a * b),
         lit(0L), (acc, x) => acc + x).as("proj"))

@@ -68,7 +68,7 @@ class PcaSpec extends SparkSpec {
     val got = Pca.spectralHistogram(df, "embedding", dim, 1000L, 5, width)
       .as[(Long, Long, Long, Long)].collect().toSet
 
-    val ev = Pca.dominantEigenvector(df, "embedding", dim, 1000L, 5)
+    val ev = Pca.dominantEigenvector(df, "embedding", dim, 1000L, 5).get
     val projs = rows.map { r =>
       r._1.zip(ev).map { case (x, vi) =>
         math.floor(x.toDouble * 1000).toLong * vi
@@ -81,10 +81,28 @@ class PcaSpec extends SparkSpec {
     assert(got.toSeq.map(_._2).sum == rows.size.toLong, "every vector lands in a bucket")
   }
 
-  test("empty corpus yields the all-zero vector, not a crash") {
+  test("empty corpus yields ZERO rows (oracle parity), not a crash") {
     val out = Pca.powerIteration(
         Seq.empty[Tuple1[Seq[Float]]].toDF("embedding"), "embedding", 4)
       .as[(Int, Long)].collect().toSeq
-    assert(out == (0 until 4).map(i => (i, 0L)))
+    assert(out.isEmpty, "the DuckDB CTE chain yields zero rows on an empty corpus")
+    val hist = Pca.spectralHistogram(
+        Seq.empty[Tuple1[Seq[Float]]].toDF("embedding"), "embedding", 4)
+      .collect()
+    assert(hist.isEmpty)
+  }
+
+  test("ragged rows are excluded from BOTH the Gram and the projection pass") {
+    val rows = Seq(
+      Tuple1(Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      Tuple1(Seq(1.0f, 2.0f)), // ragged — must not contribute a partial dot
+      Tuple1(Seq(1.0f, 2.0f, 3.0f, 4.0f)))
+    val df = rows.toDF("embedding")
+    val clean = Seq(rows(0), rows(2)).toDF("embedding")
+    val a = Pca.spectralHistogram(df, "embedding", 4, 1000L, 5, 1L << 12)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = Pca.spectralHistogram(clean, "embedding", 4, 1000L, 5, 1L << 12)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a == b, "a short vector must neither skew the spectrum nor NULL a bucket")
   }
 }
