@@ -4377,6 +4377,44 @@ object QueriesLlm {
             |       s.cohort_users, cum_cents // s.cohort_users AS ltv_cents_per_user
             |FROM cum c JOIN sizes s USING (cohort_week)""".stripMargin))),
 
+      Q("ev_winsorized",
+        // Robust (p05/p95-clamped) revenue totals per event type around
+        // DETERMINISTIC per-type sample quantiles — k-bounded sketch
+        // state, broadcast clamp, exact integers.
+        (s, d) => Funnel.winsorizedRevenue(Tables.events(s, d), "event_type",
+          "event_id", "value"),
+        Some(withCtes(
+          """ev AS MATERIALIZED (
+            |  SELECT event_type, event_id,
+            |         CAST(floor(value * 100) AS BIGINT) AS v_cents
+            |  FROM events)""".stripMargin,
+          s"""samp AS MATERIALIZED (
+            |  SELECT event_type, v_cents, event_id FROM (
+            |    SELECT event_type, v_cents, event_id,
+            |           row_number() OVER (PARTITION BY event_type
+            |             ORDER BY ${h60("'ws:' || CAST(event_id AS VARCHAR)")}, event_id) AS hrn
+            |    FROM ev) WHERE hrn <= 256)""".stripMargin,
+          """cuts AS MATERIALIZED (
+            |  SELECT event_type,
+            |         max(CASE WHEN rn = greatest(1, CAST(ceil(5 * n / 100.0) AS BIGINT))
+            |                  THEN v_cents END) AS lo_cents,
+            |         max(CASE WHEN rn = greatest(1, CAST(ceil(95 * n / 100.0) AS BIGINT))
+            |                  THEN v_cents END) AS hi_cents
+            |  FROM (SELECT event_type, v_cents,
+            |               row_number() OVER (PARTITION BY event_type
+            |                 ORDER BY v_cents, event_id) AS rn,
+            |               count(*) OVER (PARTITION BY event_type) AS n
+            |        FROM samp) s
+            |  GROUP BY 1)""".stripMargin)(
+          """SELECT e.event_type, c.lo_cents, c.hi_cents,
+            |       CAST(count(*) AS BIGINT) AS n_events,
+            |       CAST(sum(v_cents) AS BIGINT) AS raw_cents,
+            |       CAST(sum(least(greatest(v_cents, lo_cents), hi_cents)) AS BIGINT) AS wins_cents,
+            |       CAST(sum(CASE WHEN least(greatest(v_cents, lo_cents), hi_cents) <> v_cents
+            |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+            |FROM ev e JOIN cuts c USING (event_type)
+            |GROUP BY 1, 2, 3""".stripMargin))),
+
       Q("ev_stickiness",
         // Weekly avg-DAU/WAU engagement in basis points; corpus collapses
         // in the (user, day) distinct (Funnel.stickiness scaladoc).

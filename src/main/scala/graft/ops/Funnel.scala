@@ -692,6 +692,46 @@ object Funnel {
       .withColumn("ltv_cents_per_user", expr("cum_cents div cohort_users"))
   }
 
+  /** Winsorized revenue per event type: clamp each event's cents value to
+    * the [p05, p95] of a DETERMINISTIC per-type bounded sample (the
+    * `Sketches.quantileSample` selection rule, grouped — `k` rows of
+    * state per type, never the value distribution), then report raw vs
+    * clamped totals and the clamp count. The robust-totals report a
+    * revenue dashboard wants when a fat-fingered 10 000× value would
+    * otherwise swamp a day.
+    *
+    * Scale shape: one type-keyed sketch aggregation (k-bounded buffers,
+    * map-side partials) + one broadcast-join clamp pass + one type-keyed
+    * rollup. Exact-integer end to end; the oracle replays the sample
+    * selection (hash-ranked rows ≤ k per type) and the ceil-rank
+    * quantile rule verbatim. */
+  def winsorizedRevenue(events: DataFrame, typeCol: String, idCol: String,
+                        valueCol: String, loQ: Int = 5, hiQ: Int = 95,
+                        k: Int = 256, salt: String = "ws"): DataFrame = {
+    val base = events.select(col(typeCol).as("event_type"),
+        col(idCol).cast("long").as("_id"),
+        floor(col(valueCol) * 100).cast("long").as("v_cents"))
+      .withColumn("_pri", -DedupOps.hash60(
+        concat(lit(salt + ":"), col("_id").cast("string"))))
+      .localCheckpoint() // feeds the sketch agg AND the clamp pass
+    def cutAt(q: Int) = element_at(col("_sv"),
+      greatest(lit(1), ceil(lit(q) * size(col("_sv")) / 100.0)).cast("int"))
+      .getField("v")
+    val cuts = base.groupBy(col("event_type"))
+      .agg(expr(s"topk_pairs_tag(_pri, _id, v_cents, $k)").as("_top"))
+      .select(col("event_type"), array_sort(transform(col("_top"),
+        p => struct(p.getField("tag").as("v"), p.getField("id").as("id"))))
+        .as("_sv"))
+      .select(col("event_type"), cutAt(loQ).as("lo_cents"), cutAt(hiQ).as("hi_cents"))
+    base.join(broadcast(cuts), Seq("event_type"))
+      .withColumn("_w", least(greatest(col("v_cents"), col("lo_cents")), col("hi_cents")))
+      .groupBy(col("event_type"), col("lo_cents"), col("hi_cents"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v_cents")).as("raw_cents"),
+        sum(col("_w")).as("wins_cents"),
+        sum(when(col("_w") =!= col("v_cents"), 1L).otherwise(0L)).as("n_clamped"))
+  }
+
   /** Weekly engagement stickiness — average DAU over WAU in integer basis
     * points (`sum_dau · 10000 div (7 · wau)`), the DAU/MAU-style ratio
     * product analytics reads as "how many of the week's users come back

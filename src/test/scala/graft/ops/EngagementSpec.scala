@@ -95,6 +95,24 @@ class EngagementSpec extends SparkSpec {
       (2L, 1L, 249L, 999L, 1L, 999L)))
   }
 
+  test("winsorizedRevenue: hand-exact p05/p95 clamp when the sample covers the type") {
+    // 100 events, cents 1..100 → sample = full type, lo = 5th smallest = 5,
+    // hi = 95th = 95; clamped: 1..4 up (4 events), 96..100 down (5 events)
+    val rows = (1 to 100).map(i => (i.toLong, s"buy", i / 100.0))
+    val df = rows.toDF("event_id", "event_type", "value")
+    val got = Funnel.winsorizedRevenue(df, "event_type", "event_id", "value")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // floor(i/100.0 * 100) in DOUBLE loses a cent for some i (0.29·100 =
+    // 28.999…); replicate the engines' math rather than assuming i
+    val cents = (1 to 100).map(i => math.floor(i / 100.0 * 100).toLong)
+    val lo = cents.sorted.apply(4)      // ceil(5·100/100) = 5th smallest
+    val hi = cents.sorted.apply(94)     // 95th
+    val raw = cents.sum
+    val wins = cents.map(c => math.min(hi, math.max(lo, c))).sum
+    val nClamped = cents.count(c => c < lo || c > hi)
+    assert(got == Seq(("buy", lo, hi, 100L, raw, wins, nClamped.toLong)))
+  }
+
   test("weekday seasonality matches a driver-side reference and shares ~sum to 7x10000") {
     val rnd = new scala.util.Random(11L)
     val base = 1700000000L
