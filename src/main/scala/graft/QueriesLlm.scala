@@ -4377,6 +4377,60 @@ object QueriesLlm {
             |       s.cohort_users, cum_cents // s.cohort_users AS ltv_cents_per_user
             |FROM cum c JOIN sizes s USING (cohort_week)""".stripMargin))),
 
+      Q("ev_error_rates",
+        // Daily + trailing-7-day error rates in bp over the
+        // calendar-bounded daily rollup (RANGE frame — gap days age out
+        // by value).
+        (s, d) => Funnel.errorRates(Tables.events(s, d), "ts", "event_type"),
+        Some(withCtes(
+          s"""daily AS MATERIALIZED (
+            |  SELECT $ep // 86400 AS day_idx,
+            |         CAST(count(*) AS BIGINT) AS n_total,
+            |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+            |  FROM events GROUP BY 1)""".stripMargin)(
+          """SELECT day_idx, n_total, n_err,
+            |       n_err * 10000 // n_total AS rate_bp,
+            |       CAST(sum(n_total) OVER (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING
+            |         AND CURRENT ROW) AS BIGINT) AS roll_total,
+            |       CAST(sum(n_err) OVER (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING
+            |         AND CURRENT ROW) AS BIGINT) AS roll_err,
+            |       CAST(sum(n_err) OVER (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING
+            |         AND CURRENT ROW) AS BIGINT) * 10000
+            |         // CAST(sum(n_total) OVER (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING
+            |            AND CURRENT ROW) AS BIGINT) AS roll_rate_bp
+            |FROM daily""".stripMargin))),
+
+      Q("llm_source_quality_matrix",
+        // Source × corpus-wide quality decile matrix with per-source
+        // share in bp — which feed supplies the short-doc tail.
+        (s, d) => TextOps.sourceQualityMatrix(Tables.documents(s, d),
+          "doc_id", "text", "source"),
+        Some(withCtes(normDocsCte,
+          """scored AS MATERIALIZED (
+            |  SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_words, d.source
+            |  FROM tok_docs t JOIN documents d ON d.doc_id = t.doc_id)""".stripMargin,
+          s"""samp AS MATERIALIZED (
+            |  SELECT n_words AS v, doc_id AS i FROM scored
+            |  ORDER BY ${h60("'qbuck:' || CAST(doc_id AS VARCHAR)")}, doc_id
+            |  LIMIT 256)""".stripMargin,
+          """cuts AS MATERIALIZED (
+            |  SELECT q, v FROM
+            |    (SELECT v, row_number() OVER (ORDER BY v, i) AS rn,
+            |            count(*) OVER () AS n FROM samp),
+            |    (SELECT unnest([10,20,30,40,50,60,70,80,90]) AS q)
+            |  WHERE rn = greatest(1, CAST(ceil(q * n / 100.0) AS BIGINT)))""".stripMargin,
+          """cutl AS (SELECT list(v ORDER BY v) AS vl FROM cuts)""",
+          """cells AS MATERIALIZED (
+            |  SELECT source,
+            |         CAST(len(list_filter(cutl.vl, c -> c <= s.n_words)) AS BIGINT) AS bucket,
+            |         CAST(count(*) AS BIGINT) AS n_docs
+            |  FROM scored s, cutl GROUP BY 1, 2)""".stripMargin)(
+          """SELECT source, bucket, n_docs,
+            |       CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS source_total,
+            |       n_docs * 10000
+            |         // CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS share_bp
+            |FROM cells""".stripMargin))),
+
       Q("ev_winsorized",
         // Robust (p05/p95-clamped) revenue totals per event type around
         // DETERMINISTIC per-type sample quantiles — k-bounded sketch

@@ -732,6 +732,27 @@ object Funnel {
         sum(when(col("_w") =!= col("v_cents"), 1L).otherwise(0L)).as("n_clamped"))
   }
 
+  /** Daily error rates with a rolling window: per day, total events,
+    * `errType` events, the rate in basis points, and the same over a
+    * RANGE-framed trailing `days` window (value range over `day_idx` —
+    * gap days must not stretch the frame, the [[rollingRevenue]] rule).
+    * The corpus collapses in the first aggregation to calendar-bounded
+    * rows; everything after is window math on that rollup. */
+  def errorRates(events: DataFrame, tsCol: String, typeCol: String,
+                 errType: String = "error", days: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(expr(s"CAST($tsCol AS LONG) div 86400").as("day_idx"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col(typeCol) === errType, 1L).otherwise(0L)).as("n_err"))
+    val w = Window.orderBy(col("day_idx"))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    daily
+      .withColumn("rate_bp", expr("n_err * 10000 div n_total"))
+      .withColumn("roll_total", sum(col("n_total")).over(w))
+      .withColumn("roll_err", sum(col("n_err")).over(w))
+      .withColumn("roll_rate_bp", expr("roll_err * 10000 div roll_total"))
+  }
+
   /** Weekly engagement stickiness — average DAU over WAU in integer basis
     * points (`sum_dau · 10000 div (7 · wau)`), the DAU/MAU-style ratio
     * product analytics reads as "how many of the week's users come back

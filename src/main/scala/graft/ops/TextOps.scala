@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for a training-data pipeline: normalization,
@@ -754,19 +755,48 @@ object TextOps {
     * (id, n_words) projection is checkpointed because the sample
     * aggregate and the bucket pass both consume it (round-4 rule d —
     * recomputing means re-running the tokenizer regexes). */
-  def qualityDecileBuckets(docs: DataFrame, idCol: String, textCol: String,
-                           k: Int = 256, salt: String = "qbuck"): DataFrame = {
+  /** (id, n_words, bucket) rows — corpus-wide decile cutpoints from the
+    * bounded sample, bucket assigned map-only (shared by
+    * [[qualityDecileBuckets]] and [[sourceQualityMatrix]]). `extraCols`
+    * ride through the checkpointed narrow projection. */
+  private def withDecileBucket(docs: DataFrame, idCol: String, textCol: String,
+                               k: Int, salt: String,
+                               extraCols: Seq[String]): DataFrame = {
     val scored = qualityFeatures(docs, textCol)
-      .select(col(idCol), col("n_words").cast("long").as("n_words"))
+      .select(col(idCol) +: col("n_words").cast("long").as("n_words") +:
+        extraCols.map(col): _*)
       .localCheckpoint()
     val cuts = Sketches.quantileSample(scored, col("n_words"), col(idCol),
         (1 to 9).map(_ * 10), k, salt)
       .agg(sort_array(collect_list(col("value"))).as("vl"))
     scored.crossJoin(broadcast(cuts))
-      .select(col("n_words"),
-        size(filter(col("vl"), c => c <= col("n_words"))).cast("long").as("bucket"))
+      .withColumn("bucket",
+        size(filter(col("vl"), c => c <= col("n_words"))).cast("long"))
+      .drop("vl")
+  }
+
+  def qualityDecileBuckets(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 256, salt: String = "qbuck"): DataFrame =
+    withDecileBucket(docs, idCol, textCol, k, salt, Nil)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"),
         min(col("n_words")).as("min_words"), max(col("n_words")).as("max_words"))
+
+  /** Source × quality-decile matrix: doc counts per (source, corpus-wide
+    * decile bucket) plus each cell's share of its source in basis points
+    * — the curation report that shows WHICH feed supplies the short-doc
+    * tail. The share window runs on the sources×10-bounded rollup;
+    * cutpoints are corpus-wide (per-source cutpoints would make the
+    * buckets incomparable across rows). */
+  def sourceQualityMatrix(docs: DataFrame, idCol: String, textCol: String,
+                          srcCol: String, k: Int = 256,
+                          salt: String = "qbuck"): DataFrame = {
+    val cells = withDecileBucket(docs, idCol, textCol, k, salt, Seq(srcCol))
+      .groupBy(col(srcCol).as("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("source"))
+    cells
+      .withColumn("source_total", sum(col("n_docs")).over(w))
+      .withColumn("share_bp", expr("n_docs * 10000 div source_total"))
   }
 }

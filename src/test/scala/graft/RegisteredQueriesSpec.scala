@@ -39,7 +39,7 @@ class RegisteredQueriesSpec extends SparkSpec {
     val names = SparkEntry.allQueries.map(_.name)
     assert(names.distinct.size == names.size,
       s"duplicate query names: ${names.diff(names.distinct).distinct}")
-    assert(names.size >= 183, s"registry shrank to ${names.size} queries (183 in round 10)")
+    assert(names.size >= 199, s"registry shrank to ${names.size} queries (199 in round 10)")
   }
 
   test("every registered query runs at sf0.001 with a non-empty schema") {
@@ -288,17 +288,25 @@ class RegisteredQueriesSpec extends SparkSpec {
       val bad = Seq.newBuilder[String]
       if (phys.collectWithSubqueries { case c: CartesianProductExec => c }.nonEmpty)
         bad += s"${q.name}: CartesianProduct (unbounded pair explosion at scale)"
-      // An unpartitioned window is also fine in ONE structural shape: its
+      // An unpartitioned window is also fine in TWO structural shapes: its
       // input aggregates on the single bucket key `_b` (the
       // Assemble.hashOrderedCumSum bucket-offsets convention) — the window
-      // then sees ≤ `buckets` subtotal rows, bounded by construction, not
-      // by data. Any other global window stays forbidden (an aggregate on
-      // a data-scale key would NOT bound the frame).
+      // then sees ≤ `buckets` subtotal rows — or on the single calendar
+      // key `day_idx`/`week_idx` (the Funnel daily-rollup convention) —
+      // rows bounded by the time span, not the data volume. Any other
+      // global window stays forbidden (an aggregate on a data-scale key
+      // would NOT bound the frame).
       import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      // The grouping key is matched by the window child's OUTPUT name, not
+      // the aggregate's grouping attribute: Spark physically extracts a
+      // complex grouping expression as `_groupingexpression` and restores
+      // the user name in the projection above the aggregate.
+      val boundedKeys = Set("_b", "day_idx", "week_idx")
       def boundedBucketOffsets(w: WindowExec): Boolean =
         w.child.collectFirst { case a: BaseAggregateExec => a }.exists(a =>
           a.groupingExpressions.size == 1 &&
-            a.groupingExpressions.head.name == "_b")
+            (boundedKeys(a.groupingExpressions.head.name) ||
+              w.child.output.map(_.name).exists(boundedKeys)))
       val globalWindows = phys.collectWithSubqueries {
         case w: WindowExec if w.partitionSpec.isEmpty && !boundedBucketOffsets(w) => w
       }

@@ -255,6 +255,22 @@ class FunnelSpec extends SparkSpec {
       Seq((0L, 100L, 100L), (1L, 200L, 300L), (10L, 400L, 400L)))
   }
 
+  test("errorRates: RANGE frame ages out gap days; bp math truncates") {
+    val e = Seq(
+      (1L, ts(0L), 1L, "error", 0.0), (2L, ts(1L), 1L, "click", 0.0),
+      (3L, ts(2L), 1L, "click", 0.0),                    // day 0: 1/3 err
+      (4L, ts(86400L), 1L, "click", 0.0),                // day 1: 0/1
+      (5L, ts(10L * 86400L), 1L, "error", 0.0),          // day 10: 1/1,
+      (6L, ts(10L * 86400L + 1L), 1L, "click", 0.0)      //   days 0-1 aged out
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Funnel.errorRates(e, "ts", "event_type")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0L, 3L, 1L, 3333L, 3L, 1L, 3333L),
+      (1L, 1L, 0L, 0L, 4L, 1L, 2500L),
+      (10L, 2L, 1L, 5000L, 2L, 1L, 5000L)))
+  }
+
   test("weekOverWeek: integer basis points, negative growth, first week absent") {
     val wk = 604800L
     val e = Seq(

@@ -218,4 +218,25 @@ class TextSearchSpec extends SparkSpec {
     assert(got == expected)
     assert(got.toSeq.map(_._2).sum == 100L, "buckets partition the corpus")
   }
+
+  test("sourceQualityMatrix: corpus-wide cutpoints, per-source share in bp") {
+    // Same 1..100 token-count corpus; even doc_ids from "web", odd from
+    // "book" — cutpoints stay corpus-wide (c_q = q·10), so each source's
+    // cells are the even/odd split of the decile membership above.
+    val docs = (1 to 100).map(w => (w.toLong,
+        Seq.fill(w)("tok").mkString(" "), if (w % 2 == 0) "web" else "book"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.sourceQualityMatrix(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val expected = (for {
+      src <- Seq("web", "book")
+      b <- 0 to 9
+    } yield {
+      val ws = (1 to 100).filter(w =>
+        (if (src == "web") w % 2 == 0 else w % 2 == 1) &&
+        (1 to 9).count(c => c * 10 <= w) == b)
+      (src, b.toLong, ws.size.toLong, 50L, ws.size.toLong * 10000L / 50L)
+    }).filter(_._3 > 0).toSet
+    assert(got == expected)
+  }
 }
