@@ -4281,6 +4281,111 @@ object QueriesLlm {
           |GROUP BY 1, 2, 3
           |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)),
 
+      Q("q13_order_distribution",
+        // TPC-H Q13 shape: customer order-count distribution over a
+        // FILTERED left join (urgent orders only, so the zero bucket is
+        // populated) — the null-preserving join + two-level aggregation
+        // every engine must get right. The second groupBy key space is
+        // ≤ max-orders-per-customer, bounded.
+        (s, d) => {
+          val urgent = Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey"), col("o_orderkey"))
+          Tables.customer(s, d).select(col("c_custkey"))
+            .join(urgent, col("c_custkey") === col("o_custkey"), "left_outer")
+            .groupBy(col("c_custkey"))
+            .agg(count(col("o_orderkey")).as("c_count"))
+            .groupBy(col("c_count"))
+            .agg(count(lit(1)).as("custdist"))
+        },
+        Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+          |FROM (
+          |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          |  FROM customer
+          |  LEFT JOIN orders ON c_custkey = o_custkey
+          |                  AND o_orderpriority = '1-URGENT'
+          |  GROUP BY 1)
+          |GROUP BY 1""".stripMargin)),
+
+      Q("q18_large_orders",
+        // TPC-H Q18 shape: large-quantity orders — aggregate lineitem
+        // FIRST (the having filter runs on the orderkey rollup, so the
+        // joins see only qualifying orders), then ride orders + customer.
+        // Quantities are integral; summed as longs (floor'd in DuckDB,
+        // which otherwise rounds double→int casts).
+        (s, d) => {
+          val qty = Tables.lineitem(s, d)
+            .groupBy(col("l_orderkey"))
+            .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+            .filter(col("sum_qty") > 180L)
+          qty.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+            .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+            .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+              tsSec(col("o_orderdate")).as("o_date"),
+              cents(col("o_totalprice")).as("total_cents"), col("sum_qty"))
+            .orderBy(col("sum_qty").desc, col("o_orderkey"))
+            .limit(100)
+        },
+        Some(s"""SELECT c_name, c_custkey, o_orderkey,
+          |       ${tsSecSql("o_orderdate")} AS o_date,
+          |       ${centsSql("o_totalprice")} AS total_cents, sum_qty
+          |FROM (
+          |  SELECT l_orderkey, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+          |  FROM lineitem GROUP BY 1 HAVING sum_qty > 180) q
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+      Q("q15_top_parts",
+        // Top-3 parts per supplier by revenue: pair rollup (partial aggs
+        // below the (suppkey, partkey) exchange), then a PARTITIONED
+        // row_number window — rank-per-group, never a global sort.
+        (s, d) => {
+          import org.apache.spark.sql.expressions.Window
+          val rev = Tables.lineitem(s, d)
+            .groupBy(col("l_suppkey"), col("l_partkey"))
+            .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .as("revenue_cents"))
+          val w = Window.partitionBy(col("l_suppkey"))
+            .orderBy(col("revenue_cents").desc, col("l_partkey"))
+          rev.withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 3)
+        },
+        Some(s"""SELECT l_suppkey, l_partkey, revenue_cents, rnk FROM (
+          |  SELECT l_suppkey, l_partkey, revenue_cents,
+          |         row_number() OVER (PARTITION BY l_suppkey
+          |           ORDER BY revenue_cents DESC, l_partkey) AS rnk
+          |  FROM (
+          |    SELECT l_suppkey, l_partkey,
+          |           CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_cents
+          |    FROM lineitem GROUP BY 1, 2))
+          |WHERE rnk <= 3""".stripMargin)),
+
+      Q("ev_gap_histogram",
+        // Integer-exact log2 histogram of per-user inter-event gaps:
+        // bucket = bit length of the gap (length(bin(gap)) in BOTH
+        // engines — no float log anywhere), zero gaps in bucket 0.
+        (s, d) => Funnel.gapHistogram(Tables.events(s, d), "ts", "user_id",
+          "event_id"),
+        Some {
+          val ep = "CAST(floor(date_part('epoch', ts)) AS BIGINT)"
+          withCtes(
+            s"""gaps AS MATERIALIZED (
+              |  SELECT ep - lag(ep) OVER (PARTITION BY user_id
+              |           ORDER BY ep, event_id) AS gap
+              |  FROM (SELECT user_id, event_id, $ep AS ep FROM events))""".stripMargin,
+            """b AS MATERIALIZED (
+              |  SELECT CAST(CASE WHEN gap = 0 THEN 0
+              |              ELSE length(bin(gap)) END AS BIGINT) AS bucket,
+              |         CAST(count(*) AS BIGINT) AS n_gaps,
+              |         min(gap) AS min_gap, max(gap) AS max_gap
+              |  FROM gaps WHERE gap IS NOT NULL GROUP BY 1)""".stripMargin,
+            """t AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS tot FROM b)""")(
+            """SELECT bucket, n_gaps, min_gap, max_gap,
+              |       n_gaps * 10000 // (SELECT tot FROM t) AS share_bp
+              |FROM b""".stripMargin)
+        }),
+
       Q("dedup_simhash_pairs",
         // Manku-banded simhash near-dup pairs: 60-bit fingerprint,
         // 4×15-bit band buckets → candidate pairs (mega-bucket cap rides

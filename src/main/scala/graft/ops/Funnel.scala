@@ -753,6 +753,38 @@ object Funnel {
       .withColumn("roll_rate_bp", expr("roll_err * 10000 div roll_total"))
   }
 
+  /** Inter-event gap histogram: per-user consecutive-event gaps in
+    * seconds (one user-keyed lag window — the [[sessionize]] shuffle),
+    * bucketed by BIT LENGTH (`length(bin(gap))`, zero gaps in bucket 0) —
+    * an integer-exact log2 histogram with no float `log` at any scale.
+    * Output is one row per occupied bucket with min/max gap and the
+    * bucket's share of all gaps in basis points (1-row total broadcast,
+    * never a global window). First events per user contribute no gap. */
+  def gapHistogram(events: DataFrame, tsCol: String, userCol: String,
+                   idCol: String): DataFrame = {
+    // order on the second-truncated epoch (the gap unit) + id, so the
+    // consecutive-pair choice is identical in any second-precision replay
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_ep"), col(idCol))
+    val gaps = events
+      .select(col(userCol), col(idCol),
+        expr(s"CAST($tsCol AS LONG)").as("_ep"))
+      .withColumn("_gap", col("_ep") - lag(col("_ep"), 1).over(w))
+      .filter(col("_gap").isNotNull)
+    // ≤64-row rollup feeding two consumers (total + join): checkpoint so
+    // the corpus-scale lag window runs once (round-4 rule d).
+    val buckets = gaps
+      .groupBy(when(col("_gap") === 0L, 0L)
+        .otherwise(length(bin(col("_gap"))).cast("long")).as("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("_gap")).as("min_gap"), max(col("_gap")).as("max_gap"))
+      .localCheckpoint()
+    val total = buckets.agg(sum(col("n_gaps")).as("_tot"))
+    buckets.crossJoin(broadcast(total))
+      .withColumn("share_bp", expr("n_gaps * 10000 div _tot"))
+      .drop("_tot")
+  }
+
   /** Weekly engagement stickiness — average DAU over WAU in integer basis
     * points (`sum_dau · 10000 div (7 · wau)`), the DAU/MAU-style ratio
     * product analytics reads as "how many of the week's users come back

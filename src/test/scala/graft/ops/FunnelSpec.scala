@@ -271,6 +271,24 @@ class FunnelSpec extends SparkSpec {
       (10L, 2L, 1L, 5000L, 2L, 1L, 5000L)))
   }
 
+  test("gapHistogram: bit-length buckets, zero-gap bucket 0, first event no gap") {
+    val e = Seq(
+      (1L, ts(100L), 1L, "view", 0.0),   // user 1 first event: no gap
+      (2L, ts(100L), 1L, "view", 0.0),   // gap 0     -> bucket 0
+      (3L, ts(101L), 1L, "view", 0.0),   // gap 1     -> bucket 1
+      (4L, ts(103L), 1L, "view", 0.0),   // gap 2     -> bucket 2
+      (5L, ts(1127L), 1L, "view", 0.0),  // gap 1024  -> bucket 11
+      (6L, ts(500L), 2L, "view", 0.0)    // user 2 first event: no gap
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Funnel.gapHistogram(e, "ts", "user_id", "event_id")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0L, 1L, 0L, 0L, 2500L),
+      (1L, 1L, 1L, 1L, 2500L),
+      (2L, 1L, 2L, 2L, 2500L),
+      (11L, 1L, 1024L, 1024L, 2500L)))
+  }
+
   test("weekOverWeek: integer basis points, negative growth, first week absent") {
     val wk = 604800L
     val e = Seq(
