@@ -4255,6 +4255,38 @@ object QueriesLlm {
             |       CAST(max(n_words) AS BIGINT) AS max_words
             |FROM b GROUP BY 1""".stripMargin))),
 
+      Q("llm_budget_select",
+        // Token-budget-constrained quality selection: best docs first
+        // (stopword-ratio bp score) until 10k tokens. The oracle is the
+        // single global window `cum OVER (ORDER BY score DESC, hash, id)`;
+        // the engine runs score-domain rollup + driver cutoff + bucketed
+        // prefix sum on the boundary score only — the comparison proves
+        // the no-global-sort decomposition.
+        (s, d) => {
+          val scored = TextOps.qualityFeatures(Tables.documents(s, d), "text")
+            .select(col("doc_id"),
+              when(col("n_words") > 0,
+                expr("CAST(stop_words AS BIGINT) * 10000 div n_words"))
+                .otherwise(0L).as("score_bp"),
+              col("n_words").cast("long").as("n_tokens"))
+          Assemble.budgetSelect(scored, "doc_id", "score_bp", "n_tokens", 10000L)
+        },
+        Some(withCtes(normDocsCte,
+          s"""scored AS MATERIALIZED (
+            |  SELECT doc_id,
+            |         CASE WHEN len(toks) = 0 THEN 0
+            |              ELSE CAST(len(list_filter(toks, t -> t IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(",")}))) AS BIGINT)
+            |                   * 10000 // CAST(len(toks) AS BIGINT) END AS score,
+            |         CAST(len(toks) AS BIGINT) AS n_tokens,
+            |         ${h60("'budget:' || CAST(doc_id AS VARCHAR)")} AS hk
+            |  FROM tok_docs)""".stripMargin,
+          """c AS (
+            |  SELECT doc_id, score, n_tokens,
+            |         sum(n_tokens) OVER (ORDER BY score DESC, hk, doc_id) AS cum
+            |  FROM scored)""".stripMargin)(
+          """SELECT doc_id, CAST(score AS BIGINT) AS score, n_tokens
+            |FROM c WHERE cum <= 10000""".stripMargin))),
+
       Q("q10_returned_revenue",
         // TPC-H Q10 shape: returned-item revenue per customer — three
         // fact joins sharing the orderkey/custkey shuffles + a broadcast

@@ -314,6 +314,68 @@ object Assemble {
     * lakehouse keeps BOTH layouts). Plan rows are shard metadata scale
     * after the groupBy; the input projection is checkpointed because the
     * zone rollup and the global-span aggregate both consume it. */
+  /** Token-budget-constrained quality selection: take documents best-first
+    * (by `scoreCol` descending) until `budget` tokens are spent, with a
+    * deterministic salted-hash order inside the boundary score — WITHOUT a
+    * corpus-scale global sort. Semantically identical to the single global
+    * window `sum(tokens) OVER (ORDER BY score DESC, hash, id) <= budget`
+    * (the registered oracle runs exactly that — the comparison proves the
+    * scalable decomposition), but executed as:
+    *
+    *   1. a per-score rollup, bounded by the SCORE DOMAIN — callers must
+    *      pass an integer score with a bounded range (basis points here);
+    *      its collect is score-domain-scale, never corpus-scale;
+    *   2. a driver cumsum over that rollup picking the boundary score and
+    *      the residual budget (two scalars of driver state);
+    *   3. full map-only admission of every doc ABOVE the boundary score;
+    *   4. [[hashOrderedCumSum]] (bucketed two-level prefix sum) over the
+    *      boundary-score docs only, admitting the hash-ordered prefix that
+    *      fits the residual.
+    *
+    * Output: (idCol, score, n_tokens) of the selected documents. */
+  def budgetSelect(scored: DataFrame, idCol: String, scoreCol: String,
+                   tokensCol: String, budget: Long,
+                   salt: String = "budget"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val narrow = scored
+      .select(col(idCol), col(scoreCol).cast("long").as("score"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .localCheckpoint() // feeds the rollup AND both admission passes
+    // ≤ |score domain| rows (caller contract: bounded integer score) —
+    // score-domain-scale collect, never corpus-scale.
+    val rollup = narrow.groupBy(col("score"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val empty = narrow.filter(lit(false))
+      .select(col(idCol), col("score"), col("n_tokens"))
+    if (rollup.isEmpty) empty
+    else {
+      // first score whose bucket total no longer fits; every lower score's
+      // docs have global cum > budget by construction (prefix semantics)
+      var spent = 0L
+      var boundary = Option.empty[(Long, Long)] // (cut score, residual)
+      rollup.foreach { case (s, t) =>
+        if (boundary.isEmpty) {
+          if (spent + t > budget) boundary = Some((s, budget - spent))
+          else spent += t
+        }
+      }
+      boundary match {
+        case None => // whole corpus fits the budget
+          narrow.select(col(idCol), col("score"), col("n_tokens"))
+        case Some((cut, residual)) =>
+          val above = narrow.filter(col("score") > cut)
+            .select(col(idCol), col("score"), col("n_tokens"))
+          val part = hashOrderedCumSum(
+              narrow.filter(col("score") === cut), idCol, col("n_tokens"), salt)
+            .filter(col("cum") <= residual)
+            .select(col(idCol), col("score"), col("n_tokens"))
+          above.unionAll(part)
+      }
+    }
+  }
+
   def zoneMap(plan: DataFrame, shardCols: Seq[String], keyCol: String): DataFrame = {
     val p = plan.select(shardCols.map(col) :+ col(keyCol): _*).localCheckpoint()
     val zones = p.groupBy(shardCols.map(col): _*)

@@ -192,6 +192,36 @@ class AssembleSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("budgetSelect equals the global-window greedy prefix; all-fits and " +
+    "empty edges hold") {
+    // scores collide heavily (5 buckets) so the boundary bucket is wide
+    val scored = (1 to 200).map(i =>
+        (i.toLong, (i % 5).toLong, 10L + (i % 7))).toDF("id", "s", "t")
+    def reference(budget: Long): Set[(Long, Long, Long)] = {
+      val rows = scored
+        .withColumn("hk", Assemble.shuffleKey($"id", "budget"))
+        .as[(Long, Long, Long, Long)].collect()
+        .sortBy { case (id, s, _, hk) => (-s, hk, id) }
+      var cum = 0L
+      rows.flatMap { case (id, s, t, _) =>
+        cum += t
+        if (cum <= budget) Some((id, s, t)) else None
+      }.toSet
+    }
+    for (budget <- Seq(0L, 137L, 500L, 1000L)) {
+      val got = Assemble.budgetSelect(scored, "id", "s", "t", budget)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == reference(budget), s"budget=$budget")
+    }
+    // all-fits: the whole corpus comes back
+    val all = Assemble.budgetSelect(scored, "id", "s", "t", 1000000L)
+      .as[(Long, Long, Long)].collect()
+    assert(all.length == 200)
+    // empty input: empty output with the right schema
+    val none = Assemble.budgetSelect(scored.filter(lit(false)), "id", "s", "t", 10L)
+    assert(none.collect().isEmpty && none.columns.toSeq == Seq("id", "score", "n_tokens"))
+  }
+
   test("zoneMap: range layout shows tight spans, interleaved layout full spans") {
     // keys 0..99; range shards = contiguous tens; "shuffled" shards =
     // key % 10 (every shard spans nearly the whole key space)
