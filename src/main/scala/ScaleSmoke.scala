@@ -278,7 +278,43 @@ object ScaleSmoke {
         Funnel.sessionEntryExit(evv, "ts", "user_id", "event_type",
             "event_id", convType = "purchase")
           .agg(sum(col("sessions"))).collect()(0).getLong(0))
+      // Gap histogram (r10 s5): one user-keyed lag window into a
+      // ≤64-bucket rollup — the window sort is the only corpus term, so
+      // growth must match sessionize (same shuffle).
+      t(s"gap histogram ($evN events)")(
+        Funnel.gapHistogram(ev, "ts", "user_id", "event_id")
+          .agg(sum(col("n_gaps"))).collect()(0).getLong(0))
+      // Error rates (r10 s5): corpus collapses in ONE calendar-keyed
+      // aggregation; the RANGE window runs on ≤31 daily rows. Growth must
+      // be the map-side scan alone.
+      t(s"error rates ($evN events)")(
+        Funnel.errorRates(ev, "ts", "event_type")
+          .agg(sum(col("roll_err"))).collect()(0).getLong(0))
     }
+    // Token-budget selection (r10 s5): one qualityFeatures pass (map-only
+    // regex/tokenize) + score-domain rollup (≤10k rows collected) + the
+    // bucketed prefix sum over the BOUNDARY score only. Budget scales with
+    // the corpus so the boundary stage stays proportionally loaded; expect
+    // ~linear in docs.
+    t("budget select") {
+      import graft.ops.{Assemble, TextOps}
+      val scored = TextOps.qualityFeatures(docs, "text")
+        .select(col("doc_id"),
+          when(col("n_words") > 0,
+            expr("CAST(stop_words AS BIGINT) * 10000 div n_words"))
+            .otherwise(0L).as("score_bp"),
+          col("n_words").cast("long").as("n_tokens"))
+      Assemble.budgetSelect(scored, "doc_id", "score_bp", "n_tokens",
+        budget = n * 20).count()
+    }
+    // Source × quality matrix (r10 s5): the decile machinery (bounded
+    // quantile sample + broadcast cutpoints) under a sources×10 rollup —
+    // map-only after the tokenize; expect ~linear.
+    t("source quality matrix")(
+      graft.ops.TextOps.sourceQualityMatrix(
+          docs.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(16)))),
+          "doc_id", "text", "source")
+        .agg(sum(col("n_docs"))).collect()(0).getLong(0))
     // Multimodal growth (r10): REAL javax.imageio / javax.sound decodes
     // over binary rows — previously the only extension family without a
     // measured growth law. Synthesis is materialized UNTIMED
