@@ -123,7 +123,23 @@ object QueriesCore {
           |       CAST(o.value AS VARCHAR) AS value_str,
           |       o.props AS props_str,
           |       array_to_string(o.changed, ',') AS changed_csv
-          |FROM outbox o WHERE o.id > $FromV AND o.xact_id < 10000""".stripMargin)))
+          |FROM outbox o WHERE o.id > $FromV AND o.xact_id < 10000""".stripMargin))),
+
+    Q("cdc_scd2_intervals",
+      // SCD2 interval reconstruction — the canonical downstream consumer
+      // of the relay's CDC output: per entity key, each change opens a
+      // version valid [id, next id) in version space; last non-delete is
+      // current. One entity-keyed lead window.
+      (s, d) => Incremental.scd2Intervals(outbox(s, d), "session_id", "id",
+          "operation")
+        .select(col("session_id"), col("operation"), col("valid_from"),
+          col("valid_to"), col("is_current")),
+      Some(withCtes(OracleCtes.outbox)(
+        """SELECT session_id, operation, id AS valid_from,
+          |       lead(id) OVER (PARTITION BY session_id ORDER BY id) AS valid_to,
+          |       (lead(id) OVER (PARTITION BY session_id ORDER BY id) IS NULL
+          |        AND operation <> 'D') AS is_current
+          |FROM outbox""".stripMargin)))
   )
 
   /** A3 as a direct byte-for-byte envelope compare: the ordered JSON fold's

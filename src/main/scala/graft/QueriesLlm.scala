@@ -4393,6 +4393,49 @@ object QueriesLlm {
           |    FROM lineitem GROUP BY 1, 2))
           |WHERE rnk <= 3""".stripMargin)),
 
+      Q("dq_ref_integrity",
+        // FK audit across the star schema: three child->parent relations,
+        // each ONE key shuffle against the parent's distinct-keys
+        // projection (broadcast when small) + a 1-row conditional agg.
+        (s, d) => {
+          val o = Profile.refIntegrity(Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey", "orders_customer")
+          val l = Profile.refIntegrity(Tables.lineitem(s, d), "l_orderkey",
+            Tables.orders(s, d), "o_orderkey", "lineitem_orders")
+          val p = Profile.refIntegrity(Tables.lineitem(s, d), "l_partkey",
+            Tables.part(s, d), "p_partkey", "lineitem_part")
+          o.unionAll(l).unionAll(p)
+        },
+        Some(Seq(
+          ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+          ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"))
+          .map { case (rel, c, ck, p, pk) =>
+            s"""SELECT '$rel' AS relation,
+              |       CAST(count(*) AS BIGINT) AS n_child,
+              |       CAST(sum(CASE WHEN _pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+              |       CAST(sum(CASE WHEN _pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |         * 1000000 // count(*) AS orphan_ppm
+              |FROM $c LEFT JOIN (SELECT DISTINCT $pk AS _pk FROM $p) ON $ck = _pk""".stripMargin }
+          .mkString("\nUNION ALL\n"))),
+
+      Q("dq_key_skew",
+        // Join-key skew probe on the event stream's user key: totals and
+        // top-5 key masses from ONE key-rollup aggregation (bounded
+        // topk_pairs state — never a window over every key).
+        (s, d) => Profile.keySkew(Tables.events(s, d), "user_id", k = 5),
+        Some(withCtes(
+          """c AS MATERIALIZED (
+            |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+            |  FROM events GROUP BY 1)""".stripMargin,
+          """t AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+            |             CAST(count(*) AS BIGINT) AS n_keys FROM c)""".stripMargin,
+          """r AS (SELECT key, n,
+            |        row_number() OVER (ORDER BY n DESC, key) AS rnk FROM c)""".stripMargin)(
+          """SELECT t.n_rows, t.n_keys, CAST(rnk AS BIGINT) AS rank, key,
+            |       n AS key_rows, n * 1000000 // t.n_rows AS mass_ppm
+            |FROM r, t WHERE rnk <= 5""".stripMargin))),
+
       Q("ev_gap_histogram",
         // Integer-exact log2 histogram of per-user inter-event gaps:
         // bucket = bit length of the gap (length(bin(gap)) in BOTH

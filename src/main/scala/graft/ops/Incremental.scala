@@ -103,4 +103,30 @@ object Incremental {
             array_sort(collect_list(struct(col(idxCol).as("i"), col(chunkCol).as("c")))),
             x => x.getField("c")),
           "").as("doc"))
+
+  /** SCD2 (slowly-changing-dimension type 2) interval reconstruction over
+    * the versioned change stream — the canonical downstream consumer of the
+    * relay's CDC output: each change row opens a version valid in id space
+    * `[valid_from, valid_to)` where `valid_to` is the key's NEXT change id
+    * (NULL while current); a row is the key's live version iff it is last
+    * AND not a delete. Deletes still emit a (closed-at-next-insert or
+    * current-tombstone) interval so consumers can distinguish "deleted" from
+    * "never existed" — the same tri-state discipline as the `$changed`
+    * column mask.
+    *
+    * One key-partitioned window (lead) — a single shuffle on the entity
+    * key, exactly the partitioning every per-key consumer downstream needs
+    * anyway. Intervals are in version/id space, not time: ids are the
+    * reference's total order ("Versions are read as 64-bit signed
+    * integers", stored-procedure.md:84) and stay exact cross-engine. */
+  def scd2Intervals(changes: DataFrame, keyCol: String, idCol: String,
+                    opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+    changes
+      .withColumn("valid_from", col(idCol))
+      .withColumn("valid_to", lead(col(idCol), 1).over(w))
+      .withColumn("is_current",
+        col("valid_to").isNull && col(opCol) =!= "D")
+  }
 }

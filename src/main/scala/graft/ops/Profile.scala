@@ -33,4 +33,45 @@ object Profile {
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"))
   }
+
+  /** Referential-integrity audit for one FK relationship: the child table
+    * LEFT-joined to the parent's distinct keys, folded to a single
+    * (relation, n_child, n_orphans, orphan_ppm) row. One shuffle on the
+    * key (the parent side is the distinct-keys projection — the natural
+    * build side; Catalyst broadcasts it when the dimension is small) and
+    * a 1-row conditional aggregate; null child keys count as orphans (a
+    * null FK cannot resolve). The audit every lakehouse runs before
+    * trusting a join. */
+  def refIntegrity(child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String,
+                   relation: String): DataFrame =
+    child.select(col(childKey).as("_ck"))
+      .join(parent.select(col(parentKey).as("_pk")).distinct(),
+        col("_ck") === col("_pk"), "left_outer")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("_pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(lit(relation).as("relation"), col("n_child"), col("n_orphans"),
+        expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
+
+  /** Join-key skew audit: per-key occupancy top-k plus global totals — the
+    * pre-join probe that decides broadcast vs salt vs AQE skew-split for a
+    * key at 100 TB. ONE key-rollup aggregation computes totals AND the
+    * top-k in the same pass (the bounded `topk_pairs` native aggregate —
+    * k pairs per partition map-side, never a window over every key), so
+    * the key table is consumed once and needs no checkpoint. Output: one
+    * row per top-k key with rank, count, and mass in ppm of all rows.
+    * Keys must be integral (the topk_pairs contract). */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        expr(s"topk_pairs(n, key, $k)").as("_top"))
+      .select(col("n_rows"), col("n_keys"),
+        posexplode(col("_top")).as(Seq("_pos", "_p")))
+      .select(col("n_rows"), col("n_keys"),
+        (col("_pos") + 1).cast("long").as("rank"),
+        col("_p.id").as("key"), col("_p.score").as("key_rows"),
+        expr("_p.score * 1000000 div n_rows").as("mass_ppm"))
+  }
 }

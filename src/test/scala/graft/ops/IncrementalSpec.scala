@@ -79,4 +79,28 @@ class IncrementalSpec extends SparkSpec {
       .orderBy("k").as[(Long, String)].collect()
     assert(got.toSeq == Seq((1L, "aabbcc"), (2L, "xy")))
   }
+
+  test("SCD2 intervals: chained versions, delete tombstone, never-deleted key current") {
+    // key 10: I(1) -> U(4) -> D(6): two closed intervals + a tombstone
+    // key 20: I(2) -> U(5): open current version
+    // key 30: I(3) -> D(7) -> I(8): delete then re-insert (re-used key)
+    val ch = Seq(
+      (1L, 10L, "I"), (4L, 10L, "U"), (6L, 10L, "D"),
+      (2L, 20L, "I"), (5L, 20L, "U"),
+      (3L, 30L, "I"), (7L, 30L, "D"), (8L, 30L, "I")
+    ).toDF("id", "key", "operation")
+    val got = Incremental.scd2Intervals(ch, "key", "id", "operation")
+      .select($"key", $"operation", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect()
+      .sortBy(r => (r._1, r._3))
+    assert(got.toSeq === Seq(
+      (10L, "I", 1L, Some(4L), false),
+      (10L, "U", 4L, Some(6L), false),
+      (10L, "D", 6L, None, false), // tombstone: last but NOT current
+      (20L, "I", 2L, Some(5L), false),
+      (20L, "U", 5L, None, true),
+      (30L, "I", 3L, Some(7L), false),
+      (30L, "D", 7L, Some(8L), false),
+      (30L, "I", 8L, None, true))) // re-insert after delete is live again
+  }
 }

@@ -31,4 +31,27 @@ class ProfileSpec extends SparkSpec {
       .collect().head
     assert(got === (("gone", 2L, 2L, 0L, None, None)))
   }
+
+  test("refIntegrity: orphans and null FKs counted, clean relation reads zero") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val got = Profile.refIntegrity(child, "fk", parent, "pk", "c_p")
+      .as[(String, Long, Long, Long)].collect().head
+    // 4 child rows; orphan 9 + null FK = 2 orphans = 500000 ppm
+    assert(got === (("c_p", 4L, 2L, 500000L)))
+    val clean = Profile.refIntegrity(parent, "pk", parent, "pk", "self")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(clean === (("self", 3L, 0L, 0L)))
+  }
+
+  test("keySkew: totals ride the one rollup pass; top-k ordered by count desc, key asc") {
+    // key 7 -> 4 rows, key 3 -> 2, keys 1,2 -> 1 each (tie broken by key)
+    val df = (Seq.fill(4)(7L) ++ Seq.fill(2)(3L) ++ Seq(1L, 2L)).toDF("k")
+    val got = Profile.keySkew(df, "k", k = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._3)
+    assert(got.toSeq === Seq(
+      (8L, 4L, 1L, 7L, 4L, 500000L),
+      (8L, 4L, 2L, 3L, 2L, 250000L),
+      (8L, 4L, 3L, 1L, 1L, 125000L)))
+  }
 }
