@@ -4369,19 +4369,24 @@ object QueriesLlm {
           |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin)),
 
       Q("q15_top_parts",
-        // Top-3 parts per supplier by revenue: pair rollup (partial aggs
-        // below the (suppkey, partkey) exchange), then a PARTITIONED
-        // row_number window — rank-per-group, never a global sort.
+        // Top-3 parts per supplier by revenue: pair rollup, then the
+        // BOUNDED topk_pairs aggregate per supplier — 3 pairs per
+        // (partition, supplier) map-side, the shuffle carries only those.
+        // A rank window here would re-shuffle and sort every pair row
+        // (the max_by/topk doctrine); the oracle IS that window, so the
+        // gate proves the bounded shape reproduces it.
         (s, d) => {
-          import org.apache.spark.sql.expressions.Window
           val rev = Tables.lineitem(s, d)
             .groupBy(col("l_suppkey"), col("l_partkey"))
             .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-              .as("revenue_cents"))
-          val w = Window.partitionBy(col("l_suppkey"))
-            .orderBy(col("revenue_cents").desc, col("l_partkey"))
-          rev.withColumn("rnk", row_number().over(w))
-            .filter(col("rnk") <= 3)
+              .as("_rev"))
+          rev.groupBy(col("l_suppkey"))
+            .agg(expr("topk_pairs(_rev, l_partkey, 3)").as("_top"))
+            .select(col("l_suppkey"),
+              posexplode(col("_top")).as(Seq("_pos", "_p")))
+            .select(col("l_suppkey"), col("_p.id").as("l_partkey"),
+              col("_p.score").as("revenue_cents"),
+              (col("_pos") + 1).cast("int").as("rnk"))
         },
         Some(s"""SELECT l_suppkey, l_partkey, revenue_cents, rnk FROM (
           |  SELECT l_suppkey, l_partkey, revenue_cents,
@@ -4400,11 +4405,11 @@ object QueriesLlm {
         (s, d) => {
           val o = Profile.refIntegrity(Tables.orders(s, d), "o_custkey",
             Tables.customer(s, d), "c_custkey", "orders_customer")
-          val l = Profile.refIntegrity(Tables.lineitem(s, d), "l_orderkey",
-            Tables.orders(s, d), "o_orderkey", "lineitem_orders")
-          val p = Profile.refIntegrity(Tables.lineitem(s, d), "l_partkey",
-            Tables.part(s, d), "p_partkey", "lineitem_part")
-          o.unionAll(l).unionAll(p)
+          // both lineitem relations ride ONE fact scan (refIntegrityMulti)
+          val l = Profile.refIntegrityMulti(Tables.lineitem(s, d), Seq(
+            ("l_orderkey", Tables.orders(s, d), "o_orderkey", "lineitem_orders"),
+            ("l_partkey", Tables.part(s, d), "p_partkey", "lineitem_part")))
+          o.unionAll(l)
         },
         Some(Seq(
           ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),

@@ -53,6 +53,32 @@ object Profile {
       .select(lit(relation).as("relation"), col("n_child"), col("n_orphans"),
         expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
 
+  /** All FK relations of ONE child (fact) table in a SINGLE scan: chained
+    * left joins against each parent's distinct keys, one conditional
+    * aggregate, then a 1-row unpivot to per-relation rows. At 100 TB the
+    * fact scan dominates — auditing k relations must not cost k scans.
+    * `rels` = (childKey, parent, parentKey, relationName). */
+  def refIntegrityMulti(child: DataFrame,
+      rels: Seq[(String, DataFrame, String, String)]): DataFrame = {
+    require(rels.nonEmpty, "refIntegrityMulti: no relations")
+    val joined = rels.zipWithIndex.foldLeft(
+        child.select(rels.map(_._1).distinct.map(col): _*)) {
+      case (acc, ((ck, parent, pk, _), i)) =>
+        acc.join(parent.select(col(pk).as(s"_pk$i")).distinct(),
+          col(ck) === col(s"_pk$i"), "left_outer")
+    }
+    val orphanAggs = rels.indices.map(i =>
+      sum(when(col(s"_pk$i").isNull, 1L).otherwise(0L)).as(s"_o$i"))
+    joined
+      .agg(count(lit(1)).as("n_child"), orphanAggs: _*)
+      .select(explode(array(rels.zipWithIndex.map { case ((_, _, _, rel), i) =>
+        struct(lit(rel).as("relation"), col("n_child"),
+          col(s"_o$i").as("n_orphans")) }: _*)).as("_r"))
+      .select(col("_r.relation").as("relation"),
+        col("_r.n_child").as("n_child"), col("_r.n_orphans").as("n_orphans"),
+        expr("_r.n_orphans * 1000000 div _r.n_child").as("orphan_ppm"))
+  }
+
   /** Join-key skew audit: per-key occupancy top-k plus global totals — the
     * pre-join probe that decides broadcast vs salt vs AQE skew-split for a
     * key at 100 TB. ONE key-rollup aggregation computes totals AND the

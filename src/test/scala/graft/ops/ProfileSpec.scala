@@ -44,6 +44,22 @@ class ProfileSpec extends SparkSpec {
     assert(clean === (("self", 3L, 0L, 0L)))
   }
 
+  test("refIntegrityMulti: one fact scan reproduces the per-relation audits") {
+    val orders = Seq(1L, 2L).toDF("ok")
+    val parts = Seq(10L, 11L).toDF("pk")
+    val fact = Seq((1L, 10L), (2L, 99L), (7L, 11L), (7L, 99L)).toDF("fo", "fp")
+    val fused = Profile.refIntegrityMulti(fact, Seq(
+        ("fo", orders, "ok", "f_o"), ("fp", parts, "pk", "f_p")))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val separate = (
+      Profile.refIntegrity(fact, "fo", orders, "ok", "f_o")
+        .as[(String, Long, Long, Long)].collect() ++
+      Profile.refIntegrity(fact, "fp", parts, "pk", "f_p")
+        .as[(String, Long, Long, Long)].collect()).toSet
+    assert(fused == separate)
+    assert(fused == Set(("f_o", 4L, 2L, 500000L), ("f_p", 4L, 2L, 500000L)))
+  }
+
   test("keySkew: totals ride the one rollup pass; top-k ordered by count desc, key asc") {
     // key 7 -> 4 rows, key 3 -> 2, keys 1,2 -> 1 each (tie broken by key)
     val df = (Seq.fill(4)(7L) ++ Seq.fill(2)(3L) ++ Seq(1L, 2L)).toDF("k")
