@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch same-JVM stage profiler for the graph family (not registered). */
+object GraphProf {
+  def main(args: Array[String]): Unit = {
+    val spark = Harness.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    val rows = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("_txn"), col("l_partkey").as("item"))
+    def t(name: String)(f: => Long): Unit = {
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[prof] $name%-28s #$i ${(System.nanoTime()-t0)/1e9}%6.2f s ($r rows)")
+      }
+    }
+    def grouped = rows.groupBy(col("_txn"))
+      .agg(sort_array(collect_set(col("item").cast("long"))).as("_items"))
+    t("groupBy collect_set")(grouped.count())
+    def hofOrder(): Unit = t("explode HOF")(
+      grouped.select(explode(expr(
+        """flatten(transform(_items, (x, i) ->
+          |  transform(slice(_items, i + 2, size(_items)), y ->
+          |    struct(x AS pa, y AS pb))))""".stripMargin)).as("_e")).count())
+    def nativeOrder(): Unit = t("explode native pair_structs")(
+      grouped.select(explode(expr("pair_structs(_items)")).as("_e")).count())
+    if (sys.env.get("PROF_ORDER").contains("native_first")) { nativeOrder(); hofOrder() }
+    else { hofOrder(); nativeOrder() }
+    t("full assoc rules (native)")(
+      graft.ops.GraphOps.associationRules(rows, "_txn", "item", 2).count())
+    spark.stop()
+  }
+}

@@ -36,15 +36,18 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   /** Support-counted canonical pairs from (_txn, item) rows — the shared
-    * row-local pair explode (collect_set dedups within-txn repeats). */
+    * row-local pair explode (collect_set dedups within-txn repeats;
+    * sort_array makes `pa < pb` canonical positionally). The pair build is
+    * the native `pair_structs` expression — the equivalent nested
+    * `transform(slice(...))` HOF chain runs INTERPRETED per element and
+    * measured ~2.5× slower for the explode stage (GraphProf sf0.1, both
+    * orders: HOF +0.45-0.6 s vs native +0.2-0.25 s warm over the
+    * group-by alone). */
   private def supportedPairs(rows: DataFrame, minSupport: Int): DataFrame =
     rows
       .groupBy(col("_txn"))
-      .agg(sort_array(collect_set(col("item"))).as("_items"))
-      .select(explode(expr(
-        """flatten(transform(_items, (x, i) ->
-          |  transform(slice(_items, i + 2, size(_items)), y ->
-          |    struct(x AS pa, y AS pb))))""".stripMargin)).as("_e"))
+      .agg(sort_array(collect_set(col("item").cast("long"))).as("_items"))
+      .select(explode(expr("pair_structs(_items)")).as("_e"))
       .select(col("_e.pa").as("pa"), col("_e.pb").as("pb"))
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("w"))

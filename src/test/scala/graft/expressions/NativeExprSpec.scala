@@ -50,6 +50,29 @@ class NativeExprSpec extends SparkSpec {
       ex.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("pair_structs matches the HOF pair formulation and handles edges") {
+    val df = Seq(
+      (1L, Seq(3L, 5L, 9L, 11L)), // C(4,2) = 6 pairs, positional order
+      (2L, Seq(7L)),              // single item: no pairs
+      (3L, Seq.empty[Long])       // empty: no pairs
+    ).toDF("id", "_items")
+    val native = df.selectExpr("id", "explode(pair_structs(_items)) AS e")
+      .selectExpr("id", "e.pa", "e.pb").as[(Long, Long, Long)].collect().toSet
+    val hof = df.select($"id", explode(expr(
+        """flatten(transform(_items, (x, i) ->
+          |  transform(slice(_items, i + 2, size(_items)), y ->
+          |    struct(x AS pa, y AS pb))))""".stripMargin)).as("e"))
+      .selectExpr("id", "e.pa", "e.pb").as[(Long, Long, Long)].collect().toSet
+    assert(native == hof)
+    assert(native.count(_._1 == 1L) == 6)
+    assert(!native.exists(_._1 >= 2L), "singleton and empty arrays yield no pairs")
+    val typeErr = intercept[Exception] {
+      spark.sql("SELECT pair_structs(array('a','b'))").collect()
+    }
+    assert(typeErr.getMessage.contains("BIGINT") ||
+      typeErr.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("salted aggregation matches plain groupBy under a hot key") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i.toLong))
       .toDF("k", "v")
