@@ -33,3 +33,44 @@ object GraphProf {
     spark.stop()
   }
 }
+
+/** Same-JVM A/B: native winnow_mins vs the former exploded-window shape. */
+object WinnowProf {
+  def main(args: Array[String]): Unit = {
+    val spark = Harness.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    def t(name: String)(f: => Long): Unit = {
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[prof] $name%-28s #$i ${(System.nanoTime()-t0)/1e9}%6.2f s ($r rows)")
+      }
+    }
+    import graft.ops.{DedupOps, TextOps}
+    val P = DedupOps.MersennePrime31
+    val w = 4
+    def native(): Unit = t("winnow native")(
+      DedupOps.winnowFingerprints(docs, "doc_id", "text").count())
+    def oldShape(): Unit = t("winnow exploded HOF") {
+      val m = size(col("_toks")) - 2
+      def h(j: Int) = when(col("_i") + j < m,
+        DedupOps.hash60(concat_ws(" ",
+          expr(s"element_at(_toks, _i + ${j + 1})"),
+          expr(s"element_at(_toks, _i + ${j + 2})"),
+          expr(s"element_at(_toks, _i + ${j + 3})"))) % P)
+      docs.repartition(col("doc_id"))
+        .select(col("doc_id"),
+          (DedupOps.hash60(TextOps.normalize(col("text"))) % P).as("_doc_h"),
+          TextOps.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), col("_doc_h"), col("_toks"),
+          explode(sequence(lit(0), greatest(size(col("_toks")) - 2 - w, lit(0)))).as("_i"))
+        .select(col("doc_id"),
+          when(size(col("_toks")) >= 3, least((0 until w).map(h): _*))
+            .otherwise(col("_doc_h")).as("fingerprint"))
+        .distinct().count()
+    }
+    if (sys.env.get("PROF_ORDER").contains("native_first")) { native(); oldShape() }
+    else { oldShape(); native() }
+    spark.stop()
+  }
+}

@@ -1,0 +1,117 @@
+package graft.expressions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Winnowing fingerprint minima over a token array — the distinct
+  * per-window minima of the 3-token shingle hashes (Schleimer/Wilkerson/
+  * Aiken MOSS winnowing), as `array<bigint>`, one JVM pass per row.
+  *
+  * Why native: the built-in formulation explodes one row per window
+  * position and re-hashes every shingle once PER WINDOW it overlaps (w×
+  * redundant sha256, measured in the dedup_winnow warm floor), then
+  * `distinct()`s position-scale rows. This hashes each shingle exactly
+  * once, slides the window in place, and emits the already-distinct
+  * minima set — the explode downstream is minima-scale, not
+  * position-scale.
+  *
+  * Hash contract (oracle-portable): identical to the engine-wide `hash60`
+  * — `conv(substring(sha2(shingle, 256), 1, 15), 16, 10) % (2^31-1)` with
+  * the shingle = three consecutive tokens joined by single spaces. The
+  * JVM reproduces it as the first 15 hex chars of the SHA-256 digest
+  * parsed base-16 (< 2^60, so the parse never overflows), mod the same
+  * Mersenne prime.
+  *
+  * Callers handle the under-3-token fallback (whole-doc hash) — with
+  * fewer than 3 tokens there are no shingles and this returns an empty
+  * array. Window semantics mirror the exploded form: positions
+  * `0..max(m-w, 0)` over `m` shingles, each window clipped at `m`. */
+object WinnowMinsCore {
+  private val P = 2147483647L // 2^31 - 1 (DedupOps.MersennePrime31)
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-256")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** First 15 hex chars of sha256(bytes) parsed base-16, mod 2^31-1 —
+    * byte-identical to `conv(substring(sha2(s,256),1,15),16,10) % P`. */
+  def hash60Mod(bytes: Array[Byte]): Long = {
+    val d = digest.get()
+    d.reset()
+    val h = d.digest(bytes)
+    // 15 hex chars = 7.5 bytes: bytes 0..6 fully, high nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((h(7) & 0xf0L) >> 4)
+    v % P
+  }
+
+  def mins(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    val m = n - 2
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    // hash each shingle exactly once
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val b0 = arr.getUTF8String(i).getBytes
+      val b1 = arr.getUTF8String(i + 1).getBytes
+      val b2 = arr.getUTF8String(i + 2).getBytes
+      val buf = new Array[Byte](b0.length + b1.length + b2.length + 2)
+      System.arraycopy(b0, 0, buf, 0, b0.length)
+      buf(b0.length) = ' '
+      System.arraycopy(b1, 0, buf, b0.length + 1, b1.length)
+      buf(b0.length + 1 + b1.length) = ' '
+      System.arraycopy(b2, 0, buf, b0.length + 2 + b1.length, b2.length)
+      hs(i) = hash60Mod(buf)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[Long]()
+    val lastStart = Math.max(m - w, 0)
+    var start = 0
+    while (start <= lastStart) {
+      var mn = Long.MaxValue
+      var j = start
+      val end = Math.min(start + w, m)
+      while (j < end) { if (hs(j) < mn) mn = hs(j); j += 1 }
+      out.add(mn)
+      start += 1
+    }
+    val res = new Array[Any](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { res(i) = it.next(); i += 1 }
+    new GenericArrayData(res)
+  }
+}
+
+case class WinnowMins(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.dataType.isInstanceOf[ArrayType] ||
+      left.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"winnow_mins expects ARRAY<STRING> tokens, got ${left.dataType.catalogString}")
+    else if (!right.foldable || right.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure("winnow_mins window must be a constant INT")
+    else right.eval() match {
+      case w: Integer if w >= 2 => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("winnow_mins window must be >= 2")
+    }
+
+  override protected def nullSafeEval(toks: Any, w: Any): Any =
+    WinnowMinsCore.mins(toks.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w) => s"graft.expressions.WinnowMinsCore.mins($t, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WinnowMins =
+    copy(left = newLeft, right = newRight)
+}

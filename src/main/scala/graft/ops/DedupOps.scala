@@ -132,22 +132,19 @@ object DedupOps {
                          w: Int = 4): DataFrame = {
     require(w >= 2, "window must cover at least 2 shingles")
     val P = MersennePrime31
-    val m = size(col("_toks")) - 2 // shingle count when >= 3 tokens
-    def h(j: Int) = when(col("_i") + j < m,
-      hash60(concat_ws(" ",
-        expr(s"element_at(_toks, _i + ${j + 1})"),
-        expr(s"element_at(_toks, _i + ${j + 2})"),
-        expr(s"element_at(_toks, _i + ${j + 3})"))) % P)
+    // Native winnow_mins: each shingle hashed exactly ONCE in a JVM loop
+    // and the per-doc minima emitted as an already-distinct set, so the
+    // explode is minima-scale and needs no distinct() shuffle after it.
+    // The former exploded form hashed every shingle once per overlapping
+    // window (w× redundant sha256) and distinct()ed position-scale rows
+    // (same-run A/B in BENCHNOTES round-10 session-5).
     df.repartition(col(idCol))
       .select(col(idCol),
         (hash60(TextOps.normalize(col(textCol))) % P).as("_doc_h"),
         TextOps.tokens(col(textCol)).as("_toks"))
-      .select(col(idCol), col("_doc_h"), col("_toks"),
-        explode(sequence(lit(0), greatest(size(col("_toks")) - 2 - w, lit(0)))).as("_i"))
       .select(col(idCol),
-        when(size(col("_toks")) >= 3, least((0 until w).map(h): _*))
-          .otherwise(col("_doc_h")).as("fingerprint"))
-      .distinct()
+        explode(when(size(col("_toks")) >= 3, expr(s"winnow_mins(_toks, $w)"))
+          .otherwise(array(col("_doc_h")))).as("fingerprint"))
   }
 
   /** MinHash signature: for permutation j, `min over shingles of
