@@ -74,3 +74,41 @@ object WinnowProf {
     spark.stop()
   }
 }
+
+/** Same-JVM A/B: native simhash_fp vs the former exploded 60-sum aggregate. */
+object SimhashProf {
+  def main(args: Array[String]): Unit = {
+    val spark = Harness.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    def t(name: String)(f: => Long): Unit = {
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[prof] $name%-28s #$i ${(System.nanoTime()-t0)/1e9}%6.2f s ($r rows)")
+      }
+    }
+    import graft.ops.{DedupOps, TextOps}
+    val bits = 60
+    def native(): Unit = t("simhash60 native map-only")(
+      DedupOps.simhashWide(docs, "doc_id", "text", bits)
+        .agg(sum(col("simhash") % 1000003L)).collect()(0).getLong(0))
+    def oldShape(): Unit = t("simhash60 exploded 60-sum") {
+      val exploded = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .withColumn("h", DedupOps.hash60(col("tok")))
+      val bitSums = (0 until bits).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit_$i")
+      }
+      exploded.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until bits).map(i => when(col(s"bit_$i") > 0, lit(1L << i)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
+        .agg(sum(col("simhash") % 1000003L)).collect()(0).getLong(0)
+    }
+    if (sys.env.get("PROF_ORDER").contains("native_first")) { native(); oldShape() }
+    else { oldShape(); native() }
+    spark.stop()
+  }
+}

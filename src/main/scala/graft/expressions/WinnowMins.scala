@@ -37,9 +37,9 @@ object WinnowMinsCore {
   }
   private val HexChars = "0123456789abcdef".toCharArray
 
-  /** First 15 hex chars of sha256(bytes) parsed base-16, mod 2^31-1 —
-    * byte-identical to `conv(substring(sha2(s,256),1,15),16,10) % P`. */
-  def hash60Mod(bytes: Array[Byte]): Long = {
+  /** First 15 hex chars of sha256(bytes) parsed base-16 — byte-identical
+    * to the engine-wide `conv(substring(sha2(s,256),1,15),16,10)`. */
+  def hash60Raw(bytes: Array[Byte]): Long = {
     val d = digest.get()
     d.reset()
     val h = d.digest(bytes)
@@ -47,9 +47,11 @@ object WinnowMinsCore {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
-    v = (v << 4) | ((h(7) & 0xf0L) >> 4)
-    v % P
+    (v << 4) | ((h(7) & 0xf0L) >> 4)
   }
+
+  /** [[hash60Raw]] mod 2^31-1 — the shingle-hash form (`hash60(s) % P`). */
+  def hash60Mod(bytes: Array[Byte]): Long = hash60Raw(bytes) % P
 
   def mins(arr: ArrayData, w: Int): ArrayData = {
     val n = arr.numElements()

@@ -1023,18 +1023,15 @@ object DedupOps {
   def simhashWide(docs: DataFrame, idCol: String, textCol: String,
                   bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 60, "simhash width must be in [1, 60]")
-    val exploded = docs.select(col(idCol),
-      explode(TextOps.tokens(col(textCol))).as("tok"))
-      .filter(length(col("tok")) > 0) // empty-norm docs emit no rows (matches oracle)
-      .withColumn("h", hash60(col("tok")))
-    val bitSums = (0 until bits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit_$i")
-    }
-    exploded.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until bits).map(i => when(col(s"bit_$i") > 0, lit(1L << i)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    // Native simhash_fp: the whole fingerprint in one JVM loop per doc —
+    // MAP-ONLY (no token explode, no doc-keyed exchange). The former
+    // exploded 60-sum aggregate shipped every token occurrence through a
+    // shuffle; same-run A/B in BENCHNOTES round-10 session-5. NULL
+    // fingerprint = no non-empty tokens = the doc the exploded form
+    // dropped (matches oracle).
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), expr(s"simhash_fp(_toks, $bits)").as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** SimHash (16-bit, portable) — the compact fingerprint surface. */

@@ -172,7 +172,9 @@ class RegisteredQueriesSpec extends SparkSpec {
     * regression to a shuffle shape (r8 verdict: llm_repetition shuffled on
     * near-unique (doc,kind,gram) keys, 22.6 s; the map-only form needs 0). */
   private val mapOnlyPinned = Set("llm_repetition", "llm_fingerprint",
-    "llm_token_count", "llm_pii_redact")
+    "llm_token_count", "llm_pii_redact",
+    // native simhash_fp made the fingerprint row-local (r10 s5)
+    "dedup_simhash")
 
   test("map-only pin: row-local queries have zero exchanges") {
     // MUST read executedPlan with AQE off: sparkPlan predates
