@@ -206,15 +206,16 @@ object DedupOps {
   def candidatePairs(buckets: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame =
     buckets
       .groupBy(col("band"), col("bucket"))
-      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .agg(array_sort(collect_list(col(idCol).cast("long"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .observe("graft.lsh.candidate_pairs",
         sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("mega_buckets_dropped"))
       .filter(size(col("ids")) <= maxBucket)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // native pair build (one JVM loop per bucket) — the nested-transform
+      // HOF chain runs interpreted per element (round-9 rule a; same A/B
+      // as GraphOps.supportedPairs)
+      .select(explode(expr("pair_structs(ids)")).as("p"))
+      .select(col("p.pa").as("id_a"), col("p.pb").as("id_b"))
       .distinct()
 
   /** Star edges per LSH bucket: one edge (bucket-min id → member) instead
