@@ -213,6 +213,14 @@ class AssembleSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSet
       assert(got == reference(budget), s"budget=$budget")
     }
+    // randomized budgets hit arbitrary boundary offsets
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 5) {
+      val budget = rnd.nextInt(2600).toLong
+      val got = Assemble.budgetSelect(scored, "id", "s", "t", budget)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == reference(budget), s"random budget=$budget")
+    }
     // all-fits: the whole corpus comes back
     val all = Assemble.budgetSelect(scored, "id", "s", "t", 1000000L)
       .as[(Long, Long, Long)].collect()

@@ -289,6 +289,30 @@ class FunnelSpec extends SparkSpec {
       (11L, 1L, 1024L, 1024L, 2500L)))
   }
 
+  test("gapHistogram: randomized events match a driver-side reference; " +
+    "gap count conserves events minus users") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map(id =>
+      (id, ts(rnd.nextInt(100000).toLong), rnd.nextInt(25).toLong + 1L,
+        "view", 0.0))
+    val got = Funnel.gapHistogram(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "ts", "user_id", "event_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val gaps = rows.map(r => (r._3, r._2.getTime / 1000, r._1))
+      .groupBy(_._1).values.flatMap { es =>
+        val sorted = es.map(e => (e._2, e._3)).sorted
+        sorted.sliding(2).collect { case Seq(a, b) => b._1 - a._1 }
+      }.toSeq
+    val users = rows.map(_._3).distinct.size
+    assert(got.map(_._2).sum == rows.size - users, "one gap per non-first event")
+    val refBuckets = gaps.groupBy(g =>
+      if (g == 0) 0L else java.lang.Long.toBinaryString(g).length.toLong)
+    val refRows = refBuckets.map { case (b, gs) =>
+      (b, gs.size.toLong, gs.min, gs.max, gs.size.toLong * 10000L / gaps.size) }.toSet
+    assert(got.toSet == refRows)
+  }
+
   test("weekOverWeek: integer basis points, negative growth, first week absent") {
     val wk = 604800L
     val e = Seq(

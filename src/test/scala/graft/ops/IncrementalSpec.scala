@@ -103,4 +103,33 @@ class IncrementalSpec extends SparkSpec {
       (30L, "D", 7L, Some(8L), false),
       (30L, "I", 8L, None, true))) // re-insert after delete is live again
   }
+
+  test("SCD2 intervals: randomized streams match the driver-side reference") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val ops = Array("I", "U", "D")
+      val rows = (1L to 300L).map(id =>
+        (id, rnd.nextInt(20).toLong, ops(rnd.nextInt(3))))
+      val got = Incremental.scd2Intervals(
+          rows.toDF("id", "key", "operation"), "key", "id", "operation")
+        .select($"key", $"valid_from", $"valid_to", $"is_current")
+        .as[(Long, Long, Option[Long], Boolean)].collect().toSet
+      val ref = rows.groupBy(_._2).flatMap { case (key, rs) =>
+        val sorted = rs.sortBy(_._1)
+        sorted.zipWithIndex.map { case ((id, _, op), i) =>
+          val next = if (i + 1 < sorted.size) Some(sorted(i + 1)._1) else None
+          (key, id, next, next.isEmpty && op != "D")
+        }
+      }.toSet
+      assert(got == ref, s"trial $trial")
+      // exactly one current version per live key; intervals chain per key
+      val perKey = got.groupBy(_._1)
+      perKey.foreach { case (_, ivs) =>
+        assert(ivs.count(_._4) <= 1)
+        val froms = ivs.map(_._2)
+        val tos = ivs.flatMap(_._3)
+        assert(tos.subsetOf(froms), "every close point is the next open point")
+      }
+    }
+  }
 }
