@@ -139,7 +139,29 @@ object QueriesCore {
           |       lead(id) OVER (PARTITION BY session_id ORDER BY id) AS valid_to,
           |       (lead(id) OVER (PARTITION BY session_id ORDER BY id) IS NULL
           |        AND operation <> 'D') AS is_current
-          |FROM outbox""".stripMargin)))
+          |FROM outbox""".stripMargin))),
+
+    Q("cdc_snapshot_apply",
+      // Mask-aware current-state fold: per entity, each payload column
+      // keeps the latest write that CARRIED it (I, or U whose $changed
+      // names it); last-op-D entities are gone. One entity-keyed
+      // aggregation, arg-max per column via struct max — no window.
+      (s, d) => StateOps.applyCdc(outbox(s, d), "session_id", "id",
+          "operation", "changed", Seq("value", "props"))
+        .select(col("session_id"), col("last_id"),
+          col("value").cast("string").as("value_str"),
+          col("props").as("props_str")),
+      Some(withCtes(OracleCtes.outbox)(
+        """SELECT session_id, max(id) AS last_id,
+          |       CAST(arg_max(value, id) FILTER (WHERE operation = 'I'
+          |              OR (operation = 'U' AND (changed IS NULL
+          |                  OR list_contains(changed, 'value')))) AS VARCHAR) AS value_str,
+          |       arg_max(props, id) FILTER (WHERE operation = 'I'
+          |              OR (operation = 'U' AND (changed IS NULL
+          |                  OR list_contains(changed, 'props')))) AS props_str
+          |FROM outbox
+          |GROUP BY session_id
+          |HAVING arg_max(operation, id) <> 'D'""".stripMargin)))
   )
 
   /** A3 as a direct byte-for-byte envelope compare: the ordered JSON fold's

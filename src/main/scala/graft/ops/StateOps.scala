@@ -39,6 +39,41 @@ object StateOps {
     log.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Mask-aware CDC snapshot apply: fold the versioned change stream into
+    * the CURRENT state per entity — the reference's tri-state `$changed`
+    * discipline materialized (a column's current value is the latest
+    * write that actually CARRIED it: any `I` (full payload by contract —
+    * stored-procedure.md:62-70) or a `U` whose mask names the column /
+    * has no mask; a masked-out `U` leaves the column at its prior value,
+    * which is exactly the absent-key reading of
+    * 02-stored-procedure.postgres.column.sql:120-133). Entities whose
+    * last operation is `D` are gone from the snapshot.
+    *
+    * Scale shape: ONE entity-keyed aggregation — per payload column a
+    * conditional `max(struct(id, value))` (lexicographic max on the
+    * unique id = arg-max of the latest visible write) with map-side
+    * partials; no window, no join, no per-version row retention. Prior
+    * snapshots compose: re-emitting a snapshot row as a synthetic full
+    * `I` at its `last_id` and applying the next delta reproduces the
+    * one-shot fold (spec-pinned on generated valid streams). */
+  def applyCdc(changes: DataFrame, keyCol: String, idCol: String,
+               opCol: String, maskCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    def visible(c: String) = col(opCol) === "I" ||
+      (col(opCol) === "U" &&
+        (col(maskCol).isNull || array_contains(col(maskCol), c)))
+    val aggs = Seq(
+      max(col(idCol)).as("last_id"),
+      max_by(col(opCol), col(idCol)).as("_last_op")) ++
+      payloadCols.map(c =>
+        max(when(visible(c), struct(col(idCol).as("_i"), col(c).as("_v"))))
+          .getField("_v").as(c))
+    changes.groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("_last_op") =!= "D")
+      .drop("_last_op")
+  }
+
   /** A7 — per-environment rollup of the watermark table (object count,
     * frontier versions). Ref: Program.cs:930-977. */
   def envRollup(state: DataFrame): DataFrame =

@@ -74,4 +74,58 @@ class StateOpsSpec extends SparkSpec {
       .select($"k", $"v").as[(Long, String)].collect().sorted
     assert(got.toSeq == Seq((1L, "z"), (2L, "q")))
   }
+
+  private def cdcDf(rows: Seq[(Long, Long, String, Option[String], Option[String], Option[Seq[String]])]) =
+    rows.toDF("id", "key", "operation", "a", "b", "changed")
+
+  test("applyCdc: masked-out columns keep prior values; D removes; re-insert resets") {
+    val changes = cdcDf(Seq(
+      (1L, 10L, "I", Some("a1"), Some("b1"), None),
+      (2L, 10L, "U", Some("a2"), None, Some(Seq("a"))), // b masked out
+      (3L, 20L, "I", Some("ax"), Some("bx"), None),
+      (4L, 20L, "D", None, None, None),                 // gone
+      (5L, 30L, "I", Some("a5"), Some("b5"), None),
+      (6L, 30L, "D", None, None, None),
+      (7L, 30L, "I", Some("a7"), Some("b7"), None),     // re-insert resets
+      (8L, 30L, "U", None, Some("b8"), Some(Seq("b"))),
+      (9L, 40L, "U", Some("a9"), Some("b9"), None)))    // maskless U = full
+    val got = StateOps.applyCdc(changes, "key", "id", "operation", "changed",
+        Seq("a", "b"))
+      .as[(Long, Long, Option[String], Option[String])].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (10L, 2L, Some("a2"), Some("b1")), // b survives the masked U
+      (30L, 8L, Some("a7"), Some("b8")),
+      (40L, 9L, Some("a9"), Some("b9"))))
+  }
+
+  test("applyCdc composes: snapshot(prefix) as synthetic I rows + delta == one-shot fold") {
+    val rnd = new scala.util.Random(13)
+    // generate VALID streams: first op per live key is I; U/D only on live keys
+    val ops = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Option[String], Option[String], Option[Seq[String]])]()
+    val live = scala.collection.mutable.Set[Long]()
+    for (id <- 1L to 200L) {
+      val key = rnd.nextInt(12).toLong
+      val v = Some(s"v$id")
+      if (!live(key)) { ops += ((id, key, "I", v, v, None)); live += key }
+      else rnd.nextInt(4) match {
+        case 0 => ops += ((id, key, "D", None, None, None)); live -= key
+        case 1 => ops += ((id, key, "U", v, None, Some(Seq("a"))))
+        case 2 => ops += ((id, key, "U", None, v, Some(Seq("b"))))
+        case _ => ops += ((id, key, "I", v, v, None)) // upsert-style re-I
+      }
+    }
+    val (prefix, delta) = ops.partition(_._1 <= 100L)
+    val oneShot = StateOps.applyCdc(cdcDf(ops.toSeq), "key", "id", "operation",
+        "changed", Seq("a", "b"))
+      .as[(Long, Long, Option[String], Option[String])].collect().toSet
+    val snap = StateOps.applyCdc(cdcDf(prefix.toSeq), "key", "id", "operation",
+        "changed", Seq("a", "b"))
+      .select($"key", $"last_id".as("id"), lit("I").as("operation"),
+        $"a", $"b", lit(null).cast("array<string>").as("changed"))
+    val composed = StateOps.applyCdc(
+        snap.unionByName(cdcDf(delta.toSeq)), "key", "id", "operation",
+        "changed", Seq("a", "b"))
+      .as[(Long, Long, Option[String], Option[String])].collect().toSet
+    assert(composed == oneShot)
+  }
 }
