@@ -3766,7 +3766,47 @@ object QueriesLlm {
             |  JOIN sig_docs a ON a.doc_id = p.id_a
             |  JOIN sig_docs b ON b.doc_id = p.id_b
             |  JOIN shingle_docs sa ON sa.doc_id = p.id_a
-            |  JOIN shingle_docs sb ON sb.doc_id = p.id_b)""".stripMargin)))
+            |  JOIN shingle_docs sb ON sb.doc_id = p.id_b)""".stripMargin))),
+
+      Q("llm_leakage_audit",
+        // Eval-leakage audit: near-dup candidate pairs classified by the
+        // content-addressed train/test split they land in — a straddling
+        // pair IS train→test leakage (the cluster, not the doc, must own
+        // a split). Pair set is the LSH candidate backbone; the split is
+        // a pure hash of the id, so the two split joins are map-only
+        // projections of the scan.
+        (s, d) => {
+          val docs = Tables.documents(s, d)
+          val pairs = DedupOps.candidatePairs(
+            DedupOps.lshBuckets(
+              DedupOps.minhashSignature(docs, "doc_id", "text", 8), "doc_id"),
+            "doc_id")
+          val split = Sampling.trainTestSplit(
+              docs.select(col("doc_id")), "doc_id", 100)
+            .select(col("doc_id"), col("split"))
+          pairs
+            .join(split.select(col("doc_id").as("id_a"), col("split").as("_sa")),
+              Seq("id_a"))
+            .join(split.select(col("doc_id").as("id_b"), col("split").as("_sb")),
+              Seq("id_b"))
+            .groupBy(when(col("_sa") === col("_sb"),
+                concat(lit("both_"), col("_sa")))
+              .otherwise(lit("straddle")).as("pair_class"))
+            .agg(count(lit(1)).as("n_pairs"))
+        },
+        Some(withCtes(normDocsCte, shinglesCteM, sigCteM, bucketCte, pairsCteM,
+          s"""split AS (
+            |  SELECT doc_id,
+            |         CASE WHEN ${h60("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 100
+            |              THEN 'test' ELSE 'train' END AS split
+            |  FROM documents)""".stripMargin)(
+          """SELECT CASE WHEN a.split = b.split THEN 'both_' || a.split
+            |            ELSE 'straddle' END AS pair_class,
+            |       CAST(count(*) AS BIGINT) AS n_pairs
+            |FROM pair_docs p
+            |JOIN split a ON a.doc_id = p.id_a
+            |JOIN split b ON b.doc_id = p.id_b
+            |GROUP BY 1""".stripMargin)))
     )
   }
 
