@@ -278,6 +278,29 @@ object ScaleSmoke {
         Funnel.sessionEntryExit(evv, "ts", "user_id", "event_type",
             "event_id", convType = "purchase")
           .agg(sum(col("sessions"))).collect()(0).getLong(0))
+      // SCD2 intervals (r10 s5): one entity-keyed lead window — same
+      // shuffle class as sessionize; the summing filter forces the
+      // window outputs.
+      t(s"scd2 intervals ($evN events)")(
+        graft.ops.Incremental.scd2Intervals(
+            ev.withColumn("operation",
+              element_at(array(lit("I"), lit("U"), lit("D")),
+                (pmod(xxhash64(col("event_id"), lit(3)), lit(3)) + 1).cast("int"))),
+            "user_id", "event_id", "operation")
+          .filter(col("valid_to").isNotNull || col("is_current")).count())
+      // Mask-aware snapshot apply (r10 s5): ONE entity-keyed aggregation
+      // with per-column conditional struct-max — map-side partials, no
+      // window; growth must be the keyed-agg shuffle alone.
+      t(s"cdc snapshot apply ($evN events)")(
+        graft.ops.StateOps.applyCdc(
+            ev.withColumn("operation",
+              element_at(array(lit("I"), lit("U"), lit("D")),
+                (pmod(xxhash64(col("event_id"), lit(3)), lit(3)) + 1).cast("int")))
+              .withColumn("value", pmod(xxhash64(col("event_id")), lit(1000)))
+              .withColumn("changed",
+                when(col("operation") === "U", array(lit("value")))),
+            "user_id", "event_id", "operation", "changed", Seq("value"))
+          .count())
       // Gap histogram (r10 s5): one user-keyed lag window into a
       // ≤64-bucket rollup — the window sort is the only corpus term, so
       // growth must match sessionize (same shuffle).
