@@ -2,6 +2,16 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+/** Shared warm-repeat timing loop for the scratch profilers below. */
+private[graft] object Prof {
+  def t(name: String)(f: => Long): Unit = {
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $name%-28s #$i ${(System.nanoTime()-t0)/1e9}%6.2f s ($r rows)")
+    }
+  }
+}
+
 /** Scratch same-JVM stage profiler for the graph family (not registered). */
 object GraphProf {
   def main(args: Array[String]): Unit = {
@@ -10,12 +20,7 @@ object GraphProf {
     val d = "/root/testdata/sf0.1"
     val rows = Tables.lineitem(spark, d)
       .select(col("l_orderkey").as("_txn"), col("l_partkey").as("item"))
-    def t(name: String)(f: => Long): Unit = {
-      for (i <- 1 to 3) {
-        val t0 = System.nanoTime(); val r = f
-        println(f"[prof] $name%-28s #$i ${(System.nanoTime()-t0)/1e9}%6.2f s ($r rows)")
-      }
-    }
+    import Prof.t
     def grouped = rows.groupBy(col("_txn"))
       .agg(sort_array(collect_set(col("item").cast("long"))).as("_items"))
     t("groupBy collect_set")(grouped.count())
@@ -40,12 +45,7 @@ object WinnowProf {
     val spark = Harness.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
-    def t(name: String)(f: => Long): Unit = {
-      for (i <- 1 to 3) {
-        val t0 = System.nanoTime(); val r = f
-        println(f"[prof] $name%-28s #$i ${(System.nanoTime()-t0)/1e9}%6.2f s ($r rows)")
-      }
-    }
+    import Prof.t
     import graft.ops.{DedupOps, TextOps}
     val P = DedupOps.MersennePrime31
     val w = 4
@@ -81,12 +81,7 @@ object SimhashProf {
     val spark = Harness.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
-    def t(name: String)(f: => Long): Unit = {
-      for (i <- 1 to 3) {
-        val t0 = System.nanoTime(); val r = f
-        println(f"[prof] $name%-28s #$i ${(System.nanoTime()-t0)/1e9}%6.2f s ($r rows)")
-      }
-    }
+    import Prof.t
     import graft.ops.{DedupOps, TextOps}
     val bits = 60
     def native(): Unit = t("simhash60 native map-only")(

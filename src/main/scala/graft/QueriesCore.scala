@@ -151,14 +151,19 @@ object QueriesCore {
         .select(col("session_id"), col("last_id"),
           col("value").cast("string").as("value_str"),
           col("props").as("props_str")),
+      // arg_max over struct_pack, NOT the bare column: DuckDB's arg_max
+      // SKIPS null arguments, but the operator contract is latest-write-
+      // wins even when that write carried NULL — the struct is non-null
+      // so the latest visible write's (possibly null) value survives,
+      // matching Spark's max(struct(id, v)) exactly (review catch).
       Some(withCtes(OracleCtes.outbox)(
         """SELECT session_id, max(id) AS last_id,
-          |       CAST(arg_max(value, id) FILTER (WHERE operation = 'I'
+          |       CAST((arg_max(struct_pack(v := value), id) FILTER (WHERE operation = 'I'
           |              OR (operation = 'U' AND (changed IS NULL
-          |                  OR list_contains(changed, 'value')))) AS VARCHAR) AS value_str,
-          |       arg_max(props, id) FILTER (WHERE operation = 'I'
+          |                  OR list_contains(changed, 'value'))))).v AS VARCHAR) AS value_str,
+          |       (arg_max(struct_pack(v := props), id) FILTER (WHERE operation = 'I'
           |              OR (operation = 'U' AND (changed IS NULL
-          |                  OR list_contains(changed, 'props')))) AS props_str
+          |                  OR list_contains(changed, 'props'))))).v AS props_str
           |FROM outbox
           |GROUP BY session_id
           |HAVING arg_max(operation, id) <> 'D'""".stripMargin)))

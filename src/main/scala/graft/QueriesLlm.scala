@@ -3795,7 +3795,10 @@ object QueriesLlm {
             .agg(count(lit(1)).as("n_pairs"))
         },
         Some(withCtes(normDocsCte, shinglesCteM, sigCteM, bucketCte, pairsCteM,
-          s"""split AS (
+          // MATERIALIZED: referenced twice (both join sides) — DuckDB 1.0
+          // would otherwise re-run the per-doc sha256 per reference
+          // (round-9 session-2 rule a)
+          s"""split AS MATERIALIZED (
             |  SELECT doc_id,
             |         CASE WHEN ${h60("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 < 100
             |              THEN 'test' ELSE 'train' END AS split

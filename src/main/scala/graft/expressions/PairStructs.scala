@@ -24,6 +24,13 @@ import org.apache.spark.sql.types._
 object PairStructsCore {
   def pairs(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
+    // n*(n-1)/2 overflows Int at n >= 65536 (NegativeArraySizeException
+    // with no clue); a 2B-struct pair set is wrong to build regardless —
+    // fail loudly and name the cap (callers cap buckets/baskets upstream:
+    // candidatePairs maxBucket, domain-bounded transactions).
+    require(n <= 65535,
+      s"pair_structs: $n elements would expand to ${n.toLong * (n - 1) / 2} pairs — " +
+        "cap the group (e.g. candidatePairs maxBucket) before pairing")
     val out = new Array[Any](n * (n - 1) / 2)
     var k = 0
     var i = 0

@@ -28,7 +28,9 @@ object SimhashFpCore {
     var i = 0
     while (i < n) {
       val t = arr.getUTF8String(i)
-      if (t.numBytes() > 0) {
+      // null elements are skipped like empties (the type check accepts
+      // containsNull=true arrays — any SQL caller can pass one)
+      if (t != null && t.numBytes() > 0) {
         counted += 1
         val h = WinnowMinsCore.hash60Raw(t.getBytes)
         var b = 0

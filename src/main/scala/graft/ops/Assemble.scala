@@ -337,9 +337,13 @@ object Assemble {
                    tokensCol: String, budget: Long,
                    salt: String = "budget"): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
+    // null scores/token counts are unselectable (a null-key rollup group
+    // would NPE the driver cumsum — review catch); callers wanting them
+    // in must coalesce to a sentinel score first
     val narrow = scored
       .select(col(idCol), col(scoreCol).cast("long").as("score"),
         col(tokensCol).cast("long").as("n_tokens"))
+      .filter(col("score").isNotNull && col("n_tokens").isNotNull)
       .localCheckpoint() // feeds the rollup AND both admission passes
     // ≤ |score domain| rows (caller contract: bounded integer score) —
     // score-domain-scale collect, never corpus-scale.

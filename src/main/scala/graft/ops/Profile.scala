@@ -41,17 +41,12 @@ object Profile {
     * build side; Catalyst broadcasts it when the dimension is small) and
     * a 1-row conditional aggregate; null child keys count as orphans (a
     * null FK cannot resolve). The audit every lakehouse runs before
-    * trusting a join. */
+    * trusting a join. Single-relation form of [[refIntegrityMulti]] (one
+    * implementation — review catch). */
   def refIntegrity(child: DataFrame, childKey: String,
                    parent: DataFrame, parentKey: String,
                    relation: String): DataFrame =
-    child.select(col(childKey).as("_ck"))
-      .join(parent.select(col(parentKey).as("_pk")).distinct(),
-        col("_ck") === col("_pk"), "left_outer")
-      .agg(count(lit(1)).as("n_child"),
-        sum(when(col("_pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
-      .select(lit(relation).as("relation"), col("n_child"), col("n_orphans"),
-        expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
+    refIntegrityMulti(child, Seq((childKey, parent, parentKey, relation)))
 
   /** All FK relations of ONE child (fact) table in a SINGLE scan: chained
     * left joins against each parent's distinct keys, one conditional

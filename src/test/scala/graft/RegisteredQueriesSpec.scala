@@ -299,16 +299,22 @@ class RegisteredQueriesSpec extends SparkSpec {
       // global window stays forbidden (an aggregate on a data-scale key
       // would NOT bound the frame).
       import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-      // The grouping key is matched by the window child's OUTPUT name, not
-      // the aggregate's grouping attribute: Spark physically extracts a
-      // complex grouping expression as `_groupingexpression` and restores
-      // the user name in the projection above the aggregate.
+      // The grouping key is matched by name; when Spark physically
+      // extracts a complex grouping expression it renames the grouping
+      // attribute `_groupingexpression` and restores the user name in the
+      // projection above the aggregate — ONLY in that case fall back to
+      // the child's output names (an unconditional output-name check
+      // would allowlist any single-key aggregate that merely OUTPUTS a
+      // column named day_idx, e.g. groupBy(user_id).agg(max(day_idx)) —
+      // review catch).
       val boundedKeys = Set("_b", "day_idx", "week_idx")
       def boundedBucketOffsets(w: WindowExec): Boolean =
         w.child.collectFirst { case a: BaseAggregateExec => a }.exists(a =>
-          a.groupingExpressions.size == 1 &&
-            (boundedKeys(a.groupingExpressions.head.name) ||
-              w.child.output.map(_.name).exists(boundedKeys)))
+          a.groupingExpressions.size == 1 && {
+            val g = a.groupingExpressions.head.name
+            boundedKeys(g) || (g.startsWith("_groupingexpression") &&
+              w.child.output.map(_.name).exists(boundedKeys))
+          })
       val globalWindows = phys.collectWithSubqueries {
         case w: WindowExec if w.partitionSpec.isEmpty && !boundedBucketOffsets(w) => w
       }

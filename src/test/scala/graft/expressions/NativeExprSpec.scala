@@ -73,6 +73,33 @@ class NativeExprSpec extends SparkSpec {
       typeErr.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("winnow_mins and simhash_fp tolerate null array elements; pair_structs caps size") {
+    // null tokens: simhash skips them like empties; winnow joins the
+    // shingle like concat_ws (null args dropped)
+    val withNull = spark.sql(
+      "SELECT simhash_fp(array('a', CAST(NULL AS STRING), 'a', 'b'), 8) AS s").collect()
+    val clean = spark.sql("SELECT simhash_fp(array('a', 'a', 'b'), 8) AS s").collect()
+    assert(withNull.head.getLong(0) == clean.head.getLong(0))
+    // winnow with a null token: shingles of (a, NULL, b, c) join like
+    // concat_ws — ('a b', 'b c'); one window of 2 → least of the two
+    // hash60 % P values
+    val wmNull = spark.sql(
+      "SELECT winnow_mins(array('a', CAST(NULL AS STRING), 'b', 'c'), 2) AS m")
+      .collect().head.getSeq[Long](0)
+    val ref = spark.sql(
+      """SELECT least(
+        |  CAST(conv(substring(sha2('a b', 256), 1, 15), 16, 10) AS BIGINT) % 2147483647,
+        |  CAST(conv(substring(sha2('b c', 256), 1, 15), 16, 10) AS BIGINT) % 2147483647) AS h
+        |""".stripMargin).collect().head.getLong(0)
+    assert(wmNull == Seq(ref))
+    val err = intercept[Exception] {
+      spark.sql("SELECT pair_structs(transform(sequence(1, 70000), x -> CAST(x AS BIGINT)))")
+        .collect()
+    }
+    assert(err.getMessage.contains("pair_structs") ||
+      Option(err.getCause).exists(_.getMessage.contains("pair_structs")))
+  }
+
   test("salted aggregation matches plain groupBy under a hot key") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i.toLong))
       .toDF("k", "v")

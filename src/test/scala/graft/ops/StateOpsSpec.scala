@@ -88,14 +88,19 @@ class StateOpsSpec extends SparkSpec {
       (6L, 30L, "D", None, None, None),
       (7L, 30L, "I", Some("a7"), Some("b7"), None),     // re-insert resets
       (8L, 30L, "U", None, Some("b8"), Some(Seq("b"))),
-      (9L, 40L, "U", Some("a9"), Some("b9"), None)))    // maskless U = full
+      (9L, 40L, "U", Some("a9"), Some("b9"), None),     // maskless U = full
+      (10L, 50L, "I", Some("a10"), Some("b10"), None),
+      (11L, 50L, "U", None, None, Some(Seq("b")))))     // carried b = NULL
     val got = StateOps.applyCdc(changes, "key", "id", "operation", "changed",
         Seq("a", "b"))
       .as[(Long, Long, Option[String], Option[String])].collect().sortBy(_._1)
     assert(got.toSeq === Seq(
       (10L, 2L, Some("a2"), Some("b1")), // b survives the masked U
       (30L, 8L, Some("a7"), Some("b8")),
-      (40L, 9L, Some("a9"), Some("b9"))))
+      (40L, 9L, Some("a9"), Some("b9")),
+      // latest write WINS even when it carried NULL (the oracle's
+      // struct_pack arg_max form exists for exactly this — review catch)
+      (50L, 11L, Some("a10"), None)))
   }
 
   test("applyCdc composes: snapshot(prefix) as synthetic I rows + delta == one-shot fold") {
