@@ -917,6 +917,69 @@ object QueriesLlm {
         .select(col("node").as("doc_id"), col("label").as("cluster_id")),
       Some(clustersOracleSql)),
 
+    Q("llm_cluster_split",
+      // The FIX llm_leakage_audit measures the absence of: assign the
+      // near-dup CLUSTER (not the doc) to the train/test split, so no
+      // collision edge can straddle — the query proves it by carrying the
+      // straddle count (necessarily zero) next to the per-split rollup.
+      (s, d) => {
+        val pairs = lshStarPairs(s, d).localCheckpoint() // CC seed + straddle join
+        val cc = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("node").as("doc_id"), col("label"))
+        // doc-scale narrow (2 longs/row); consumed by the rollup AND both
+        // straddle-join sides, and recompute includes the CC rounds —
+        // checkpoint (round-4 rule d)
+        val labeled = Tables.documents(s, d).select(col("doc_id"))
+          .join(cc, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("cluster_id"))
+          .localCheckpoint()
+        val split = Sampling.trainTestSplit(labeled, "cluster_id", 100)
+          .select(col("doc_id"), col("cluster_id"), col("split"))
+        val straddle = pairs
+          .join(split.select(col("doc_id").as("id_a"), col("split").as("_sa")),
+            Seq("id_a"))
+          .join(split.select(col("doc_id").as("id_b"), col("split").as("_sb")),
+            Seq("id_b"))
+          .agg(coalesce(sum(when(col("_sa") =!= col("_sb"), 1L).otherwise(0L)),
+            lit(0L)).as("straddle_pairs"))
+        split.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster_id")).as("n_clusters"))
+          .crossJoin(broadcast(straddle))
+      },
+      Some("WITH RECURSIVE " +
+        Seq(normDocsCte, shinglesCte, sigCte, bucketCte, pairsCte).mkString(",\n") + ",\n" +
+        s"""edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pair_docs
+          |  UNION SELECT id_b, id_a FROM pair_docs),
+          |reach(node, label) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+          |cc AS MATERIALIZED (SELECT node, min(label) AS label FROM reach GROUP BY node),
+          |labeled AS MATERIALIZED (
+          |  SELECT d.doc_id, coalesce(cc.label, d.doc_id) AS cluster_id,
+          |         CASE WHEN ${h60("'split:' || CAST(coalesce(cc.label, d.doc_id) AS VARCHAR)")} % 1000 < 100
+          |              THEN 'test' ELSE 'train' END AS split
+          |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+          |hubs AS (SELECT band, bucket, min(doc_id) AS hub, count(*) AS n
+          |         FROM bucket_docs GROUP BY 1, 2),
+          |star AS MATERIALIZED (
+          |  SELECT h.hub AS id_a, b.doc_id AS id_b
+          |  FROM bucket_docs b JOIN hubs h USING (band, bucket)
+          |  WHERE h.n <= 1000 AND b.doc_id <> h.hub),
+          |straddle AS (
+          |  SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+          |           AS straddle_pairs
+          |  FROM star s
+          |  JOIN labeled a ON a.doc_id = s.id_a
+          |  JOIN labeled b ON b.doc_id = s.id_b)
+          |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+          |       (SELECT straddle_pairs FROM straddle) AS straddle_pairs
+          |FROM labeled GROUP BY 1""".stripMargin)),
+
     Q("dedup_cc_survivors",
       // The full near-dup dedup pipeline as one operator: MinHash → LSH →
       // candidate pairs → connected components → drop every document whose

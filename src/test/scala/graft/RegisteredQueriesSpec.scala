@@ -39,7 +39,7 @@ class RegisteredQueriesSpec extends SparkSpec {
     val names = SparkEntry.allQueries.map(_.name)
     assert(names.distinct.size == names.size,
       s"duplicate query names: ${names.diff(names.distinct).distinct}")
-    assert(names.size >= 210, s"registry shrank to ${names.size} queries (210 in round 10)")
+    assert(names.size >= 211, s"registry shrank to ${names.size} queries (211 in round 10)")
   }
 
   test("every registered query runs at sf0.001 with a non-empty schema") {
