@@ -15,7 +15,15 @@ package graft
   *  - timestamps that appear in output go through date_trunc('second') then
   *    CAST to VARCHAR (tsSec/tsSecSql — SECOND precision; and ORDER BY must
   *    bind to the raw column, not the truncated alias);
-  *  - arrays in output go through array_to_string.
+  *  - arrays in output go through array_to_string;
+  *  - latest-write-wins aggregates use `arg_max(struct_pack(v := x), id).v`,
+  *    never bare `arg_max(x, id)`: DuckDB's arg_max SKIPS null arguments,
+  *    so a NULL-carrying latest write would silently lose to an older
+  *    non-null one while Spark's `max(struct(id, v))` keeps it (verified
+  *    on DuckDB 1.0; bit cdc_snapshot_apply);
+  *  - multiply-referenced non-trivial CTEs are `AS MATERIALIZED` (DuckDB
+  *    1.0 inlines CTEs — a twice-joined sha256 derivation would run twice
+  *    and unfairly inflate the DuckDB denominator).
   */
 object OracleCtes {
 
