@@ -4123,11 +4123,16 @@ object QueriesLlm {
     val coOpCte =
       """op AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""".stripMargin
+    // mega-basket guard mirrors GraphOps.supportedPairs maxBasket=1000:
+    // oversized baskets never pair (no-op on this data — TPC-H orders
+    // hold <= 7 parts — but the SEMANTICS must match the engine's)
     val coEdgesWCte =
       """edges AS MATERIALIZED (
         |  SELECT pa, pb, w FROM (
         |    SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS w
-        |    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+        |    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |    WHERE a.o IN (SELECT o FROM op GROUP BY o HAVING count(*) <= 1000)
+        |    GROUP BY 1, 2)
         |  WHERE w >= 2)""".stripMargin
     val coDegCte =
       """deg AS MATERIALIZED (

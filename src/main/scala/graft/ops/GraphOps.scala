@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * Scale shapes, deliberately:
   *  - Pair generation is ROW-LOCAL: group the fact table once by the
   *    transaction key, collect the (bounded, domain-capped) distinct item
-  *    set, and explode the within-group pairs with a nested `transform`.
-  *    An order in this domain holds ≤ 7 items (TPC-H order shape), so the
-  *    per-row HOF work is ≤ C(7,2) struct builds — never a self-join scan
-  *    of the fact table and never an occurrence-scale shuffle beyond the
+  *    set, and explode the within-group pairs with the native
+  *    `pair_structs` expression (one JVM loop per basket; oversized
+  *    baskets dropped by the maxBasket guard). An order in this domain
+  *    holds ≤ 7 items (TPC-H order shape) — never a self-join scan of
+  *    the fact table and never an occurrence-scale shuffle beyond the
   *    one transaction-keyed aggregation.
   *  - Min-support pruning (`w ≥ minSupport`) happens BEFORE any graph
   *    algebra. On a 100 TB basket corpus the support-1 co-occurrence
@@ -42,11 +43,23 @@ object GraphOps {
     * `transform(slice(...))` HOF chain runs INTERPRETED per element and
     * measured ~2.5× slower for the explode stage (GraphProf sf0.1, both
     * orders: HOF +0.45-0.6 s vs native +0.2-0.25 s warm over the
-    * group-by alone). */
-  private def supportedPairs(rows: DataFrame, minSupport: Int): DataFrame =
+    * group-by alone).
+    *
+    * `maxBasket` is the mega-basket skew guard (same contract as
+    * [[DedupOps.candidatePairs]]'s maxBucket): a bot basket with 100k
+    * items would cost C(n,2) pairs — quadratic memory AND support-count
+    * noise — so oversized baskets are dropped from PAIRING (item
+    * supports and n_tx still count them), with the drop count observed
+    * as `graft.graph.baskets` / `mega_baskets_dropped`. */
+  private def supportedPairs(rows: DataFrame, minSupport: Int,
+                             maxBasket: Int): DataFrame =
     rows
       .groupBy(col("_txn"))
       .agg(sort_array(collect_set(col("item").cast("long"))).as("_items"))
+      .observe("graft.graph.baskets",
+        sum(when(size(col("_items")) > maxBasket, 1L).otherwise(0L))
+          .as("mega_baskets_dropped"))
+      .filter(size(col("_items")) <= maxBasket)
       .select(explode(expr("pair_structs(_items)")).as("_e"))
       .select(col("_e.pa").as("pa"), col("_e.pb").as("pb"))
       .groupBy(col("pa"), col("pb"))
@@ -57,9 +70,10 @@ object GraphOps {
     * transactions supporting each pair; `pa < pb` canonical. `minSupport`
     * prunes to the co-occurrence backbone (see object scaladoc). */
   def coOccurrenceEdges(fact: DataFrame, txnCol: String, itemCol: String,
-                        minSupport: Int): DataFrame =
+                        minSupport: Int, maxBasket: Int = 1000): DataFrame =
     supportedPairs(
-      fact.select(col(txnCol).as("_txn"), col(itemCol).as("item")), minSupport)
+      fact.select(col(txnCol).as("_txn"), col(itemCol).as("item")), minSupport,
+      maxBasket)
 
   /** Pairwise association rules over the support-pruned co-occurrence
     * backbone (the Apriori step-1 surface a recommender mines):
@@ -76,10 +90,10 @@ object GraphOps {
     * the edge set each feed two subtrees → `localCheckpoint` (round-4
     * rule d). */
   def associationRules(fact: DataFrame, txnCol: String, itemCol: String,
-                       minSupport: Int): DataFrame = {
+                       minSupport: Int, maxBasket: Int = 1000): DataFrame = {
     val op = fact.select(col(txnCol).as("_txn"), col(itemCol).as("item"))
       .distinct().localCheckpoint() // feeds pairs, item counts, and n_tx
-    val edges = supportedPairs(op, minSupport)
+    val edges = supportedPairs(op, minSupport, maxBasket)
       .localCheckpoint() // both directions of the union read it
     val itemN = op.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
       .localCheckpoint() // joined on both rule sides

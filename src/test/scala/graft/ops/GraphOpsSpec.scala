@@ -22,6 +22,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(backbone == Set((1L, 2L, 3L), (2L, 3L, 2L)), "support-2 backbone only")
   }
 
+  test("mega-basket guard: oversized baskets never pair, small ones unaffected") {
+    // basket 1 = 5 items (over cap 4), basket 2+3 = the same small pair twice
+    val rows = (1 to 5).map(i => (1L, i.toLong)) ++
+      Seq((2L, 10L), (2L, 11L), (3L, 10L), (3L, 11L))
+    val got = GraphOps.coOccurrenceEdges(rows.toDF("txn", "item"),
+        "txn", "item", minSupport = 1, maxBasket = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 11L, 2L)), "the 5-item basket contributes no pairs")
+    // supports/n_tx still count the dropped basket (pairing-only guard)
+    val rules = GraphOps.associationRules(rows.toDF("txn", "item"),
+        "txn", "item", minSupport = 1, maxBasket = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rules.map(r => (r._1, r._2)).toSet == Set((10L, 11L), (11L, 10L)))
+    assert(rules.forall(_._7 == (2L * 1000000L / 2L) * 3L / 2L),
+      "lift denominator n_tx = 3 includes the dropped basket")
+  }
+
   test("triangleSummary: K4 → 4 nodes, 6 edges, 4 wedges, 4 triangles") {
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
       .toDF("pa", "pb")
