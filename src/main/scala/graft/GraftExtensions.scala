@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CmsCounts, GramMatrix, GzipCompress, GzipDecompress, KmvMins, PairStructs, RepetitionStats, SimhashFp, WinnowMins, TopKPairs, TopKPairsTagged}
+import graft.expressions.{CmsCounts, GramMatrix, GzipCompress, GzipDecompress, KmvMins, MinhashSigs, PairStructs, RepetitionStats, SimhashFp, WinnowMins, TopKPairs, TopKPairsTagged}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are callable from SQL in any session configured with
@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
       (children: Seq[Expression]) => RepetitionStats(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => MinhashSigs(children(0), children(1), children(2))))
     ext.injectFunction((
       new FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[SimhashFp].getName, "simhash_fp"),

@@ -107,3 +107,29 @@ object SimhashProf {
     spark.stop()
   }
 }
+
+/** Same-JVM A/B: native minhash_sigs vs the exploded 8-min aggregate. */
+object MinhashProf {
+  def main(args: Array[String]): Unit = {
+    val spark = Harness.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    import Prof.t
+    import graft.ops.DedupOps
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum((0 until 8).map(j => col(s"sig_$j")).reduce(_ + _) % 1000003L))
+        .collect()(0).getLong(0)
+    def native(): Unit = t("minhash sigs native")(
+      force(DedupOps.minhashSignature(docs, "doc_id", "text", 8)))
+    def oldShape(): Unit = t("minhash sigs exploded agg") {
+      val aggs = DedupOps.permParams(8).zipWithIndex.map { case ((a, b), j) =>
+        min((lit(a) * col("_h") + lit(b)) % DedupOps.MersennePrime31).as(s"sig_$j")
+      }
+      force(DedupOps.shingleHashRows(docs, "doc_id", "text")
+        .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*))
+    }
+    if (sys.env.get("PROF_ORDER").contains("native_first")) { native(); oldShape() }
+    else { oldShape(); native() }
+    spark.stop()
+  }
+}

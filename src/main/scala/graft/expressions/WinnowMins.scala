@@ -53,41 +53,48 @@ object WinnowMinsCore {
   /** [[hash60Raw]] mod 2^31-1 — the shingle-hash form (`hash60(s) % P`). */
   def hash60Mod(bytes: Array[Byte]): Long = hash60Raw(bytes) % P
 
+  /** hash60 % P of the 3-token shingle starting at `i` — tokens joined by
+    * single spaces, null elements dropped like concat_ws skips null args;
+    * the all-non-null fast path stays allocation-light. Shared by
+    * [[WinnowMins]] and [[MinhashSigs]] so the shingle-hash contract can
+    * never drift between them. */
+  def shingleHashMod(arr: org.apache.spark.sql.catalyst.util.ArrayData, i: Int): Long = {
+    val t0 = arr.getUTF8String(i)
+    val t1 = arr.getUTF8String(i + 1)
+    val t2 = arr.getUTF8String(i + 2)
+    val buf = if (t0 != null && t1 != null && t2 != null) {
+      val b0 = t0.getBytes; val b1 = t1.getBytes; val b2 = t2.getBytes
+      val b = new Array[Byte](b0.length + b1.length + b2.length + 2)
+      System.arraycopy(b0, 0, b, 0, b0.length)
+      b(b0.length) = ' '
+      System.arraycopy(b1, 0, b, b0.length + 1, b1.length)
+      b(b0.length + 1 + b1.length) = ' '
+      System.arraycopy(b2, 0, b, b0.length + 2 + b1.length, b2.length)
+      b
+    } else {
+      val parts = Seq(t0, t1, t2).filter(_ != null).map(_.getBytes)
+      val b = new Array[Byte](parts.map(_.length).sum + Math.max(parts.size - 1, 0))
+      var off = 0
+      parts.zipWithIndex.foreach { case (p, j) =>
+        if (j > 0) { b(off) = ' '; off += 1 }
+        System.arraycopy(p, 0, b, off, p.length)
+        off += p.length
+      }
+      b
+    }
+    hash60Mod(buf)
+  }
+
   def mins(arr: ArrayData, w: Int): ArrayData = {
     val n = arr.numElements()
     val m = n - 2
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    // hash each shingle exactly once; null elements are dropped from the
-    // join exactly like concat_ws skips null args (the type check accepts
-    // containsNull=true arrays — review catch; the all-non-null fast path
-    // stays allocation-light)
+    // hash each shingle exactly once ([[shingleHashMod]] — shared with
+    // MinhashSigs; null elements dropped like concat_ws, review catch)
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) {
-      val t0 = arr.getUTF8String(i)
-      val t1 = arr.getUTF8String(i + 1)
-      val t2 = arr.getUTF8String(i + 2)
-      val buf = if (t0 != null && t1 != null && t2 != null) {
-        val b0 = t0.getBytes; val b1 = t1.getBytes; val b2 = t2.getBytes
-        val b = new Array[Byte](b0.length + b1.length + b2.length + 2)
-        System.arraycopy(b0, 0, b, 0, b0.length)
-        b(b0.length) = ' '
-        System.arraycopy(b1, 0, b, b0.length + 1, b1.length)
-        b(b0.length + 1 + b1.length) = ' '
-        System.arraycopy(b2, 0, b, b0.length + 2 + b1.length, b2.length)
-        b
-      } else {
-        val parts = Seq(t0, t1, t2).filter(_ != null).map(_.getBytes)
-        val b = new Array[Byte](parts.map(_.length).sum + Math.max(parts.size - 1, 0))
-        var off = 0
-        parts.zipWithIndex.foreach { case (p, j) =>
-          if (j > 0) { b(off) = ' '; off += 1 }
-          System.arraycopy(p, 0, b, off, p.length)
-          off += p.length
-        }
-        b
-      }
-      hs(i) = hash60Mod(buf)
+      hs(i) = shingleHashMod(arr, i)
       i += 1
     }
     val out = new java.util.LinkedHashSet[Long]()

@@ -153,26 +153,30 @@ object DedupOps {
     * signature computation in one pass over the shingle array. */
   /** Computes (idCol, sig_0..sig_{n-1}).
     *
-    * Shape matters here: the naive form — n `withColumn`s each mapping over
-    * a shared hashed-shingle array — gets re-inlined by Catalyst's
-    * CollapseProject, so sha256 runs n times per shingle (measured ~50 s at
-    * sf0.1). Instead the shingle hashes are exploded ONCE and the signature
-    * is n partial-aggregated `min`s over cheap int64 permutations: sha256
-    * per shingle exactly once, one map-side-combined groupBy on the doc id.
-    */
+    * Shape history (each step measured): the naive form — n `withColumn`s
+    * over a shared hashed-shingle array — gets re-inlined by
+    * CollapseProject so sha256 runs n times per shingle (~50 s at sf0.1);
+    * round 4 shipped exploded shingle rows + n partial-aggregated mins
+    * (~1 s, one doc-keyed map-side-combined groupBy); round 10 session 5
+    * replaces even that with the native `minhash_sigs` expression — the
+    * whole signature in one JVM loop per document, MAP-ONLY, the explode
+    * and aggregate machinery gone (same-run A/B in BENCHNOTES). The
+    * struct is projected ONCE and its fields referenced from a separate
+    * select: a multi-referenced non-cheap projection is NOT re-inlined
+    * (round-7 rule b), so the hashing runs once per row. The repartition
+    * stays: heavy per-row work needs pre-split input (round-4 rule —
+    * the docs parquet is one row group). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numPerms: Int = 8): DataFrame = {
-    // Aggregated minima over shingle-hash ROWS. The signature columns come
-    // out as aggregate attributes, which downstream consumers (banding,
-    // joins) reference directly — array_min-over-transform projections get
-    // re-inlined by CollapseProject into every consumer expression
-    // (measured 7-11 s at sf0.1 vs ~1 s for this shape), and any per-element
-    // HOF or window formulation of the shingling itself runs off the
-    // codegen path (~6 s) — see shingleHashRows.
-    val aggs = permParams(numPerms).zipWithIndex.map { case ((a, b), j) =>
-      min((lit(a) * col("_h") + lit(b)) % MersennePrime31).as(s"sig_$j")
-    }
-    shingleHashRows(df, idCol, textCol).groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val P = MersennePrime31
+    df.repartition(col(idCol))
+      .select(col(idCol),
+        (hash60(TextOps.normalize(col(textCol))) % P).as("_doc_h"),
+        TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        expr(s"minhash_sigs(_toks, _doc_h, $numPerms)").as("_sigs"))
+      .select(col(idCol) +:
+        (0 until numPerms).map(j => col(s"_sigs.sig_$j").as(s"sig_$j")): _*)
   }
 
   /** LSH banding: `numPerms` signature columns → `bands` bucket keys, each
