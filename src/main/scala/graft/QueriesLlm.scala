@@ -354,8 +354,8 @@ object QueriesLlm {
           |         trim(regexp_replace(
           |           replace(replace(replace(replace(replace(replace(
           |             regexp_replace(html, '<[^>]*>', ' ', 'g'),
-          |             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-          |             '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+          |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
           |           ' +', ' ', 'g')) AS clean,
           |         CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
           |         CAST((length(html) - length(replace(html, '</a>', ''))) // 4 AS BIGINT) AS n_links,
@@ -3683,10 +3683,10 @@ object QueriesLlm {
             |  FROM marked)""".stripMargin,
           """per_sess AS (
             |  SELECT user_id, session_idx,
-            |         arg_min(event_type, lpad(CAST(ep_s AS VARCHAR), 12, '0')
-            |           || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS entry_type,
-            |         arg_max(event_type, lpad(CAST(ep_s AS VARCHAR), 12, '0')
-            |           || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS exit_type,
+            |         arg_min(event_type, lpad(CAST(ep_s AS VARCHAR), 19, '0')
+            |           || lpad(CAST(event_id AS VARCHAR), 19, '0')) AS entry_type,
+            |         arg_max(event_type, lpad(CAST(ep_s AS VARCHAR), 19, '0')
+            |           || lpad(CAST(event_id AS VARCHAR), 19, '0')) AS exit_type,
             |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
             |           AS converted
             |  FROM sess GROUP BY 1, 2)""".stripMargin)(
@@ -3723,8 +3723,8 @@ object QueriesLlm {
             |  FROM sess WHERE event_type = 'purchase')""".stripMargin,
           """entry AS (
             |  SELECT user_id, session_idx,
-            |         arg_min(event_type, lpad(CAST(ep_s AS VARCHAR), 12, '0')
-            |           || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS first_touch
+            |         arg_min(event_type, lpad(CAST(ep_s AS VARCHAR), 19, '0')
+            |           || lpad(CAST(event_id AS VARCHAR), 19, '0')) AS first_touch
             |  FROM sess GROUP BY 1, 2)""".stripMargin)(
           """SELECT first_touch, last_touch,
             |       CAST(count(*) AS BIGINT) AS conversions

@@ -30,9 +30,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * embeddings (|q| ≤ ~600) that is safe through N ≈ 2.5·10¹³ rows — past
   * that, shard the corpus and merge normalized matrices.
   *
-  * Rows whose array is NULL or not exactly `dim` elements are skipped
-  * (ragged vectors are an upstream integrity failure, not a crash site —
-  * `ann_integrity` audits them).
+  * Rows whose array is NULL, not exactly `dim` elements, or containing any
+  * NULL element are skipped (ragged vectors are an upstream integrity
+  * failure, not a crash site — `ann_integrity` audits them; a NULL element
+  * would NPE through `toLongArray` on GenericArrayData or silently read a
+  * 0 slot on UnsafeArrayData, so it is checked explicitly).
   */
 case class GramMatrix(
     child: Expression,
@@ -70,7 +72,12 @@ case class GramMatrix(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
+      var hasNull = false
       if (arr.numElements() == dim) {
+        var k = 0
+        while (k < dim && !hasNull) { hasNull = arr.isNullAt(k); k += 1 }
+      }
+      if (arr.numElements() == dim && !hasNull) {
         val q = arr.toLongArray()
         var i = 0
         while (i < dim) {

@@ -206,8 +206,14 @@ object DedupOps {
     * similarity), so they are dropped BEFORE expansion; the count of
     * dropped buckets is surfaced as an observed metric
     * (`graft.lsh.candidate_pairs` / `mega_buckets_dropped` — no extra job,
-    * readable from any QueryExecutionListener). */
-  def candidatePairs(buckets: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame =
+    * readable from any QueryExecutionListener).
+    *
+    * Contract: `idCol` must be an integral type (the `pair_structs`
+    * expression packs ids as longs). A string id would cast to NULL and be
+    * silently dropped by collect_list, so non-integral ids are rejected up
+    * front instead. */
+  def candidatePairs(buckets: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
+    requireIntegralId(buckets, idCol, "candidatePairs")
     buckets
       .groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(col(idCol).cast("long"))).as("ids"))
@@ -221,6 +227,20 @@ object DedupOps {
       .select(explode(expr("pair_structs(ids)")).as("p"))
       .select(col("p.pa").as("id_a"), col("p.pb").as("id_b"))
       .distinct()
+  }
+
+  /** Guard for operators whose pair machinery packs ids into longs:
+    * fail fast on non-integral id columns (mirrors the keySkew "keys must
+    * be integral" note) instead of silently dropping NULL-cast ids. */
+  private[graft] def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType ||
+      dt == org.apache.spark.sql.types.ShortType ||
+      dt == org.apache.spark.sql.types.ByteType,
+      s"$op requires an integral id column; got $idCol: ${dt.simpleString}. " +
+        "Map string ids to dense longs first (e.g. xxhash64 or zipWithIndex).")
+  }
 
   /** Star edges per LSH bucket: one edge (bucket-min id → member) instead
     * of the full in-bucket pair expansion. Connectivity-equivalent to

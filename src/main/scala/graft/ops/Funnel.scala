@@ -526,10 +526,16 @@ object Funnel {
 
   /** Deterministic in-session order key (zero-padded (ep_s, tie) string —
     * the lpad-argmax trick): identical in both engines, keeps
-    * min_by/max_by partial-aggregation-friendly. */
+    * min_by/max_by partial-aggregation-friendly.
+    *
+    * Padded to 19 chars per component — lpad TRUNCATES longer inputs in
+    * both engines, so a narrower pad would silently mis-order any
+    * tie-break id ≥ 10^pad. 19 digits covers the full non-negative int64
+    * range; the contract (shared with the DuckDB oracles, which replay
+    * the same lpad-19 key) is a NON-NEGATIVE NUMERIC tie-break column. */
   private def sessionOrdKey: Column =
-    concat(lpad(col("ep_s").cast("string"), 12, "0"),
-      lpad(col("tie").cast("string"), 12, "0"))
+    concat(lpad(col("ep_s").cast("string"), 19, "0"),
+      lpad(col("tie").cast("string"), 19, "0"))
 
   def sessionize(events: DataFrame, tsCol: String, userCol: String,
                  typeCol: String, valueCol: String, tieBreakCol: String,

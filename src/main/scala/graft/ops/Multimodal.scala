@@ -414,6 +414,14 @@ object Multimodal {
         try {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           if (img == null) PhashedImage(id, "", ok = false)
+          // getRGB on an alpha-carrying or non-RGB color model returns
+          // premultiplied/converted values the grayscale formula was not
+          // written for — mirror the audio fingerprint's format guard and
+          // report ok=false instead of hashing garbage with ok=true
+          else if (img.getColorModel.hasAlpha ||
+              img.getColorModel.getColorSpace.getType !=
+                java.awt.color.ColorSpace.TYPE_RGB)
+            PhashedImage(id, "", ok = false)
           else {
             val w = img.getWidth; val h = img.getHeight
             val sums = Array.ofDim[Long](8, 8)

@@ -647,11 +647,17 @@ object TextOps {
     * entities unescaped (fixed order — the oracle replays the identical
     * chain), space runs collapsed, trimmed. Pure codegen'd regex/replace
     * passes over the whole string — the flat-whole-text shape (round-9
-    * rule f), zero HOFs. */
+    * rule f), zero HOFs.
+    *
+    * `&amp;` is unescaped LAST: unescaping it first turns literal source
+    * text `&amp;lt;` into `&lt;` which the next pass double-unescapes to
+    * `<` — the standard entity-order bug. With `&amp;` last, `&amp;lt;`
+    * correctly yields the literal characters `&lt;`. */
   def htmlText(html: Column): Column = {
     val unescaped = Seq(
-      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&")
       .foldLeft(regexp_replace(html, "<[^>]*>", " ")) {
         case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
       }
