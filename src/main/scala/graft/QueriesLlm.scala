@@ -4161,7 +4161,9 @@ object QueriesLlm {
         s"""q AS MATERIALIZED (
           |  SELECT list_transform(embedding,
           |           x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale) AS BIGINT)) AS q
-          |  FROM embeddings WHERE len(embedding) = $dim)""".stripMargin,
+          |  FROM embeddings
+          |  WHERE len(embedding) = $dim
+          |    AND len(list_filter(embedding, x -> x IS NULL)) = 0)""".stripMargin,
         s"""gram AS MATERIALIZED (
           |  SELECT r1.i AS i, r2.j AS j,
           |         CAST(sum(q.q[r1.i + 1] * q.q[r2.j + 1]) AS BIGINT)

@@ -414,13 +414,15 @@ object Multimodal {
         try {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           if (img == null) PhashedImage(id, "", ok = false)
-          // getRGB on an alpha-carrying or non-RGB color model returns
-          // premultiplied/converted values the grayscale formula was not
-          // written for — mirror the audio fingerprint's format guard and
-          // report ok=false instead of hashing garbage with ok=true
-          else if (img.getColorModel.hasAlpha ||
-              img.getColorModel.getColorSpace.getType !=
-                java.awt.color.ColorSpace.TYPE_RGB)
+          // getRGB converts EVERY color model to default (non-premultiplied)
+          // sRGB, so grayscale images (r=g=b) hash exactly per the integer
+          // formula and stay in — only transparency is out of contract (a
+          // translucent pixel's RGB alone over-weights it vs any composited
+          // rendering; TYPE_INT_RGB-redraw compositing is the upgrade path
+          // if alpha corpora matter). Guard alpha only (round-11 advice:
+          // the former non-RGB rejection silently dropped real-world
+          // grayscale from image dedup).
+          else if (img.getColorModel.hasAlpha)
             PhashedImage(id, "", ok = false)
           else {
             val w = img.getWidth; val h = img.getHeight

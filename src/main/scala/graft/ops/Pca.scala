@@ -47,11 +47,15 @@ object Pca {
     * corpus — there is no spectrum to report, and the registry queries
     * must emit ZERO rows to stay oracle-identical.
     *
-    * Ragged/NULL vectors are filtered out HERE, not just inside the
-    * aggregate: the oracle's `WHERE len(embedding) = dim` and the
-    * projection pass must see the same row set, and a `zip_with` over a
-    * short vector would otherwise poison the dot product with NULLs
-    * (they're counted by ann_integrity, never silently summed). */
+    * Ragged vectors AND vectors containing a NULL element are filtered
+    * out HERE, not just inside the aggregate: `n` (the Gram normalizer),
+    * the spectralHistogram projection pass, and the oracle's
+    * `WHERE len(embedding) = dim AND <no null element>` must all see the
+    * SAME row set — GramMatrix skips null-element rows in-aggregate (as a
+    * backstop), so counting such a row in `n` would silently dilute the
+    * normalized Gram (round-11 advice). A `zip_with` over a short/nully
+    * vector would likewise poison the dot product with NULLs (they're
+    * counted by ann_integrity, never silently summed). */
   def dominantEigenvector(emb: DataFrame, embCol: String, dim: Int,
                           quantScale: Long = 1000L, rounds: Int = 5): Option[Array[Long]] = {
     val q = wellFormed(emb, embCol, dim)
@@ -86,7 +90,7 @@ object Pca {
   }
 
   private def wellFormed(emb: DataFrame, embCol: String, dim: Int): DataFrame =
-    emb.filter(size(col(embCol)) === dim)
+    emb.filter(size(col(embCol)) === dim && forall(col(embCol), _.isNotNull))
 
   /** [[dominantEigenvector]] as (dim_idx, component) rows — the
     * registry/oracle surface. Empty corpus → empty result (oracle

@@ -182,6 +182,37 @@ class MultimodalSpec extends SparkSpec {
       "near-dup pair must share an LSH band")
   }
 
+  test("realPhash: grayscale hashes per the r=g=b formula (ok=true); alpha rejects (ok=false)") {
+    // getRGB converts every color model to non-premultiplied sRGB, so a
+    // TYPE_BYTE_GRAY pixel of level v reads (v, v, v) and the grayscale
+    // formula (299r+587g+114b)/1000 returns v exactly — a same-levels
+    // TYPE_INT_RGB render must hash bit-identically (round-11 advice:
+    // the former non-RGB guard wrongly dropped grayscale corpora).
+    def render(imgType: Int): Array[Byte] = {
+      val (w, h) = (24, 20)
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = (x * 31 + y * 17) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, render(java.awt.image.BufferedImage.TYPE_BYTE_GRAY)),
+      (2L, render(java.awt.image.BufferedImage.TYPE_INT_RGB)),
+      (3L, render(java.awt.image.BufferedImage.TYPE_INT_ARGB))
+    ).toDF("doc_id", "media")
+    val got = Multimodal.realPhash(media).collect()
+      .map(p => p.doc_id -> ((p.phash, p.ok))).toMap
+    assert(got(1L)._2, "grayscale image must hash (former guard dropped it)")
+    assert(got(1L)._1 == got(2L)._1,
+      "grayscale and same-levels RGB renders must hash identically")
+    assert(!got(3L)._2 && got(3L)._1.isEmpty,
+      "alpha-carrying image stays out of contract")
+  }
+
   test("realAudioFingerprint: identical clips collide; a trimmed copy stays hamming-near; garbage drops") {
     def wav(samples: Array[Short]): Array[Byte] = {
       val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)

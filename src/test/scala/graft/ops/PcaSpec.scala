@@ -105,4 +105,20 @@ class PcaSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(a == b, "a short vector must neither skew the spectrum nor NULL a bucket")
   }
+
+  test("null-ELEMENT rows are excluded from the Gram normalizer n, not just the aggregate") {
+    // Round-11 advice: GramMatrix skips a dim-length vector containing a
+    // NULL element in-aggregate, so counting it in n would dilute G/n.
+    // The eigenvector over (clean + nully) must equal the eigenvector
+    // over clean alone — i.e. n and G see the same row set.
+    val clean = (1 to 50).map { i =>
+      Tuple1(Seq.tabulate(4)(j => Option(((i * 31 + j * 7) % 13 - 6) / 10.0f)))
+    }
+    val nully = Tuple1(Seq(Some(9.9f), None, Some(9.9f), Some(9.9f)))
+    val a = Pca.powerIteration((clean :+ nully).toDF("embedding"), "embedding", 4)
+      .as[(Int, Long)].collect().toSeq.sorted
+    val b = Pca.powerIteration(clean.toDF("embedding"), "embedding", 4)
+      .as[(Int, Long)].collect().toSeq.sorted
+    assert(a == b, "a null-element row must not be counted in the normalizer")
+  }
 }
