@@ -505,12 +505,20 @@ object ScaleSmoke {
     // Label-purity audit growth: the cell self-join is Σ|cell|² pairs, so
     // the centroid count MUST scale with √N to hold cell size (and the
     // stage's work per vector) constant — exactly the deployment rule the
-    // scaladoc states. Labels synthesized as vec_id mod 10.
+    // scaladoc states. Labels synthesized as vec_id mod 10. smallCap = 0
+    // pins the DISTRIBUTED path (like the CC row); the flat companion
+    // (twoLevelCells = MaxValue) makes the r12 two-level assignment wiring
+    // a same-run A/B at every size — assignment drops N·C → N·2√C while
+    // the pair stage is unchanged, so the gap must WIDEN with m.
     locally {
       val labeled = emb.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
       val cents = math.max(32, math.sqrt(m.toDouble).toInt)
-      t(s"label audit ($m, $cents cells)")(
-        Similarity.knnLabelAudit(labeled, k = 10, numCentroids = cents).count())
+      t(s"label audit 2-level ($m, $cents cells)")(
+        Similarity.knnLabelAudit(labeled, k = 10, numCentroids = cents,
+          smallCap = 0).count())
+      t(s"label audit flat ($m, $cents cells)")(
+        Similarity.knnLabelAudit(labeled, k = 10, numCentroids = cents,
+          smallCap = 0, twoLevelCells = Int.MaxValue).count())
     }
     // SemDeDup growth: the within-cell pairwise stage is Σ|cell|² pairs;
     // with C = √N cells that is N^1.5 — same law as the label audit, and

@@ -1759,18 +1759,51 @@ object QueriesLlm {
         Similarity.knnLabelAudit(emb, k = 10, numCentroids = cents,
           minPurityPpm = 100000L)
       },
-      Some("""WITH quant AS (
+      // The assign CTE replays the operator's SIZE DISPATCH: at corpus ≤
+      // smallCorpusCap the operator's fused/flat paths are the exact flat
+      // argmax (assign1); above the cap the registry's C = ceil(√N) is
+      // always ≥ twoLevelCells (√8193 ≈ 91 > 32), so the operator routes
+      // through the two-level hierarchy (assign2: supers = first ceil(√C)
+      // cells, cells routed to supers, vectors routed super-then-cell,
+      // every tie to the lowest id). Both branches stay in the SQL so the
+      // oracle is correct at ANY scale factor, not just the gate's.
+      Some(s"""WITH quant AS MATERIALIZED (
         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
         |  FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM quant
+        |cent AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM quant
         |         WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
-        |assign AS (
+        |assign1 AS (
         |  SELECT vec_id, label, cid, v FROM (
         |    SELECT q.vec_id, q.label, c.cid, q.v,
         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
         |             CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*c.cv[i])) AS BIGINT) DESC, c.cid) AS rn
-        |    FROM quant q CROSS JOIN cent c) WHERE rn = 1),
+        |    FROM quant q CROSS JOIN cent c
+        |    WHERE (SELECT count(*) FROM quant) <= ${Similarity.smallCorpusCap}) WHERE rn = 1),
+        |sup AS MATERIALIZED (
+        |  SELECT cid AS scid, cv AS scv FROM cent
+        |  WHERE cid < (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) FROM cent)),
+        |cellr AS MATERIALIZED (
+        |  SELECT cid, cv, scid FROM (
+        |    SELECT c.cid, c.cv, s.scid,
+        |           row_number() OVER (PARTITION BY c.cid ORDER BY
+        |             CAST(list_sum(list_transform(range(1,65), i -> c.cv[i]*s.scv[i])) AS BIGINT) DESC, s.scid) AS rn
+        |    FROM cent c CROSS JOIN sup s) WHERE rn = 1),
+        |vsup AS (
+        |  SELECT vec_id, label, v, scid FROM (
+        |    SELECT q.vec_id, q.label, q.v, s.scid,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*s.scv[i])) AS BIGINT) DESC, s.scid) AS rn
+        |    FROM quant q CROSS JOIN sup s
+        |    WHERE (SELECT count(*) FROM quant) > ${Similarity.smallCorpusCap}) WHERE rn = 1),
+        |assign2 AS (
+        |  SELECT vec_id, label, cid, v FROM (
+        |    SELECT a.vec_id, a.label, c.cid, a.v,
+        |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |             CAST(list_sum(list_transform(range(1,65), i -> a.v[i]*c.cv[i])) AS BIGINT) DESC, c.cid) AS rn
+        |    FROM vsup a JOIN cellr c ON c.scid = a.scid) WHERE rn = 1),
+        |assign AS MATERIALIZED (
+        |  SELECT * FROM assign1 UNION ALL SELECT * FROM assign2),
         |scored AS (
         |  SELECT a.vec_id AS query_id, a.label AS q_label, b.vec_id, b.label AS n_label,
         |         CAST(list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i])) AS BIGINT) AS score

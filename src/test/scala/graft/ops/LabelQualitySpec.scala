@@ -60,6 +60,60 @@ class LabelQualitySpec extends SparkSpec {
         smallCap = 0)))
   }
 
+  /** Four clusters on DISJOINT 16-coordinate blocks: ids 0-3 are one seed
+    * per cluster (cells), supers = cells {0, 1}. Cross-block dots are
+    * exactly 0, so every routing argmax is decisive-or-tied-to-lowest-id
+    * and the two-level hierarchy reproduces the flat assignment EXACTLY —
+    * the fixture where path equality is a theorem, not luck. */
+  private def blockCorpus: DataFrame = {
+    val dim = 64
+    def v(cluster: Int, jitterIdx: Int): Array[Float] =
+      Array.tabulate(dim)(i =>
+        if (i / 16 == cluster) 1f + 0.25f * ((i + jitterIdx) % 4) else 0f)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, v(i % 4, i / 4), (i % 4) % 2)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("knnLabelAudit: two-level path ≡ flat paths on a separated fixture (dispatch wired)") {
+    val small = rows(Similarity.knnLabelAudit(blockCorpus, k = 5, numCentroids = 4))
+    val flat = rows(Similarity.knnLabelAudit(blockCorpus, k = 5, numCentroids = 4,
+      smallCap = 0, twoLevelCells = Int.MaxValue))
+    val two = rows(Similarity.knnLabelAudit(blockCorpus, k = 5, numCentroids = 4,
+      smallCap = 0, twoLevelCells = 1))
+    assert(two == flat, "two-level assignment diverged from flat on separated clusters")
+    assert(two == small, "two-level path diverged from the fused small path")
+  }
+
+  test("knnLabelAudit: twoLevelCells dispatch boundary picks the hierarchy exactly at C >= threshold") {
+    // A fixture where the hierarchy APPROXIMATES (so the branches are
+    // distinguishable by output, not by plan — localCheckpoint hides the
+    // assignment subtree behind a LogicalRDD): the probe vector's flat-
+    // nearest cell (2) routes under super 0, but the probe itself routes
+    // to super 1, so two-level assigns it to cell 1 instead.
+    val dim = 64
+    def mix(a: Int, b: Int, wb: Float): Array[Float] =
+      Array.tabulate(dim)(i =>
+        if (i / 16 == a) 1f else if (i / 16 == b) wb else 0f)
+    val fixture = Seq[(Long, Array[Float], Int)](
+      (0L, mix(0, 0, 0f), 0),       // cell 0: pure block 0 (super 0)
+      (1L, mix(1, 1, 0f), 1),       // cell 1: pure block 1 (super 1)
+      (2L, mix(2, 0, 0.5f), 0),     // cell 2 → routes under super 0
+      (3L, mix(3, 1, 0.5f), 1),     // cell 3 → routes under super 1
+      (16L, mix(2, 1, 0.5f), 0)) ++ // probe: flat→cell 2, two-level→cell 1
+      (4 until 16).map(i => (i.toLong, mix(i % 4, i % 4, 0f), i % 2))
+    val df = fixture.toDF("vec_id", "embedding", "label")
+    def audit(tlc: Int) = rows(Similarity.knnLabelAudit(df, k = 5,
+      numCentroids = 4, smallCap = 0, twoLevelCells = tlc))
+    val forcedTwo = audit(1)               // always-hierarchy reference
+    val forcedFlat = audit(Int.MaxValue)   // never-hierarchy reference
+    assert(forcedTwo != forcedFlat,
+      "fixture must make the approximation visible or the pin is vacuous")
+    assert(audit(4) == forcedTwo, "C == threshold must dispatch two-level")
+    assert(audit(5) == forcedFlat, "C < threshold must dispatch flat")
+  }
+
   test("hardNegatives returns only different-label neighbours, ranked densely") {
     val q = plantedCorpus.filter(col("vec_id") === 42L)
     val negs = Similarity.hardNegatives(plantedCorpus, q, k = 6).collect()
