@@ -33,8 +33,16 @@ object GraphProf {
       grouped.select(explode(expr("pair_structs(_items)")).as("_e")).count())
     if (sys.env.get("PROF_ORDER").contains("native_first")) { nativeOrder(); hofOrder() }
     else { hofOrder(); nativeOrder() }
-    t("full assoc rules (native)")(
+    // r12 A/B (round-10 s4 rule f): is the corpus-scale localCheckpoint of
+    // the distinct (txn, item) projection worth it, or does exchange reuse
+    // make the 3-consumer rescan free? PROF_ORDER=rescan_first flips.
+    def ckptShape(): Unit = t("assoc rules (fact ckpt)")(
       graft.ops.GraphOps.associationRules(rows, "_txn", "item", 2).count())
+    def rescanShape(): Unit = t("assoc rules (rescan)")(
+      graft.ops.GraphOps.associationRules(rows, "_txn", "item", 2,
+        checkpointFacts = false).count())
+    if (sys.env.get("PROF_ORDER").contains("rescan_first")) { rescanShape(); ckptShape() }
+    else { ckptShape(); rescanShape() }
     spark.stop()
   }
 }

@@ -86,16 +86,28 @@ object GraphOps {
     * Scale shape: one transaction-keyed aggregation for the pair explode
     * (row-local, domain-capped baskets — see [[coOccurrenceEdges]]), one
     * item-keyed count, then joins that run on the support-pruned backbone
-    * and the item table, never the fact table. The item-count table and
-    * the edge set each feed two subtrees → `localCheckpoint` (round-4
-    * rule d). */
+    * and the item table, never the fact table. The bounded backbone and
+    * item tables each feed two subtrees → `localCheckpoint` (round-4
+    * rule d). The FACT projection is deliberately NOT deduped-and-
+    * checkpointed (r12 A/B, both orders: a wash at sf0.1 warm — 1.8-2.4 s
+    * either way): `collect_set` already dedups within-basket, so the
+    * pairs branch needs no distinct at all, and the item/total branches
+    * use `countDistinct` — each of the three branches then column-prunes
+    * its OWN scan (the n_tx branch reads one column and elides the
+    * distinct entirely), where the old shape materialized the full
+    * (txn, item) projection as deserialized rows. `checkpointFacts =
+    * true` reproduces the old shape for the GraphProf A/B. */
   def associationRules(fact: DataFrame, txnCol: String, itemCol: String,
-                       minSupport: Int, maxBasket: Int = 1000): DataFrame = {
-    val op = fact.select(col(txnCol).as("_txn"), col(itemCol).as("item"))
-      .distinct().localCheckpoint() // feeds pairs, item counts, and n_tx
+                       minSupport: Int, maxBasket: Int = 1000,
+                       checkpointFacts: Boolean = false): DataFrame = {
+    val base = fact.select(col(txnCol).as("_txn"), col(itemCol).as("item"))
+    val op = if (checkpointFacts) base.distinct().localCheckpoint() else base
     val edges = supportedPairs(op, minSupport, maxBasket)
       .localCheckpoint() // both directions of the union read it
-    val itemN = op.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val itemN = (if (checkpointFacts)
+        op.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      else
+        base.groupBy(col("item")).agg(countDistinct(col("_txn")).as("n_item")))
       .localCheckpoint() // joined on both rule sides
     val total = op.agg(countDistinct(col("_txn")).as("n_tx"))
     edges.select(col("pa").as("ante"), col("pb").as("cons"), col("w"))
