@@ -2832,6 +2832,54 @@ object QueriesLlm {
         |ORDER BY n_occ DESC, n_docs DESC, span
         |LIMIT 50""".stripMargin)),
 
+    Q("llm_span_removal",
+      // The excision half of Lee et al. exact-substring dedup: every
+      // 8-token window occurring in >1 document is masked everywhere but
+      // its first (doc, pos) occurrence, masked positions are excised
+      // (overlapping windows union), and the text reassembled from the
+      // surviving tokens. Linear: span-keyed election, join-back mask,
+      // token-position anti join, per-doc ordered fold.
+      (s, d) => DedupOps.removeDuplicatedSpans(Tables.documents(s, d),
+        "doc_id", "text", width = 8),
+      Some("WITH " + normDocsCte + """,
+        |sp0 AS (
+        |  SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS idx
+        |  FROM tok_docs WHERE len(toks) >= 8),
+        |sp AS MATERIALIZED (
+        |  SELECT doc_id, idx,
+        |         array_to_string(list_slice(toks, CAST(idx+1 AS BIGINT), CAST(idx+8 AS BIGINT)), ' ') AS span,
+        |         lpad(CAST(doc_id AS VARCHAR), 20, '0') || lpad(CAST(idx AS VARCHAR), 10, '0') AS k
+        |  FROM sp0),
+        |dup AS MATERIALIZED (
+        |  SELECT span, min(k) AS keeper
+        |  FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+        |masked AS MATERIALIZED (
+        |  SELECT s.doc_id, s.idx
+        |  FROM sp s JOIN dup d USING (span) WHERE s.k <> d.keeper),
+        |maskpos AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, idx + j AS pos FROM masked, range(8) r(j)),
+        |tokrows AS (
+        |  SELECT doc_id, pos, toks[CAST(pos + 1 AS BIGINT)] AS tok
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS pos
+        |        FROM tok_docs WHERE len(toks) > 0)),
+        |perdoc AS (
+        |  SELECT t.doc_id,
+        |         count(*) AS n_kept,
+        |         string_agg(t.tok, ' ' ORDER BY t.pos) AS cleaned
+        |  FROM tokrows t
+        |  WHERE NOT EXISTS (SELECT 1 FROM maskpos m
+        |                    WHERE m.doc_id = t.doc_id AND m.pos = t.pos)
+        |  GROUP BY 1),
+        |wcnt AS (SELECT doc_id, count(*) AS n_win FROM masked GROUP BY 1)
+        |SELECT t.doc_id,
+        |       coalesce(p.cleaned, '') AS cleaned_text,
+        |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(t.toks) - coalesce(p.n_kept, 0) AS BIGINT) AS n_removed,
+        |       CAST(coalesce(w.n_win, 0) AS BIGINT) AS n_spans_masked
+        |FROM tok_docs t
+        |LEFT JOIN perdoc p USING (doc_id)
+        |LEFT JOIN wcnt w USING (doc_id)""".stripMargin)),
+
     Q("llm_source_dup",
       // Boilerplate weight per source: ppm of each source's shingle
       // occurrences whose shingle appears in >1 document corpus-wide — the

@@ -798,6 +798,85 @@ object DedupOps {
       .limit(topK)
   }
 
+  /** Exact duplicated-span REMOVAL — the excision half of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (ExactSubstr): every `width`-token window whose span text occurs in
+    * MORE THAN ONE document is masked in every document holding it, the
+    * masked token positions are excised (overlapping windows merge by
+    * position-set union — no double removal), and each document's text is
+    * reassembled from the surviving tokens in order. With `keepFirst`
+    * (the paper's keep-one-copy rule) the single occurrence at the
+    * lexicographically smallest (doc, position) survives; the election
+    * key is the zero-padded `(lpad(doc,20) ++ lpad(idx,10))` string (the
+    * llm_mixed_lang trick — 20 digits covers any non-negative int64, the
+    * r11 lpad lesson) so Spark's `min` and DuckDB's `min` agree byte-wise.
+    * Within-doc-only repetition is NOT removed — the cross-document
+    * contract of [[duplicatedSpans]]; pair with
+    * [[graft.ops.TextOps.repetitionStats]] for intra-doc runs.
+    *
+    * Scale shape — linear passes, no doc×doc work: the compact
+    * (id, token-array) projection is checkpointed ONCE and every
+    * occurrence-scale stage (the span Generate ×2, the token posexplode)
+    * re-derives from that local scan rather than materializing exploded
+    * rows (round-6 rule b / round-9 rule b); the dup election is one
+    * span-keyed map-side-combined aggregation (the [[duplicatedSpans]]
+    * shape); masking is a hash join back on the span; excision is a
+    * token-position anti join; reassembly is the per-doc in-group
+    * array_sort fold (the a3 pattern, no global sort). Every input doc
+    * returns a row (fully-masked or empty docs with cleaned_text "").
+    *
+    * Output: (idCol, cleaned_text, n_tokens, n_removed, n_spans_masked);
+    * `cleaned_text` is over NORMALIZED tokens (same contract as
+    * [[dropBoilerplateSegments]]). */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            width: Int = 8, keepFirst: Boolean = true): DataFrame = {
+    require(width >= 2, "a span needs at least 2 tokens")
+    def keyOf(id: Column, idx: Column): Column =
+      concat(lpad(id.cast("string"), 20, "0"), lpad(idx.cast("string"), 10, "0"))
+    val toks = docs.repartition(col(idCol))
+      .select(col(idCol), TextOps.normalize(col(textCol)).as("_norm"))
+      .select(col(idCol),
+        when(length(col("_norm")) === 0, array().cast("array<string>"))
+          .otherwise(split(col("_norm"), " ")).as("_toks"))
+      .localCheckpoint() // compact projection; all exploded stages re-derive from this scan
+    def sp: DataFrame = toks
+      .filter(size(col("_toks")) >= width)
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0), size(col("_toks")) - width)).as("_idx"))
+      .select(col(idCol), col("_idx"),
+        concat_ws(" ",
+          (1 to width).map(o => expr(s"element_at(_toks, _idx + $o)")): _*).as("span"))
+    val dup = sp.groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("_ndocs"),
+        min(keyOf(col(idCol), col("_idx"))).as("_keeper"))
+      .filter(col("_ndocs") > 1)
+      .select(col("span"), col("_keeper"))
+    val masked = sp.join(dup, Seq("span"))
+      .filter(if (keepFirst) keyOf(col(idCol), col("_idx")) =!= col("_keeper")
+              else lit(true))
+      .select(col(idCol), col("_idx"))
+      .localCheckpoint() // feeds the position fan-out AND the window count
+    val maskedPos = masked.select(col(idCol),
+      explode(sequence(col("_idx"), col("_idx") + (width - 1))).as("_pos"))
+    val tokRows = toks.select(col(idCol),
+      posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+    val perDoc = tokRows.join(maskedPos, Seq(idCol, "_pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nkept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          x => x.getField("_tok")), " ").as("_cleaned"))
+    val wcnt = masked.groupBy(col(idCol)).agg(count(lit(1)).as("_nwin"))
+    toks.select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .join(wcnt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_cleaned"), lit("")).as("cleaned_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_nkept"), lit(0L))).as("n_removed"),
+        coalesce(col("_nwin"), lit(0L)).as("n_spans_masked"))
+  }
+
   /** Per-SOURCE duplication rollup: for each source, the ppm of its
     * shingle OCCURRENCES whose shingle appears in more than one document
     * corpus-wide — the signal that ranks feeds/crawls by boilerplate
