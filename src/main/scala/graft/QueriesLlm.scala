@@ -191,6 +191,58 @@ object QueriesLlm {
           |         AS stop_ratio
           |FROM tok_docs""".stripMargin))),
 
+    Q("llm_gopher_rules",
+      // The published Gopher/MassiveText document-quality rule set (Rae et
+      // al. 2021 A1.1) as integer-ppm metrics + per-rule flags — the
+      // standard pre-training admission filter. Row-local single pass;
+      // words/lines/tokens materialized once behind Generate barriers.
+      (s, d) => TextOps.gopherRules(Tables.documents(s, d), "doc_id", "text"),
+      Some(withCtes(normDocsCte,
+        """gw AS (
+          |  SELECT doc_id, toks, text,
+          |         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+          |              THEN CAST([] AS VARCHAR[])
+          |              ELSE regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS words,
+          |         string_split(text, chr(10)) AS lines
+          |  FROM tok_docs)""".stripMargin,
+        s"""gm AS (
+          |  SELECT doc_id,
+          |         CAST(len(words) AS BIGINT) AS n_words,
+          |         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS word_chars,
+          |         CAST(length(text) - length(replace(text, '#', ''))
+          |              + (length(text) - length(replace(text, '...', ''))) // 3
+          |              + length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_symbols,
+          |         CAST(len(lines) AS BIGINT) AS n_lines,
+          |         CAST(len(list_filter(lines, l -> list_contains(['-','*','•'], substr(ltrim(l), 1, 1)))) AS BIGINT) AS n_bullet,
+          |         CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS BIGINT) AS n_ell,
+          |         CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+          |         CAST(len(list_intersect(list_distinct(toks),
+          |              [${TextOps.GopherStopwords.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS n_stop_hits
+          |  FROM gw)""".stripMargin,
+        """gp AS (
+          |  SELECT doc_id, n_words, word_chars,
+          |         CAST(n_symbols * 1000000 // greatest(n_words, 1) AS BIGINT) AS symbol_ppm,
+          |         CAST(n_bullet * 1000000 // n_lines AS BIGINT) AS bullet_line_ppm,
+          |         CAST(n_ell * 1000000 // n_lines AS BIGINT) AS ellipsis_line_ppm,
+          |         CAST(n_alpha * 1000000 // greatest(n_words, 1) AS BIGINT) AS alpha_word_ppm,
+          |         n_stop_hits
+          |  FROM gm)""".stripMargin)(
+        """SELECT doc_id, n_words, word_chars, symbol_ppm, bullet_line_ppm,
+          |       ellipsis_line_ppm, alpha_word_ppm, n_stop_hits,
+          |       n_words BETWEEN 50 AND 100000 AS r_word_count,
+          |       n_words > 0 AND word_chars BETWEEN n_words * 3 AND n_words * 10 AS r_mean_word_len,
+          |       symbol_ppm <= 100000 AS r_symbol,
+          |       bullet_line_ppm < 900000 AS r_bullet,
+          |       ellipsis_line_ppm < 300000 AS r_ellipsis,
+          |       alpha_word_ppm >= 800000 AS r_alpha,
+          |       n_stop_hits >= 2 AS r_stopwords,
+          |       (n_words BETWEEN 50 AND 100000)
+          |         AND (n_words > 0 AND word_chars BETWEEN n_words * 3 AND n_words * 10)
+          |         AND symbol_ppm <= 100000 AND bullet_line_ppm < 900000
+          |         AND ellipsis_line_ppm < 300000 AND alpha_word_ppm >= 800000
+          |         AND n_stop_hits >= 2 AS passes
+          |FROM gp""".stripMargin))),
+
     Q("llm_langid",
       (s, d) => {
         // Tokenize ONCE (Generate barrier), then score all languages over

@@ -112,6 +112,84 @@ object TextOps {
   def fingerprint(text: Column): Column =
     substring(sha2(normalize(text), 256), 1, 16)
 
+  /** The 8 required stopwords of the Gopher rule set (Rae et al. 2021,
+    * A1.1): a document must contain at least 2 of them. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule filter (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", Appendix A1.1) — the published MassiveText
+    * document-level heuristics, integer-exact so both engines hash the
+    * same bits:
+    *
+    *  - word count in [50, 100 000]
+    *  - mean word length in [3, 10] chars (cross-multiplied:
+    *    3·n_words ≤ word_chars ≤ 10·n_words — no float division)
+    *  - symbol-to-word ratio ('#', '...', '…') ≤ 10% (ppm ≤ 100 000)
+    *  - < 90% of lines start with a bullet ('-', '*', '•')
+    *  - < 30% of lines end with an ellipsis
+    *  - ≥ 80% of words contain an alphabetic character
+    *  - ≥ 2 distinct [[GopherStopwords]] present (checked on NORMALIZED
+    *    tokens — the rule's intent; raw matching would miss "the," etc.)
+    *
+    * Words are `\s+`-separated runs of the RAW text (regex edge-strip, not
+    * `trim` — Spark trim removes only spaces while the corpus may lead
+    * with newlines; the regex behaves identically in both engines), so
+    * punctuation counts toward word length exactly as in the paper. All
+    * ratios are integer ppm with truncating div. One row-local pass:
+    * words/lines/tokens are materialized ONCE behind Generate barriers
+    * ([[withNormToks]] rationale — CollapseProject would otherwise re-run
+    * the split per consuming feature), and the per-word/per-line lambda
+    * work is bounded by document size, never corpus shape. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stripped = regexp_replace(col(textCol), "^\\s+|\\s+$", "")
+    val based = withNormToks(docs.select(col(idCol), col(textCol)), textCol)
+      .select(col("*"), explode(array(
+        when(length(stripped) === 0, array().cast("array<string>"))
+          .otherwise(split(stripped, "\\s+")))).as("_words"))
+      .select(col("*"), explode(array(split(col(textCol), "\n"))).as("_lines"))
+    val t = col(textCol)
+    val nWords = size(col("_words")).cast("long")
+    val wordChars = length(regexp_replace(t, "\\s+", "")).cast("long")
+    val nSymbols = (length(t) - length(expr(s"replace($textCol, '#', '')")) +
+      (length(t) - length(expr(s"replace($textCol, '...', '')"))) / lit(3) +
+      (length(t) - length(expr(s"replace($textCol, '…', '')")))).cast("long")
+    val nLines = size(col("_lines")).cast("long")
+    val bulletLines = size(filter(col("_lines"),
+      l => substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("long")
+    val ellipsisLines = size(filter(col("_lines"),
+      l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("long")
+    val alphaWords = size(filter(col("_words"),
+      w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(array_intersect(
+      array_distinct(col("_toks")),
+      array(GopherStopwords.map(lit(_)): _*))).cast("long")
+    based.select(col(idCol),
+        nWords.as("n_words"), wordChars.as("word_chars"),
+        nSymbols.as("n_symbols"), nLines.as("n_lines"),
+        bulletLines.as("n_bullet_lines"), ellipsisLines.as("n_ellipsis_lines"),
+        alphaWords.as("n_alpha_words"), stopHits.as("n_stop_hits"))
+      .select(col(idCol), col("n_words"), col("word_chars"),
+        expr("n_symbols * 1000000 div greatest(n_words, 1)").as("symbol_ppm"),
+        expr("n_bullet_lines * 1000000 div n_lines").as("bullet_line_ppm"),
+        expr("n_ellipsis_lines * 1000000 div n_lines").as("ellipsis_line_ppm"),
+        expr("n_alpha_words * 1000000 div greatest(n_words, 1)").as("alpha_word_ppm"),
+        col("n_stop_hits"))
+      .select(col("*"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("r_word_count"),
+        (col("n_words") > 0 && col("word_chars") >= col("n_words") * 3 &&
+          col("word_chars") <= col("n_words") * 10).as("r_mean_word_len"),
+        (col("symbol_ppm") <= 100000L).as("r_symbol"),
+        (col("bullet_line_ppm") < 900000L).as("r_bullet"),
+        (col("ellipsis_line_ppm") < 300000L).as("r_ellipsis"),
+        (col("alpha_word_ppm") >= 800000L).as("r_alpha"),
+        (col("n_stop_hits") >= 2L).as("r_stopwords"))
+      .withColumn("passes",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stopwords"))
+  }
+
   /** Gopher-style intra-document repetition signals (the MassiveText
     * repetition filters), at token/n-gram granularity — this corpus has no
     * line structure, so the line-level variants collapse onto these three:
