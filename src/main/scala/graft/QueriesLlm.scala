@@ -243,6 +243,37 @@ object QueriesLlm {
           |         AND n_stop_hits >= 2 AS passes
           |FROM gp""".stripMargin))),
 
+    Q("llm_c4_filters",
+      // The C4 line-level cleaning pass (Raffel et al. 2020 §2.2): keep
+      // terminal-punctuation lines with >= 5 words, reassemble, flag
+      // lorem-ipsum/brace docs, keep docs with >= 3 sentences left.
+      (s, d) => TextOps.c4Filters(Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH c AS (
+        |  SELECT doc_id, text,
+        |         string_split(text, chr(10)) AS lines,
+        |         list_filter(string_split(text, chr(10)), l ->
+        |           (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!'
+        |              OR rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+        |           AND len(regexp_split_to_array(
+        |                 regexp_replace(l, '^\s+|\s+$', '', 'g'), '\s+')) >= 5) AS kept
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text,
+        |         CAST(len(lines) AS BIGINT) AS n_lines,
+        |         CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |         lower(text) LIKE '%lorem ipsum%' AS has_lorem_ipsum,
+        |         text LIKE '%{%' AS has_brace
+        |  FROM c)
+        |SELECT doc_id, cleaned_text, n_lines, n_kept_lines, has_lorem_ipsum, has_brace,
+        |       CAST(length(cleaned_text)
+        |            - length(replace(replace(replace(cleaned_text, '.', ''), '!', ''), '?', '')) AS BIGINT)
+        |         AS n_sentences,
+        |       length(cleaned_text)
+        |         - length(replace(replace(replace(cleaned_text, '.', ''), '!', ''), '?', '')) >= 3
+        |         AND NOT has_lorem_ipsum AND NOT has_brace AS keep_doc
+        |FROM m""".stripMargin)),
+
     Q("llm_langid",
       (s, d) => {
         // Tokenize ONCE (Generate barrier), then score all languages over

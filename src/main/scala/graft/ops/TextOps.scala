@@ -190,6 +190,42 @@ object TextOps {
           col("r_stopwords"))
   }
 
+  /** The C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning...", §2.2) — the line-level half that Gopher's
+    * document-level rules don't cover: keep only lines that END in
+    * terminal punctuation ('.', '!', '?', '"') AND carry at least 5
+    * words; reassemble the document from kept lines; flag documents
+    * containing "lorem ipsum" or a curly brace; a document survives when
+    * its cleaned text still holds ≥ 3 sentences (terminal-punct
+    * occurrences) and neither flag fired. Deterministic, integer/boolean
+    * outputs only; the line lambda work is bounded by document size.
+    * Sentence counting uses a replace-chain (not translate) so both
+    * engines share one formulation. */
+  def c4Filters(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lineKeep = (l: Column) => {
+      val r = rtrim(l)
+      val words = split(regexp_replace(l, "^\\s+|\\s+$", ""), "\\s+")
+      (r.endsWith(".") || r.endsWith("!") || r.endsWith("?") || r.endsWith("\"")) &&
+        size(words) >= 5
+    }
+    val based = docs.select(col(idCol), col(textCol))
+      .select(col("*"), explode(array(split(col(textCol), "\n"))).as("_lines"))
+      .select(col("*"), explode(array(filter(col("_lines"), lineKeep))).as("_kept"))
+    val cleaned = array_join(col("_kept"), "\n")
+    val sentences = (length(col("cleaned_text")) -
+      length(expr("replace(replace(replace(cleaned_text, '.', ''), '!', ''), '?', '')")))
+      .cast("long")
+    based.select(col(idCol),
+        cleaned.as("cleaned_text"),
+        size(col("_lines")).cast("long").as("n_lines"),
+        size(col("_kept")).cast("long").as("n_kept_lines"),
+        lower(col(textCol)).contains("lorem ipsum").as("has_lorem_ipsum"),
+        col(textCol).contains("{").as("has_brace"))
+      .select(col("*"), sentences.as("n_sentences"))
+      .withColumn("keep_doc",
+        col("n_sentences") >= 3L && !col("has_lorem_ipsum") && !col("has_brace"))
+  }
+
   /** Gopher-style intra-document repetition signals (the MassiveText
     * repetition filters), at token/n-gram granularity — this corpus has no
     * line structure, so the line-level variants collapse onto these three:
