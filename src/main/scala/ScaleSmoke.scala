@@ -70,6 +70,12 @@ object ScaleSmoke {
       DedupOps.duplicatedSpans(docs, "doc_id", "text").count())
     t("dup spans (hash 2-pass)")(
       DedupOps.duplicatedSpansHashKeyed(docs, "doc_id", "text").count())
+    // Span REMOVAL growth (r12): linear passes only — span-keyed election,
+    // mask join-back, token-position anti join, per-doc fold. The filter
+    // on cleaned_text forces the reassembly (a bare count lets Catalyst
+    // prune the fold, the dropBoilerplateSegments lesson).
+    t("span removal")(DedupOps.removeDuplicatedSpans(docs, "doc_id", "text")
+      .filter(length(col("cleaned_text")) >= 0).count())
     t("chunk windows")(graft.ops.TextOps.chunkWindows(docs, "doc_id", "text").count())
     // PMI collocations (r10): two vocab-bounded aggregations + distinct-
     // bigram joins — must grow like refFreqQuality (Zipf-bounded keys),

@@ -824,6 +824,9 @@ object DedupOps {
     * token-position anti join; reassembly is the per-doc in-group
     * array_sort fold (the a3 pattern, no global sort). Every input doc
     * returns a row (fully-masked or empty docs with cleaned_text "").
+    * Measured growth (ScaleSmoke r12, scale-invariant duplicate cliques):
+    * 100k docs 14.4 s → 1M docs 99.6 s = 6.9× per 10× — sub-linear per
+    * decade as the fixed stage costs amortize.
     *
     * Output: (idCol, cleaned_text, n_tokens, n_removed, n_spans_masked);
     * `cleaned_text` is over NORMALIZED tokens (same contract as

@@ -186,7 +186,9 @@ class RegisteredQueriesSpec extends SparkSpec {
   private val mapOnlyPinned = Set("llm_repetition", "llm_fingerprint",
     "llm_token_count", "llm_pii_redact",
     // native simhash_fp made the fingerprint row-local (r10 s5)
-    "dedup_simhash")
+    "dedup_simhash",
+    // r12 quality filters: per-document rules, Generate barriers only
+    "llm_gopher_rules", "llm_c4_filters")
 
   test("map-only pin: row-local queries have zero exchanges") {
     // MUST read executedPlan with AQE off: sparkPlan predates
