@@ -533,8 +533,12 @@ object ScaleSmoke {
     // let Catalyst eliminate the join and with it the work under test).
     locally {
       val cents = math.max(32, math.sqrt(m.toDouble).toInt)
-      t(s"semantic dedup ($m, $cents cells)")(
+      t(s"semantic dedup 2-level ($m, $cents cells)")(
         Similarity.semanticDedup(emb, 0.2, numCells = cents)
+          .filter(col("dropped")).count())
+      t(s"semantic dedup flat ($m, $cents cells)")(
+        Similarity.semanticDedup(emb, 0.2, numCells = cents,
+            twoLevelCells = Int.MaxValue)
           .filter(col("dropped")).count())
     }
     // Two-level coarse-quantizer A/B (r8): assignment comparisons per

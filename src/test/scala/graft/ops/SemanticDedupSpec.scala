@@ -110,4 +110,22 @@ class SemanticDedupSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
     assert(!plan.contains("Cartesian"), s"unexpected cartesian product in:\n$plan")
   }
+
+  test("two-level assignment path equals the flat path on separated clusters (r12 dispatch)") {
+    // Disjoint 16-coordinate blocks (the LabelQualitySpec fixture family):
+    // cross-block dots are exactly 0, so the hierarchy's routing equals
+    // the flat argmax and the dropped/cluster columns must be identical.
+    val dim = 64
+    def v(cluster: Int, jitterIdx: Int): Array[Float] =
+      Array.tabulate(dim)(i =>
+        if (i / 16 == cluster) 1f + 0.25f * ((i + jitterIdx) % 4) else 0f)
+    import spark.implicits._
+    val df = (0 until 40).map(i => (i.toLong, v(i % 4, i / 4)))
+      .toDF("vec_id", "embedding")
+    def rows(tlc: Int) = Similarity.semanticDedup(df, minCos = 0.9,
+        numCells = 4, twoLevelCells = tlc)
+      .collect().map(_.toSeq).toSet
+    assert(rows(1) == rows(Int.MaxValue),
+      "two-level semanticDedup diverged from flat on separated clusters")
+  }
 }
