@@ -56,6 +56,38 @@ class StreamingScd2Spec extends SparkSpec {
     assert(rows(StreamingScd2.intervals(spark, store, closedDir)) == oneShot)
   }
 
+  test("randomized batch splits: any fold of a monotone change stream equals the one-shot") {
+    // Global increasing ids with random keys/ops keep per-key monotonicity
+    // under ANY batch boundary — the CDC contract. Random splits hunt the
+    // boundary cases the handcrafted scenario can't: a key changing many
+    // times inside one batch, a key absent from whole batches, deletes
+    // closing across a split, single-event batches.
+    val rnd = new scala.util.Random(20260815L)
+    val keys = Vector("a", "b", "c", "d", "e")
+    val ops = Vector("I", "U", "D")
+    for (trial <- 1 to 3) {
+      val events = (1L to 30L).map(id =>
+        (keys(rnd.nextInt(keys.length)), id * 7, ops(rnd.nextInt(ops.length))))
+      val cuts = (Seq(0, events.length) ++
+        Seq.fill(rnd.nextInt(4))(rnd.nextInt(events.length))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => events.slice(a, b) }
+        .filter(_.nonEmpty)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-scd2p$trial")
+      val store = new ParquetStateStore(spark, dir.resolve("state").toString)
+      val closedDir = dir.resolve("closed").toString
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamingScd2.applyBatch(store, b.toDF("k", "id", "op"), i.toLong, closedDir)
+      }
+      val got = rows(StreamingScd2.intervals(spark, store, closedDir))
+      val oneShot = rows(graft.ops.Incremental.scd2Intervals(
+          events.toDF("k", "id", "op"), "k", "id", "op")
+        .select(col("k"), col("valid_from"), col("valid_to"), col("op"),
+          col("is_current")))
+      assert(got == oneShot,
+        s"trial $trial (${batches.map(_.length)} split): fold != one-shot")
+    }
+  }
+
   test("open state is one row per live key (compact), not history-scale") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scd2c")
     val store = new ParquetStateStore(spark, dir.resolve("state").toString)
