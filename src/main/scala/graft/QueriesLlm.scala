@@ -707,6 +707,40 @@ object QueriesLlm {
       Some(bm25Oracle(Seq("vector", "merge", "spark"), k = 20,
         k1Milli = 1200L, bMilli = 750L))),
 
+    Q("llm_hybrid_rrf",
+      // Hybrid retrieval: BM25 top-50 and cosine top-50 (probe = vec 0)
+      // fused by integer reciprocal-rank fusion (10^9 div (60 + rank)),
+      // re-ranked to the top-20. Both pools are the existing one-pass
+      // rankers; fusion joins two 50-row tables.
+      (s, d) => TextOps.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+        "doc_id", "text", terms = Seq("vector", "merge", "spark"),
+        probeId = 0L, k = 20, poolK = 50),
+      Some(withCtes(bm25Ctes(Seq("vector", "merge", "spark"), 1200L, 750L) ++ Seq(
+        """lex AS (
+          |  SELECT doc_id,
+          |         CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id) AS BIGINT) AS lex_rank
+          |  FROM (SELECT doc_id, score_milli FROM bm25scored
+          |        ORDER BY score_milli DESC, doc_id LIMIT 50))""".stripMargin,
+        """qv AS (
+          |  SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+          |  FROM embeddings WHERE vec_id = 0)""".stripMargin,
+        """cvr AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS c
+          |  FROM embeddings WHERE vec_id <> 0)""".stripMargin,
+        """sem AS (
+          |  SELECT vec_id AS doc_id, CAST(rank AS BIGINT) AS sem_rank FROM (
+          |    SELECT vec_id,
+          |           row_number() OVER (ORDER BY
+          |             CAST(list_sum(list_transform(range(1,65), i -> q[i]*c[i])) AS BIGINT) DESC,
+          |             vec_id) AS rank
+          |    FROM qv CROSS JOIN cvr) WHERE rank <= 50)""".stripMargin): _*)(
+        """SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+          |       l.lex_rank, s.sem_rank,
+          |       CAST(coalesce(1000000000 // (60 + l.lex_rank), 0)
+          |            + coalesce(1000000000 // (60 + s.sem_rank), 0) AS BIGINT) AS rrf_ppb
+          |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+          |ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin))),
+
     Q("llm_bpe_pairs",
       // BPE round-0 statistics: adjacent character-pair counts weighted by
       // corpus word frequency — the aggregation every merge round of a
@@ -826,8 +860,11 @@ object QueriesLlm {
 
   /** DuckDB BM25 oracle (mirrors TextOps.bm25Search's integer formulas
     * term by term). */
-  private def bm25Oracle(terms: Seq[String], k: Int,
-                         k1Milli: Long, bMilli: Long): String = {
+  /** BM25 CTE chain ending in `bm25scored(doc_id, dl, score_milli)` —
+    * shared by the standalone llm_bm25_search oracle and the hybrid-RRF
+    * fusion oracle. */
+  private def bm25Ctes(terms: Seq[String],
+                       k1Milli: Long, bMilli: Long): Seq[String] = {
     val tfSel = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
     }.mkString(",\n         ")
@@ -840,7 +877,7 @@ object QueriesLlm {
         s"((tf_$i * ${k1Milli + 1000L} * 1000) // " +
         s"(tf_$i * 1000 + ($k1Milli * lennorm_milli) // 1000)) // 1000"
     }.mkString("\n         + ")
-    withCtes(normDocsCte,
+    Seq(normDocsCte,
       s"""feats AS (
         |  SELECT doc_id,
         |         CASE WHEN length(norm) = 0 THEN 0
@@ -857,12 +894,18 @@ object QueriesLlm {
         |         1000 - $bMilli + ($bMilli * dl * 1000)
         |           // greatest(sum_dl * 1000 // n_docs, 1) AS lennorm_milli
         |  FROM feats f CROSS JOIN stats s
-        |  WHERE $anyMatch)""".stripMargin)(
-      s"""SELECT doc_id, dl,
-        |       CAST($score AS BIGINT) AS score_milli
-        |FROM scored
-        |ORDER BY score_milli DESC, doc_id LIMIT $k""".stripMargin)
+        |  WHERE $anyMatch),
+        |bm25scored AS (
+        |  SELECT doc_id, dl, CAST($score AS BIGINT) AS score_milli
+        |  FROM scored)""".stripMargin)
   }
+
+  private def bm25Oracle(terms: Seq[String], k: Int,
+                         k1Milli: Long, bMilli: Long): String =
+    withCtes(bm25Ctes(terms, k1Milli, bMilli): _*)(
+      s"""SELECT doc_id, dl, score_milli
+        |FROM bm25scored
+        |ORDER BY score_milli DESC, doc_id LIMIT $k""".stripMargin)
 
   /** DuckDB corpus word-frequency CTE (mirrors Bpe.wordFreqs). */
   private val wordFreqCte =

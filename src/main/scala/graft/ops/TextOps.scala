@@ -543,6 +543,40 @@ object TextOps {
       .select(col(idCol), col("dl"), col("score_milli"))
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009,
+    * the standard score-free fusion rule): the lexical BM25 top-`poolK`
+    * and the embedding-cosine top-`poolK` each contribute
+    * `10⁹ div (rrfK + rank)` (integer ppb — no float division to diverge
+    * between engines; a doc absent from a pool contributes 0), summed and
+    * re-ranked to the final top-`k`. The curation use is "find docs about
+    * X" where lexical misses paraphrases and cosine misses exact jargon.
+    *
+    * Scale shape: both rankers are the existing one-corpus-pass operators
+    * ([[bm25Search]]'s map-only scoring + TakeOrdered;
+    * [[Similarity.bruteForceTopK]]'s broadcast query + bounded top-k
+    * aggregate); the fusion itself joins two ≤poolK-row tables — the
+    * unpartitioned rank window is over poolK rows by construction, never
+    * corpus-scale. `embeddings.vec_id` must share the id space of
+    * `docs(idCol)` (the integrityAudit pairing contract). */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+                idCol: String, textCol: String,
+                terms: Seq[String], probeId: Long, k: Int = 20,
+                poolK: Int = 50, rrfK: Long = 60L): DataFrame = {
+    val lex = bm25Search(docs, idCol, textCol, terms, poolK)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score_milli").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("lex_rank"))
+    val sem = Similarity.bruteForceTopK(embeddings,
+        embeddings.filter(col("vec_id") === probeId), poolK)
+      .select(col("vec_id").as(idCol), col("rank").cast("long").as("sem_rank"))
+    lex.join(sem, Seq(idCol), "full_outer")
+      .withColumn("rrf_ppb",
+        coalesce(expr(s"1000000000 div ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($rrfK + sem_rank)"), lit(0L)))
+      .orderBy(col("rrf_ppb").desc, col(idCol)).limit(k)
+      .select(col(idCol), col("lex_rank"), col("sem_rank"), col("rrf_ppb"))
+  }
+
   /** Bigram language-model scoring — the perplexity-filter recipe (CCNet
     * trains KenLM on a reference corpus and buckets documents by
     * perplexity; this is the same decision with integer surrogates so the

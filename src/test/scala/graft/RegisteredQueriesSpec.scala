@@ -115,7 +115,10 @@ class RegisteredQueriesSpec extends SparkSpec {
     "w1_pagination", "o1_replay_batch", "o2_ordered_listing",
     "o3_log_sort_desc", "o4_newest_files", "o5_oldest_first_delete",
     "o6_pauses_newest", "p9_dlq_search", "s2_clob_reassembly",
-    "f9_log_fold", "a3_ordered_fold")
+    "f9_log_fold", "a3_ordered_fold",
+    // rank window over bm25Search's top-poolK output — ≤ 50 rows by the
+    // upstream TakeOrdered, never corpus-scale (TextOps.hybridRrf)
+    "llm_hybrid_rrf")
 
   /** The ONE sanctioned ScalaUDF: gzip (SURVEY §2.12 requires a UDF
     * registration; a codegen'd native Expression variant also exists). */
