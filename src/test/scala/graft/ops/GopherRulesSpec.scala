@@ -54,4 +54,59 @@ class GopherRulesSpec extends SparkSpec {
     assert(got(0L)("n_words") == 6L, s"${got(0L)}")
     assert(got(0L)("alpha_word_ppm") == 1000000L)
   }
+
+  test("randomized messy text matches a driver-side reference on every metric") {
+    // Independent reimplementation of each metric in plain Scala; the
+    // random pool mixes digits, '#'-runs, bullets, ellipsis endings,
+    // blank lines, and leading whitespace — the regex/lambda edge cases.
+    def reference(text: String): (Long, Long, Long, Long, Long, Long, Long) = {
+      val stripped = text.replaceAll("^\\s+|\\s+$", "")
+      val words =
+        if (stripped.isEmpty) Array.empty[String] else stripped.split("\\s+")
+      val nWords = words.length.toLong
+      val wordChars = text.replaceAll("\\s+", "").length.toLong
+      val nSymbols = text.count(_ == '#').toLong +
+        (text.length - text.replace("...", "").length) / 3 +
+        text.count(_ == '…').toLong
+      val lines = text.split("\n", -1)
+      val bullet = lines.count(l =>
+        l.dropWhile(_ == ' ').headOption.exists(Set('-', '*', '•'))).toLong
+      val ell = lines.count { l =>
+        val r = l.reverse.dropWhile(_ == ' ').reverse
+        r.endsWith("...") || r.endsWith("…")
+      }.toLong
+      val alpha = words.count(_.exists(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
+      val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      val toks = if (norm.isEmpty) Set.empty[String] else norm.split(" ").toSet
+      val stops = toks.intersect(TextOps.GopherStopwords.toSet).size.toLong
+      (nWords, wordChars,
+        nSymbols * 1000000L / math.max(nWords, 1L),
+        bullet * 1000000L / lines.length,
+        ell * 1000000L / lines.length,
+        alpha * 1000000L / math.max(nWords, 1L),
+        stops)
+    }
+    val rnd = new scala.util.Random(0xC0FFEEL)
+    val pool = Vector("the", "word", "123", "###", "a", "with", "…",
+      "graph...", "x9y", "-")
+    val docs = (0L until 25L).map { id =>
+      val lines = Vector.fill(1 + rnd.nextInt(4)) {
+        val lead = if (rnd.nextBoolean()) "  " else ""
+        lead + Vector.fill(rnd.nextInt(8))(pool(rnd.nextInt(pool.length)))
+          .mkString(" ")
+      }
+      id -> lines.mkString("\n")
+    }
+    val got = run(docs)
+    docs.foreach { case (id, text) =>
+      val (nw, wc, sym, bul, ell, alp, st) = reference(text)
+      val g = got(id)
+      assert((g("n_words"), g("word_chars"), g("symbol_ppm"),
+        g("bullet_line_ppm"), g("ellipsis_line_ppm"), g("alpha_word_ppm"),
+        g("n_stop_hits")) == ((nw, wc, sym, bul, ell, alp, st)),
+        s"doc $id ${text.replace("\n", "\\n")}: $g vs reference " +
+          s"($nw,$wc,$sym,$bul,$ell,$alp,$st)")
+    }
+  }
 }
