@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CmsCounts, GramMatrix, GzipCompress, GzipDecompress, KmvMins, MinhashSigs, PairStructs, RepetitionStats, SimhashFp, WinnowMins, TopKPairs, TopKPairsTagged}
+import graft.expressions.{CmsCounts, GramMatrix, GzipCompress, GzipDecompress, KmvMins, MinhashSigs, NfcNormalize, PairStructs, RepetitionStats, SimhashFp, WinnowMins, TopKPairs, TopKPairsTagged}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are callable from SQL in any session configured with
@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("gram_matrix"),
       new ExpressionInfo(classOf[GramMatrix].getName, "gram_matrix"),
       (children: Seq[Expression]) => GramMatrix(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("topk_pairs_tag"),
       new ExpressionInfo(classOf[TopKPairsTagged].getName, "topk_pairs_tag"),

@@ -191,6 +191,22 @@ object QueriesLlm {
           |         AS stop_ratio
           |FROM tok_docs""".stripMargin))),
 
+    Q("llm_unicode_clean",
+      // Unicode hygiene before hashing: strip zero-width chars, NFC-
+      // compose via the native nfc_normalize expression (mirrors DuckDB's
+      // builtin of the same name). Map-only; the synthetic corpus is
+      // ASCII so every row reports unchanged — the gate checks the
+      // PLUMBING (lengths, flags, pass-through text); the unicode
+      // semantics are spec-pinned on planted composed/decomposed docs.
+      (s, d) => TextOps.unicodeClean(Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""SELECT doc_id,
+        |       nfc_normalize(regexp_replace(text, '${TextOps.ZeroWidthPattern}', '', 'g')) AS cleaned_text,
+        |       CAST(length(text) - length(regexp_replace(text, '${TextOps.ZeroWidthPattern}', '', 'g')) AS BIGINT) AS n_zero_width,
+        |       CAST(length(text) AS BIGINT) AS len_before,
+        |       CAST(length(nfc_normalize(regexp_replace(text, '${TextOps.ZeroWidthPattern}', '', 'g'))) AS BIGINT) AS len_after,
+        |       nfc_normalize(regexp_replace(text, '${TextOps.ZeroWidthPattern}', '', 'g')) <> text AS changed
+        |FROM documents""".stripMargin)),
+
     Q("llm_gopher_rules",
       // The published Gopher/MassiveText document-quality rule set (Rae et
       // al. 2021 A1.1) as integer-ppm metrics + per-rule flags — the

@@ -112,6 +112,29 @@ object TextOps {
   def fingerprint(text: Column): Column =
     substring(sha2(normalize(text), 256), 1, 16)
 
+  /** Zero-width characters a web corpus carries invisibly (ZWSP, ZWNJ,
+    * ZWJ, BOM) — stripped by [[unicodeClean]] before NFC composition. */
+  val ZeroWidthPattern: String = "[​‌‍﻿]"
+
+  /** Unicode hygiene — the pass that MUST precede any hash/dedup stage on
+    * real web text: strip zero-width characters, then NFC-compose (the
+    * same logical text in composed vs decomposed form would otherwise
+    * carry two fingerprints and defeat exact dedup). NFC runs through the
+    * native [[graft.expressions.NfcNormalize]] expression (codegen'd,
+    * allocation-free on already-normalized rows) whose name and semantics
+    * mirror DuckDB's `nfc_normalize` builtin — the oracle replays the
+    * pipeline verbatim. Map-only; lengths in code points both engines. */
+  def unicodeClean(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), col(textCol))
+      .withColumn("_stripped", regexp_replace(col(textCol), ZeroWidthPattern, ""))
+      .withColumn("cleaned_text", expr("nfc_normalize(_stripped)"))
+      .select(col(idCol), col("cleaned_text"),
+        (length(col(textCol)) - length(col("_stripped"))).cast("long")
+          .as("n_zero_width"),
+        length(col(textCol)).cast("long").as("len_before"),
+        length(col("cleaned_text")).cast("long").as("len_after"),
+        (col("cleaned_text") =!= col(textCol)).as("changed"))
+
   /** The 8 required stopwords of the Gopher rule set (Rae et al. 2021,
     * A1.1): a document must contain at least 2 of them. */
   val GopherStopwords: Seq[String] =

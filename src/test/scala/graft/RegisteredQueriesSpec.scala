@@ -191,7 +191,9 @@ class RegisteredQueriesSpec extends SparkSpec {
     // native simhash_fp made the fingerprint row-local (r10 s5)
     "dedup_simhash",
     // r12 quality filters: per-document rules, Generate barriers only
-    "llm_gopher_rules", "llm_c4_filters")
+    "llm_gopher_rules", "llm_c4_filters",
+    // r12 unicode hygiene: strip + native nfc_normalize, pure projection
+    "llm_unicode_clean")
 
   test("map-only pin: row-local queries have zero exchanges") {
     // MUST read executedPlan with AQE off: sparkPlan predates
