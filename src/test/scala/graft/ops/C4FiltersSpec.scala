@@ -48,4 +48,42 @@ class C4FiltersSpec extends SparkSpec {
         got(id)("keep_doc") == false, s"$id: ${got(id)}")
     }
   }
+
+  test("randomized messy docs match a driver-side reference on every column") {
+    def reference(text: String): (String, Long, Long, Long, Boolean, Boolean, Boolean) = {
+      val lines = text.split("\n", -1)
+      val kept = lines.filter { l =>
+        val r = l.reverse.dropWhile(_ == ' ').reverse
+        val stripped = l.replaceAll("^\\s+|\\s+$", "")
+        val words = if (stripped.isEmpty) Array.empty[String]
+          else stripped.split("\\s+")
+        (r.endsWith(".") || r.endsWith("!") || r.endsWith("?") ||
+          r.endsWith("\"")) && words.length >= 5
+      }
+      val cleaned = kept.mkString("\n")
+      val sentences = cleaned.count(c => c == '.' || c == '!' || c == '?').toLong
+      val lorem = text.toLowerCase.contains("lorem ipsum")
+      val brace = text.contains("{")
+      (cleaned, lines.length.toLong, kept.length.toLong, sentences,
+        lorem, brace, sentences >= 3 && !lorem && !brace)
+    }
+    val rnd = new scala.util.Random(0xBEEFL)
+    val words = Vector("the", "word", "lorem", "ipsum", "x{y", "five", "is.",
+      "go!", "eh?", "quote\"")
+    val docs = (0L until 25L).map { id =>
+      id -> Vector.fill(1 + rnd.nextInt(4)) {
+        Vector.fill(rnd.nextInt(8))(words(rnd.nextInt(words.length)))
+          .mkString(" ") + (if (rnd.nextBoolean()) " " else "")
+      }.mkString("\n")
+    }
+    val got = run(docs)
+    docs.foreach { case (id, text) =>
+      val (cl, nl, nk, ns, lo, br, kd) = reference(text)
+      val g = got(id)
+      assert((g("cleaned_text"), g("n_lines"), g("n_kept_lines"),
+        g("n_sentences"), g("has_lorem_ipsum"), g("has_brace"),
+        g("keep_doc")) == ((cl, nl, nk, ns, lo, br, kd)),
+        s"doc $id ${text.replace("\n", "\\n")}: $g")
+    }
+  }
 }
