@@ -37,7 +37,8 @@ object GraphProf {
     // the distinct (txn, item) projection worth it, or does exchange reuse
     // make the 3-consumer rescan free? PROF_ORDER=rescan_first flips.
     def ckptShape(): Unit = t("assoc rules (fact ckpt)")(
-      graft.ops.GraphOps.associationRules(rows, "_txn", "item", 2).count())
+      graft.ops.GraphOps.associationRules(rows, "_txn", "item", 2,
+        checkpointFacts = true).count())
     def rescanShape(): Unit = t("assoc rules (rescan)")(
       graft.ops.GraphOps.associationRules(rows, "_txn", "item", 2,
         checkpointFacts = false).count())

@@ -1921,7 +1921,8 @@ object QueriesLlm {
         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
         |             CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*c.cv[i])) AS BIGINT) DESC, c.cid) AS rn
         |    FROM quant q CROSS JOIN cent c
-        |    WHERE (SELECT count(*) FROM quant) <= ${Similarity.smallCorpusCap}) WHERE rn = 1),
+        |    WHERE (SELECT count(*) FROM quant) <= ${Similarity.smallCorpusCap}
+        |       OR (SELECT count(*) FROM cent) < ${Similarity.twoLevelCellsDefault}) WHERE rn = 1),
         |sup AS MATERIALIZED (
         |  SELECT cid AS scid, cv AS scv FROM cent
         |  WHERE cid < (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) FROM cent)),
@@ -1937,7 +1938,8 @@ object QueriesLlm {
         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
         |             CAST(list_sum(list_transform(range(1,65), i -> q.v[i]*s.scv[i])) AS BIGINT) DESC, s.scid) AS rn
         |    FROM quant q CROSS JOIN sup s
-        |    WHERE (SELECT count(*) FROM quant) > ${Similarity.smallCorpusCap}) WHERE rn = 1),
+        |    WHERE (SELECT count(*) FROM quant) > ${Similarity.smallCorpusCap}
+        |      AND (SELECT count(*) FROM cent) >= ${Similarity.twoLevelCellsDefault}) WHERE rn = 1),
         |assign2 AS (
         |  SELECT vec_id, label, cid, v FROM (
         |    SELECT a.vec_id, a.label, c.cid, a.v,

@@ -175,7 +175,7 @@ object TextOps {
     val nWords = size(col("_words")).cast("long")
     val wordChars = length(regexp_replace(t, "\\s+", "")).cast("long")
     val nSymbols = (length(t) - length(expr(s"replace($textCol, '#', '')")) +
-      (length(t) - length(expr(s"replace($textCol, '...', '')"))) / lit(3) +
+      expr(s"(length($textCol) - length(replace($textCol, '...', ''))) div 3") +
       (length(t) - length(expr(s"replace($textCol, '…', '')")))).cast("long")
     val nLines = size(col("_lines")).cast("long")
     val bulletLines = size(filter(col("_lines"),
