@@ -99,4 +99,110 @@ object OracleCtes {
 
   /** Fixed reference instant (see Fixtures.RefNow). */
   val refNow: String = s"TIMESTAMP '${fixtures.Fixtures.RefNow}'"
+
+  /** Mirrors Fixtures.urlDocs. */
+  val urls: String =
+    """url_base AS (
+      |  SELECT doc_id, text,
+      |         'site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+      |           (['com','org','co.uk','de','com.au','io','ac.uk'])[CAST(doc_id % 7 + 1 AS INTEGER)]
+      |           AS host_core,
+      |         CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS sch0
+      |  FROM documents),
+      |url_hosts AS (
+      |  SELECT doc_id, text, sch0,
+      |         CASE WHEN doc_id % 9 = 0 THEN 'www.' || host_core ELSE host_core END AS host_www
+      |  FROM url_base),
+      |urls AS (
+      |  SELECT doc_id, text,
+      |         (CASE WHEN doc_id % 11 = 0 THEN upper(sch0) ELSE sch0 END)
+      |         || '://'
+      |         || (CASE WHEN doc_id % 17 = 0
+      |                  THEN 'u' || CAST(doc_id % 5 AS VARCHAR) || '@' ELSE '' END)
+      |         || (CASE WHEN doc_id % 3 = 0 THEN upper(host_www) ELSE host_www END)
+      |         || (CASE WHEN doc_id % 5 = 0 THEN ':443' WHEN doc_id % 5 = 1 THEN ':80'
+      |                  WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END)
+      |         || (CASE WHEN doc_id % 13 = 0 THEN ''
+      |                  ELSE '/p/' || CAST(doc_id % 50 AS VARCHAR) END)
+      |         || (CASE WHEN doc_id % 4 = 0
+      |                  THEN '?utm_source=feed&id=' || CAST(doc_id % 20 AS VARCHAR)
+      |                  WHEN doc_id % 4 = 1
+      |                  THEN '?id=' || CAST(doc_id % 20 AS VARCHAR) || '&utm_campaign=x&ref=tw'
+      |                  WHEN doc_id % 4 = 2 THEN '?utm_medium=email' ELSE '' END)
+      |         || (CASE WHEN doc_id % 6 = 0
+      |                  THEN '#sec-' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END) AS url
+      |  FROM url_hosts)""".stripMargin
+
+  /** Step-by-step replay of UrlOps.withUrlParts/normalizeUrls over the
+    * `urls` CTE, ending in `url_parsed` (doc_id, url, sch, host, port,
+    * path, qc, labs, n, last2, rd). Every regex is the Scala pattern
+    * verbatim (all RE2-safe); the tracking strip carries the 'g' flag
+    * because DuckDB's regexp_replace is first-match-only by default. */
+  val urlParsed: String = {
+    val trackRe = ops.UrlOps.TrackingParamRe
+    val tldIn = ops.UrlOps.MultiPartTlds.map(t => s"'$t'").mkString(", ")
+    s"""up0 AS (
+      |  SELECT doc_id, url, regexp_replace(trim(url), '#.*$$', '') AS u1 FROM urls),
+      |up1 AS (
+      |  SELECT doc_id, url, u1,
+      |         regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS sch_raw
+      |  FROM up0),
+      |up2 AS (
+      |  SELECT doc_id, url, lower(sch_raw) AS sch,
+      |         CASE WHEN sch_raw <> '' THEN substring(u1, length(sch_raw) + 4)
+      |              ELSE u1 END AS rest
+      |  FROM up1),
+      |up3 AS (
+      |  SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS auth FROM up2),
+      |up4 AS (
+      |  SELECT *, substring(rest, length(auth) + 1) AS pathq,
+      |         regexp_replace(auth, '^[^@]*@', '') AS hostport
+      |  FROM up3),
+      |up5 AS (
+      |  SELECT *, regexp_extract(hostport, ':([0-9]+)$$', 1) AS ports FROM up4),
+      |up6 AS (
+      |  SELECT *,
+      |         lower(CASE WHEN ports <> ''
+      |                    THEN substring(hostport, 1, length(hostport) - length(ports) - 1)
+      |                    ELSE hostport END) AS host,
+      |         regexp_extract(pathq, '^([^?]*)', 1) AS path
+      |  FROM up5),
+      |up7 AS (
+      |  SELECT *,
+      |         CASE WHEN length(pathq) > length(path)
+      |              THEN substring(pathq, length(path) + 2) ELSE '' END AS qraw,
+      |         CASE WHEN ports = '' THEN ''
+      |              WHEN sch = 'http' AND ports = '80' THEN ''
+      |              WHEN sch = 'https' AND ports = '443' THEN ''
+      |              ELSE ports END AS port
+      |  FROM up6),
+      |up8 AS (
+      |  SELECT *,
+      |         substring(regexp_replace('&' || qraw, '&$trackRe=[^&]*', '', 'g'), 2) AS qc,
+      |         string_split(host, '.') AS labs
+      |  FROM up7),
+      |up9 AS (
+      |  SELECT *, len(labs) AS n,
+      |         list_extract(labs, len(labs) - 1) || '.' || list_extract(labs, len(labs)) AS last2
+      |  FROM up8),
+      |url_parsed AS MATERIALIZED (
+      |  SELECT doc_id, url, sch, host, port, path, qc, labs, n, last2,
+      |         CASE WHEN regexp_matches(host, '^[0-9.]+$$') THEN host
+      |              WHEN n >= 3 AND last2 IN ($tldIn)
+      |              THEN list_extract(labs, n - 2) || '.' || last2
+      |              WHEN n >= 2 THEN last2 ELSE host END AS rd
+      |  FROM up9)""".stripMargin
+  }
+
+  /** url_parsed extended with the reassembled canonical URL (url_norm). */
+  val urlNormalized: String =
+    """url_norm_t AS (
+      |  SELECT doc_id, url,
+      |         (CASE WHEN sch = '' THEN '' ELSE sch || '://' END)
+      |         || host
+      |         || (CASE WHEN port = '' THEN '' ELSE ':' || port END)
+      |         || (CASE WHEN path = '' THEN '/' ELSE path END)
+      |         || (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS url_norm,
+      |         host, rd
+      |  FROM url_parsed)""".stripMargin
 }

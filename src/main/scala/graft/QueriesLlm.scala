@@ -259,6 +259,67 @@ object QueriesLlm {
           |         AND n_stop_hits >= 2 AS passes
           |FROM gp""".stripMargin))),
 
+    Q("llm_url_normalize",
+      // Crawl-side URL curation (C4 §2.2 dedups/filters BY URL before any
+      // text pass): canonical URL (lowercase scheme/host, userinfo +
+      // fragment + default-port + tracking-param strip), eTLD+1 under the
+      // suffix-list-lite, and a blocklist flag via a broadcast join (a
+      // production ~1M-domain blocklist rides the same shape). Map-only
+      // regex passes per row — no shuffle at any corpus size; the oracle
+      // replays every parse step verbatim (all patterns RE2-safe).
+      (s, d) => {
+        import s.implicits._
+        val urls = graft.fixtures.Fixtures.urlDocs(Tables.documents(s, d))
+        val norm = UrlOps.normalizeUrls(urls, "url")
+        UrlOps.blockedFlag(norm, "registrable_domain",
+            UrlOps.DemoBlocklist.toDF("domain"))
+          .select(col("doc_id"), col("url"), col("url_norm"), col("host"),
+            col("registrable_domain"), col("blocked"))
+      },
+      Some(withCtes(OracleCtes.urls, OracleCtes.urlParsed, OracleCtes.urlNormalized)(
+        s"""SELECT doc_id, url, url_norm, host, rd AS registrable_domain,
+          |       rd IN (${UrlOps.DemoBlocklist.map(x => s"'$x'").mkString(", ")}) AS blocked
+          |FROM url_norm_t""".stripMargin))),
+
+    Q("llm_domain_rollup",
+      // Per-registrable-domain curation rollup: docs, tokens, and a KMV
+      // distinct-content estimate in ONE domain-keyed aggregation (k-long
+      // sketch state, never a corpus count-distinct); dup_factor_ppm is
+      // the template-farm signal FineWeb-class pipelines threshold on.
+      // Group count is bounded by the web's domain count, far below rows.
+      (s, d) => {
+        val urls = graft.fixtures.Fixtures.urlDocs(Tables.documents(s, d))
+        val withRd = UrlOps.normalizeUrls(urls, "url")
+          .select(col("registrable_domain"), col("text"))
+        UrlOps.domainRollup(withRd, "registrable_domain", "text", k = 64)
+      },
+      Some(withCtes(OracleCtes.urls, OracleCtes.urlParsed, normDocsCte,
+        """url_roll AS (
+          |  SELECT p.rd, count(*) AS n_docs, sum(len(t.toks)) AS n_tokens
+          |  FROM url_parsed p JOIN tok_docs t USING (doc_id) GROUP BY 1)""".stripMargin,
+        """url_h AS (
+          |  SELECT DISTINCT p.rd,
+          |         CAST('0x' || substr(sha256(d.text), 1, 15) AS BIGINT) AS hh
+          |  FROM url_parsed p JOIN documents d USING (doc_id))""".stripMargin,
+        """url_r AS (
+          |  SELECT rd, hh, row_number() OVER (PARTITION BY rd ORDER BY hh) AS rn,
+          |         count(*) OVER (PARTITION BY rd) AS nh
+          |  FROM url_h)""".stripMargin)(
+        """SELECT registrable_domain, n_docs, n_tokens, n_mins, distinct_content_est,
+          |       CAST(n_docs * 1000000 // distinct_content_est AS BIGINT) AS dup_factor_ppm
+          |FROM (
+          |  SELECT g.rd AS registrable_domain,
+          |         CAST(r.n_docs AS BIGINT) AS n_docs,
+          |         CAST(r.n_tokens AS BIGINT) AS n_tokens,
+          |         CAST(least(g.nh, 64) AS BIGINT) AS n_mins,
+          |         CAST(CASE WHEN g.nh < 64 THEN g.nh
+          |                   ELSE floor(63.0 * 1152921504606846976.0 / k.kth) END AS BIGINT)
+          |           AS distinct_content_est
+          |  FROM (SELECT rd, max(nh) AS nh FROM url_r GROUP BY 1) g
+          |  JOIN url_roll r USING (rd)
+          |  LEFT JOIN (SELECT rd, CAST(hh AS DOUBLE) AS kth FROM url_r WHERE rn = 64) k
+          |    USING (rd))""".stripMargin))),
+
     Q("llm_c4_filters",
       // The C4 line-level cleaning pass (Raffel et al. 2020 §2.2): keep
       // terminal-punctuation lines with >= 5 words, reassemble, flag

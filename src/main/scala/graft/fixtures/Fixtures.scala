@@ -112,4 +112,37 @@ object Fixtures {
     * oracle agree. Mid-range of the events table's ts span. */
   val RefNow = "2024-01-15 00:00:00"
   def refNow: Column = to_timestamp(lit(RefNow))
+
+  /** Deterministic crawl URL per document for the URL-curation family
+    * (mirrors [[graft.OracleCtes.urls]] — keep the two in lock-step).
+    * Every normalization branch is exercised: mixed-case scheme/host,
+    * userinfo, www prefix, default AND non-default ports (including the
+    * adversarial http::443 / https::80 pairings that must be KEPT),
+    * multi-part TLDs, empty paths, tracking-only query strings, fragments. */
+  def urlDocs(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val tld = element_at(array(Seq("com", "org", "co.uk", "de", "com.au",
+        "io", "ac.uk").map(lit): _*), (id % 7 + 1).cast("int"))
+    val hostCore = concat(lit("site"), (id % 97).cast("string"), lit("."), tld)
+    val hostWww = when(id % 9 === 0, concat(lit("www."), hostCore)).otherwise(hostCore)
+    val hostCased = when(id % 3 === 0, upper(hostWww)).otherwise(hostWww)
+    val sch0 = when(id % 2 === 0, lit("https")).otherwise(lit("http"))
+    val sch = when(id % 11 === 0, upper(sch0)).otherwise(sch0)
+    val userinfo = when(id % 17 === 0,
+      concat(lit("u"), (id % 5).cast("string"), lit("@"))).otherwise(lit(""))
+    val port = when(id % 5 === 0, lit(":443")).when(id % 5 === 1, lit(":80"))
+      .when(id % 5 === 2, lit(":8080")).otherwise(lit(""))
+    val path = when(id % 13 === 0, lit(""))
+      .otherwise(concat(lit("/p/"), (id % 50).cast("string")))
+    val qs = when(id % 4 === 0,
+        concat(lit("?utm_source=feed&id="), (id % 20).cast("string")))
+      .when(id % 4 === 1,
+        concat(lit("?id="), (id % 20).cast("string"), lit("&utm_campaign=x&ref=tw")))
+      .when(id % 4 === 2, lit("?utm_medium=email"))
+      .otherwise(lit(""))
+    val frag = when(id % 6 === 0,
+      concat(lit("#sec-"), (id % 3).cast("string"))).otherwise(lit(""))
+    docs.select(id, col("text"),
+      concat(sch, lit("://"), userinfo, hostCased, port, path, qs, frag).as("url"))
+  }
 }

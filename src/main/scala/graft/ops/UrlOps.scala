@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / domain curation — the crawl-side stage a C4/FineWeb-class corpus
+  * runs BEFORE any text pass (Raffel et al. 2020 §2.2 dedups and filters by
+  * URL; Penedo et al. 2024 §3.1 applies URL blocklists first because a
+  * dropped URL never costs a text decode).
+  *
+  * Everything here is map-only string work per row plus ONE
+  * registrable-domain-bounded aggregation ([[domainRollup]]): at 100 TB the
+  * normalization adds no shuffle, the blocklist is a broadcast join (real
+  * blocklists are ~1M rows ≪ autoBroadcast), and the rollup's group count
+  * is the web's registrable-domain count (~100M s), far under the corpus
+  * row count, with KMV bounded sketch state (k longs) per group instead of
+  * a corpus-scale count-distinct.
+  *
+  * Parsing is deliberately REGEX-ONLY (no java.net.URI, no parse_url):
+  * every pattern is RE2-safe (no lookaround / backreferences), so the
+  * DuckDB oracle replays each step verbatim and the two engines cannot
+  * disagree on edge cases. The tracking-parameter strip is a single flat
+  * codegen regexp_replace over the whole query string (repo rule: flat
+  * whole-string ops beat per-element HOF lambdas for string rewriting).
+  */
+object UrlOps {
+
+  /** Query parameters that carry tracking state, not content identity
+    * (the C4 / common crawl-cleaning set). Kept as an alternation SOURCE
+    * string so the Spark pass and the DuckDB oracle interpolate the
+    * identical pattern. */
+  val TrackingParamRe: String =
+    "(utm_[a-z_]+|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref|ref_src)"
+
+  /** Suffix-list-lite: common multi-part public suffixes. A full public
+    * suffix list is ~9k rows and would ride the same literal-IN /
+    * broadcast shape; this subset keeps the oracle SQL readable while
+    * exercising every branch of the label logic. */
+  val MultiPartTlds: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.in", "net.in", "org.in", "co.nz", "org.nz",
+    "com.br", "com.mx", "com.ar", "com.cn", "com.sg", "com.tr", "com.hk",
+    "co.za", "co.kr", "com.tw")
+
+  /** Demo blocklist for the registry query (production blocklists arrive
+    * as a table and ride [[blockedFlag]]'s broadcast join unchanged). */
+  val DemoBlocklist: Seq[String] =
+    Seq("site13.com", "site7.co.uk", "site40.org", "site2.de", "spam.example")
+
+  /** Parse `urlCol` into `_sch` (lowercased scheme, '' when absent),
+    * `_host` (lowercased, userinfo stripped), `_port` (string, '' when
+    * absent), `_path` (raw, '' when absent) and `_qraw` (query string
+    * without '?', '' when absent). Stage-by-stage selects keep each regex
+    * single-evaluated: CollapseProject does not inline multi-referenced
+    * non-cheap projections (measured round 7), so `_rest`/`_auth` etc.
+    * are computed once per row even though later stages reference them
+    * repeatedly. Fragment is dropped here (never part of the resource). */
+  def withUrlParts(df: DataFrame, urlCol: String): DataFrame =
+    df
+      .withColumn("_u1", regexp_replace(trim(col(urlCol)), "#.*$", ""))
+      .withColumn("_schRaw",
+        regexp_extract(col("_u1"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+      .withColumn("_rest",
+        when(col("_schRaw") =!= "", expr("substring(_u1, length(_schRaw) + 4)"))
+          .otherwise(col("_u1")))
+      .withColumn("_auth", regexp_extract(col("_rest"), "^([^/?]*)", 1))
+      .withColumn("_pathq", expr("substring(_rest, length(_auth) + 1)"))
+      .withColumn("_hostport", regexp_replace(col("_auth"), "^[^@]*@", ""))
+      .withColumn("_portS", regexp_extract(col("_hostport"), ":([0-9]+)$", 1))
+      .withColumn("_sch", lower(col("_schRaw")))
+      .withColumn("_host", lower(
+        when(col("_portS") =!= "",
+          expr("substring(_hostport, 1, length(_hostport) - length(_portS) - 1)"))
+          .otherwise(col("_hostport"))))
+      .withColumn("_path", regexp_extract(col("_pathq"), "^([^?]*)", 1))
+      .withColumn("_qraw",
+        when(length(col("_pathq")) > length(col("_path")),
+          expr("substring(_pathq, length(_path) + 2)"))
+          .otherwise(lit("")))
+      .withColumn("_port",
+        when(col("_portS") === "", lit(""))
+          .when(col("_sch") === "http" && col("_portS") === "80", lit(""))
+          .when(col("_sch") === "https" && col("_portS") === "443", lit(""))
+          .otherwise(col("_portS")))
+      .drop("_u1", "_schRaw", "_rest", "_auth", "_pathq", "_hostport", "_portS")
+
+  /** Tracking-parameter strip as ONE flat regexp_replace: prefix the query
+    * with '&' so every parameter (including the first) matches the same
+    * '&name=value' shape, delete tracking pairs globally; the caller drops
+    * the '&' sentinel with a substring in a SEPARATE projection stage so
+    * the regex evaluates once per row. Parameter ORDER of the survivors is
+    * preserved (C4 does not re-sort; re-sorting would merge fewer
+    * duplicates than it would corrupt signed URLs). */
+  def cleanQueryMarked(qraw: Column): Column =
+    regexp_replace(concat(lit("&"), qraw), s"&$TrackingParamRe=[^&]*", "")
+
+  /** Canonical URL: lowercased scheme/host, userinfo and fragment dropped,
+    * default port dropped (http:80 / https:443 — a NON-default pairing
+    * like http:443 is kept), tracking params dropped, empty path
+    * canonicalized to '/'. Scheme-less inputs normalize scheme-less
+    * (host-relative), so the pass is total. Adds `url_norm`, `host`,
+    * `registrable_domain`; map-only. */
+  def normalizeUrls(df: DataFrame, urlCol: String): DataFrame =
+    withUrlParts(df, urlCol)
+      .withColumn("_qcm", cleanQueryMarked(col("_qraw")))
+      .withColumn("_qc", expr("substring(_qcm, 2)"))
+      .withColumn("url_norm", concat(
+        when(col("_sch") === "", lit("")).otherwise(concat(col("_sch"), lit("://"))),
+        col("_host"),
+        when(col("_port") === "", lit("")).otherwise(concat(lit(":"), col("_port"))),
+        when(col("_path") === "", lit("/")).otherwise(col("_path")),
+        when(col("_qc") === "", lit("")).otherwise(concat(lit("?"), col("_qc")))))
+      .withColumn("host", col("_host"))
+      .withColumn("registrable_domain", registrableDomain(col("_host")))
+      .drop("_sch", "_host", "_port", "_path", "_qraw", "_qcm", "_qc")
+
+  /** eTLD+1 under [[MultiPartTlds]]: last 3 labels when the last 2 form a
+    * multi-part suffix, else last 2, else the host itself. IPv4-ish hosts
+    * (digits and dots only) pass through whole — their "last two labels"
+    * would be a nonsense octet pair. Branch conditions guard every
+    * `element_at` so the expression is ANSI-safe on short hosts. */
+  def registrableDomain(host: Column): Column = {
+    val labs = split(host, "\\.")
+    val n = size(labs)
+    val last2 = concat(element_at(labs, -2), lit("."), element_at(labs, -1))
+    when(host.rlike("^[0-9.]+$"), host)
+      .when(n >= 3 && last2.isin(MultiPartTlds: _*),
+        concat(element_at(labs, -3), lit("."), last2))
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** Broadcast blocklist flag: `blocked` true when `domCol` appears in
+    * `blocklist`'s `domain` column. A left broadcast join, not an isin
+    * literal, because production blocklists (~1M domains) arrive as a
+    * table; the join stays map-only under broadcast at any corpus size. */
+  def blockedFlag(df: DataFrame, domCol: String, blocklist: DataFrame): DataFrame = {
+    val bl = blocklist.select(col("domain").as("_bl_domain"))
+      .withColumn("_bl_hit", lit(true))
+    df.join(broadcast(bl), df(domCol) === bl("_bl_domain"), "left")
+      .withColumn("blocked", coalesce(col("_bl_hit"), lit(false)))
+      .drop("_bl_domain", "_bl_hit")
+  }
+
+  /** Per-registrable-domain curation rollup: document count, token count,
+    * and a KMV distinct-content estimate in ONE domain-keyed aggregation
+    * (count/sum partials plus the k-long `kmv_mins` sketch state — never a
+    * corpus-scale count-distinct shuffle). `dup_factor_ppm` =
+    * docs·10⁶ div distinct-content — the domain-level duplication signal
+    * FineWeb uses to drop template farms. Exact below k distinct hashes
+    * (the sketch IS the set), (k−1)·2⁶⁰/kth-min above. */
+  def domainRollup(df: DataFrame, domCol: String, textCol: String,
+                   k: Int = 64): DataFrame = {
+    require(k >= 2, "kmv k must be >= 2")
+    val based = TextOps.withNormToks(df.select(col(domCol), col(textCol)), textCol)
+    val nTok = when(length(col("_norm")) === 0, 0L)
+      .otherwise(size(col("_toks")).cast("long"))
+    based
+      .select(col(domCol), nTok.as("_nt"),
+        DedupOps.hash60(col(textCol)).as("_h"))
+      .groupBy(col(domCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"),
+        expr(s"kmv_mins(_h, $k)").as("_mins"))
+      .withColumn("n_mins", size(col("_mins")).cast("long"))
+      .withColumn("distinct_content_est",
+        when(col("n_mins") < k, col("n_mins"))
+          .otherwise(floor(lit((k - 1).toDouble * Sketches.HashSpace)
+            / element_at(col("_mins"), k).cast("double")).cast("long")))
+      .withColumn("dup_factor_ppm",
+        expr("n_docs * 1000000 div distinct_content_est"))
+      .drop("_mins")
+  }
+}
