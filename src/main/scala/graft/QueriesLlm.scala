@@ -31,6 +31,47 @@ object QueriesLlm {
   private def h60(x: String): String =
     s"CAST('0x' || substr(sha256($x), 1, 15) AS BIGINT)"
 
+  /** Deterministic synthetic PII injection (the corpus has none): one
+    * class per co-prime doc_id residue, so multi-class documents exist at
+    * small sf (77, 91, 133, …) without any single pair saturating — the
+    * density gate in llm_curation_report needs both sides. Mirrored
+    * verbatim in [[piiRawCte]]; keep the two in lock-step. */
+  private def piiRaw(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" from 192.168."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 200 + 1).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 19 === 0,
+        concat(lit(" at 2001:db8:85a3:0:0:8a2e:370:"),
+          (col("doc_id") % 9000 + 1000).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 23 === 0,
+        concat(lit(" pay DE"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit("5001051754073249"))).otherwise(lit("")),
+      when(col("doc_id") % 29 === 0,
+        concat(lit(" ssn "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))).as("raw_text"))
+
+  /** Mirrors [[piiRaw]]. */
+  private val piiRawCte: String =
+    """pii_raw AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 200 + 1 AS VARCHAR) ELSE '' END ||
+      |    CASE WHEN doc_id % 19 = 0 THEN ' at 2001:db8:85a3:0:0:8a2e:370:' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END ||
+      |    CASE WHEN doc_id % 23 = 0 THEN ' pay DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '5001051754073249' ELSE '' END ||
+      |    CASE WHEN doc_id % 29 = 0 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS raw_text
+      |  FROM documents)""".stripMargin
+
   /** DuckDB shingle-hash lists (mirrors DedupOps.shingleHashRows: hash of
     * the 3-token shingle string; whole-normalized-text hash fallback for
     * documents under 3 tokens). */
@@ -2616,13 +2657,16 @@ object QueriesLlm {
     * term salience, audio-style hop-window framing. */
   def pipeline: Seq[Q] = Seq(
     Q("llm_curation_report",
-      // The pipeline's final gate: exact-dup survivorship, C4 quality keep
-      // and Gopher repetition thresholds composed into keep + the FIRST
-      // failing reason (fixed precedence: duplicate > quality >
-      // repetition). Quality and repetition signals come from ONE corpus
-      // pass (TextOps.qualityRepetitionFeatures — separate operators would
-      // tokenize twice and duplicate the Generate barrier); the dup-keeper
-      // set is the dedup_exact aggregate joined back on doc_id. Slim
+      // The pipeline's final gate: exact-dup survivorship, C4 quality keep,
+      // Gopher repetition thresholds and the PII density gate composed
+      // into keep + the FIRST failing reason (fixed precedence: duplicate
+      // > quality > repetition > pii). Quality and repetition signals come
+      // from ONE corpus pass (TextOps.qualityRepetitionFeatures — separate
+      // operators would tokenize twice and duplicate the Generate
+      // barrier); the dup-keeper set is the dedup_exact aggregate joined
+      // back on doc_id; the PII leg is a map-only regex-count pass over
+      // the shared piiRaw injection (compliance gates DROP PII-dense docs
+      // rather than redact them — redaction is llm_pii_redact's job). Slim
       // per-doc signal tables co-shuffle on doc_id at any corpus size.
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -2637,18 +2681,39 @@ object QueriesLlm {
             col("dup_token_ppm") < 500000 &&
             col("top_bigram_ppm") < 400000 && col("dup_trigram_ppm") < 300000)
           .select(col("doc_id"), col("q_keep"), col("rep_ok"))
+        val pii = piiRaw(docs).select(col("doc_id"),
+          (regexp_count(col("raw_text"), lit(TextOps.EmailRe)) +
+            regexp_count(col("raw_text"), lit(TextOps.PhoneRe)) +
+            regexp_count(col("raw_text"), lit(TextOps.Ipv4Re)) +
+            regexp_count(col("raw_text"), lit(TextOps.Ipv6Re)) +
+            regexp_count(col("raw_text"), lit(TextOps.IbanRe)) +
+            regexp_count(col("raw_text"), lit(TextOps.SsnRe)))
+            .cast("long").as("n_pii"))
         sig.join(keepers, Seq("doc_id"), "left")
+          .join(pii, Seq("doc_id"))
           .withColumn("is_dup", col("_surv").isNull)
-          .withColumn("keep", !col("is_dup") && col("q_keep") && col("rep_ok"))
+          .withColumn("pii_ok", col("n_pii") < 2)
+          .withColumn("keep",
+            !col("is_dup") && col("q_keep") && col("rep_ok") && col("pii_ok"))
           .withColumn("reason",
             when(col("is_dup"), "duplicate")
               .when(!col("q_keep"), "quality")
               .when(!col("rep_ok"), "repetition")
+              .when(!col("pii_ok"), "pii")
               .otherwise("kept"))
           .select(col("doc_id"), col("is_dup"), col("q_keep"), col("rep_ok"),
-            col("keep"), col("reason"))
+            col("n_pii"), col("pii_ok"), col("keep"), col("reason"))
       },
-      Some(withCtes(normDocsCte, repGramCtes,
+      Some(withCtes(normDocsCte, repGramCtes, piiRawCte,
+        s"""psig AS (
+          |  SELECT doc_id,
+          |         CAST(len(regexp_extract_all(raw_text, '${TextOps.EmailRe}'))
+          |            + len(regexp_extract_all(raw_text, '${TextOps.PhoneRe}'))
+          |            + len(regexp_extract_all(raw_text, '${TextOps.Ipv4Re}'))
+          |            + len(regexp_extract_all(raw_text, '${TextOps.Ipv6Re}'))
+          |            + len(regexp_extract_all(raw_text, '${TextOps.IbanRe}'))
+          |            + len(regexp_extract_all(raw_text, '${TextOps.SsnRe}')) AS BIGINT) AS n_pii
+          |  FROM pii_raw)""".stripMargin,
         """keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
           |qsig AS (
           |  SELECT doc_id,
@@ -2670,12 +2735,13 @@ object QueriesLlm {
           |base AS (
           |  SELECT q.doc_id,
           |         q.doc_id NOT IN (SELECT doc_id FROM keepers) AS is_dup,
-          |         q.q_keep, r.rep_ok
-          |  FROM qsig q JOIN rsig r USING (doc_id))""".stripMargin)(
-        """SELECT doc_id, is_dup, q_keep, rep_ok,
-          |       (NOT is_dup AND q_keep AND rep_ok) AS keep,
+          |         q.q_keep, r.rep_ok, p.n_pii, p.n_pii < 2 AS pii_ok
+          |  FROM qsig q JOIN rsig r USING (doc_id) JOIN psig p USING (doc_id))""".stripMargin)(
+        """SELECT doc_id, is_dup, q_keep, rep_ok, n_pii, pii_ok,
+          |       (NOT is_dup AND q_keep AND rep_ok AND pii_ok) AS keep,
           |       CASE WHEN is_dup THEN 'duplicate' WHEN NOT q_keep THEN 'quality'
-          |            WHEN NOT rep_ok THEN 'repetition' ELSE 'kept' END AS reason
+          |            WHEN NOT rep_ok THEN 'repetition'
+          |            WHEN NOT pii_ok THEN 'pii' ELSE 'kept' END AS reason
           |FROM base""".stripMargin))),
 
     Q("sk_kmv_distinct",
@@ -3102,38 +3168,42 @@ object QueriesLlm {
         |GROUP BY 1""".stripMargin)),
 
     Q("llm_pii_redact",
-      // PII scrubbing: emails / phone shapes / long digit runs replaced by
-      // typed tags, with per-doc match counts. The corpus has no real PII,
-      // so deterministic synthetic PII is injected from doc_id
-      // (Fixtures-style) — both engines inject and redact identically.
+      // PII scrubbing: email / IPv6 / IPv4 / IBAN-shape / SSN-shape /
+      // phone-shape / long-digit-run substrings replaced by typed tags,
+      // with per-class per-doc match counts (the compliance report a
+      // 100 TB pipeline's legal gate reads). The corpus has no real PII,
+      // so deterministic synthetic PII is injected from doc_id on co-prime
+      // residues (piiRaw / pii_raw — shared with llm_curation_report's
+      // density gate) and both engines inject and redact identically.
       (s, d) => {
-        val raw = Tables.documents(s, d).select(col("doc_id"), concat(
-          col("text"),
-          when(col("doc_id") % 7 === 0,
-            concat(lit(" contact user"), col("doc_id").cast("string"),
-              lit("@example.com now"))).otherwise(lit("")),
-          when(col("doc_id") % 11 === 0,
-            concat(lit(" call 555-"),
-              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-            .otherwise(lit(""))).as("raw_text"))
+        val raw = piiRaw(Tables.documents(s, d))
         raw.select(col("doc_id"),
           TextOps.redactPii(col("raw_text")).as("redacted"),
           regexp_count(col("raw_text"), lit(TextOps.EmailRe)).cast("long").as("n_emails"),
-          regexp_count(col("raw_text"), lit(TextOps.PhoneRe)).cast("long").as("n_phones"))
+          regexp_count(col("raw_text"), lit(TextOps.PhoneRe)).cast("long").as("n_phones"),
+          regexp_count(col("raw_text"), lit(TextOps.Ipv4Re)).cast("long").as("n_ipv4"),
+          regexp_count(col("raw_text"), lit(TextOps.Ipv6Re)).cast("long").as("n_ipv6"),
+          regexp_count(col("raw_text"), lit(TextOps.IbanRe)).cast("long").as("n_iban"),
+          regexp_count(col("raw_text"), lit(TextOps.SsnRe)).cast("long").as("n_ssn"))
       },
-      Some(s"""WITH raw AS (
-        |  SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
-        |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS raw_text
-        |  FROM documents)
-        |SELECT doc_id,
-        |       regexp_replace(regexp_replace(regexp_replace(raw_text,
+      Some(withCtes(piiRawCte)(
+        s"""SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         regexp_replace(regexp_replace(regexp_replace(raw_text,
         |         '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+        |         '${TextOps.Ipv6Re}', '<IPV6>', 'g'),
+        |         '${TextOps.Ipv4Re}', '<IPV4>', 'g'),
+        |         '${TextOps.IbanRe}', '<IBAN>', 'g'),
+        |         '${TextOps.SsnRe}', '<SSN>', 'g'),
         |         '${TextOps.PhoneRe}', '<PHONE>', 'g'),
         |         '${TextOps.LongNumRe}', '<NUM>', 'g') AS redacted,
         |       CAST(len(regexp_extract_all(raw_text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
-        |       CAST(len(regexp_extract_all(raw_text, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones
-        |FROM raw""".stripMargin)),
+        |       CAST(len(regexp_extract_all(raw_text, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+        |       CAST(len(regexp_extract_all(raw_text, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+        |       CAST(len(regexp_extract_all(raw_text, '${TextOps.Ipv6Re}')) AS BIGINT) AS n_ipv6,
+        |       CAST(len(regexp_extract_all(raw_text, '${TextOps.IbanRe}')) AS BIGINT) AS n_iban,
+        |       CAST(len(regexp_extract_all(raw_text, '${TextOps.SsnRe}')) AS BIGINT) AS n_ssn
+        |FROM pii_raw""".stripMargin))),
 
     Q("llm_chunk_windows",
       // Model-input chunking: 32-token windows every 16 tokens (~60-token

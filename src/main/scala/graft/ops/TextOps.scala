@@ -341,19 +341,38 @@ object TextOps {
 
   /** PII redaction patterns — deliberately simple character classes so the
     * same regex means the same thing under Java regex (Spark) and RE2
-    * (DuckDB/the oracle). Order matters: emails first (they contain
-    * digits), then phone shapes, then long digit runs. */
+    * (DuckDB/the oracle): no lookaround, no backreferences. SHAPE
+    * detectors, not validators (an IBAN checksum or IPv4 octet-range check
+    * buys nothing at redaction time — over-redacting a shaped non-PII
+    * token is the safe failure). Chain ORDER matters: emails first (they
+    * contain digits and dots), IPv6 before IPv4 (hex groups contain
+    * decimal runs), IBAN before the long-digit fallback (its 14+-digit
+    * body would otherwise half-match), SSN before phone (the 3-2-4 tail
+    * must not be claimed as a 3-4 phone). IPv6 covers the full 6-8-group
+    * form; `::`-compressed forms are out of shape-scope (documented). */
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
   val LongNumRe = "[0-9]{9,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val Ipv6Re = "\\b[0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4}){5,7}\\b"
+  val IbanRe = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\\b"
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
 
-  /** Redact emails / phone-shaped / long-digit-run substrings with typed
-    * placeholder tags. Pure codegen'd regexp_replace chain — one narrow
-    * pass, scales embarrassingly. */
+  /** Redact email / IPv6 / IPv4 / IBAN-shape / SSN-shape / phone-shape /
+    * long-digit-run substrings with typed placeholder tags. Pure codegen'd
+    * regexp_replace chain — one narrow pass, scales embarrassingly. */
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, EmailRe, "<EMAIL>"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(text, EmailRe, "<EMAIL>"),
+                Ipv6Re, "<IPV6>"),
+              Ipv4Re, "<IPV4>"),
+            IbanRe, "<IBAN>"),
+          SsnRe, "<SSN>"),
         PhoneRe, "<PHONE>"),
       LongNumRe, "<NUM>")
 
