@@ -3376,6 +3376,40 @@ object QueriesLlm {
           |                     ELSE 0 END) AS BIGINT) AS motion_sum
           |FROM lagged GROUP BY 1""".stripMargin))),
 
+    Q("mm_real_scenecuts",
+      // REAL multi-frame decode twin of mm_scene_cuts: executors write
+      // deterministic ANIMATED GIFs (javax.imageio sequence writer; solid
+      // 256-gray-palette frames so palette quantization never fires) plus
+      // every 7th id as an undecodable text payload, realSceneCuts reads
+      // every frame back and features it as integer mean gray, and DuckDB
+      // — which cannot decode GIFs — replays the per-frame formula
+      // ((id·37 + f·97) mod 251) arithmetically. A decode that misreads
+      // the palette, frame order, or frame count lands off the formula
+      // and fails the hash compare (the mm_real_decode discipline).
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.syntheticGifs(
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 0))
+        Multimodal.realSceneCuts(media, cutThreshold = 64L).toDF()
+          .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+            col("motion_sum"), col("ok"))
+      },
+      Some("""WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+        |fr AS (SELECT doc_id, unnest(range(3 + doc_id % 4)) AS f
+        |       FROM v WHERE doc_id % 7 <> 0),
+        |ft AS (SELECT doc_id, f, (doc_id * 37 + f * 97) % 251 AS feat FROM fr),
+        |dl AS (SELECT doc_id, f,
+        |              abs(feat - lag(feat) OVER (PARTITION BY doc_id ORDER BY f)) AS dd
+        |       FROM ft),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |              CAST(coalesce(sum(CASE WHEN dd >= 64 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts,
+        |              CAST(coalesce(sum(dd), 0) AS BIGINT) AS motion_sum
+        |       FROM dl GROUP BY 1)
+        |SELECT doc_id, n_frames, n_cuts, motion_sum, true AS ok FROM ag
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), false AS ok
+        |FROM v WHERE doc_id % 7 = 0""".stripMargin)),
+
     Q("llm_ref_quality",
       // Reference-frequency quality scoring (the CCNet recipe without the
       // engine-divergent float log): df counted on a content-addressed 30%

@@ -501,6 +501,136 @@ object Multimodal {
     * is the dominant per-row cost if done naively. `onCodecInit` is a test
     * hook (production passes a real codec factory); rows stream through the
     * iterator, so memory stays O(batch), not O(partition). */
+  /** One real-decode scene-cut row — see [[realSceneCuts]]. */
+  final case class SceneCutRow(doc_id: Long, n_frames: Long, n_cuts: Long,
+      motion_sum: Long, ok: Boolean)
+
+  /** EXECUTOR-SIDE deterministic ANIMATED-GIF synthesis keyed on the id
+    * column: 3 + id % 4 full-size frames, each a SOLID gray
+    * `(id·37 + f·97) mod 251`, written through the real
+    * `javax.imageio` GIF sequence writer (`prepareWriteSequence` /
+    * `writeToSequence`). Frames are TYPE_BYTE_INDEXED over an explicit
+    * 256-gray palette so the palette round-trips losslessly — GIF's
+    * 256-color quantizer never fires and the decoded gray equals the
+    * formula exactly (the mm_real_decode discipline: the generative
+    * formula IS the recorded truth, so the `mm_real_scenecuts` oracle
+    * replays features arithmetically without decoding a byte). Every
+    * `corruptMod`-th id carries plain UTF-8 text — deterministic
+    * undecodable payload for the ok=false path. */
+  def syntheticGifs(df: DataFrame, idCol: String = "doc_id",
+      corruptMod: Int = 7)(
+      implicit enc: org.apache.spark.sql.Encoder[SyntheticMedia]): DataFrame =
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      val grays = Array.tabulate(256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      it.map { r =>
+        val id = r.getLong(0)
+        if (corruptMod > 0 && id % corruptMod == 0)
+          SyntheticMedia(id, s"corrupt video $id".getBytes("UTF-8"))
+        else {
+          val w = 8 + (id % 8).toInt
+          val h = 8
+          val n = 3 + (id % 4).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer =
+            javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < n) {
+              val g = ((id * 37 + f * 97) % 251).toInt
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+              val raster = img.getRaster
+              var x = 0
+              while (x < w) {
+                var y = 0
+                while (y < h) { raster.setSample(x, y, 0, g); y += 1 }
+                x += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally { writer.dispose(); ios.close() }
+          SyntheticMedia(id, bos.toByteArray)
+        }
+      }
+    }(enc).toDF()
+
+  /** REAL multi-frame decode + scene-cut detection: read every GIF frame
+    * through `javax.imageio`, feature each as its integer mean gray
+    * (Σ luma div pixels — red channel of getRGB; the synthetic frames are
+    * gray so r=g=b), and count predecessor jumps ≥ `cutThreshold` exactly
+    * like the stub-feature [[sceneCuts]]. Frames are read SEQUENTIALLY
+    * until the stream ends or a frame fails to decode — a truncated tail
+    * frame is DROPPED, not fatal (a 100 TB corpus always contains cut-off
+    * media; `ok` stays true while at least one frame decoded). Map-only
+    * JVM loop per row — the image is the hot loop (round-9 rule a);
+    * cross-frame state is a single running (prev, cuts, motion) fold, so
+    * memory is one frame, not the clip. */
+  def realSceneCuts(media: DataFrame, cutThreshold: Long = 64L)(
+      implicit enc: org.apache.spark.sql.Encoder[SceneCutRow]): org.apache.spark.sql.Dataset[SceneCutRow] =
+    media.select(col("doc_id").cast("long"), col("media")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) SceneCutRow(id, 0L, 0L, 0L, ok = false)
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, false, false)
+                var nFrames = 0L
+                var cuts = 0L
+                var motion = 0L
+                var prev = -1L
+                var done = false
+                while (!done) {
+                  val img =
+                    try reader.read(nFrames.toInt)
+                    catch { case _: Exception => null }
+                  if (img == null) done = true
+                  else {
+                    val w = img.getWidth
+                    val h = img.getHeight
+                    var sum = 0L
+                    var x = 0
+                    while (x < w) {
+                      var y = 0
+                      while (y < h) {
+                        sum += (img.getRGB(x, y) >> 16) & 0xff
+                        y += 1
+                      }
+                      x += 1
+                    }
+                    val feat = sum / (w.toLong * h)
+                    if (prev >= 0) {
+                      val d = math.abs(feat - prev)
+                      motion += d
+                      if (d >= cutThreshold) cuts += 1
+                    }
+                    prev = feat
+                    nFrames += 1
+                  }
+                }
+                SceneCutRow(id, nFrames, cuts, motion, ok = nFrames > 0)
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        } catch {
+          case _: Exception => SceneCutRow(id, 0L, 0L, 0L, ok = false)
+        }
+      }
+    }(enc)
+
   def decodePartitioned(media: DataFrame, onCodecInit: () => Unit = () => ())(
       implicit enc: org.apache.spark.sql.Encoder[DecodedMedia]): org.apache.spark.sql.Dataset[DecodedMedia] = {
     val rows = media.select(col("doc_id").cast("long"), col("media"))
