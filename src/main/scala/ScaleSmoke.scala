@@ -360,10 +360,16 @@ object ScaleSmoke {
       val ids = spark.range(mmN).select(col("id").as("doc_id")).repartition(64)
       val pngs = Multimodal.syntheticImages(ids).localCheckpoint()
       val wavs = Multimodal.syntheticWavs(ids).localCheckpoint()
+      val gifs = Multimodal.syntheticGifs(ids).localCheckpoint()
       t(s"mm image decode ($mmN media)")(
         Multimodal.realDecodeMeta(pngs).count())
       t(s"mm audio decode ($mmN media)")(
         Multimodal.realDecodeAudio(wavs).count())
+      // r13: REAL multi-frame GIF decode — 3-6 frames per clip, so the
+      // per-row constant is ~4-5× the single-image decode; still map-only
+      // and must grow ~linearly in media rows.
+      t(s"mm gif scene cuts ($mmN media)")(
+        Multimodal.realSceneCuts(gifs).count())
       t(s"mm frame energy ($mmN media)") {
         val media = Multimodal.asMedia(
           docs.filter(col("doc_id") % 10 === 0), "text", "audio")
@@ -473,6 +479,51 @@ object ScaleSmoke {
             .localCheckpoint(), "pa", "pb").count())
     }
 
+    // Gopher rules + C4 line filters (r12): both are row-local passes
+    // (materialized norm/token/line arrays behind Generate barriers +
+    // flat regex) — growth must be ~linear in docs with zero exchanges.
+    // The summing filters force every feature column under count().
+    t("gopher rules")(graft.ops.TextOps.gopherRules(docs, "doc_id", "text")
+      .filter(col("symbol_ppm") + col("alpha_word_ppm") + col("n_stop_hits") >= 0)
+      .count())
+    t("c4 filters")(graft.ops.TextOps.c4Filters(docs, "doc_id", "text")
+      .filter(length(col("cleaned_text")) >= 0).count())
+    // URL curation (r13): map-only regex normalization + ONE
+    // registrable-domain-bounded agg with k-long KMV state. The fixture
+    // reuses each doc's id for a deterministic URL, so the domain
+    // alphabet stays ~97×7-bounded while docs grow — rollup group count
+    // is domain-scale, never corpus-scale, exactly the 100 TB claim.
+    locally {
+      import graft.ops.UrlOps
+      val urls = graft.fixtures.Fixtures.urlDocs(docs)
+      // Materialized (doc_id, url) projection: fusing the ~30-when URL
+      // SYNTHESIS into the 10-regex normalize stage pushes the generated
+      // method past the JIT limit and the stage runs interpreted —
+      // measured 12-18 s fused vs ~2 s split per 100k rows (round-7 rule
+      // b). Real crawl inputs ARE a stored column, so the split shape is
+      // the honest one; the checkpoint is ~70 B/row.
+      val urlsMat = urls.select(col("doc_id"), col("url")).localCheckpoint()
+      t("url normalize")(UrlOps.normalizeUrls(urlsMat, "url")
+        .filter(length(col("url_norm")) + length(col("registrable_domain")) >= 0)
+        .count())
+      t("domain rollup")(UrlOps.domainRollup(
+          UrlOps.normalizeUrls(urls, "url")
+            .select(col("registrable_domain"), col("text")),
+          "registrable_domain", "text")
+        .agg(sum(col("n_tokens")) + sum(col("dup_factor_ppm")))
+        .collect()(0).getLong(0))
+    }
+    // Hybrid RRF (r12): two top-k pools (BM25 global-order window over a
+    // poolK-bounded candidate set + brute cosine top-k aggregate) fused by
+    // a pool-bounded join — the corpus terms are the one tf pass and the
+    // one embedding scan; both ~linear, fusion is k-scale.
+    locally {
+      val embFull = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      t("hybrid rrf")(graft.ops.TextOps.hybridRrf(docs,
+          embFull, "doc_id", "text",
+          terms = Seq("spark", "table", "merge"), probeId = 3L)
+        .agg(sum(col("rrf_ppb"))).collect()(0).getLong(0))
+    }
     // SimHash banded pairs (r10 s4): 60-bit fingerprint aggregate (60
     // map-side sums over the token explode — linear) + 4×15-bit band
     // buckets; on the salted fixture only the copy-0/copy-1 exact-dup
@@ -539,6 +590,16 @@ object ScaleSmoke {
       t(s"semantic dedup flat ($m, $cents cells)")(
         Similarity.semanticDedup(emb, 0.2, numCells = cents,
             twoLevelCells = Int.MaxValue)
+          .filter(col("dropped")).count())
+      // Deployment rule under cheap assignment (r12 verdict #7): with the
+      // two-level quantizer the assignment term is N·2√C, so the optimum
+      // shifts from C = √N (which balances FLAT N·C assignment against
+      // N²/C pairs) to C = N^(2/3), where assignment N·2·N^(1/3) and the
+      // pair stage N²/C both land at ~N^(4/3). This row turns the
+      // scaladoc's derivation into a same-run measurement vs the √N rows.
+      val cents23 = math.max(32, math.cbrt(m.toDouble * m.toDouble).toInt)
+      t(s"semantic dedup 2-level C=N^2/3 ($m, $cents23 cells)")(
+        Similarity.semanticDedup(emb, 0.2, numCells = cents23)
           .filter(col("dropped")).count())
     }
     // Two-level coarse-quantizer A/B (r8): assignment comparisons per

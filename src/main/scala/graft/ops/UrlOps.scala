@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   * disagree on edge cases. The tracking-parameter strip is a single flat
   * codegen regexp_replace over the whole query string (repo rule: flat
   * whole-string ops beat per-element HOF lambdas for string rewriting).
+  *
+  * Measured (r13): do NOT fuse a heavy synthesized-URL expression into
+  * the normalize stage — the ScaleSmoke fixture's ~30-when synthesis plus
+  * this file's ~10 regexes in one whole-stage-codegen method exceeds the
+  * JIT size limit and the stage runs interpreted: 12-18 s fused vs ~2 s
+  * with the (doc_id, url) projection materialized first, per 100k rows,
+  * same JVM, both orders. Real inputs read `url` from storage, which IS
+  * the split shape; anything that derives URLs inline should checkpoint
+  * the narrow projection before calling [[normalizeUrls]].
   */
 object UrlOps {
 
