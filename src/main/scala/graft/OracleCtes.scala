@@ -100,38 +100,43 @@ object OracleCtes {
   /** Fixed reference instant (see Fixtures.RefNow). */
   val refNow: String = s"TIMESTAMP '${fixtures.Fixtures.RefNow}'"
 
-  /** Mirrors Fixtures.urlDocs. */
-  val urls: String =
-    """url_base AS (
+  /** Mirrors Fixtures.urlExpr over an arbitrary id SQL expression — the
+    * dedup query passes a coarse residue so URLs collide; `urls` keeps the
+    * one-URL-per-doc default. */
+  def urlsFrom(idSql: String): String =
+    s"""url_base AS (
       |  SELECT doc_id, text,
-      |         'site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
-      |           (['com','org','co.uk','de','com.au','io','ac.uk'])[CAST(doc_id % 7 + 1 AS INTEGER)]
+      |         'site' || CAST($idSql % 97 AS VARCHAR) || '.' ||
+      |           (['com','org','co.uk','de','com.au','io','ac.uk'])[CAST($idSql % 7 + 1 AS INTEGER)]
       |           AS host_core,
-      |         CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS sch0
+      |         CASE WHEN $idSql % 2 = 0 THEN 'https' ELSE 'http' END AS sch0
       |  FROM documents),
       |url_hosts AS (
       |  SELECT doc_id, text, sch0,
-      |         CASE WHEN doc_id % 9 = 0 THEN 'www.' || host_core ELSE host_core END AS host_www
+      |         CASE WHEN $idSql % 9 = 0 THEN 'www.' || host_core ELSE host_core END AS host_www
       |  FROM url_base),
       |urls AS (
       |  SELECT doc_id, text,
-      |         (CASE WHEN doc_id % 11 = 0 THEN upper(sch0) ELSE sch0 END)
+      |         (CASE WHEN $idSql % 11 = 0 THEN upper(sch0) ELSE sch0 END)
       |         || '://'
-      |         || (CASE WHEN doc_id % 17 = 0
-      |                  THEN 'u' || CAST(doc_id % 5 AS VARCHAR) || '@' ELSE '' END)
-      |         || (CASE WHEN doc_id % 3 = 0 THEN upper(host_www) ELSE host_www END)
-      |         || (CASE WHEN doc_id % 5 = 0 THEN ':443' WHEN doc_id % 5 = 1 THEN ':80'
-      |                  WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END)
-      |         || (CASE WHEN doc_id % 13 = 0 THEN ''
-      |                  ELSE '/p/' || CAST(doc_id % 50 AS VARCHAR) END)
-      |         || (CASE WHEN doc_id % 4 = 0
-      |                  THEN '?utm_source=feed&id=' || CAST(doc_id % 20 AS VARCHAR)
-      |                  WHEN doc_id % 4 = 1
-      |                  THEN '?id=' || CAST(doc_id % 20 AS VARCHAR) || '&utm_campaign=x&ref=tw'
-      |                  WHEN doc_id % 4 = 2 THEN '?utm_medium=email' ELSE '' END)
-      |         || (CASE WHEN doc_id % 6 = 0
-      |                  THEN '#sec-' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END) AS url
+      |         || (CASE WHEN $idSql % 17 = 0
+      |                  THEN 'u' || CAST($idSql % 5 AS VARCHAR) || '@' ELSE '' END)
+      |         || (CASE WHEN $idSql % 3 = 0 THEN upper(host_www) ELSE host_www END)
+      |         || (CASE WHEN $idSql % 5 = 0 THEN ':443' WHEN $idSql % 5 = 1 THEN ':80'
+      |                  WHEN $idSql % 5 = 2 THEN ':8080' ELSE '' END)
+      |         || (CASE WHEN $idSql % 13 = 0 THEN ''
+      |                  ELSE '/p/' || CAST($idSql % 50 AS VARCHAR) END)
+      |         || (CASE WHEN $idSql % 4 = 0
+      |                  THEN '?utm_source=feed&id=' || CAST($idSql % 20 AS VARCHAR)
+      |                  WHEN $idSql % 4 = 1
+      |                  THEN '?id=' || CAST($idSql % 20 AS VARCHAR) || '&utm_campaign=x&ref=tw'
+      |                  WHEN $idSql % 4 = 2 THEN '?utm_medium=email' ELSE '' END)
+      |         || (CASE WHEN $idSql % 6 = 0
+      |                  THEN '#sec-' || CAST($idSql % 3 AS VARCHAR) ELSE '' END) AS url
       |  FROM url_hosts)""".stripMargin
+
+  /** Mirrors Fixtures.urlDocs. */
+  val urls: String = urlsFrom("doc_id")
 
   /** Step-by-step replay of UrlOps.withUrlParts/normalizeUrls over the
     * `urls` CTE, ending in `url_parsed` (doc_id, url, sch, host, port,

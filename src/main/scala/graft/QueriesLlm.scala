@@ -361,6 +361,65 @@ object QueriesLlm {
           |  LEFT JOIN (SELECT rd, CAST(hh AS DOUBLE) AS kth FROM url_r WHERE rn = 64) k
           |    USING (rd))""".stripMargin))),
 
+    Q("llm_url_dedup",
+      // URL-level exact dedup — the FIRST crawl dedup stage (recrawls and
+      // tracking-param variants of one canonical URL collapse before any
+      // text pass): hash groupBy on url_norm, electing the longest text
+      // (ties → smallest id) via the zero-padded string key that keeps
+      // map-side partials in BOTH engines. URLs are synthesized from the
+      // COARSE residue doc_id % 125 (Fixtures.urlExpr), so every canonical
+      // URL collects ~N/125 distinct documents and the election branch is
+      // exercised by the gate at every sf (the per-doc fixture would give
+      // all-singleton groups — n_dups ≡ 1 pins nothing).
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val urls = docs.select(col("doc_id"), col("text"),
+          graft.fixtures.Fixtures.urlExpr(col("doc_id") % 125).as("url"))
+        UrlOps.urlDedup(UrlOps.normalizeUrls(urls, "url"),
+          "url_norm", "doc_id", "text")
+      },
+      Some(withCtes(OracleCtes.urlsFrom("(doc_id % 125)"), OracleCtes.urlParsed,
+          OracleCtes.urlNormalized)(
+        """SELECT n.url_norm, CAST(count(*) AS BIGINT) AS n_dups,
+          |       max_by(n.doc_id,
+          |              lpad(CAST(length(d.text) AS VARCHAR), 9, '0')
+          |                || lpad(CAST(9999999999999 - n.doc_id AS VARCHAR), 13, '0'))
+          |         AS kept_doc_id,
+          |       CAST(max(length(d.text)) AS BIGINT) AS kept_len
+          |FROM url_norm_t n JOIN documents d USING (doc_id)
+          |GROUP BY 1""".stripMargin))),
+
+    Q("llm_crawl_schedule",
+      // Politeness-scheduled crawl frontier: per-domain URL cap (4) +
+      // 5-second fetch spacing from the fixed reference instant. The slot
+      // assignment is the BOUNDED topk_pairs aggregate (k pairs of state
+      // per domain, map-side combined, skew-free) — the oracle replays the
+      // equivalent row_number window, so the two engines cross-check each
+      // other's strategy (the repo's funnel/budget pattern).
+      (s, d) => {
+        val urls = graft.fixtures.Fixtures.urlDocs(Tables.documents(s, d))
+        UrlOps.crawlSchedule(
+          UrlOps.normalizeUrls(urls, "url").select(
+            col("registrable_domain"), col("doc_id")),
+          "registrable_domain", "doc_id",
+          startTs = graft.fixtures.Fixtures.RefNow,
+          maxPerDomain = 4, delaySec = 5)
+      },
+      Some(withCtes(OracleCtes.urls, OracleCtes.urlParsed,
+        """ranked AS (
+          |  SELECT rd, doc_id,
+          |         row_number() OVER (PARTITION BY rd ORDER BY doc_id) - 1 AS slot,
+          |         count(*) OVER (PARTITION BY rd) AS n_urls
+          |  FROM url_parsed)""".stripMargin)(
+        s"""SELECT rd AS registrable_domain, CAST(n_urls AS BIGINT) AS n_urls,
+          |       CAST(greatest(n_urls - 4, 0) AS BIGINT) AS n_dropped,
+          |       doc_id, CAST(slot AS BIGINT) AS slot,
+          |       CAST(slot * 5 AS BIGINT) AS sched_s,
+          |       CAST(TIMESTAMP '${graft.fixtures.Fixtures.RefNow}'
+          |              + to_seconds(CAST(slot * 5 AS BIGINT)) AS VARCHAR)
+          |         AS scheduled_at
+          |FROM ranked WHERE slot < 4""".stripMargin))),
+
     Q("llm_c4_filters",
       // The C4 line-level cleaning pass (Raffel et al. 2020 §2.2): keep
       // terminal-punctuation lines with >= 5 words, reassemble, flag
@@ -3482,6 +3541,47 @@ object QueriesLlm {
         |SELECT d.doc_id, d.lang, p2.avail, p2.target_n, p2.keep_ppm
         |FROM documents d JOIN p2 ON d.lang = p2._src
         |WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < p2.keep_ppm""".stripMargin)),
+
+    Q("llm_temperature_sample",
+      // α-temperature mixture sampling (Conneau et al. 2020 §3.1) at
+      // α=0.5: per-lang share ∝ √n_g, weights via the exact integer sqrt
+      // (floor(sqrt(double)) seed + ±1 int64 correction — both engines
+      // share the IEEE seed, floats never reach a value), targets by
+      // truncating div, membership by the portable salted hash. Budget 420
+      // makes fr's target exceed its availability at sf0.01, so the
+      // least() cap branch is pinned by the gate. Row-level output pins
+      // plan arithmetic AND membership, like llm_target_mix.
+      (s, d) => Assemble.temperatureSample(Tables.documents(s, d), "lang",
+          "doc_id", budgetDocs = 420L, alphaMilli = 500, salt = "temp")
+        .select(col("doc_id"), col("lang"), col("n_docs"), col("w_alpha"),
+          col("target_n"), col("keep_ppm")),
+      Some(s"""WITH stats AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |s0 AS (
+        |  SELECT lang, n_docs,
+        |         CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS r0
+        |  FROM stats),
+        |s1 AS (
+        |  SELECT lang, n_docs,
+        |         CASE WHEN r0 * r0 > n_docs THEN r0 - 1 ELSE r0 END AS r1
+        |  FROM s0),
+        |w AS (
+        |  SELECT lang, n_docs,
+        |         CASE WHEN (r1 + 1) * (r1 + 1) <= n_docs THEN r1 + 1 ELSE r1 END
+        |           AS w_alpha
+        |  FROM s1),
+        |tot AS (SELECT CAST(sum(w_alpha) AS BIGINT) AS wsum FROM w),
+        |plan AS (
+        |  SELECT lang, n_docs, w_alpha,
+        |         least(n_docs, CAST(420 * w_alpha // wsum AS BIGINT)) AS target_n
+        |  FROM w, tot),
+        |p2 AS (
+        |  SELECT lang, n_docs, w_alpha, target_n,
+        |         CAST(target_n * 1000000 // n_docs AS BIGINT) AS keep_ppm
+        |  FROM plan)
+        |SELECT d.doc_id, d.lang, p2.n_docs, p2.w_alpha, p2.target_n, p2.keep_ppm
+        |FROM documents d JOIN p2 USING (lang)
+        |WHERE ${h60("'temp:' || CAST(doc_id AS VARCHAR)")} % 1000000 < p2.keep_ppm""".stripMargin)),
 
     Q("llm_unimax_mix",
       // UniMax epoch-capped budget allocation over sources (Chung et al.

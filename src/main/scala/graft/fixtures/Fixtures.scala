@@ -119,8 +119,15 @@ object Fixtures {
     * userinfo, www prefix, default AND non-default ports (including the
     * adversarial http::443 / https::80 pairings that must be KEPT),
     * multi-part TLDs, empty paths, tracking-only query strings, fragments. */
-  def urlDocs(docs: DataFrame): DataFrame = {
-    val id = col("doc_id")
+  def urlDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), urlExpr(col("doc_id")).as("url"))
+
+  /** URL synthesis expression over an arbitrary id column — the dedup
+    * query passes a COARSE residue (doc_id % m) so distinct documents
+    * collide on the canonical URL and the election branch is exercised at
+    * the gate, while [[urlDocs]] keeps the one-URL-per-doc shape. Mirror:
+    * [[graft.OracleCtes.urlsFrom]]. */
+  def urlExpr(id: Column): Column = {
     val tld = element_at(array(Seq("com", "org", "co.uk", "de", "com.au",
         "io", "ac.uk").map(lit): _*), (id % 7 + 1).cast("int"))
     val hostCore = concat(lit("site"), (id % 97).cast("string"), lit("."), tld)
@@ -142,7 +149,6 @@ object Fixtures {
       .otherwise(lit(""))
     val frag = when(id % 6 === 0,
       concat(lit("#sec-"), (id % 3).cast("string"))).otherwise(lit(""))
-    docs.select(id, col("text"),
-      concat(sch, lit("://"), userinfo, hostCased, port, path, qs, frag).as("url"))
+    concat(sch, lit("://"), userinfo, hostCased, port, path, qs, frag)
   }
 }

@@ -250,6 +250,74 @@ object Assemble {
       .drop("_src")
   }
 
+  /** Integer-exact temperature weight n^α for the supported α grid, built
+    * from floor-composed exact square roots ([[Sampling.isqrt]]) so BOTH
+    * engines compute the identical integer — no float pow in sight:
+    *
+    *   α = 0     →  1            (uniform over strata)
+    *   α = 0.25  →  ⌊√⌊√n⌋⌋      (= ⌊n^¼⌋ exactly: nested floors commute)
+    *   α = 0.5   →  ⌊√n⌋
+    *   α = 0.75  →  ⌊√(n·⌊√n⌋)⌋  (within 1 of n^¾; deterministic both ways)
+    *   α = 1     →  n            (proportional — sampling becomes a no-op)
+    *
+    * The α=0.75 product n·⌊√n⌋ stays inside int64 for n < ~4.4·10¹²
+    * strata rows — beyond any per-language corpus row count in practice
+    * (and the weight only ever consumes per-STRATUM counts, not corpus
+    * rows). */
+  def temperatureWeight(n: Column, alphaMilli: Int): Column = alphaMilli match {
+    case 0    => lit(1L)
+    case 250  => Sampling.isqrt(Sampling.isqrt(n))
+    case 500  => Sampling.isqrt(n)
+    case 750  => Sampling.isqrt(n * Sampling.isqrt(n))
+    case 1000 => n
+    case a => throw new IllegalArgumentException(
+      s"alphaMilli $a unsupported: one of 0, 250, 500, 750, 1000")
+  }
+
+  /** Temperature-based mixture sampling (the multilingual α-sampling of
+    * Lample & Conneau 2019 §3.1 / Conneau et al. 2020 §3.1): draw a
+    * `budgetDocs`-document mix whose per-stratum share follows
+    * n_g^α / Σ n_h^α — α < 1 flattens the head so low-resource strata are
+    * over-represented relative to their raw share, the standard knob
+    * between proportional (α=1) and uniform (α=0). Complements
+    * [[unimaxAllocation]] (the epoch-capped alternative) and
+    * [[targetMixResample]] (explicit target weights).
+    *
+    * All plan arithmetic is integer-exact: weights via
+    * [[temperatureWeight]] (floor-composed isqrt, no float pow), targets
+    * by truncating div, membership by the portable salted hash bucket
+    * ([[Sampling.bucketOf]]) — so the DuckDB oracle replays every step
+    * bit-identically, and membership is stable across runs and appends
+    * like every sampler here. Strata whose target exceeds availability are
+    * capped at n_g (hash sampling cannot upsample); the realized count is
+    * binomial around target_n like all threshold samplers.
+    *
+    * Scale shape: ONE map-side-combined count aggregate to the stratum
+    * table (checkpointed — it feeds the Σw aggregate AND the plan join,
+    * round-4 rule d), a broadcast of ≤ |strata| plan rows, then a map-only
+    * filter. No corpus-scale shuffle at any size. Overflow bound:
+    * budgetDocs · max w_g must stay inside int64 (budget ≤ 10¹² docs with
+    * per-stratum counts ≤ 10¹² leaves two orders of margin). */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+                        budgetDocs: Long, alphaMilli: Int = 500,
+                        salt: String = "temp"): DataFrame = {
+    require(budgetDocs >= 0, "budget must be non-negative")
+    val stats = df.groupBy(col(stratumCol).cast("string").as("_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_alpha", temperatureWeight(col("n_docs"), alphaMilli))
+      .localCheckpoint()
+    val tot = stats.agg(sum(col("w_alpha")).as("_wsum"))
+    val plan = stats.crossJoin(broadcast(tot))
+      .withColumn("target_n",
+        least(col("n_docs"), expr(s"${budgetDocs}L * w_alpha div _wsum")))
+      .withColumn("keep_ppm", expr("target_n * 1000000L div n_docs"))
+      .select(col("_b"), col("n_docs"), col("w_alpha"), col("target_n"),
+        col("keep_ppm"))
+    df.join(broadcast(plan), df(stratumCol).cast("string") === col("_b"))
+      .filter(Sampling.bucketOf(col(idCol), salt, 1000000) < col("keep_ppm"))
+      .drop("_b")
+  }
+
   /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151): split
     * a total token budget across strata (languages/domains) so no stratum
     * repeats more than `epochsMilli / 1000` epochs, with surplus budget

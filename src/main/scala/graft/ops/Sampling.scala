@@ -37,6 +37,19 @@ object Sampling {
           .when(col("split_bucket") < testPermille + valPermille, "val")
           .otherwise("train"))
 
+  /** Exact integer square root: the unique r with r² ≤ n < (r+1)². A
+    * floor(sqrt(double)) seed plus a ±1 integer correction — IEEE-754 sqrt
+    * is correctly rounded, so for n < 2⁵² the seed is within one of the
+    * true root and the two guards land it exactly; no float ever reaches a
+    * result value, and the DuckDB oracle replays the same three steps
+    * verbatim (both engines share the IEEE seed, and the corrections are
+    * pure int64 arithmetic). Callers must keep n non-negative. */
+  def isqrt(n: Column): Column = {
+    val r0 = floor(sqrt(n.cast("double"))).cast("long")
+    val r1 = when(r0 * r0 > n, r0 - lit(1L)).otherwise(r0)
+    when((r1 + lit(1L)) * (r1 + lit(1L)) <= n, r1 + lit(1L)).otherwise(r1)
+  }
+
   /** Exactly `n` rows per stratum, picked by smallest hash (a deterministic
     * "random" draw; ties broken by id). One shuffle on the stratum; the
     * window sorts each stratum — for strata too large to sort, pre-filter

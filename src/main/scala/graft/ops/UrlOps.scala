@@ -153,6 +153,71 @@ object UrlOps {
       .drop("_bl_domain", "_bl_hit")
   }
 
+  /** Election key for [[urlDedup]]: zero-padded "(text length, inverted
+    * id)" string, so a plain max_by picks the LONGEST text and breaks ties
+    * on the SMALLEST id — the llm_mixed_lang lpad trick, which keeps
+    * map-side partial aggregation in BOTH engines (DuckDB `arg_max`
+    * rejects struct ordering keys, so a struct tie-break could not be
+    * replayed; a packed `len·C + id` integer is banned by the repo's
+    * orientation-packing rule). Bounds: text length < 10⁹ chars, id <
+    * 10¹³ — both documented engine-wide. */
+  private def electionKey(idCol: String, textCol: String): Column =
+    concat(lpad(length(col(textCol)).cast("string"), 9, "0"),
+      lpad((lit(9999999999999L) - col(idCol)).cast("string"), 13, "0"))
+
+  /** URL-level exact dedup — the crawl stage C4/FineWeb run FIRST: multiple
+    * fetches of one canonical URL (recrawls, mirror params, case variants)
+    * collapse to a single elected document before any text pass pays for
+    * the duplicates. One hash-keyed groupBy on `urlNormCol` (linear, the
+    * same shape as exact text dedup); the winner is the longest text, ties
+    * to the smallest id — deterministic and map-side-partial via
+    * [[electionKey]]. Output: one row per canonical URL with the elected
+    * doc, its length, and the fetch multiplicity (`n_dups` — the recrawl
+    * signal a frontier scheduler feeds back on). */
+  def urlDedup(df: DataFrame, urlNormCol: String, idCol: String,
+               textCol: String): DataFrame =
+    df.groupBy(col(urlNormCol))
+      .agg(count(lit(1)).as("n_dups"),
+        max_by(col(idCol), electionKey(idCol, textCol)).as("kept_doc_id"),
+        max(length(col(textCol))).cast("long").as("kept_len"))
+
+  /** Politeness-scheduled crawl frontier: per registrable domain, order
+    * candidate URLs by ascending id (the frontier priority), keep at most
+    * `maxPerDomain`, and space fetches `delaySec` apart from `startTs` —
+    * the per-domain rate limit every crawler owes origin servers, fused
+    * with the FineWeb-style per-domain URL cap.
+    *
+    * Scale shape: the slot assignment is a BOUNDED native aggregate
+    * (`topk_pairs` on negated id — k pairs of state per (partition,
+    * domain), map-side combined) + a posexplode of the k-length winner
+    * array, so slots never touch a window: [[Sampling.stratifiedQuota]]'s
+    * row_number shape would shuffle and sort EVERY candidate URL of every
+    * domain, while this ships k pairs per domain regardless of how hot the
+    * domain is — there is no skew, because a million-URL domain and a
+    * ten-URL domain both put at most k rows on the wire. The DuckDB oracle
+    * replays the semantics as the row_number window it is equivalent to
+    * (slot < k over id-ascending order), so the two engines cross-check
+    * each other's strategy. */
+  def crawlSchedule(df: DataFrame, domCol: String, idCol: String,
+                    startTs: String, maxPerDomain: Int = 8,
+                    delaySec: Int = 5): DataFrame = {
+    require(maxPerDomain >= 1, "maxPerDomain must be positive")
+    require(delaySec >= 0, "delaySec must be non-negative")
+    df.groupBy(col(domCol))
+      .agg(count(lit(1)).as("n_urls"),
+        expr(s"topk_pairs(-$idCol, $idCol, $maxPerDomain)").as("_top"))
+      .select(col(domCol), col("n_urls"),
+        greatest(col("n_urls") - lit(maxPerDomain.toLong), lit(0L)).as("n_dropped"),
+        posexplode(col("_top")))
+      .select(col(domCol), col("n_urls"), col("n_dropped"),
+        col("col.id").as(idCol), col("pos").cast("long").as("slot"))
+      .withColumn("sched_s", col("slot") * lit(delaySec.toLong))
+      .withColumn("scheduled_at", date_format(
+        timestamp_seconds(
+          unix_seconds(to_timestamp(lit(startTs))) + col("sched_s")),
+        "yyyy-MM-dd HH:mm:ss"))
+  }
+
   /** Per-registrable-domain curation rollup: document count, token count,
     * and a KMV distinct-content estimate in ONE domain-keyed aggregation
     * (count/sum partials plus the k-long `kmv_mins` sketch state — never a

@@ -129,6 +129,71 @@ class AssembleSpec extends SparkSpec {
     }
   }
 
+  test("temperatureWeight: floor-composed powers are exact against BigInt " +
+    "references across the alpha grid") {
+    val rnd = new scala.util.Random(31)
+    val ns = (Seq(1L, 2L, 3L, 4L, 16L, 81L, 6241L) ++
+      (1 to 100).map(_ => 1L + math.abs(rnd.nextLong()) % 4000000000000L)).distinct
+    def bigIsqrt(n: Long): Long =
+      java.math.BigInteger.valueOf(n).sqrt().longValue()
+    val df = ns.toDF("n").select($"n",
+      Assemble.temperatureWeight($"n", 0).as("w0"),
+      Assemble.temperatureWeight($"n", 250).as("w250"),
+      Assemble.temperatureWeight($"n", 500).as("w500"),
+      Assemble.temperatureWeight($"n", 750).as("w750"),
+      Assemble.temperatureWeight($"n", 1000).as("w1000"))
+    df.collect().foreach { r =>
+      val n = r.getLong(0)
+      assert(r.getLong(1) == 1L)
+      assert(r.getLong(2) == bigIsqrt(bigIsqrt(n)), s"w250($n)")
+      assert(r.getLong(3) == bigIsqrt(n), s"w500($n)")
+      assert(r.getLong(4) == bigIsqrt(n * bigIsqrt(n)), s"w750($n)")
+      assert(r.getLong(5) == n)
+    }
+    intercept[IllegalArgumentException](Assemble.temperatureWeight(lit(1L), 300))
+  }
+
+  test("temperatureSample: plan arithmetic exact, cap branch binds, alpha " +
+    "flattens the head, membership stable under appends") {
+    // skewed strata: a 600, b 150, c 24 (a perfect square to pin boundaries)
+    val rows = (1 to 600).map(i => ("a", i.toLong)) ++
+      (1 to 150).map(i => ("b", 1000L + i)) ++ (1 to 24).map(i => ("c", 2000L + i))
+    val df = rows.toDF("lang", "id")
+    val out = Assemble.temperatureSample(df, "lang", "id", budgetDocs = 300L)
+    val plan = out.select($"lang", $"n_docs", $"w_alpha", $"target_n", $"keep_ppm")
+      .distinct().as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // w = isqrt(n): a→24, b→12, c→4; Σw = 40
+    // targets: a = 300·24/40 = 180, b = 300·12/40 = 90, c = 300·4/40 = 30
+    // c's target 30 > avail 24 → capped at 24 (keep_ppm = 1e6, kept whole)
+    assert(plan("a") == ((600L, 24L, 180L, 300000L)), s"a: ${plan("a")}")
+    assert(plan("b") == ((150L, 12L, 90L, 600000L)), s"b: ${plan("b")}")
+    assert(plan("c") == ((24L, 4L, 24L, 1000000L)), s"c: ${plan("c")}")
+    val kept = out.select($"id").as[Long].collect().toSet
+    assert((2001L to 2024L).forall(kept), "capped stratum is kept whole")
+    // α=0.5 flattens: the low-resource stratum's kept SHARE must exceed its
+    // raw share, the head's must shrink (the point of temperature sampling)
+    val keptA = kept.count(_ <= 600).toDouble
+    assert(keptA / kept.size < 600.0 / 774.0, "head share must shrink")
+    // proportional α=1 cuts every stratum at ~budget/N (exactly the integer
+    // formula with w = n; truncation leaves small strata a few ppm short)
+    val prop = Assemble.temperatureSample(df, "lang", "id", 300L, alphaMilli = 1000)
+      .select($"n_docs", $"keep_ppm").distinct().as[(Long, Long)].collect()
+    prop.foreach { case (n, ppm) =>
+      val expect = (300L * n / 774L) * 1000000L / n
+      assert(ppm == expect, s"alpha=1 ppm for n=$n: $ppm vs $expect")
+    }
+    // appending a new stratum never flips existing membership
+    val grown = rows ++ (1 to 300).map(i => ("d", 3000L + i))
+    val kept2 = Assemble.temperatureSample(grown.toDF("lang", "id"), "lang", "id",
+        budgetDocs = 300L)
+      .select($"id").as[Long].collect().toSet
+    // plans change (Σw grew) so targets shrink; but membership within a
+    // stratum is a hash-prefix cut: surviving ids must be a SUBSET
+    assert(kept2.filter(_ < 3000L).subsetOf(kept),
+      "shrinking keep_ppm under the same salt keeps a prefix of the old draw")
+  }
+
   test("shardManifest checksum detects membership and content drift") {
     val base = Seq((1L, 5L, 0L, "alpha"), (2L, 5L, 0L, "beta"), (3L, 5L, 1L, "gamma"))
       .toDF("id", "toks", "shard_id", "text")

@@ -34,6 +34,25 @@ class SamplingSpec extends SparkSpec {
     assert(testIds != sampleIds, "salts must decouple the two decisions")
   }
 
+  test("isqrt: exact on randomized inputs, perfect squares, and ±1 boundaries") {
+    val rnd = new scala.util.Random(13)
+    // adversarial set: perfect squares r², r²±1 (where the double seed is
+    // most likely to land on the wrong side), plus uniform draws across
+    // magnitudes up to the 2⁵² documentation bound
+    val cases = Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L) ++
+      (1 to 200).flatMap { _ =>
+        val r = math.abs(rnd.nextLong()) % 60000000L
+        Seq(r * r - 1, r * r, r * r + 1).filter(_ >= 0)
+      } ++
+      (1 to 200).map(_ => math.abs(rnd.nextLong()) % (1L << 52))
+    val df = cases.toDF("n").select($"n", Sampling.isqrt($"n").as("r"))
+    df.collect().foreach { row =>
+      val (n, r) = (row.getLong(0), row.getLong(1))
+      val expect = java.math.BigInteger.valueOf(n).sqrt().longValue()
+      assert(r == expect, s"isqrt($n) = $r, want $expect")
+    }
+  }
+
   test("stratified quota: exactly n per stratum, deterministic draw") {
     val df = (1L to 500L).map(i => (s"s${i % 4}", i)).toDF("stratum", "id")
     val q = Sampling.stratifiedQuota(df, "stratum", "id", 30)

@@ -74,6 +74,75 @@ class UrlOpsSpec extends SparkSpec {
     assert(out("b.com") === (("b.com", 1L, 3L, 1L, 1L, 1000000L)))
   }
 
+  test("urlDedup: longest text wins, ties to smallest id, n_dups counts the group") {
+    val df = Seq(
+      // one canonical URL, three fetches: 5-char, 9-char, 9-char texts
+      (1L, "https://a.com/p", "short"),
+      (2L, "https://a.com/p", "long text"),
+      (3L, "https://a.com/p", "also long"),
+      // singleton URL
+      (9L, "https://b.com/q", "x")).toDF("doc_id", "url_norm", "text")
+    val out = UrlOps.urlDedup(df, "url_norm", "doc_id", "text")
+      .select("url_norm", "n_dups", "kept_doc_id", "kept_len")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("https://a.com/p") === (("https://a.com/p", 3L, 2L, 9L)),
+      "9-char tie must elect the smaller id (2, not 3)")
+    assert(out("https://b.com/q") === (("https://b.com/q", 1L, 9L, 1L)))
+  }
+
+  test("urlDedup election keeps map-side partial aggregation (partial agg below " +
+    "the exchange)") {
+    val df = Seq((1L, "u", "t")).toDF("doc_id", "url_norm", "text")
+    // sparkPlan, not executedPlan: the AQE wrapper hides the inner tree
+    // from collect() (round-10 s3 rule d) and aggregate MODES are fixed at
+    // strategy time, before EnsureRequirements, so sparkPlan is the right
+    // altitude for this pin.
+    val plan = UrlOps.urlDedup(df, "url_norm", "doc_id", "text")
+      .queryExecution.sparkPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a.aggregateExpressions
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a.aggregateExpressions
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a.aggregateExpressions
+    }
+    assert(aggs.flatten.exists(_.mode ==
+      org.apache.spark.sql.catalyst.expressions.aggregate.Partial),
+      s"expected a Partial aggregate below the exchange, got:\n$plan")
+  }
+
+  test("crawlSchedule: per-domain slots ascend by id, cap drops the tail, " +
+    "fetches spaced delaySec apart") {
+    val df = Seq(
+      ("a.com", 30L), ("a.com", 10L), ("a.com", 20L), ("a.com", 40L),
+      ("b.com", 7L)).toDF("rd", "doc_id")
+    val out = UrlOps.crawlSchedule(df, "rd", "doc_id",
+        startTs = "2024-01-15 00:00:00", maxPerDomain = 3, delaySec = 5)
+      .select("rd", "doc_id", "slot", "sched_s", "scheduled_at", "n_urls", "n_dropped")
+      .as[(String, Long, Long, Long, String, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq === Seq(
+      ("a.com", 10L, 0L, 0L), ("a.com", 20L, 1L, 5L), ("a.com", 30L, 2L, 10L),
+      ("b.com", 7L, 0L, 0L)), "id-ascending slots, 40 dropped by the cap")
+    assert(out.filter(_._1 == "a.com").forall(r => r._6 == 4L && r._7 == 1L))
+    assert(out.filter(_._1 == "b.com").forall(r => r._6 == 1L && r._7 == 0L))
+    assert(out.find(r => r._1 == "a.com" && r._3 == 2L).get._5
+      === "2024-01-15 00:00:10", "politeness spacing lands in the timestamp")
+  }
+
+  test("crawlSchedule matches the window-based reference draw on randomized data " +
+    "(bounded aggregate ≡ row_number semantics)") {
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 400).map { _ =>
+      (s"d${rnd.nextInt(12)}.com", math.abs(rnd.nextLong()) % 100000L)
+    }.distinct
+    val df = rows.toDF("rd", "doc_id")
+    val got = UrlOps.crawlSchedule(df, "rd", "doc_id",
+        startTs = "2024-01-15 00:00:00", maxPerDomain = 5, delaySec = 7)
+      .select("rd", "doc_id", "slot").as[(String, Long, Long)].collect().toSet
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (rd, g) =>
+      g.map(_._2).sorted.take(5).zipWithIndex.map { case (id, i) => (rd, id, i.toLong) }
+    }.toSet
+    assert(got === expect)
+  }
+
   test("normalizeUrls is map-only (no shuffle exchange in the plan)") {
     val df = graft.fixtures.Fixtures.urlDocs(
       Seq((1L, "t"), (2L, "t")).toDF("doc_id", "text"))
