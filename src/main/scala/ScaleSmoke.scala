@@ -513,6 +513,26 @@ object ScaleSmoke {
         .agg(sum(col("n_tokens")) + sum(col("dup_factor_ppm")))
         .collect()(0).getLong(0))
     }
+    // Stratified-quota shape A/B (r13): the window (row_number) draw sorts
+    // EVERY row of every stratum — under skew the hot stratum's sort runs
+    // in ONE task; the bounded topk_pairs draw keeps k pairs of state per
+    // (partition, stratum) map-side and ships only those. Fixture: one hot
+    // stratum holds half the corpus, the rest spread over 997. Both orders
+    // via SCALE_QUOTA_ORDER=window_first (co-tenant rule).
+    locally {
+      import graft.ops.Sampling
+      val strat = docs.select(
+        when(col("doc_id") % 2 === 0, lit("hot"))
+          .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(997L)))).as("st"),
+        col("doc_id"))
+      def bounded(): Unit = t("strat quota bounded (skew)")(
+        Sampling.stratifiedQuotaBounded(strat, "st", "doc_id", 8).count())
+      def windowed(): Unit = t("strat quota window (skew)")(
+        Sampling.stratifiedQuota(strat, "st", "doc_id", 8).count())
+      if (sys.env.get("SCALE_QUOTA_ORDER").contains("window_first")) {
+        windowed(); bounded()
+      } else { bounded(); windowed() }
+    }
     // Hybrid RRF (r12): two top-k pools (BM25 global-order window over a
     // poolK-bounded candidate set + brute cosine top-k aggregate) fused by
     // a pool-bounded join — the corpus terms are the one tf pass and the

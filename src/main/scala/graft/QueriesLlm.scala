@@ -2938,8 +2938,12 @@ object QueriesLlm {
     Q("llm_stratified_sample",
       // Deterministic per-language quota: 50 docs per stratum drawn by
       // smallest hash (every stratum has >50 docs at sf0.01, so the rank
-      // filter bites in each).
-      (s, d) => Sampling.stratifiedQuota(Tables.documents(s, d), "lang", "doc_id", 50)
+      // filter bites in each). Registered on the BOUNDED topk_pairs shape
+      // (k pairs of state per stratum, skew-free — no row_number window);
+      // the window twin is spec-pinned row-identical and the oracle
+      // replays it, so the engines cross-check strategies.
+      (s, d) => Sampling.stratifiedQuotaBounded(
+          Tables.documents(s, d), "lang", "doc_id", 50)
         .select(col("lang"), col("doc_id"), col("draw_rank")),
       Some("""WITH h AS (
         |  SELECT lang, doc_id,

@@ -34,6 +34,28 @@ class SamplingSpec extends SparkSpec {
     assert(testIds != sampleIds, "salts must decouple the two decisions")
   }
 
+  test("stratifiedQuotaBounded is row-identical to the window shape on " +
+    "randomized skewed data (bounded aggregate ≡ row_number draw)") {
+    val rnd = new scala.util.Random(59)
+    // skewed: stratum s0 holds ~half the rows, the rest spread over 9
+    val rows = (1 to 800).map { _ =>
+      val st = if (rnd.nextBoolean()) "s0" else s"s${1 + rnd.nextInt(9)}"
+      (st, math.abs(rnd.nextLong()) % 1000000L)
+    }.distinct
+    val df = rows.toDF("stratum", "id")
+    def collectDraw(d: org.apache.spark.sql.DataFrame) =
+      d.select($"stratum", $"id", $"draw_rank").as[(String, Long, Int)].collect().toSet
+    val windowDraw = collectDraw(Sampling.stratifiedQuota(df, "stratum", "id", 25))
+    val boundedDraw = collectDraw(Sampling.stratifiedQuotaBounded(df, "stratum", "id", 25))
+    assert(boundedDraw === windowDraw)
+    // caller columns survive the broadcast join-back
+    val extra = Sampling.stratifiedQuotaBounded(
+      df.withColumn("payload", $"id" * 2), "stratum", "id", 5)
+    assert(extra.columns.toSet ===
+      Set("stratum", "id", "payload", "draw_rank"))
+    assert(extra.filter($"payload" =!= $"id" * 2).count() === 0)
+  }
+
   test("isqrt: exact on randomized inputs, perfect squares, and ±1 boundaries") {
     val rnd = new scala.util.Random(13)
     // adversarial set: perfect squares r², r²±1 (where the double seed is
