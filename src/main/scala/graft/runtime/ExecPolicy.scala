@@ -102,18 +102,63 @@ object ExecPolicy {
     * must not force `executedPlan` before calling. Sequential use only (the
     * confs are session-scoped while set); Bench and Verify run queries
     * one at a time. */
+  /** Tier-1 (r13 floor attack): AQE-off ONLY — codegen and shuffle
+    * partitioning untouched — for plans with small known inputs that fail
+    * just the SHAPE guards (Generate/Expand/HOF/node count). Rationale,
+    * measured with the three-leg FloorProfile discipline (AQE on → off →
+    * on again, so JVM warmth cannot fake the effect): on shuffle-bearing
+    * Generate-class queries over control-scale inputs, AQE costs
+    * 60–150 ms/query of extra job rounds (dedup_winnow 157-182 ms off vs
+    * 291-342 ms on-again; llm_freq_spectrum 266-313 vs 342-427;
+    * sk_topk_agg ~145 vs ~170), and is a wash on map-only plans. With
+    * < [[smallInputBytes]] of input there is nothing material for runtime
+    * re-planning to fix — coalescing tiny partitions and splitting skewed
+    * joins both presuppose data that a sub-8MB scan cannot produce — while
+    * codegen stays ON, so the round-7 interpreted-eval cliff (2 s → 46 s)
+    * that [[isSmall]]'s shape guards exist for cannot engage. Iterative
+    * tails (LogicalRDD) and typed imperative nodes stay on the full
+    * adaptive path: the r12 full-registry A/B showed AQE genuinely earning
+    * its cost on the graph/iterative family, and checkpoint boundaries
+    * hide the true plan size (round-10 s4 rule e needs AQE to skew-split
+    * hot keys below a checkpointed weight table). Disable for A/Bs via
+    * SPARK_GRAFT_NO_TIER1=1. */
+  private val tier1Confs = Seq("spark.sql.adaptive.enabled" -> "false")
+
+  private val tier1Disabled = sys.env.get("SPARK_GRAFT_NO_TIER1").contains("1")
+
+  /** Small known input, no iterative/typed node — shape guards NOT
+    * consulted (Generate/Expand/HOF allowed: with codegen on they cost the
+    * same either way). */
+  def isSmallInputNonIterative(df: DataFrame): Boolean =
+    smallInputBytes > 0 && !tier1Disabled && {
+      val plans = { val p = df.queryExecution.optimizedPlan; p +: p.subqueriesAll }
+      !plans.exists(_.exists {
+        case _: LogicalRDD => true
+        case _: MapPartitions | _: DeserializeToObject | _: CoGroup => true
+        case _ => false
+      }) &&
+        plans.flatMap(_.collectLeaves()).distinctBy(_.canonicalized)
+          .map(_.stats.sizeInBytes).sum < smallInputBytes
+    }
+
   def run[T](df: DataFrame)(action: DataFrame => T): T =
-    if (!isSmall(df)) action(df) else runForced(df)(action)
+    if (isSmall(df)) runWith(smallConfs, df)(action)
+    else if (isSmallInputNonIterative(df)) runWith(tier1Confs, df)(action)
+    else action(df)
 
   /** Apply the small-query confs WITHOUT the plan guards — for callers
     * that have already proven smallness by other means (e.g. a Lloyd
     * training job whose corpus passed `Similarity.fitsSmallCorpus`: its
     * explode trips the Generate guard, but a probed ≤ cap-row corpus
     * bounds the exploded size too). Sequential use only, like [[run]]. */
-  def runForced[T](df: DataFrame)(action: DataFrame => T): T = {
+  def runForced[T](df: DataFrame)(action: DataFrame => T): T =
+    runWith(smallConfs, df)(action)
+
+  private def runWith[T](confs: Seq[(String, String)], df: DataFrame)
+                        (action: DataFrame => T): T = {
     val conf = df.sparkSession.conf
-    val saved = smallConfs.map { case (k, _) => k -> conf.getOption(k) }
-    smallConfs.foreach { case (k, v) => conf.set(k, v) }
+    val saved = confs.map { case (k, _) => k -> conf.getOption(k) }
+    confs.foreach { case (k, v) => conf.set(k, v) }
     try action(df)
     finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
