@@ -468,20 +468,8 @@ object Funnel {
     val nodes = events.select(col(typeCol)).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     require(nodes.nonEmpty, "typePageRank: no events")
-    val n = nodes.length.toLong
-    val out = tr.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-    val pPpm = tr.map { case (f, t, c) => (f, t, c * 1000000L / out(f)) }
-    val base = (1000000L - dampPpm) * 1000000L / n
-    var r: Map[String, Long] = nodes.map(_ -> 1000000L / n).toMap
-    (1 to iters).foreach { _ =>
-      val dang = nodes.filter(v => !out.contains(v)).map(r).sum
-      val contrib = pPpm.groupBy(_._2).view.mapValues(
-        _.map { case (f, _, p) => r(f) * p / 1000000L }.sum).toMap
-      r = nodes.map(v =>
-        v -> (base + dampPpm * (contrib.getOrElse(v, 0L) + dang / n)) / 1000000L)
-        .toMap
-    }
-    nodes.map(v => (v, r(v))).toDF("node", "rank_ppm")
+    GraphOps.pageRankIterate(tr.toSeq, nodes, iters, dampPpm)
+      .toDF("node", "rank_ppm")
   }
 
   /** Gap-based sessionization: a new session starts whenever a user's

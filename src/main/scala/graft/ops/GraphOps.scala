@@ -131,6 +131,58 @@ object GraphOps {
     * by the oriented edge y→z. The oriented set carries each endpoint's
     * degree so the wedge pair order (v1 before v2) uses the same
     * (degree, id) order without a re-join. */
+  /** Integer-exact PageRank power iteration over a BOUNDED node alphabet —
+    * the shared core of [[Funnel.typePageRank]] (event-type graph) and
+    * [[pageRank]] (domain graph). Ranks and edge probabilities are ppm
+    * integers; every step uses truncating division (`r·p div 1e6` per
+    * edge, then sum — associative), dangling mass redistributes uniformly.
+    * Pure driver arithmetic on alphabet²-bounded state: call it only with
+    * edge lists whose node domain is a bounded alphabet (event types,
+    * registrable domains, language codes), never corpus-scale ids. */
+  def pageRankIterate(edges: Seq[(String, String, Long)], nodes: Seq[String],
+                      iters: Int, dampPpm: Long): Seq[(String, Long)] = {
+    require(nodes.nonEmpty, "pageRankIterate: no nodes")
+    val n = nodes.length.toLong
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val pPpm = edges.map { case (f, t, c) => (f, t, c * 1000000L / out(f)) }
+    val base = (1000000L - dampPpm) * 1000000L / n
+    var r: Map[String, Long] = nodes.map(_ -> 1000000L / n).toMap
+    (1 to iters).foreach { _ =>
+      val dang = nodes.filter(v => !out.contains(v)).map(r).sum
+      val contrib = pPpm.groupBy(_._2).view.mapValues(
+        _.map { case (f, _, p) => r(f) * p / 1000000L }.sum).toMap
+      r = nodes.map(v =>
+        v -> (base + dampPpm * (contrib.getOrElse(v, 0L) + dang / n)) / 1000000L)
+        .toMap
+    }
+    nodes.map(v => (v, r(v)))
+  }
+
+  /** PageRank over an arbitrary (src, dst) edge table whose endpoints live
+    * in a BOUNDED alphabet — e.g. the registrable-domain link graph, the
+    * crawl-curation authority signal (a low-authority template farm scores
+    * near the dangling floor no matter how many URLs it mints, which raw
+    * doc counts cannot see). The corpus-scale work is ONE (src, dst)
+    * aggregation plus one endpoint-distinct aggregation (both map-side
+    * combined); the collected iteration state is alphabet²-bounded
+    * (annotated — domains/types, never ids), and the power iteration runs
+    * on the driver in microseconds at any corpus size, per the iterative-
+    * trainer doctrine (round-9 rule h). Nodes are the UNION of endpoints:
+    * a dst-only domain (linked to, never crawled) is a dangling node and
+    * receives the uniform base mass. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 8, dampPpm: Long = 850000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // alphabet-scale collects, never corpus-scale (bounded-alphabet contract)
+    val agg = edges.groupBy(col(srcCol), col(dstCol))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = edges.select(col(srcCol)).union(edges.select(col(dstCol)))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    pageRankIterate(agg, nodes, iters, dampPpm).toDF("node", "rank_ppm")
+  }
+
   def triangleSummary(edges: DataFrame): DataFrame = {
     val e = edges.select(col("pa"), col("pb")).localCheckpoint()
     val deg = e.select(col("pa").as("p"))

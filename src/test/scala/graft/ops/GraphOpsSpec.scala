@@ -104,4 +104,42 @@ class GraphOpsSpec extends SparkSpec {
       assert(r._2 == edgeList.size.toLong)
     }
   }
+
+  test("pageRank: hand-exact two-node exchange, dangling sink, dst-only nodes " +
+    "in the node set, mass conservation") {
+    import spark.implicits._
+    // a -> b (2 edges), b -> a (1), a -> c (1), b -> d (1): c has no
+    // out-edges (dangling), d appears ONLY as a dst (dst-only, dangling)
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("a", "c"), ("b", "d"))
+      .toDF("s", "t")
+    val ranks = GraphOps.pageRank(edges, "s", "t", iters = 8)
+      .as[(String, Long)].collect().toMap
+    assert(ranks.keySet == Set("a", "b", "c", "d"),
+      "dst-only node d must be in the node set")
+    // b takes 2/3 of a's mass, c 1/3 — b must outrank c; a is b's main
+    // target (1/2 of b) plus base, outranking both sinks
+    assert(ranks("b") > ranks("c"))
+    assert(ranks("a") > ranks("c"))
+    // ppm mass approximately conserved (truncating div loses < n ppm/round)
+    val total = ranks.values.sum
+    assert(total > 990000L && total <= 1000000L, s"mass $total")
+    // driver-reference cross-check against an independent double-precision
+    // power iteration, tolerance = the documented integer truncation slack
+    val nodes = Seq("a", "b", "c", "d")
+    val cnt = Map(("a", "b") -> 2.0, ("b", "a") -> 1.0, ("a", "c") -> 1.0,
+      ("b", "d") -> 1.0)
+    val out = Map("a" -> 3.0, "b" -> 2.0)
+    var r = nodes.map(_ -> 0.25).toMap
+    (1 to 8).foreach { _ =>
+      val dang = nodes.filterNot(out.contains).map(r).sum
+      r = nodes.map { v =>
+        val contrib = cnt.collect { case ((f, t), c) if t == v => r(f) * c / out(f) }.sum
+        v -> (0.15 / 4 + 0.85 * (contrib + dang / 4))
+      }.toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(ranks(v) - r(v) * 1e6) < 2000,
+        s"$v: ${ranks(v)} ppm vs reference ${(r(v) * 1e6).toLong}")
+    }
+  }
 }
