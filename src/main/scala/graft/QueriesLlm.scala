@@ -2020,6 +2020,36 @@ object QueriesLlm {
         |       CAST(floor(avg(d2)) AS BIGINT) AS mean_d2
         |FROM assign GROUP BY 1""".stripMargin)),
 
+    Q("ann_sq8_quantize",
+      // Scalar (SQ8) codec — PQ's standard companion: per-dim min/max
+      // calibration (ONE posexplode + dim-keyed agg, dim-bounded collect
+      // re-entering as literal arrays — the driver-held-model pattern),
+      // then map-only byte encoding with integer-exact codes and error
+      // sums (div truncation, span>=1 guard). codes_str dodges the
+      // comparator's array allergy; both cal CTEs MATERIALIZED (each is
+      // referenced twice — r9-s2 rule a).
+      (s, d) => Similarity.sq8Quantize(Tables.embeddings(s, d), "vec_id", "embedding"),
+      Some("""WITH q AS MATERIALIZED (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT i, min(v[i]) AS mn, greatest(1, max(v[i]) - min(v[i])) AS sp
+        |  FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+        |  GROUP BY 1),
+        |cal AS MATERIALIZED (
+        |  SELECT list(mn ORDER BY i) AS mnl, list(sp ORDER BY i) AS spl FROM st),
+        |enc AS (
+        |  SELECT vec_id,
+        |         list_transform(range(1, 65), i -> (v[i] - mnl[i]) * 255 // spl[i]) AS cds,
+        |         list_transform(range(1, 65), i -> v[i] - mnl[i]) AS dd
+        |  FROM q CROSS JOIN cal)
+        |SELECT vec_id, array_to_string(cds, ',') AS codes_str,
+        |       CAST(list_sum(list_transform(range(1, 65),
+        |              i -> abs(dd[i] - cds[i] * spl[i] // 255))) AS BIGINT)
+        |         AS sum_abs_err_milli
+        |FROM enc CROSS JOIN cal""".stripMargin)),
+
     Q("ann_outliers",
       // Embedding OOD/noise screening: each vector's squared distance to
       // its assigned centroid, normalized by the cluster's mean — top-50
