@@ -58,6 +58,18 @@ object UrlOps {
   val DemoBlocklist: Seq[String] =
     Seq("site13.com", "site7.co.uk", "site40.org", "site2.de", "spam.example")
 
+  /** Demo robots rules for the registry query: (domain, path_prefix,
+    * allow). Exercises longest-match override (site13's /p/1 deny beats
+    * the / allow; /p/17 allow beats /p/1 deny), the allow-on-tie rule via
+    * duplicate-length pairs, whole-domain denies, and the no-rule default.
+    * Mirror: the VALUES CTE in llm_robots_filter — keep in lock-step. */
+  val DemoRobots: Seq[(String, String, Boolean)] = Seq(
+    ("site13.com", "/", true), ("site13.com", "/p/1", false),
+    ("site13.com", "/p/17", true),
+    ("site7.co.uk", "/", false),
+    ("site40.org", "/p/4", false), ("site40.org", "/p/4", true),
+    ("site2.de", "/p/2", false))
+
   /** Parse `urlCol` into `_sch` (lowercased scheme, '' when absent),
     * `_host` (lowercased, userinfo stripped), `_port` (string, '' when
     * absent), `_path` (raw, '' when absent) and `_qraw` (query string
@@ -216,6 +228,34 @@ object UrlOps {
         timestamp_seconds(
           unix_seconds(to_timestamp(lit(startTs))) + col("sched_s")),
         "yyyy-MM-dd HH:mm:ss"))
+  }
+
+  /** Robots-style path exclusion with longest-prefix-match semantics (the
+    * Google robots.txt resolution rule: the most specific — longest —
+    * matching rule wins; on a length tie, allow beats deny; no matching
+    * rule means allowed). Rules arrive as a table
+    * (domain, path_prefix, allow) and broadcast — a real robots corpus is
+    * rules-per-domain-bounded, far under the broadcast budget.
+    *
+    * The winner election rides a zero-padded (prefix length, allow-bit)
+    * string key under plain max_by — map-side partials in both engines,
+    * and the exact shape DuckDB's arg_max can replay (it rejects struct
+    * ordering keys; r13 rule a). Both engines skip null ordering keys, so
+    * unmatched URLs fall through the SAME coalesce(default-allow) path.
+    * Join is broadcast-hash on the domain equi-key with the prefix test
+    * as the join filter — map-only at any corpus size. Prefix length
+    * bound: < 1000 chars (the 3-digit pad). */
+  def robotsFilter(df: DataFrame, idCol: String, domCol: String,
+                   pathCol: String, rules: DataFrame): DataFrame = {
+    val r = rules.select(col("domain").as("_rd"),
+      col("path_prefix").as("_pp"), col("allow").as("_al"))
+    val key = concat(lpad(length(col("_pp")).cast("string"), 3, "0"),
+      when(col("_al"), lit("1")).otherwise(lit("0")))
+    df.join(broadcast(r),
+        df(domCol) === col("_rd") && col(pathCol).startsWith(col("_pp")), "left")
+      .groupBy(col(idCol), col(domCol), col(pathCol))
+      .agg(coalesce(max_by(col("_al"), key), lit(true)).as("allowed"),
+        count(col("_pp")).as("n_rules_matched"))
   }
 
   /** Per-registrable-domain curation rollup: document count, token count,
