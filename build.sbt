@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line as JSON. Two sbt
+// defaults break that contract (BENCH_r10–r14 all read `parsed: null`):
+// the logger prefixes forked-run output with "[info] ", and sbt appends a
+// "[success] Total time: ..." line after the program's final println.
+// StdoutOutput passes the forked JVM's stdout through raw; showSuccess
+// drops the trailing summary line, so graft.Bench's closing JSON line is
+// genuinely the last line of stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting —
+// exclude it from the unused-key lint so `compile` output stays clean.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
