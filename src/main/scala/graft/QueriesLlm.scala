@@ -420,6 +420,53 @@ object QueriesLlm {
           |         AS scheduled_at
           |FROM ranked WHERE slot < 4""".stripMargin))),
 
+    Q("llm_robots_filter",
+      // Robots-style longest-prefix path exclusion over the parsed URL
+      // table — the crawl-side politeness/compliance gate that runs with
+      // the blocklist, before any text decode. URLs ride the COARSE
+      // doc_id % 125 residue (r13 rule e) so the DemoRobots domains and
+      // paths genuinely collide with the corpus at every sf: site17.de
+      // /p/17 exercises the longest-allow override (3 rules matched),
+      // site12.io /p/12 the longer-deny-beats-root-allow branch,
+      // site4.com.au /p/4 the allow-on-tie pair, site7.com the
+      // whole-domain deny, and the other ~120 domains the no-rule
+      // default-allow. The winner election is the zero-padded
+      // (prefix length, allow-bit) string key under max_by/arg_max —
+      // map-side partials in both engines (r13 rule a).
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val urls = docs.select(col("doc_id"),
+          graft.fixtures.Fixtures.urlExpr(col("doc_id") % 125).as("url"))
+        val parsed = UrlOps.withUrlParts(urls, "url").select(col("doc_id"),
+          UrlOps.registrableDomain(col("_host")).as("registrable_domain"),
+          when(col("_path") === "", lit("/")).otherwise(col("_path")).as("path"))
+        val rules = {
+          import s.implicits._
+          UrlOps.DemoRobots.toDF("domain", "path_prefix", "allow")
+        }
+        UrlOps.robotsFilter(parsed, "doc_id", "registrable_domain", "path", rules)
+      },
+      Some {
+        val rulesValues = UrlOps.DemoRobots
+          .map { case (dm, pp, al) => s"('$dm', '$pp', $al)" }.mkString(",\n    |    ")
+        withCtes(OracleCtes.urlsFrom("(doc_id % 125)"), OracleCtes.urlParsed,
+          s"""robots AS (
+            |  SELECT * FROM (VALUES
+            |    $rulesValues) AS t(domain, path_prefix, allow))""".stripMargin,
+          """pe AS (
+            |  SELECT doc_id, rd,
+            |         CASE WHEN path = '' THEN '/' ELSE path END AS path
+            |  FROM url_parsed)""".stripMargin)(
+          """SELECT pe.doc_id, pe.rd AS registrable_domain, pe.path,
+            |       coalesce(arg_max(r.allow,
+            |         lpad(CAST(length(r.path_prefix) AS VARCHAR), 3, '0')
+            |           || CASE WHEN r.allow THEN '1' ELSE '0' END), true) AS allowed,
+            |       CAST(count(r.path_prefix) AS BIGINT) AS n_rules_matched
+            |FROM pe LEFT JOIN robots r
+            |  ON pe.rd = r.domain AND starts_with(pe.path, r.path_prefix)
+            |GROUP BY 1, 2, 3""".stripMargin)
+      }),
+
     Q("llm_domain_pagerank",
       // Domain-authority PageRank over the registrable-domain link graph —
       // the crawl-curation signal FineWeb-class pipelines weight alongside

@@ -59,16 +59,23 @@ object UrlOps {
     Seq("site13.com", "site7.co.uk", "site40.org", "site2.de", "spam.example")
 
   /** Demo robots rules for the registry query: (domain, path_prefix,
-    * allow). Exercises longest-match override (site13's /p/1 deny beats
-    * the / allow; /p/17 allow beats /p/1 deny), the allow-on-tie rule via
-    * duplicate-length pairs, whole-domain denies, and the no-rule default.
+    * allow). Domains/paths are chosen against the `doc_id % 125` residue
+    * fixture (the llm_url_dedup collision trick, r13 rule e: the fixture
+    * must COLLIDE with the rules or the interesting branches never reach
+    * the gate — under the residue, site17.de carries /p/17, site12.io
+    * /p/12, site4.com.au /p/4, site7.com /p/7, all present from sf0.01's
+    * 500 docs up). Exercises longest-match override in both directions
+    * (site17.de: /p/17 allow beats /p/1 deny beats / allow → allowed;
+    * site12.io: /p/1 deny beats / allow → denied), the allow-on-tie rule
+    * via a duplicate-length pair (site4.com.au), whole-domain deny
+    * (site7.com), and the no-rule default-allow everywhere else.
     * Mirror: the VALUES CTE in llm_robots_filter — keep in lock-step. */
   val DemoRobots: Seq[(String, String, Boolean)] = Seq(
-    ("site13.com", "/", true), ("site13.com", "/p/1", false),
-    ("site13.com", "/p/17", true),
-    ("site7.co.uk", "/", false),
-    ("site40.org", "/p/4", false), ("site40.org", "/p/4", true),
-    ("site2.de", "/p/2", false))
+    ("site17.de", "/", true), ("site17.de", "/p/1", false),
+    ("site17.de", "/p/17", true),
+    ("site12.io", "/", true), ("site12.io", "/p/1", false),
+    ("site4.com.au", "/p/4", false), ("site4.com.au", "/p/4", true),
+    ("site7.com", "/", false))
 
   /** Parse `urlCol` into `_sch` (lowercased scheme, '' when absent),
     * `_host` (lowercased, userinfo stripped), `_port` (string, '' when

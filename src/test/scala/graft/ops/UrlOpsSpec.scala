@@ -143,6 +143,49 @@ class UrlOpsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("robotsFilter: longest-prefix override both directions, allow-on-tie, " +
+    "whole-domain deny, no-rule default-allow") {
+    val docs = Seq(
+      (1L, "a.com", "/p/17"), // / allow, /p/1 deny, /p/17 allow → longest allow wins
+      (2L, "a.com", "/p/12"), // / allow, /p/1 deny → longer deny beats root allow
+      (3L, "a.com", "/q"),    // only / allow matches
+      (4L, "b.com", "/p/4x"), // /p/4 deny + /p/4 allow tie → allow wins the tie
+      (5L, "c.com", "/"),     // whole-domain deny
+      (6L, "d.com", "/x")     // no rule at all → default allow, zero matched
+    ).toDF("doc_id", "rd", "path")
+    val rules = Seq(
+      ("a.com", "/", true), ("a.com", "/p/1", false), ("a.com", "/p/17", true),
+      ("b.com", "/p/4", false), ("b.com", "/p/4", true),
+      ("c.com", "/", false)).toDF("domain", "path_prefix", "allow")
+    val out = UrlOps.robotsFilter(docs, "doc_id", "rd", "path", rules)
+      .select("doc_id", "allowed", "n_rules_matched")
+      .as[(Long, Boolean, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out === Map(
+      1L -> ((true, 3L)), 2L -> ((false, 2L)), 3L -> ((true, 1L)),
+      4L -> ((true, 2L)), 5L -> ((false, 1L)), 6L -> ((true, 0L))))
+  }
+
+  test("robotsFilter election keeps map-side partial aggregation and the rules " +
+    "side broadcasts") {
+    val docs = Seq((1L, "a.com", "/p")).toDF("doc_id", "rd", "path")
+    val rules = Seq(("a.com", "/", true)).toDF("domain", "path_prefix", "allow")
+    val plan = UrlOps.robotsFilter(docs, "doc_id", "rd", "path", rules)
+      .queryExecution.sparkPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a.aggregateExpressions
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a.aggregateExpressions
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a.aggregateExpressions
+    }
+    assert(aggs.flatten.exists(_.mode ==
+      org.apache.spark.sql.catalyst.expressions.aggregate.Partial),
+      s"expected a Partial aggregate below the exchange, got:\n$plan")
+    val bcasts = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bcasts.nonEmpty, s"expected a broadcast join for the rules side, got:\n$plan")
+  }
+
   test("normalizeUrls is map-only (no shuffle exchange in the plan)") {
     val df = graft.fixtures.Fixtures.urlDocs(
       Seq((1L, "t"), (2L, "t")).toDF("doc_id", "text"))
