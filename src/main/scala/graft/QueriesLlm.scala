@@ -354,11 +354,11 @@ object QueriesLlm {
           |         CAST(r.n_tokens AS BIGINT) AS n_tokens,
           |         CAST(least(g.nh, 64) AS BIGINT) AS n_mins,
           |         CAST(CASE WHEN g.nh < 64 THEN g.nh
-          |                   ELSE floor(63.0 * 1152921504606846976.0 / k.kth) END AS BIGINT)
+          |                   ELSE 1152921504606846976 // greatest(k.kth // 63, 1) END AS BIGINT)
           |           AS distinct_content_est
           |  FROM (SELECT rd, max(nh) AS nh FROM url_r GROUP BY 1) g
           |  JOIN url_roll r USING (rd)
-          |  LEFT JOIN (SELECT rd, CAST(hh AS DOUBLE) AS kth FROM url_r WHERE rn = 64) k
+          |  LEFT JOIN (SELECT rd, hh AS kth FROM url_r WHERE rn = 64) k
           |    USING (rd))""".stripMargin))),
 
     Q("llm_url_dedup",
@@ -2963,9 +2963,10 @@ object QueriesLlm {
       (s, d) => Sketches.kmvDistinct(Tables.events(s, d), Seq("event_type"),
           DedupOps.hash60(col("user_id").cast("string")), k = 64)
         .select(col("event_type"), col("n_mins"), col("distinct_est")),
-      // 1152921504606846976 = 2^60 (the hash space); 63·2^60 is exactly
-      // representable in binary64, so both engines compute the identical
-      // IEEE quotient before floor.
+      // 1152921504606846976 = 2^60 (the hash space). The estimator is the
+      // all-integer division-first form (round-10 rule d): 2^60 // (kth //
+      // 63) with a floor-1 guard — DuckDB `//` and Spark `div` both
+      // truncate identically on the non-negative hash values.
       Some("""WITH h AS (
         |  SELECT DISTINCT event_type,
         |         CAST('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
@@ -2978,9 +2979,9 @@ object QueriesLlm {
         |SELECT g.event_type,
         |       CAST(least(g.n, 64) AS INTEGER) AS n_mins,
         |       CAST(CASE WHEN g.n < 64 THEN g.n
-        |                 ELSE floor(63.0 * 1152921504606846976.0 / k.kth) END AS BIGINT) AS distinct_est
+        |                 ELSE 1152921504606846976 // greatest(k.kth // 63, 1) END AS BIGINT) AS distinct_est
         |FROM (SELECT event_type, max(n) AS n FROM r GROUP BY 1) g
-        |LEFT JOIN (SELECT event_type, CAST(hh AS DOUBLE) AS kth FROM r WHERE rn = 64) k
+        |LEFT JOIN (SELECT event_type, hh AS kth FROM r WHERE rn = 64) k
         |  USING (event_type)""".stripMargin)),
 
     Q("sk_quantile_sample",

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** KMV estimate scale: hashes are uniform in [0, 2^60) (DedupOps.hash60). */
-  val HashSpace: Double = math.pow(2, 60)
+  val HashSpaceLong: Long = 1L << 60
 
   /** Count-Min sketch over `hashCol` (a [[DedupOps.hash60]] hash of the
     * counted value): one row per group with the `depth·width` counter grid.
@@ -64,8 +64,13 @@ object Sketches {
 
   /** Distinct-count estimate per group: exact when a group has fewer than
     * `k` distinct values (the sketch IS the set), else the KMV estimator
-    * `(k-1) * 2^60 / kth_min`. `hashCol` must be a deterministic uniform
-    * 60-bit hash of the counted value (use [[DedupOps.hash60]]). */
+    * `(k-1) * 2^60 / kth_min` computed DIVISION-FIRST in int64 —
+    * `2^60 div (kth div (k-1))` with a floor-1 guard on the inner div
+    * (round-10 rule d: the product form overflows int64 at k = 256, and
+    * the all-integer form keeps the estimate float-free end to end; same
+    * form as [[graft.streaming.StreamingStats.snapshot]]). `hashCol` must
+    * be a deterministic uniform 60-bit hash of the counted value (use
+    * [[DedupOps.hash60]]). */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], hashCol: Column,
                   k: Int = 64): DataFrame = {
     require(k >= 2, "kmv k must be >= 2")
@@ -77,8 +82,8 @@ object Sketches {
       .withColumn("n_mins", size(col("_mins")))
       .withColumn("distinct_est",
         when(col("n_mins") < k, col("n_mins").cast("long"))
-          .otherwise(floor(lit((k - 1).toDouble * HashSpace)
-            / element_at(col("_mins"), k).cast("double")).cast("long")))
+          .otherwise(expr(
+            s"${HashSpaceLong}L div greatest(element_at(_mins, $k) div ${k - 1}, 1L)")))
       .drop("_mins")
   }
 

@@ -271,7 +271,12 @@ object UrlOps {
     * corpus-scale count-distinct shuffle). `dup_factor_ppm` =
     * docs·10⁶ div distinct-content — the domain-level duplication signal
     * FineWeb uses to drop template farms. Exact below k distinct hashes
-    * (the sketch IS the set), (k−1)·2⁶⁰/kth-min above. */
+    * (the sketch IS the set); saturated sketches use the (k−1)·2⁶⁰/kth-min
+    * estimator computed DIVISION-FIRST in int64 — `2⁶⁰ div (kth div (k−1))`
+    * with a floor-1 guard on the inner div (round-10 rule d: the product
+    * form overflows int64 once k reaches 256, and float math has no place
+    * in a value the oracle hashes) — the same form as
+    * [[graft.streaming.StreamingStats.snapshot]]. */
   def domainRollup(df: DataFrame, domCol: String, textCol: String,
                    k: Int = 64): DataFrame = {
     require(k >= 2, "kmv k must be >= 2")
@@ -287,8 +292,8 @@ object UrlOps {
       .withColumn("n_mins", size(col("_mins")).cast("long"))
       .withColumn("distinct_content_est",
         when(col("n_mins") < k, col("n_mins"))
-          .otherwise(floor(lit((k - 1).toDouble * Sketches.HashSpace)
-            / element_at(col("_mins"), k).cast("double")).cast("long")))
+          .otherwise(expr(
+            s"${Sketches.HashSpaceLong}L div greatest(element_at(_mins, $k) div ${k - 1}, 1L)")))
       .withColumn("dup_factor_ppm",
         expr("n_docs * 1000000 div distinct_content_est"))
       .drop("_mins")
