@@ -31,6 +31,77 @@ object QueriesLlm {
   private def h60(x: String): String =
     s"CAST('0x' || substr(sha256($x), 1, 15) AS BIGINT)"
 
+  /** The registrable-domain link graph behind llm_domain_pagerank and its
+    * forced-distributed twin: doc i's page links to the domain of the URL
+    * the fixture would mint for id 31·i+7 (gcd(31,97)=1, so targets sweep
+    * the domain alphabet; at sf0.01 some domains are dst-only → genuinely
+    * dangling nodes at the gate). Both ends go through the real parse
+    * pipeline (urlExpr → normalizeUrls → registrable_domain). */
+  private def domainLinkGraph(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val fx = graft.fixtures.Fixtures
+    val src = UrlOps.normalizeUrls(
+        docs.select(col("doc_id"), fx.urlExpr(col("doc_id")).as("url")), "url")
+      .select(col("doc_id"), col("registrable_domain").as("src_domain"))
+    val dst = UrlOps.normalizeUrls(
+        docs.select(col("doc_id"),
+          fx.urlExpr(col("doc_id") * 31 + 7).as("url")), "url")
+      .select(col("doc_id"), col("registrable_domain").as("dst_domain"))
+    src.join(dst, "doc_id")
+  }
+
+  /** Oracle for BOTH pagerank rows: the closed-form domain derivation
+    * ('site'||id%97||'.'||tld[id%7+1] — parse equivalence pinned verbatim
+    * by llm_url_normalize) and 8 chained MATERIALIZED CTE rounds (the
+    * ev_pagerank template; each r_i referenced twice → r9-s2 rule a) of
+    * the same truncating-integer power iteration both engine paths run. */
+  private lazy val domainPagerankOracle: String = {
+    val tld = "(['com','org','co.uk','de','com.au','io','ac.uk'])"
+    def rd(idSql: String) =
+      s"'site' || CAST($idSql % 97 AS VARCHAR) || '.' || $tld[CAST($idSql % 7 + 1 AS INTEGER)]"
+    val prelude = Seq(
+      s"""predges AS MATERIALIZED (
+        |  SELECT ${rd("doc_id")} AS from_type,
+        |         ${rd("(doc_id * 31 + 7)")} AS to_type
+        |  FROM documents)""".stripMargin,
+      """prtr AS MATERIALIZED (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM predges GROUP BY 1, 2)""".stripMargin,
+      """prnodes AS MATERIALIZED (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT from_type AS node FROM predges
+        |    UNION ALL SELECT to_type FROM predges))""".stripMargin,
+      "prn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM prnodes)",
+      """proutdeg AS MATERIALIZED (
+        |  SELECT from_type, CAST(sum(cnt) AS BIGINT) AS outc
+        |  FROM prtr GROUP BY 1)""".stripMargin,
+      """prp AS MATERIALIZED (
+        |  SELECT t.from_type, t.to_type, t.cnt * 1000000 // o.outc AS p_ppm
+        |  FROM prtr t JOIN proutdeg o USING (from_type))""".stripMargin,
+      """r0 AS MATERIALIZED (
+        |  SELECT node, 1000000 // prn.n AS r FROM prnodes CROSS JOIN prn)""".stripMargin)
+    val rounds = (1 to 8).map { i =>
+      s"""r$i AS MATERIALIZED (
+        |  SELECT nd.node,
+        |         (150000000000 // prn.n
+        |          + 850000 * (coalesce(c.contrib, 0) + d.dang // prn.n))
+        |           // 1000000 AS r
+        |  FROM prnodes nd
+        |  CROSS JOIN prn
+        |  LEFT JOIN (
+        |    SELECT p.to_type AS node,
+        |           CAST(sum(r.r * p.p_ppm // 1000000) AS BIGINT) AS contrib
+        |    FROM r${i - 1} r JOIN prp p ON p.from_type = r.node
+        |    GROUP BY 1) c ON c.node = nd.node
+        |  CROSS JOIN (
+        |    SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dang
+        |    FROM r${i - 1} r LEFT JOIN proutdeg o ON o.from_type = r.node
+        |    WHERE o.from_type IS NULL) d)""".stripMargin
+    }
+    withCtes(prelude ++ rounds: _*)(
+      "SELECT node, r AS rank_ppm FROM r8")
+  }
+
   /** Deterministic synthetic PII injection (the corpus has none): one
     * class per co-prime doc_id residue, so multi-class documents exist at
     * small sf (77, 91, 133, …) without any single pair saturating — the
@@ -483,64 +554,22 @@ object QueriesLlm {
       // llm_url_normalize already pins verbatim. Iteration replayed as 8
       // chained MATERIALIZED CTE rounds (the ev_pagerank template; each
       // r_i referenced twice → r9-s2 rule a).
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val fx = graft.fixtures.Fixtures
-        val src = UrlOps.normalizeUrls(
-            docs.select(col("doc_id"), fx.urlExpr(col("doc_id")).as("url")), "url")
-          .select(col("doc_id"), col("registrable_domain").as("src_domain"))
-        val dst = UrlOps.normalizeUrls(
-            docs.select(col("doc_id"),
-              fx.urlExpr(col("doc_id") * 31 + 7).as("url")), "url")
-          .select(col("doc_id"), col("registrable_domain").as("dst_domain"))
-        GraphOps.pageRank(src.join(dst, "doc_id"), "src_domain", "dst_domain")
-      },
-      Some {
-        val tld = "(['com','org','co.uk','de','com.au','io','ac.uk'])"
-        def rd(idSql: String) =
-          s"'site' || CAST($idSql % 97 AS VARCHAR) || '.' || $tld[CAST($idSql % 7 + 1 AS INTEGER)]"
-        val prelude = Seq(
-          s"""predges AS MATERIALIZED (
-            |  SELECT ${rd("doc_id")} AS from_type,
-            |         ${rd("(doc_id * 31 + 7)")} AS to_type
-            |  FROM documents)""".stripMargin,
-          """prtr AS MATERIALIZED (
-            |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
-            |  FROM predges GROUP BY 1, 2)""".stripMargin,
-          """prnodes AS MATERIALIZED (
-            |  SELECT DISTINCT node FROM (
-            |    SELECT from_type AS node FROM predges
-            |    UNION ALL SELECT to_type FROM predges))""".stripMargin,
-          "prn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM prnodes)",
-          """proutdeg AS MATERIALIZED (
-            |  SELECT from_type, CAST(sum(cnt) AS BIGINT) AS outc
-            |  FROM prtr GROUP BY 1)""".stripMargin,
-          """prp AS MATERIALIZED (
-            |  SELECT t.from_type, t.to_type, t.cnt * 1000000 // o.outc AS p_ppm
-            |  FROM prtr t JOIN proutdeg o USING (from_type))""".stripMargin,
-          """r0 AS MATERIALIZED (
-            |  SELECT node, 1000000 // prn.n AS r FROM prnodes CROSS JOIN prn)""".stripMargin)
-        val rounds = (1 to 8).map { i =>
-          s"""r$i AS MATERIALIZED (
-            |  SELECT nd.node,
-            |         (150000000000 // prn.n
-            |          + 850000 * (coalesce(c.contrib, 0) + d.dang // prn.n))
-            |           // 1000000 AS r
-            |  FROM prnodes nd
-            |  CROSS JOIN prn
-            |  LEFT JOIN (
-            |    SELECT p.to_type AS node,
-            |           CAST(sum(r.r * p.p_ppm // 1000000) AS BIGINT) AS contrib
-            |    FROM r${i - 1} r JOIN prp p ON p.from_type = r.node
-            |    GROUP BY 1) c ON c.node = nd.node
-            |  CROSS JOIN (
-            |    SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dang
-            |    FROM r${i - 1} r LEFT JOIN proutdeg o ON o.from_type = r.node
-            |    WHERE o.from_type IS NULL) d)""".stripMargin
-        }
-        withCtes(prelude ++ rounds: _*)(
-          "SELECT node, r AS rank_ppm FROM r8")
-      }),
+      (s, d) => GraphOps.pageRank(
+        domainLinkGraph(s, d), "src_domain", "dst_domain"),
+      Some(domainPagerankOracle)),
+
+    Q("llm_domain_pagerank_dist",
+      // The SAME domain-authority PageRank forced through the over-cap
+      // DISTRIBUTED power iteration (GraphOps.pageRankOnCounts, edgeCap=0
+      // disables the driver fast path) against the UNCHANGED oracle: the
+      // two engine paths are bit-identical truncating-integer arithmetic
+      // (GraphOpsSpec pins driver ≡ distributed and the cap flip), so one
+      // CTE chain gates both — this row is the distributed path's gate on
+      // real corpus data at every scale factor, the path a 100 TB crawl's
+      // ~10⁸-domain graph actually takes.
+      (s, d) => GraphOps.pageRank(
+        domainLinkGraph(s, d), "src_domain", "dst_domain", edgeCap = 0),
+      Some(domainPagerankOracle)),
 
     Q("llm_c4_filters",
       // The C4 line-level cleaning pass (Raffel et al. 2020 §2.2): keep

@@ -158,29 +158,94 @@ object GraphOps {
     nodes.map(v => (v, r(v)))
   }
 
-  /** PageRank over an arbitrary (src, dst) edge table whose endpoints live
-    * in a BOUNDED alphabet — e.g. the registrable-domain link graph, the
-    * crawl-curation authority signal (a low-authority template farm scores
-    * near the dangling floor no matter how many URLs it mints, which raw
-    * doc counts cannot see). The corpus-scale work is ONE (src, dst)
-    * aggregation plus one endpoint-distinct aggregation (both map-side
-    * combined); the collected iteration state is alphabet²-bounded
-    * (annotated — domains/types, never ids), and the power iteration runs
-    * on the driver in microseconds at any corpus size, per the iterative-
-    * trainer doctrine (round-9 rule h). Nodes are the UNION of endpoints:
-    * a dst-only domain (linked to, never crawled) is a dangling node and
-    * receives the uniform base mass. */
+  /** Distinct-edge count under which [[pageRank]] iterates on the driver
+    * (one bounded collect of the edge AGGREGATE, never the edge table);
+    * above it the distributed power iteration runs. Override via
+    * SPARK_GRAFT_PR_SMALL_CAP; 0 disables the driver path. */
+  val prSmallEdgeCap: Int =
+    sys.env.get("SPARK_GRAFT_PR_SMALL_CAP").map(_.toInt).getOrElse(65536)
+
+  /** PageRank over an arbitrary (src, dst) edge table — e.g. the
+    * registrable-domain link graph, the crawl-curation authority signal
+    * (a low-authority template farm scores near the dangling floor no
+    * matter how many URLs it mints, which raw doc counts cannot see).
+    * The corpus-scale work is ONE (src, dst) aggregation (map-side
+    * combined); what happens next is cap-probe dispatched on the SIZE of
+    * that aggregate, because "registrable domains" is only alphabet-
+    * bounded until the input is a 100 TB crawl (~10⁸ domains, ≥10⁹
+    * distinct domain-edges — a driver OOM on the old unconditional
+    * collect):
+    *  - ≤ `edgeCap` distinct edges: `take(cap+1)` (reads at most cap+1
+    *    aggregate rows off the checkpoint) already holds the whole graph,
+    *    so [[pageRankIterate]] runs on the driver in microseconds — the
+    *    iterative-trainer doctrine (round-9 rule h), saving 8 rounds of
+    *    job floor on toy alphabets (event types, languages, fixtures).
+    *  - over the cap: [[pageRankOnCounts]], the distributed power
+    *    iteration — bit-identical integer arithmetic (spec-pinned
+    *    driver ≡ distributed), so the dispatch is invisible to callers
+    *    and to the oracle.
+    * Nodes are the UNION of edge endpoints: a dst-only domain (linked to,
+    * never crawled) is a dangling node and receives uniform base mass. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 8, dampPpm: Long = 850000L): DataFrame = {
+               iters: Int = 8, dampPpm: Long = 850000L,
+               edgeCap: Int = prSmallEdgeCap): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // alphabet-scale collects, never corpus-scale (bounded-alphabet contract)
-    val agg = edges.groupBy(col(srcCol), col(dstCol))
-      .agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val nodes = edges.select(col(srcCol)).union(edges.select(col(dstCol)))
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
-    pageRankIterate(agg, nodes, iters, dampPpm).toDF("node", "rank_ppm")
+    val tr = edges.select(col(srcCol).as("f"), col(dstCol).as("t"))
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // probed, then read by whichever path wins
+    val head = if (edgeCap > 0) tr.take(edgeCap + 1) else Array.empty[org.apache.spark.sql.Row]
+    if (edgeCap > 0 && head.length <= edgeCap) {
+      val agg = head.toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val nodes = agg.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      pageRankIterate(agg, nodes, iters, dampPpm).toDF("node", "rank_ppm")
+    } else pageRankOnCounts(tr, iters, dampPpm)
+  }
+
+  /** Distributed power iteration over a pre-aggregated (f, t, cnt) edge
+    * table — the over-cap path of [[pageRank]], for node alphabets that
+    * are NOT driver-bounded (the 100 TB crawl's domain graph). Reuses the
+    * iterative-CC machinery shape (DedupOps.connectedComponentsStarDistributed):
+    * per round ONE rank-table join + per-dst aggregation, with the
+    * dangling mass folded in as a broadcast 1-row aggregate in the SAME
+    * job (no per-round driver collect; the only scalar on the driver is
+    * n). Every arithmetic step is the exact truncating-integer form of
+    * [[pageRankIterate]] — `r·p_ppm div 1e6` per edge, summed, then
+    * `(base + damp·(contrib + dang div n)) div 1e6` — so the two paths
+    * are bit-identical (GraphOpsSpec pins equality and the dispatch
+    * flip). Each round's rank table is localCheckpointed: it feeds the
+    * contrib join AND the dangling anti-join, and the lineage would
+    * otherwise deepen by two joins per round. */
+  def pageRankOnCounts(tr: DataFrame, iters: Int,
+                       dampPpm: Long = 850000L): DataFrame = {
+    val nodes = tr.select(col("f").as("node"))
+      .union(tr.select(col("t").as("node")))
+      .distinct().localCheckpoint() // re-read every round
+    val n = nodes.count()
+    require(n > 0, "pageRankOnCounts: no nodes")
+    val out = tr.groupBy(col("f")).agg(sum(col("cnt")).as("outc"))
+      .localCheckpoint() // p_ppm build + per-round dangling anti-join
+    val p = tr.join(out, "f")
+      .select(col("f"), col("t"), expr("cnt * 1000000 div outc").as("p_ppm"))
+      .localCheckpoint() // joined every round
+    val base = (1000000L - dampPpm) * 1000000L / n
+    var r = nodes.select(col("node"), lit(1000000L / n).as("r"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val dang = r.join(out.select(col("f").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      val contrib = r.join(p, col("node") === col("f"))
+        .select(col("t"), expr("r * p_ppm div 1000000").as("c"))
+        .groupBy(col("t")).agg(sum(col("c")).as("contrib"))
+      r = nodes
+        .join(contrib.select(col("t").as("node"), col("contrib")), Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          expr(s"($base + $dampPpm * (coalesce(contrib, 0) + dang div $n)) " +
+            "div 1000000").as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("node"), col("r").as("rank_ppm"))
   }
 
   def triangleSummary(edges: DataFrame): DataFrame = {

@@ -142,4 +142,50 @@ class GraphOpsSpec extends SparkSpec {
         s"$v: ${ranks(v)} ppm vs reference ${(r(v) * 1e6).toLong}")
     }
   }
+
+  /** The driver and distributed paths are identical integer arithmetic by
+    * design, so path equality is pinned bit-exact and the dispatch flip is
+    * pinned STRUCTURALLY (r12 rule b: a behavioral flip fixture cannot
+    * exist when the approximation error is zero): the driver path's plan
+    * bottoms out in a LocalRelation (toDF of driver rows), the distributed
+    * path in the checkpoint's LogicalRDD. */
+  private def prPlanIsDriverLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+
+  test("pageRank dispatch: driver ≡ distributed bit-exact, flip at the cap boundary") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("a", "c"), ("b", "d"))
+      .toDF("s", "t") // 4 DISTINCT (s,t) edges after aggregation
+    def run(cap: Int) = GraphOps.pageRank(edges, "s", "t", iters = 8, edgeCap = cap)
+    val atCap = run(4)       // 4 distinct edges ≤ cap → driver path
+    val overCap = run(3)     // cap+1 probe returns 4 > 3 → distributed
+    val forced = run(0)      // 0 disables the driver path outright
+    assert(prPlanIsDriverLocal(atCap), "cap ≥ |E| must take the driver path")
+    assert(!prPlanIsDriverLocal(overCap), "cap < |E| must take the distributed path")
+    assert(!prPlanIsDriverLocal(forced), "edgeCap = 0 must force the distributed path")
+    val d = atCap.as[(String, Long)].collect().toMap
+    assert(overCap.as[(String, Long)].collect().toMap == d,
+      "the two engine paths must be bit-identical")
+    assert(forced.as[(String, Long)].collect().toMap == d)
+  }
+
+  test("pageRank distributed: bit-equal to driver on a graph with multi-edges, " +
+    "dangling sinks, dst-only nodes, and skewed out-degrees") {
+    // deterministic LCG-ish graph: 40 nodes, 300 edge draws with repeats;
+    // nodes n30..n39 never appear as src → dangling at the gate
+    val raw = (0 until 300).map { i =>
+      val s = (i * 17 + 3) % 30
+      val t = (i * 29 + 11) % 40
+      (s"n$s", s"n$t")
+    }.filter { case (a, b) => a != b }
+    val edges = raw.toDF("s", "t")
+    val driver = GraphOps.pageRank(edges, "s", "t", iters = 8, edgeCap = 100000)
+      .as[(String, Long)].collect().toMap
+    val dist = GraphOps.pageRank(edges, "s", "t", iters = 8, edgeCap = 0)
+      .as[(String, Long)].collect().toMap
+    assert(driver == dist, "truncating-integer rounds must agree node for node")
+    assert(driver.keySet == raw.flatMap(e => Seq(e._1, e._2)).toSet)
+    val total = dist.values.sum
+    assert(total > 990000L && total <= 1000000L, s"mass $total")
+  }
 }
