@@ -1,0 +1,333 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager, ResultSet, Types => SqlTypes}
+import java.util.Properties
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1 as a DataSource-V2 `MicroBatchStream` — the Spark-native flavor of the
+  * reference's polling loop (Source/Services/ChangeTrackingBackgroundService
+  * .cs:427-606, call template Source/Data/SqlDialect.cs:52,70), where the
+  * driver-side foreachBatch relay (streaming/Relay.scala) owns its own
+  * watermark store. Here the STREAMING ENGINE owns it: offsets are
+  * (version, horizon) pairs persisted in the query checkpoint, so recovery,
+  * exactly-once offset tracking, and restart continuity are Spark's WAL
+  * machinery instead of bespoke state — `readStream.format("graft-change")`.
+  *
+  * Semantics are the same Incremental core every batch operator gates on:
+  *  - rows of batch (start, end]: `version > start.v AND version <= end.v
+  *    AND xact < end.horizon` (P1 + P2 — the horizon is part of the OFFSET,
+  *    so a replayed batch after crash recovery selects byte-identical rows);
+  *  - `latestOffset` = A2's gated watermark: `COALESCE(MAX(version), prev)`
+  *    over `xact < horizon`, monotone-guarded;
+  *  - seed start (S8) = gated watermark at stream start, zero rows emitted;
+  *    `startMode=earliest` replays from version 0; `startVersion=N` resumes
+  *    a legacy store's watermark.
+  *
+  * Scale shape: `planInputPartitions` splits the version range into
+  * `numPartitions` contiguous slices and each executor-side reader runs the
+  * SAME pushdown subquery `JdbcChangeSource.pushdownQuery` renders — the
+  * database evaluates the range predicate per slice, nothing round-trips,
+  * and a 1000-executor cluster drains a large delta in parallel. Only
+  * driver-side work per micro-batch: two 1-row scalar queries (horizon +
+  * gated watermark).
+  */
+class ChangeTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-change"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangeV2.inferSchema(ChangeV2.conf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new ChangeTable(schema,
+      ChangeV2.conf(new CaseInsensitiveStringMap(properties)))
+}
+
+final class ChangeTable(schema: StructType, conf: ChangeV2.Conf)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-change(${conf.table})"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ChangeMicroBatchStream(schema, conf)
+      }
+    }
+}
+
+/** Offset = the gated watermark AND the horizon it was gated by. Carrying
+  * the horizon makes committed batches replay-deterministic: recovery
+  * re-runs (start, end] with end's horizon, never a fresher one that could
+  * admit different rows. */
+final case class ChangeOffset(version: Long, horizon: Long) extends Offset {
+  override def json(): String = s"""{"version":$version,"horizon":$horizon}"""
+}
+
+object ChangeOffset {
+  private val Re = """\{"version":(-?\d+),"horizon":(-?\d+)\}""".r
+  def parse(json: String): ChangeOffset = json match {
+    case Re(v, h) => ChangeOffset(v.toLong, h.toLong)
+    case other => throw new IllegalArgumentException(s"bad change offset: $other")
+  }
+}
+
+final class ChangeMicroBatchStream(schema: StructType, conf: ChangeV2.Conf)
+    extends MicroBatchStream {
+
+  // Monotone guard across polls: a horizon query racing a rollback (or a
+  // MAX over a briefly-empty table) must never move an offset backwards.
+  private var last: ChangeOffset = _
+
+  override def initialOffset(): Offset = {
+    val h = ChangeV2.horizon(conf)
+    val off = conf.startMode match {
+      case "earliest" => ChangeOffset(0L, h)
+      case "version" => ChangeOffset(conf.startVersion, h)
+      // S8 seed: watermark = the current gated frontier, no rows emitted
+      case _ => ChangeOffset(ChangeV2.gatedWatermark(conf, 0L, h), h)
+    }
+    last = off
+    off
+  }
+
+  override def latestOffset(): Offset = {
+    val prev = Option(last).getOrElse(
+      initialOffset().asInstanceOf[ChangeOffset])
+    val h = math.max(ChangeV2.horizon(conf), prev.horizon)
+    val v = math.max(ChangeV2.gatedWatermark(conf, prev.version, h), prev.version)
+    last = ChangeOffset(v, h)
+    last
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val off = ChangeOffset.parse(json)
+    if (last == null || off.version > last.version) last = off
+    off
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ChangeOffset]
+    val e = end.asInstanceOf[ChangeOffset]
+    val span = e.version - s.version
+    if (span <= 0) return Array.empty
+    // the range-partitioned read JdbcChangeSource does, slice per partition
+    val n = math.min(conf.numPartitions.toLong, span).toInt
+    (0 until n).map { i =>
+      val lo = s.version + span * i / n
+      val hi = s.version + span * (i + 1) / n
+      ChangeSlice(lo, hi, e.horizon): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangeSliceReaderFactory(schema, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One version slice: rows with `version in (lo, hi]` under `xact < horizon`. */
+final case class ChangeSlice(lo: Long, hi: Long, horizon: Long) extends InputPartition
+
+final class ChangeSliceReaderFactory(schema: StructType, conf: ChangeV2.Conf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val slice = partition.asInstanceOf[ChangeSlice]
+    new PartitionReader[InternalRow] {
+      private var cn: Connection = _
+      private var rs: ResultSet = _
+      private val getters = ChangeV2.getters(schema)
+
+      private def ensureOpen(): Unit = if (cn == null) {
+        cn = ChangeV2.connect(conf)
+        val st = cn.createStatement()
+        st.setFetchSize(conf.fetchSize)
+        val cols = schema.fields.map(f => ChangeV2.qident(f.name)).mkString(", ")
+        rs = st.executeQuery(
+          s"SELECT $cols FROM ${conf.table} " +
+            s"WHERE ${ChangeV2.qident(conf.versionCol)} > ${slice.lo} " +
+            s"AND ${ChangeV2.qident(conf.versionCol)} <= ${slice.hi} " +
+            s"AND ${ChangeV2.qident(conf.xactCol)} < ${slice.horizon}")
+      }
+
+      override def next(): Boolean = { ensureOpen(); rs.next() }
+
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(getters.length)
+        var i = 0
+        while (i < getters.length) {
+          row.update(i, getters(i)(rs))
+          i += 1
+        }
+        row
+      }
+
+      override def close(): Unit = if (cn != null) cn.close()
+    }
+  }
+}
+
+object ChangeV2 {
+
+  /** All options resolved once, serializable — travels inside every
+    * InputPartition's reader factory. */
+  final case class Conf(
+      url: String,
+      driver: String,
+      user: String,
+      password: String,
+      table: String,
+      versionCol: String,
+      xactCol: String,
+      numPartitions: Int,
+      fetchSize: Int,
+      startMode: String,
+      startVersion: Long,
+      horizonSql: Option[String],
+      sessionInit: Option[String])
+
+  def conf(o: CaseInsensitiveStringMap): Conf = {
+    def req(k: String): String = {
+      val v = o.get(k)
+      require(v != null && v.nonEmpty, s"graft-change: option '$k' is required")
+      v
+    }
+    def opt(k: String, dflt: String): String = Option(o.get(k)).getOrElse(dflt)
+    val mode = opt("startMode", "seed")
+    require(Set("seed", "earliest", "version")(mode),
+      s"graft-change: startMode must be seed|earliest|version, got '$mode'")
+    Conf(
+      url = req("url"),
+      driver = opt("driver", ""),
+      user = opt("user", ""),
+      password = opt("password", ""),
+      table = req("table"),
+      versionCol = opt("versionCol", "id"),
+      xactCol = opt("xactCol", "xact_id"),
+      numPartitions = opt("numPartitions", "8").toInt,
+      fetchSize = opt("fetchSize", "10000").toInt,
+      startMode = mode,
+      startVersion = opt("startVersion", "0").toLong,
+      horizonSql = Option(o.get("horizonSql")).filter(_.nonEmpty),
+      sessionInit = Option(o.get("sessionInitStatement")).filter(_.nonEmpty)
+        .orElse(Option(o.get("provider"))
+          .flatMap(JdbcChangeSource.sessionInit)))
+  }
+
+  def connect(conf: Conf): Connection = {
+    if (conf.driver.nonEmpty) Class.forName(conf.driver)
+    val props = new Properties()
+    if (conf.user.nonEmpty) props.setProperty("user", conf.user)
+    if (conf.password.nonEmpty) props.setProperty("password", conf.password)
+    val cn = DriverManager.getConnection(conf.url, props)
+    conf.sessionInit.foreach { sql =>
+      val st = cn.createStatement(); st.execute(sql); st.close()
+    }
+    cn
+  }
+
+  /** Identifiers come from trusted job config (same trust level as the
+    * reference's table-name config) and pass through VERBATIM — the
+    * JdbcChangeSource convention: quoting is dialect-specific (Derby folds
+    * unquoted DDL to upper case, postgres to lower), so a caller with a
+    * case-sensitive column quotes it in the option itself. */
+  def qident(name: String): String = name
+
+  private def scalar(conf: Conf, sql: String): Long = {
+    val cn = connect(conf)
+    try {
+      val rs = cn.createStatement().executeQuery(sql)
+      rs.next()
+      rs.getLong(1)
+    } finally cn.close()
+  }
+
+  /** The transaction horizon (P2's gate value): `min(active xact)` where the
+    * deployment can see it (override via `horizonSql`), else the committed
+    * frontier `MAX(xact)+1` — everything visible is committed, the same
+    * default OutboxSource uses. */
+  def horizon(conf: Conf): Long = conf.horizonSql match {
+    case Some(sql) => scalar(conf, sql)
+    case None => scalar(conf,
+      s"SELECT COALESCE(MAX(${qident(conf.xactCol)}), 0) + 1 FROM ${conf.table}")
+  }
+
+  /** A2 pushed to the database: `COALESCE(MAX(version), from)` over the
+    * horizon-gated rows. */
+  def gatedWatermark(conf: Conf, from: Long, horizon: Long): Long =
+    scalar(conf,
+      s"SELECT COALESCE(MAX(${qident(conf.versionCol)}), $from) FROM ${conf.table} " +
+        s"WHERE ${qident(conf.xactCol)} < $horizon")
+
+  /** Driver-side `WHERE 1=0` schema probe — the same trick Spark's JDBC
+    * relation uses to resolve the schema before any action. */
+  def inferSchema(conf: Conf): StructType = {
+    val cn = connect(conf)
+    try {
+      val rs = cn.createStatement()
+        .executeQuery(s"SELECT * FROM ${conf.table} WHERE 1=0")
+      val md = rs.getMetaData
+      StructType((1 to md.getColumnCount).map { i =>
+        StructField(md.getColumnLabel(i), catalystType(
+          md.getColumnType(i), md.getPrecision(i), md.getScale(i)),
+          md.isNullable(i) != java.sql.ResultSetMetaData.columnNoNulls)
+      })
+    } finally cn.close()
+  }
+
+  private def catalystType(jdbc: Int, precision: Int, scale: Int): DataType = jdbc match {
+    case SqlTypes.BIGINT => LongType
+    case SqlTypes.INTEGER | SqlTypes.SMALLINT | SqlTypes.TINYINT => IntegerType
+    case SqlTypes.DOUBLE | SqlTypes.FLOAT | SqlTypes.REAL => DoubleType
+    case SqlTypes.BOOLEAN | SqlTypes.BIT => BooleanType
+    case SqlTypes.VARCHAR | SqlTypes.CHAR | SqlTypes.LONGVARCHAR |
+         SqlTypes.NVARCHAR | SqlTypes.NCHAR | SqlTypes.LONGNVARCHAR |
+         SqlTypes.CLOB => StringType
+    case SqlTypes.TIMESTAMP => TimestampType
+    case SqlTypes.DATE => DateType
+    case SqlTypes.NUMERIC | SqlTypes.DECIMAL =>
+      DecimalType(math.max(precision, 1), math.max(scale, 0))
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft-change: unsupported JDBC type $other (extend catalystType)")
+  }
+
+  /** Per-field ResultSet → Catalyst converters, resolved once per reader. */
+  def getters(schema: StructType): Array[ResultSet => Any] =
+    schema.fields.zipWithIndex.map { case (f, idx) =>
+      val i = idx + 1
+      val get: ResultSet => Any = f.dataType match {
+        case LongType => rs => rs.getLong(i)
+        case IntegerType => rs => rs.getInt(i)
+        case DoubleType => rs => rs.getDouble(i)
+        case BooleanType => rs => rs.getBoolean(i)
+        case StringType => rs => UTF8String.fromString(rs.getString(i))
+        case TimestampType => rs => DateTimeUtils.fromJavaTimestamp(rs.getTimestamp(i))
+        case DateType => rs => DateTimeUtils.fromJavaDate(rs.getDate(i))
+        case d: DecimalType => rs =>
+          Decimal(rs.getBigDecimal(i), d.precision, d.scale)
+        case other =>
+          throw new IllegalArgumentException(s"graft-change: unsupported $other")
+      }
+      (rs: ResultSet) => {
+        val v = get(rs)
+        if (rs.wasNull()) null else v
+      }
+    }
+}

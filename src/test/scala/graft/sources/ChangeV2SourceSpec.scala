@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.sql.DriverManager
+
+import graft.SparkSpec
+import org.apache.spark.sql.connector.read.streaming.Offset
+import org.apache.spark.sql.types._
+
+/** S1 (DSv2 flavor) — the `graft-change` MicroBatchStream driven end-to-end
+  * against an embedded Derby database (the only live JDBC endpoint available
+  * offline; the reader path is the same plain-JDBC range query a deployment
+  * runs against mssql/postgres). The streaming engine owns the watermark:
+  * offsets live in the query checkpoint, so restart recovery is Spark's WAL,
+  * not the relay's ParquetStateStore. */
+class ChangeV2SourceSpec extends SparkSpec {
+
+  private def withDb(name: String)(f: String => Unit): Unit = {
+    val url = s"jdbc:derby:memory:$name;create=true"
+    val cn = DriverManager.getConnection(url)
+    try {
+      cn.createStatement().execute(
+        "CREATE TABLE outbox (id BIGINT NOT NULL, xact_id BIGINT NOT NULL, " +
+          "payload VARCHAR(100))")
+    } finally cn.close()
+    try f(s"jdbc:derby:memory:$name")
+    finally { // drop the in-memory db so test names can be reused
+      try DriverManager.getConnection(s"jdbc:derby:memory:$name;drop=true")
+      catch { case _: java.sql.SQLException => () } // drop "fails" with 08006
+    }
+  }
+
+  private def insert(url: String, rows: (Long, Long, String)*): Unit = {
+    val cn = DriverManager.getConnection(url)
+    try {
+      val ps = cn.prepareStatement("INSERT INTO outbox VALUES (?, ?, ?)")
+      rows.foreach { case (id, x, p) =>
+        ps.setLong(1, id); ps.setLong(2, x); ps.setString(3, p)
+        ps.executeUpdate()
+      }
+    } finally cn.close()
+  }
+
+  private def readChange(url: String, opts: Map[String, String] = Map.empty) =
+    opts.foldLeft(
+      spark.readStream.format("graft-change")
+        .option("url", url).option("table", "outbox")
+    ) { case (r, (k, v)) => r.option(k, v) }.load()
+
+  private def memRows(name: String): Set[(Long, Long, String)] =
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  /** foreachBatch sink into a driver buffer — unlike the memory sink it
+    * supports checkpoint RECOVERY, which is the point of the DSv2 flavor. */
+  private def startCollecting(df: org.apache.spark.sql.DataFrame, ckpt: String,
+                              buf: java.util.concurrent.CopyOnWriteArrayList[(Long, Long, String)]) =
+    df.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => buf.add((r.getLong(0), r.getLong(1), r.getString(2))))
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+
+  private def rowsOf(buf: java.util.concurrent.CopyOnWriteArrayList[(Long, Long, String)]) = {
+    import scala.jdk.CollectionConverters._
+    buf.asScala.toSet
+  }
+
+  test("micro-batch reads, incremental continuity, and checkpoint restart " +
+    "recovery against a live Derby outbox") {
+    withDb("cv2main") { url =>
+      insert(url, (1L, 1L, "a"), (2L, 2L, "b"))
+      val ckpt = java.nio.file.Files.createTempDirectory("cv2ckpt").toString
+      val buf1 = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long, String)]()
+      val q1 = startCollecting(
+        readChange(url, Map("startMode" -> "earliest", "numPartitions" -> "3")),
+        ckpt, buf1)
+      try {
+        q1.processAllAvailable()
+        assert(rowsOf(buf1) == Set((1L, 1L, "a"), (2L, 2L, "b")))
+        // continuity: appended rows arrive exactly once in a later batch
+        insert(url, (3L, 3L, "c"))
+        q1.processAllAvailable()
+        assert(buf1.size == 3, "each version must arrive exactly once")
+        assert(rowsOf(buf1) == Set((1L, 1L, "a"), (2L, 2L, "b"), (3L, 3L, "c")))
+      } finally q1.stop()
+
+      // recovery: a restart on the same checkpoint must resume from the
+      // committed offset — the fresh buffer sees ONLY the new row
+      insert(url, (4L, 4L, "d"))
+      val buf2 = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long, String)]()
+      val q2 = startCollecting(readChange(url), ckpt, buf2)
+      try {
+        q2.processAllAvailable()
+        assert(rowsOf(buf2) == Set((4L, 4L, "d")),
+          "already-committed versions must not replay after restart")
+      } finally q2.stop()
+    }
+  }
+
+  test("seed start mode: watermark from the current gated frontier, zero " +
+    "backfill rows (S8)") {
+    withDb("cv2seed") { url =>
+      insert(url, (1L, 1L, "old"), (2L, 2L, "old"))
+      val ckpt = java.nio.file.Files.createTempDirectory("cv2ckpt").toString
+      val q = readChange(url) // startMode defaults to seed
+        .writeStream.format("memory").queryName("cv2_seed")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        assert(memRows("cv2_seed").isEmpty, "seed must emit no pre-existing rows")
+        insert(url, (3L, 3L, "new"))
+        q.processAllAvailable()
+        assert(memRows("cv2_seed") == Set((3L, 3L, "new")))
+      } finally q.stop()
+    }
+  }
+
+  test("horizon gate: in-flight transactions are excluded AND the offset is " +
+    "gated with them; they arrive after the horizon advances (P2/A2/T3)") {
+    withDb("cv2hz") { url =>
+      // xact 5 is "in-flight" under horizon 3 — its row must neither be
+      // emitted nor watermarked past
+      insert(url, (1L, 1L, "a"), (2L, 2L, "b"), (5L, 5L, "inflight"))
+      val ckpt = java.nio.file.Files.createTempDirectory("cv2ckpt").toString
+      val buf1 = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long, String)]()
+      val q1 = startCollecting(readChange(url,
+        Map("startMode" -> "earliest", "horizonSql" -> "VALUES CAST(3 AS BIGINT)")),
+        ckpt, buf1)
+      try {
+        q1.processAllAvailable()
+        assert(rowsOf(buf1) == Set((1L, 1L, "a"), (2L, 2L, "b")))
+      } finally q1.stop()
+
+      // horizon advances (default = committed frontier max(xact)+1): the
+      // restarted query picks up the late transaction exactly once
+      val buf2 = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long, String)]()
+      val q2 = startCollecting(readChange(url), ckpt, buf2)
+      try {
+        q2.processAllAvailable()
+        assert(rowsOf(buf2) == Set((5L, 5L, "inflight")))
+      } finally q2.stop()
+    }
+  }
+
+  test("schema inference maps the JDBC shape; unsupported start modes rejected") {
+    withDb("cv2schema") { url =>
+      val df = readChange(url)
+      assert(df.schema == StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("XACT_ID", LongType, nullable = false),
+        StructField("PAYLOAD", StringType))))
+      val err = intercept[IllegalArgumentException] {
+        ChangeV2.conf(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("url", url, "table", "outbox", "startMode", "bogus")))
+      }
+      assert(err.getMessage.contains("startMode"))
+    }
+  }
+
+  test("planInputPartitions: contiguous disjoint version slices covering " +
+    "(start, end], horizon pinned from the END offset, empty delta = no work") {
+    val conf = ChangeV2.Conf("jdbc:none", "", "", "", "outbox", "id", "xact_id",
+      numPartitions = 4, fetchSize = 100, startMode = "earliest",
+      startVersion = 0L, horizonSql = None, sessionInit = None)
+    val stream = new ChangeMicroBatchStream(new StructType(), conf)
+    def plan(s: Long, e: Long, h: Long) = stream
+      .planInputPartitions(ChangeOffset(s, h - 1): Offset, ChangeOffset(e, h): Offset)
+      .map(_.asInstanceOf[ChangeSlice])
+    val slices = plan(10L, 20L, 99L)
+    assert(slices.length == 4)
+    assert(slices.head.lo == 10L && slices.last.hi == 20L)
+    assert(slices.sliding(2).forall { case Array(a, b) => a.hi == b.lo },
+      "slices must be contiguous")
+    assert(slices.map(s => s.hi - s.lo).sum == 10L)
+    assert(slices.forall(_.horizon == 99L), "replay determinism: end offset's horizon")
+    assert(plan(7L, 9L, 1L).length == 2, "span below numPartitions = one slice per version")
+    assert(plan(5L, 5L, 1L).isEmpty, "empty delta plans zero partitions")
+    // offset json roundtrip (what the checkpoint WAL stores)
+    val off = ChangeOffset(123L, 456L)
+    assert(ChangeOffset.parse(off.json()) == off)
+  }
+}
