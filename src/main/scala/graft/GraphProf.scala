@@ -41,9 +41,14 @@ object GraphProf {
         checkpointFacts = true).count())
     def rescanShape(): Unit = t("assoc rules (rescan)")(
       graft.ops.GraphOps.associationRules(rows, "_txn", "item", 2,
-        checkpointFacts = false).count())
-    if (sys.env.get("PROF_ORDER").contains("rescan_first")) { rescanShape(); ckptShape() }
-    else { ckptShape(); rescanShape() }
+        checkpointFacts = false, basketCheckpoint = false).count())
+    def basketShape(): Unit = t("assoc rules (basket ckpt)")(
+      graft.ops.GraphOps.associationRules(rows, "_txn", "item", 2).count())
+    if (sys.env.get("PROF_ORDER").contains("rescan_first")) {
+      rescanShape(); basketShape(); ckptShape()
+    } else if (sys.env.get("PROF_ORDER").contains("basket_first")) {
+      basketShape(); rescanShape(); ckptShape()
+    } else { ckptShape(); rescanShape(); basketShape() }
     spark.stop()
   }
 }

@@ -99,19 +99,60 @@ object GraphOps {
     * true` reproduces the old shape for the GraphProf A/B. */
   def associationRules(fact: DataFrame, txnCol: String, itemCol: String,
                        minSupport: Int, maxBasket: Int = 1000,
-                       checkpointFacts: Boolean = false): DataFrame = {
+                       checkpointFacts: Boolean = false,
+                       basketCheckpoint: Boolean = true): DataFrame = {
     val base = fact.select(col(txnCol).as("_txn"), col(itemCol).as("item"))
     val op = if (checkpointFacts) base.distinct().localCheckpoint() else base
-    val edges = supportedPairs(op, minSupport, maxBasket)
-      .localCheckpoint() // both directions of the union read it
-    val itemN = (if (checkpointFacts)
-        op.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-      else
-        base.groupBy(col("item")).agg(countDistinct(col("_txn")).as("n_item")))
-      .localCheckpoint() // joined on both rule sides
-    val total = op.agg(countDistinct(col("_txn")).as("n_tx"))
-    edges.select(col("pa").as("ante"), col("pb").as("cons"), col("w"))
-      .unionAll(edges.select(col("pb").as("ante"), col("pa").as("cons"), col("w")))
+    // Default shape (round 15): ONE corpus-scale shuffle. The per-txn
+    // distinct item sets the pair explode needs anyway ARE the dedup the
+    // item counts need (`collect_set` makes per-item basket counts equal
+    // countDistinct(txn)) and the row set n_tx counts — so materialize the
+    // txn-scale basket table once and derive all three branches from it,
+    // where the previous shape re-scanned and re-aggregated the corpus
+    // per branch (pair agg + item countDistinct + global countDistinct =
+    // 3 corpus passes). Baskets are txn-scale, each array domain-capped —
+    // orders of magnitude below occurrence scale, so this is NOT the
+    // round-12 rule (d) wash case (that measured checkpointing the
+    // occurrence-scale (txn, item) projection; here the checkpoint sits
+    // ABOVE the shuffle and consumers skip the corpus entirely).
+    // Same-JVM A/B both orders (GraphProf, sf0.1 warm): baskets
+    // 1.53-2.00 s vs rescan 2.27-2.59 s vs occurrence-ckpt 2.34-3.35 s;
+    // identical 7146-row output. `basketCheckpoint = false` keeps the
+    // rescan shape one measurement away.
+    val (edgesCk, itemN, total) = if (checkpointFacts || !basketCheckpoint) {
+      (supportedPairs(op, minSupport, maxBasket)
+        .localCheckpoint(), // both directions of the union read it
+        (if (checkpointFacts)
+          op.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+        else
+          base.groupBy(col("item")).agg(countDistinct(col("_txn")).as("n_item")))
+          .localCheckpoint(), // joined on both rule sides
+        op.agg(countDistinct(col("_txn")).as("n_tx")))
+    } else {
+      val baskets = base.groupBy(col("_txn"))
+        .agg(sort_array(collect_set(col("item").cast("long"))).as("_items"))
+        .localCheckpoint() // feeds pairs, item counts, and n_tx
+      val e = baskets
+        .observe("graft.graph.baskets",
+          sum(when(size(col("_items")) > maxBasket, 1L).otherwise(0L))
+            .as("mega_baskets_dropped"))
+        .filter(size(col("_items")) <= maxBasket)
+        .select(explode(expr("pair_structs(_items)")).as("_e"))
+        .select(col("_e.pa").as("pa"), col("_e.pb").as("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= minSupport)
+        .localCheckpoint() // both directions of the union read it
+      // per-item basket count == countDistinct(txn): collect_set deduped.
+      // Item-alphabet-bounded aggregate over the checkpointed leaf; mega
+      // baskets still count here and in n_tx (the guard is pairing-only).
+      val n = baskets.select(explode(col("_items")).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+        .localCheckpoint() // joined on both rule sides
+      (e, n, baskets.agg(count(lit(1)).as("n_tx")))
+    }
+    edgesCk.select(col("pa").as("ante"), col("pb").as("cons"), col("w"))
+      .unionAll(edgesCk.select(col("pb").as("ante"), col("pa").as("cons"), col("w")))
       .join(itemN.select(col("item").as("ante"), col("n_item").as("n_ante")), Seq("ante"))
       .join(itemN.select(col("item").as("cons"), col("n_item").as("n_cons")), Seq("cons"))
       .crossJoin(broadcast(total))
