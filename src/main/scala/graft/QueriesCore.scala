@@ -13,21 +13,35 @@ import OracleCtes._
   * bound to the deterministic fixtures and paired with DuckDB oracle SQL. */
 object QueriesCore {
 
-  // Memoized like Tables.read: ~60 registered queries each rebuilt and
-  // re-analyzed the same deterministic fixture plan (50-150 ms of driver
-  // work per query). DataFrames are immutable; keyed per (session, dir).
+  // Memoized like Tables.read AND persisted: ~60 registered queries each
+  // re-derived the same control-table fixture from the events scan —
+  // 200-500 ms of scan + derivation (sha2, json) per query, ~35 s of the
+  // 226-query bench (the "per-query floor" BENCHNOTES decomposes). In the
+  // reference these are MATERIALIZED database tables (the relay's outbox /
+  // DLQ / pause / file state), not per-read derivations, so a session-
+  // cached columnar copy is the faithful shape — exactly what a deployment
+  // does with its hot control tables — and the oracle is unaffected (its
+  // CTE re-derivation is millisecond-scale on these row counts). Keyed per
+  // (session, dir); persist() is lazy, the first query using a fixture
+  // pays its one materialization.
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-  private def outbox(s: SparkSession, dir: String): DataFrame = {
+  private def fixture(s: SparkSession, dir: String, name: String)
+                     (build: => DataFrame): DataFrame = {
     Tables.sweepStopped(fixtureCache, (_: (SparkSession, String, String))._1)
-    fixtureCache.computeIfAbsent((s, dir, "outbox"),
-      _ => Fixtures.outbox(Tables.events(s, dir)))
+    fixtureCache.computeIfAbsent((s, dir, name), _ =>
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
-  private def dlq(s: SparkSession, dir: String): DataFrame = {
-    Tables.sweepStopped(fixtureCache, (_: (SparkSession, String, String))._1)
-    fixtureCache.computeIfAbsent((s, dir, "dlq"),
-      _ => Fixtures.deadLetters(Tables.events(s, dir)))
-  }
+  private def outbox(s: SparkSession, dir: String): DataFrame =
+    fixture(s, dir, "outbox")(Fixtures.outbox(Tables.events(s, dir)))
+  private def dlq(s: SparkSession, dir: String): DataFrame =
+    fixture(s, dir, "dlq")(Fixtures.deadLetters(Tables.events(s, dir)))
+  private def probeLog(s: SparkSession, dir: String): DataFrame =
+    fixture(s, dir, "probeLog")(Fixtures.probeLog(Tables.events(s, dir)))
+  private def exportFiles(s: SparkSession, dir: String): DataFrame =
+    fixture(s, dir, "exportFiles")(Fixtures.exportFiles(Tables.events(s, dir)))
+  private def pausesT(s: SparkSession, dir: String): DataFrame =
+    fixture(s, dir, "pauses")(Fixtures.pauses(Tables.events(s, dir)))
 
   // Shared fixture constants (documented in OracleCtes).
   private val FromV = 300L
@@ -421,7 +435,7 @@ object QueriesCore {
         |           GROUP BY 1) c USING (database_name)""".stripMargin)),
 
     Q("j5_interval_overlap",
-      (s, d) => StateOps.intervalOverlaps(Fixtures.probeLog(Tables.events(s, d)))
+      (s, d) => StateOps.intervalOverlaps(probeLog(s, d))
         .select(col("env"), col("a_id"), col("b_id"),
           (least(col("a_end"), col("b_end")) - greatest(col("a_start"), col("b_start")))
             .as("overlap_s")),
@@ -433,7 +447,7 @@ object QueriesCore {
           | AND a.started_at < b.ended_at AND b.started_at < a.ended_at""".stripMargin))),
 
     Q("a9_distinct_envs",
-      (s, d) => Fixtures.probeLog(Tables.events(s, d))
+      (s, d) => probeLog(s, d)
         .agg(countDistinct(col("env")).as("envs")),
       Some(withCtes(OracleCtes.probeLog)(
         "SELECT count(DISTINCT env) AS envs FROM probe_log")))
@@ -575,7 +589,7 @@ object QueriesCore {
           |  FROM outbox WHERE id > $FromV AND xact_id < 10000)""".stripMargin))),
 
     Q("a8_cleanup_plan",
-      (s, d) => Windows.cleanupPlan(Fixtures.exportFiles(Tables.events(s, d)), 20000L)
+      (s, d) => Windows.cleanupPlan(exportFiles(s, d), 20000L)
         .select(col("env"), col("day").cast("string").as("day"),
           col("size_bytes"), col("cumulative_bytes"), col("delete").as("to_delete")),
       Some(withCtes(OracleCtes.exportFiles)(
@@ -589,7 +603,7 @@ object QueriesCore {
           |FROM export_files""".stripMargin))),
 
     Q("o4_newest_files",
-      (s, d) => Windows.topN(Fixtures.exportFiles(Tables.events(s, d)), 3,
+      (s, d) => Windows.topN(exportFiles(s, d), 3,
           col("day").desc, col("file_id").desc)
         .select(col("env"), col("day").cast("string").as("day"), col("file_id"),
           col("size_bytes")),
@@ -614,7 +628,7 @@ object QueriesCore {
         |FROM events ORDER BY line DESC, event_id DESC LIMIT 20""".stripMargin)),
 
     Q("o6_pauses_newest",
-      (s, d) => Windows.topN(Fixtures.pauses(Tables.events(s, d)), 20,
+      (s, d) => Windows.topN(pausesT(s, d), 20,
           col("created").desc, col("id").desc)
         .select(col("id"), col("scope"), tsSec(col("created")).as("created")),
       // ORDER BY must bind to the RAW timestamp (a same-named alias would
@@ -629,7 +643,7 @@ object QueriesCore {
           |FROM top_pauses""".stripMargin))),
 
     Q("o5_oldest_first_delete",
-      (s, d) => Windows.topN(Fixtures.exportFiles(Tables.events(s, d)), 5,
+      (s, d) => Windows.topN(exportFiles(s, d), 5,
           col("day"), col("file_id"))
         .select(col("env"), col("day").cast("string").as("day"), col("file_id")),
       Some(withCtes(OracleCtes.exportFiles)(
