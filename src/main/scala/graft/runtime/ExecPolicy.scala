@@ -122,7 +122,27 @@ object ExecPolicy {
     * hide the true plan size (round-10 s4 rule e needs AQE to skew-split
     * hot keys below a checkpointed weight table). Disable for A/Bs via
     * SPARK_GRAFT_NO_TIER1=1. */
-  private val tier1Confs = Seq("spark.sql.adaptive.enabled" -> "false")
+  /** Tier-1 reduce-task count — MEASURED A WASH, left inheriting the
+    * session's partitions: the hypothesis was that AQE-off reverts sub-8MB
+    * reduces to 32 near-empty tasks that AQE would have coalesced, so
+    * fewer fixed partitions should save task-launch overhead. Same-JVM
+    * FloorProfile BOTH orders (dedup_winnow, sk_topk_agg,
+    * llm_freq_spectrum, dedup_minhash_sig, sf0.1): the 8→32→8 order read
+    * 40-80 ms/query for 8, but the reversed 32-first order erased it
+    * completely (winnow 253-270 ms at 8 vs 245-316 at 32; minhash_sig
+    * 256-309 vs 234-250) — the "win" was JVM warmth, the round-12 rule (j)
+    * trap. Empty reduce tasks cost ~1 ms each on local; at cluster scale
+    * tier-1 never fires on data that would care. The session-conf knob
+    * (`spark.graft.tier1.parts`) stays for future same-JVM A/Bs; unset
+    * means no override. */
+  private val tier1PartsDefault: String =
+    sys.env.getOrElse("SPARK_GRAFT_TIER1_PARTS", "")
+
+  private def tier1Confs(df: DataFrame): Seq[(String, String)] = {
+    val parts = df.sparkSession.conf.get("spark.graft.tier1.parts", tier1PartsDefault)
+    Seq("spark.sql.adaptive.enabled" -> "false") ++
+      (if (parts.nonEmpty) Seq("spark.sql.shuffle.partitions" -> parts) else Nil)
+  }
 
   private val tier1Disabled = sys.env.get("SPARK_GRAFT_NO_TIER1").contains("1")
 
@@ -143,7 +163,7 @@ object ExecPolicy {
 
   def run[T](df: DataFrame)(action: DataFrame => T): T =
     if (isSmall(df)) runWith(smallConfs, df)(action)
-    else if (isSmallInputNonIterative(df)) runWith(tier1Confs, df)(action)
+    else if (isSmallInputNonIterative(df)) runWith(tier1Confs(df), df)(action)
     else action(df)
 
   /** Apply the small-query confs WITHOUT the plan guards — for callers
