@@ -306,12 +306,48 @@ object ChangeRelay {
       schema: org.apache.spark.sql.types.StructType,
       checkpointDir: String,
       envName: String,
-      intervalSeconds: Int = graft.model.Defaults.PollingIntervalSeconds): StreamingQuery = {
-    val queryName = s"graft-relay-$envName-${obj.name}"
-    // Purge + claim + START under one lock: without it, a concurrent
-    // caller's purge can evict a claim whose query has not yet reached
-    // spark.streams.active, letting two queries share one offset log —
-    // exactly the corruption this guard exists to prevent.
+      intervalSeconds: Int = graft.model.Defaults.PollingIntervalSeconds): StreamingQuery =
+    claimAndStart(spark, checkpointDir, s"graft-relay-$envName-${obj.name}") {
+      queryName =>
+        startQuery(spark.readStream.schema(schema).parquet(outboxDir),
+          relay, obj, checkpointDir, queryName, intervalSeconds)
+    }
+
+  /** S1 (DSv2 flavor) wired into the relay: the same per-micro-batch cycle,
+    * but the change feed is the `graft-change` MicroBatchStream — the
+    * ENGINE owns (version, horizon) offsets in the query checkpoint and
+    * decides what each batch contains, and the relay's own store watermark
+    * advances in lock-step (a batch carries only fresh gated rows, so the
+    * relay's P1 re-filter passes them all and its A2 advance lands on the
+    * same frontier — the two trackers cannot diverge). Recovery is Spark's
+    * WAL: a restart on the same checkpoint replays no committed version. */
+  def streamFromChangeSource(
+      spark: SparkSession,
+      relay: ChangeRelay,
+      obj: TrackingObject,
+      sourceOptions: Map[String, String],
+      checkpointDir: String,
+      envName: String,
+      intervalSeconds: Int = graft.model.Defaults.PollingIntervalSeconds,
+      adapt: DataFrame => DataFrame = identity): StreamingQuery =
+    claimAndStart(spark, checkpointDir, s"graft-relay-$envName-${obj.name}") {
+      queryName =>
+        // `adapt` bridges the wire table's shape to the relay contract —
+        // a JDBC change table stores the $changed mask as a delimited
+        // VARCHAR (Envelope.encode needs array<string>) and may name the
+        // version/xact columns differently; the adapter is part of the
+        // object's deployment config, applied per micro-batch.
+        startQuery(
+          adapt(spark.readStream.format("graft-change").options(sourceOptions).load()),
+          relay, obj, checkpointDir, queryName, intervalSeconds)
+    }
+
+  /** Purge + claim + START under one lock: without it, a concurrent
+    * caller's purge can evict a claim whose query has not yet reached
+    * spark.streams.active, letting two queries share one offset log —
+    * exactly the corruption this guard exists to prevent. */
+  private def claimAndStart(spark: SparkSession, checkpointDir: String,
+      queryName: String)(start: String => StreamingQuery): StreamingQuery =
     activeCheckpoints.synchronized {
       val activeNames = spark.streams.active.map(_.name).toSet
       activeCheckpoints.entrySet().removeIf(e => !activeNames.contains(e.getValue))
@@ -319,8 +355,7 @@ object ChangeRelay {
       require(prev == null || prev == queryName,
         s"checkpointLocation '$checkpointDir' is already used by active query '$prev' — " +
           "each (environment, object) stream needs its own checkpoint dir")
-      try startQuery(spark, relay, obj, outboxDir, schema, checkpointDir,
-        queryName, intervalSeconds)
+      try start(queryName)
       catch { case e: Throwable =>
         // Roll back only a claim THIS call inserted (prev == null). When
         // prev == queryName the claim belongs to a still-live query —
@@ -330,7 +365,6 @@ object ChangeRelay {
         if (prev == null) activeCheckpoints.remove(checkpointDir, queryName)
         throw e }
     }
-  }
 
   /** T5 streaming flavor — the dead-letter replay loop as a Structured
     * Streaming query: a rate source is the timer (the Spark-idiomatic
@@ -359,17 +393,13 @@ object ChangeRelay {
       .start()
 
   private def startQuery(
-      spark: SparkSession,
+      reader: DataFrame,
       relay: ChangeRelay,
       obj: TrackingObject,
-      outboxDir: String,
-      schema: org.apache.spark.sql.types.StructType,
       checkpointDir: String,
       queryName: String,
       intervalSeconds: Int): StreamingQuery = {
-    spark.readStream
-      .schema(schema)
-      .parquet(outboxDir)
+    reader
       .writeStream
       // Named per (environment, object): the uniqueness invariant is one
       // poller per tracked object — env-only naming would make an
