@@ -479,6 +479,32 @@ object ScaleSmoke {
             .localCheckpoint(), "pa", "pb").count())
     }
 
+    // Distributed PageRank growth (r15): edgeCap = 0 pins the DISTRIBUTED
+    // power iteration. The node alphabet GROWS with the corpus
+    // (corpus-size-scaled modulus), so both cost terms are exercised: the
+    // one corpus-scale edge aggregation and the 8 rounds of node-scale
+    // rank joins — growth must be ~linear in edges, never alphabet².
+    // Measured 80k→320k edges (4×): distributed 5.94 → 8.01 s (1.35×) —
+    // the per-round job floor dominates locally, the data term is far
+    // from it. The second row's small FIXED alphabet (250² possible
+    // pairs < prSmallEdgeCap) pins the AUTO dispatch onto the driver
+    // path, measuring probe + driver iteration as the corpus grows
+    // (1.25 → 1.57 s over the same 4× — the edge-agg scan term; the
+    // dispatch saves ~4.7 s of round floors on bounded alphabets).
+    locally {
+      val edgeN = (n * 4).toInt
+      val nodeMod = math.max(1000, edgeN / 50)
+      def mkEdges(mod: Int) = spark.range(edgeN).select(
+        concat(lit("d"), pmod(xxhash64(col("id")), lit(mod))).as("src"),
+        concat(lit("d"), pmod(xxhash64(col("id"), lit(1)), lit(mod))).as("dst"))
+      t(s"pagerank distributed ($edgeN edges, ~$nodeMod nodes)")(
+        graft.ops.GraphOps.pageRank(mkEdges(nodeMod), "src", "dst", edgeCap = 0)
+          .agg(sum(col("rank_ppm"))).collect()(0).getLong(0))
+      t(s"pagerank driver-dispatch ($edgeN edges, 250-node alphabet)")(
+        graft.ops.GraphOps.pageRank(mkEdges(250), "src", "dst")
+          .agg(sum(col("rank_ppm"))).collect()(0).getLong(0))
+    }
+
     // Gopher rules + C4 line filters (r12): both are row-local passes
     // (materialized norm/token/line arrays behind Generate barriers +
     // flat regex) — growth must be ~linear in docs with zero exchanges.
