@@ -104,6 +104,16 @@ class SemanticDedupSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("skew-guard dispatch: the probed fast path is bit-identical to the " +
+    "forced guarded path (r15)") {
+    val fast = Similarity.semanticDedup(emb, minCos = 0.2, numCells = 16)
+      .collect().map(_.toSeq).toSet
+    val forced = Similarity.semanticDedup(emb, minCos = 0.2, numCells = 16,
+      forceGuard = true).collect().map(_.toSeq).toSet
+    assert(fast === forced,
+      "skipping the salt machinery on an under-cap corpus changed the output")
+  }
+
   test("plan: corpus-scale stages are aggregates/joins, never a corpus-wide window") {
     val plan = Similarity.semanticDedup(emb, minCos = 0.2, numCells = 16)
       .queryExecution.executedPlan.toString
