@@ -62,13 +62,26 @@ final class ChangeTable(schema: StructType, conf: ChangeV2.Conf)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ChangeMicroBatchStream(schema, conf)
-      }
-    }
+    new ChangeScanBuilder(schema, conf)
+}
+
+/** Column pruning reaches the DATABASE: the slice readers SELECT exactly
+  * the pruned columns (plus nothing — version/xact appear only in the
+  * WHERE ranges), so a projection over the stream ships only those bytes
+  * per row at any delta size. */
+final class ChangeScanBuilder(full: StructType, conf: ChangeV2.Conf)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var pruned: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the table's column order (readers bind getters by position)
+    pruned = StructType(full.fields.filter(f =>
+      requiredSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))))
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = pruned
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new ChangeMicroBatchStream(pruned, conf)
+  }
 }
 
 /** Offset = the gated watermark AND the horizon it was gated by. Carrying
@@ -158,12 +171,7 @@ final class ChangeSliceReaderFactory(schema: StructType, conf: ChangeV2.Conf)
         cn = ChangeV2.connect(conf)
         val st = cn.createStatement()
         st.setFetchSize(conf.fetchSize)
-        val cols = schema.fields.map(f => ChangeV2.qident(f.name)).mkString(", ")
-        rs = st.executeQuery(
-          s"SELECT $cols FROM ${conf.table} " +
-            s"WHERE ${ChangeV2.qident(conf.versionCol)} > ${slice.lo} " +
-            s"AND ${ChangeV2.qident(conf.versionCol)} <= ${slice.hi} " +
-            s"AND ${ChangeV2.qident(conf.xactCol)} < ${slice.horizon}")
+        rs = st.executeQuery(ChangeV2.sliceSql(schema, conf, slice))
       }
 
       override def next(): Boolean = { ensureOpen(); rs.next() }
@@ -266,6 +274,18 @@ object ChangeV2 {
     case Some(sql) => scalar(conf, sql)
     case None => scalar(conf,
       s"SELECT COALESCE(MAX(${qident(conf.xactCol)}), 0) + 1 FROM ${conf.table}")
+  }
+
+  /** The per-slice reader query — SELECTs exactly the (pruned) schema's
+    * columns; the version/xact range predicates live in the WHERE only, so
+    * the database ships nothing a projection dropped. Factored for the
+    * spec's pushdown pin. */
+  def sliceSql(schema: StructType, conf: Conf, slice: ChangeSlice): String = {
+    val cols = schema.fields.map(f => qident(f.name)).mkString(", ")
+    s"SELECT $cols FROM ${conf.table} " +
+      s"WHERE ${qident(conf.versionCol)} > ${slice.lo} " +
+      s"AND ${qident(conf.versionCol)} <= ${slice.hi} " +
+      s"AND ${qident(conf.xactCol)} < ${slice.horizon}"
   }
 
   /** A2 pushed to the database: `COALESCE(MAX(version), from)` over the

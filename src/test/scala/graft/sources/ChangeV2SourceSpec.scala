@@ -228,6 +228,35 @@ class ChangeV2SourceSpec extends SparkSpec {
     }
   }
 
+  test("column pruning reaches the slice SQL: a projection over the stream " +
+    "SELECTs only the pruned columns, ranges stay WHERE-only") {
+    withDb("cv2prune") { url =>
+      insert(url, (1L, 1L, "a"), (2L, 2L, "b"))
+      val conf = ChangeV2.conf(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("url", url, "table", "outbox")))
+      val full = ChangeV2.inferSchema(conf)
+      val builder = new ChangeScanBuilder(full, conf)
+      builder.pruneColumns(StructType(Seq(StructField("PAYLOAD", StringType))))
+      val scan = builder.build()
+      assert(scan.readSchema().fieldNames.toSeq == Seq("PAYLOAD"))
+      val sql = ChangeV2.sliceSql(scan.readSchema(), conf, ChangeSlice(0L, 2L, 3L))
+      assert(sql.startsWith("SELECT PAYLOAD FROM outbox"),
+        s"projection must reach the database: $sql")
+      assert(sql.contains("WHERE id > 0 AND id <= 2 AND xact_id < 3"))
+      // end-to-end: the projected stream still delivers correct values
+      val ckpt = java.nio.file.Files.createTempDirectory("cv2ckpt").toString
+      val q = readChange(url, Map("startMode" -> "earliest"))
+        .select("payload")
+        .writeStream.format("memory").queryName("cv2_prune")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("cv2_prune").collect().map(_.getString(0)).toSet
+          == Set("a", "b"))
+      } finally q.stop()
+    }
+  }
+
   test("planInputPartitions: contiguous disjoint version slices covering " +
     "(start, end], horizon pinned from the END offset, empty delta = no work") {
     val conf = ChangeV2.Conf("jdbc:none", "", "", "", "outbox", "id", "xact_id",
