@@ -60,7 +60,8 @@ final class ChangeTable(schema: StructType, conf: ChangeV2.Conf)
   override def name(): String = s"graft-change(${conf.table})"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ChangeScanBuilder(schema, conf)
 }
@@ -73,14 +74,36 @@ final class ChangeScanBuilder(full: StructType, conf: ChangeV2.Conf)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   private var pruned: StructType = full
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    ChangeV2.prunedCalls.incrementAndGet() // engine-engagement probe (spec)
     // preserve the table's column order (readers bind getters by position)
     pruned = StructType(full.fields.filter(f =>
       requiredSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))))
+  }
   override def build(): Scan = new Scan {
     override def readSchema(): StructType = pruned
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
       new ChangeMicroBatchStream(pruned, conf)
+    // BATCH flavor (S7-adjacent): one gated snapshot — rows from the start
+    // version (0, or `startVersion` when startMode=version) up to the
+    // current horizon-gated watermark, range-sliced exactly like a
+    // micro-batch. This is ALSO where pushdown actually pays today:
+    // Spark's V2ScanRelationPushDown applies column pruning to BATCH
+    // relations only (measured: pruneColumns is never invoked for a
+    // MicroBatchStream scan — the streaming implementation stays for
+    // when the engine learns to call it).
+    override def toBatch(): org.apache.spark.sql.connector.read.Batch =
+      new org.apache.spark.sql.connector.read.Batch {
+        private lazy val (from, end, h) = {
+          val h0 = ChangeV2.horizon(conf)
+          val f = if (conf.startMode == "version") conf.startVersion else 0L
+          (f, ChangeV2.gatedWatermark(conf, f, h0), h0)
+        }
+        override def planInputPartitions(): Array[InputPartition] =
+          ChangeV2.slices(from, end, h, conf.numPartitions)
+        override def createReaderFactory(): PartitionReaderFactory =
+          new ChangeSliceReaderFactory(pruned, conf)
+      }
   }
 }
 
@@ -137,15 +160,7 @@ final class ChangeMicroBatchStream(schema: StructType, conf: ChangeV2.Conf)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ChangeOffset]
     val e = end.asInstanceOf[ChangeOffset]
-    val span = e.version - s.version
-    if (span <= 0) return Array.empty
-    // the range-partitioned read JdbcChangeSource does, slice per partition
-    val n = math.min(conf.numPartitions.toLong, span).toInt
-    (0 until n).map { i =>
-      val lo = s.version + span * i / n
-      val hi = s.version + span * (i + 1) / n
-      ChangeSlice(lo, hi, e.horizon): InputPartition
-    }.toArray
+    ChangeV2.slices(s.version, e.version, e.horizon, conf.numPartitions)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -192,6 +207,9 @@ final class ChangeSliceReaderFactory(schema: StructType, conf: ChangeV2.Conf)
 }
 
 object ChangeV2 {
+
+  /** Test probe: how many times the engine invoked column pruning. */
+  val prunedCalls = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** All options resolved once, serializable — travels inside every
     * InputPartition's reader factory. */
@@ -274,6 +292,21 @@ object ChangeV2 {
     case Some(sql) => scalar(conf, sql)
     case None => scalar(conf,
       s"SELECT COALESCE(MAX(${qident(conf.xactCol)}), 0) + 1 FROM ${conf.table}")
+  }
+
+  /** The range-partitioned slice plan shared by the micro-batch and batch
+    * flavors: contiguous disjoint version ranges covering (from, end],
+    * one per partition (capped at the span), each carrying the horizon. */
+  def slices(from: Long, end: Long, horizon: Long,
+             numPartitions: Int): Array[InputPartition] = {
+    val span = end - from
+    if (span <= 0) return Array.empty
+    val n = math.min(numPartitions.toLong, span).toInt
+    (0 until n).map { i =>
+      val lo = from + span * i / n
+      val hi = from + span * (i + 1) / n
+      ChangeSlice(lo, hi, horizon): InputPartition
+    }.toArray
   }
 
   /** The per-slice reader query — SELECTs exactly the (pruned) schema's

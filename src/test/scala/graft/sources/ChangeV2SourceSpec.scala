@@ -243,7 +243,18 @@ class ChangeV2SourceSpec extends SparkSpec {
       assert(sql.startsWith("SELECT PAYLOAD FROM outbox"),
         s"projection must reach the database: $sql")
       assert(sql.contains("WHERE id > 0 AND id <= 2 AND xact_id < 3"))
-      // end-to-end: the projected stream still delivers correct values
+      // BATCH flavor: spark.read over the gated snapshot, where Spark's
+      // V2ScanRelationPushDown genuinely engages the pruning (the probe
+      // counter must move — measured: streaming scans never call it)
+      val before = ChangeV2.prunedCalls.get()
+      val batch = spark.read.format("graft-change")
+        .option("url", url).option("table", "outbox").load()
+        .select("payload")
+      assert(batch.collect().map(_.getString(0)).toSet == Set("a", "b"))
+      assert(ChangeV2.prunedCalls.get() > before,
+        "the engine never called pruneColumns on the batch scan")
+      // end-to-end streaming projection still delivers correct values
+      // (pruning does not engage there in current Spark; Spark projects)
       val ckpt = java.nio.file.Files.createTempDirectory("cv2ckpt").toString
       val q = readChange(url, Map("startMode" -> "earliest"))
         .select("payload")
