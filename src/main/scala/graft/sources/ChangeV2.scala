@@ -72,8 +72,24 @@ final class ChangeTable(schema: StructType, conf: ChangeV2.Conf)
   * per row at any delta size. */
 final class ChangeScanBuilder(full: StructType, conf: ChangeV2.Conf)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var pruned: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  /** Push the translatable subset to the database (exact-semantics only:
+    * integral/boolean/string comparisons, null checks, IN — never floats,
+    * whose SQL equality could diverge from Spark's). Returned filters are
+    * the residue Spark must re-apply; pushed ones are evaluated by the
+    * database INSIDE each slice query, so a selective predicate ships
+    * only matching rows at any delta size. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (ok, rest) = filters.partition(f => ChangeV2.filterSql(f, full).isDefined)
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = {
     ChangeV2.prunedCalls.incrementAndGet() // engine-engagement probe (spec)
     // preserve the table's column order (readers bind getters by position)
@@ -83,7 +99,7 @@ final class ChangeScanBuilder(full: StructType, conf: ChangeV2.Conf)
   override def build(): Scan = new Scan {
     override def readSchema(): StructType = pruned
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new ChangeMicroBatchStream(pruned, conf)
+      new ChangeMicroBatchStream(pruned, conf, filterSqls)
     // BATCH flavor (S7-adjacent): one gated snapshot — rows from the start
     // version (0, or `startVersion` when startMode=version) up to the
     // current horizon-gated watermark, range-sliced exactly like a
@@ -102,9 +118,12 @@ final class ChangeScanBuilder(full: StructType, conf: ChangeV2.Conf)
         override def planInputPartitions(): Array[InputPartition] =
           ChangeV2.slices(from, end, h, conf.numPartitions)
         override def createReaderFactory(): PartitionReaderFactory =
-          new ChangeSliceReaderFactory(pruned, conf)
+          new ChangeSliceReaderFactory(pruned, conf, filterSqls)
       }
   }
+
+  private def filterSqls: Seq[String] =
+    pushed.toSeq.flatMap(f => ChangeV2.filterSql(f, full))
 }
 
 /** Offset = the gated watermark AND the horizon it was gated by. Carrying
@@ -123,7 +142,8 @@ object ChangeOffset {
   }
 }
 
-final class ChangeMicroBatchStream(schema: StructType, conf: ChangeV2.Conf)
+final class ChangeMicroBatchStream(schema: StructType, conf: ChangeV2.Conf,
+                                   filterSqls: Seq[String] = Nil)
     extends MicroBatchStream {
 
   // Monotone guard across polls: a horizon query racing a rollback (or a
@@ -164,7 +184,7 @@ final class ChangeMicroBatchStream(schema: StructType, conf: ChangeV2.Conf)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangeSliceReaderFactory(schema, conf)
+    new ChangeSliceReaderFactory(schema, conf, filterSqls)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -173,7 +193,8 @@ final class ChangeMicroBatchStream(schema: StructType, conf: ChangeV2.Conf)
 /** One version slice: rows with `version in (lo, hi]` under `xact < horizon`. */
 final case class ChangeSlice(lo: Long, hi: Long, horizon: Long) extends InputPartition
 
-final class ChangeSliceReaderFactory(schema: StructType, conf: ChangeV2.Conf)
+final class ChangeSliceReaderFactory(schema: StructType, conf: ChangeV2.Conf,
+                                     filterSqls: Seq[String] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val slice = partition.asInstanceOf[ChangeSlice]
@@ -186,7 +207,7 @@ final class ChangeSliceReaderFactory(schema: StructType, conf: ChangeV2.Conf)
         cn = ChangeV2.connect(conf)
         val st = cn.createStatement()
         st.setFetchSize(conf.fetchSize)
-        rs = st.executeQuery(ChangeV2.sliceSql(schema, conf, slice))
+        rs = st.executeQuery(ChangeV2.sliceSql(schema, conf, slice, filterSqls))
       }
 
       override def next(): Boolean = { ensureOpen(); rs.next() }
@@ -313,12 +334,52 @@ object ChangeV2 {
     * columns; the version/xact range predicates live in the WHERE only, so
     * the database ships nothing a projection dropped. Factored for the
     * spec's pushdown pin. */
-  def sliceSql(schema: StructType, conf: Conf, slice: ChangeSlice): String = {
+  def sliceSql(schema: StructType, conf: Conf, slice: ChangeSlice,
+               filterSqls: Seq[String] = Nil): String = {
     val cols = schema.fields.map(f => qident(f.name)).mkString(", ")
     s"SELECT $cols FROM ${conf.table} " +
       s"WHERE ${qident(conf.versionCol)} > ${slice.lo} " +
       s"AND ${qident(conf.versionCol)} <= ${slice.hi} " +
-      s"AND ${qident(conf.xactCol)} < ${slice.horizon}"
+      s"AND ${qident(conf.xactCol)} < ${slice.horizon}" +
+      filterSqls.map(f => s" AND ($f)").mkString
+  }
+
+  /** Translate one Spark v1 filter to portable SQL, or None when its
+    * semantics cannot be reproduced exactly (unknown column, float values
+    * — SQL float equality could diverge from Spark's — or an operator
+    * outside the conservative subset). Strings are escaped by doubling
+    * single quotes. */
+  def filterSql(f: org.apache.spark.sql.sources.Filter,
+                schema: StructType): Option[String] = {
+    import org.apache.spark.sql.sources._
+    def col(n: String): Option[String] =
+      schema.fields.find(_.name.equalsIgnoreCase(n)).map(x => qident(x.name))
+    def litSql(v: Any): Option[String] = v match {
+      case null => None
+      case x @ (_: Long | _: Int | _: Short | _: Byte) => Some(x.toString)
+      case b: Boolean => Some(if (b) "TRUE" else "FALSE")
+      case t: String => Some("'" + t.replace("'", "''") + "'")
+      case _ => None // floats/decimals/timestamps: keep Spark-side
+    }
+    def bin(n: String, op: String, v: Any): Option[String] =
+      for (c <- col(n); l <- litSql(v)) yield s"$c $op $l"
+    f match {
+      case EqualTo(n, v) => bin(n, "=", v)
+      case GreaterThan(n, v) => bin(n, ">", v)
+      case GreaterThanOrEqual(n, v) => bin(n, ">=", v)
+      case LessThan(n, v) => bin(n, "<", v)
+      case LessThanOrEqual(n, v) => bin(n, "<=", v)
+      case IsNull(n) => col(n).map(c => s"$c IS NULL")
+      case IsNotNull(n) => col(n).map(c => s"$c IS NOT NULL")
+      case In(n, vs) if vs.nonEmpty =>
+        val lits = vs.toSeq.map(litSql)
+        if (lits.exists(_.isEmpty)) None
+        else col(n).map(c => s"$c IN (${lits.flatten.mkString(", ")})")
+      case And(a, b) =>
+        for (x <- filterSql(a, schema); y <- filterSql(b, schema))
+          yield s"($x) AND ($y)"
+      case _ => None // Or/Not/StringStartsWith...: Spark-side
+    }
   }
 
   /** A2 pushed to the database: `COALESCE(MAX(version), from)` over the

@@ -268,6 +268,43 @@ class ChangeV2SourceSpec extends SparkSpec {
     }
   }
 
+  test("filter pushdown: exact-semantics predicates reach the slice SQL, " +
+    "floats and disjunctions stay Spark-side, results stay correct") {
+    import org.apache.spark.sql.sources._
+    withDb("cv2filter") { url =>
+      insert(url, (1L, 1L, "keep"), (2L, 2L, "drop"), (3L, 3L, "keep"))
+      val conf = ChangeV2.conf(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("url", url, "table", "outbox")))
+      val full = ChangeV2.inferSchema(conf)
+      // unit: the translatable subset
+      assert(ChangeV2.filterSql(EqualTo("PAYLOAD", "ke'ep"), full)
+        .contains("PAYLOAD = 'ke''ep'"), "strings escape by doubling quotes")
+      assert(ChangeV2.filterSql(In("ID", Array(1L, 3L)), full)
+        .contains("ID IN (1, 3)"))
+      assert(ChangeV2.filterSql(IsNotNull("PAYLOAD"), full)
+        .contains("PAYLOAD IS NOT NULL"))
+      assert(ChangeV2.filterSql(EqualTo("PAYLOAD", 1.5), full).isEmpty,
+        "float literals must stay Spark-side")
+      assert(ChangeV2.filterSql(EqualTo("nope", 1L), full).isEmpty,
+        "unknown columns must stay Spark-side")
+      assert(ChangeV2.filterSql(
+        Or(EqualTo("ID", 1L), EqualTo("ID", 2L)), full).isEmpty,
+        "disjunctions stay Spark-side")
+      // the builder partitions pushed vs residual
+      val b = new ChangeScanBuilder(full, conf)
+      val residual = b.pushFilters(Array(
+        EqualTo("PAYLOAD", "keep"), IsNotNull("PAYLOAD"),
+        Or(EqualTo("ID", 1L), EqualTo("ID", 2L))))
+      assert(b.pushedFilters().length == 2 && residual.length == 1)
+      // end-to-end: the database evaluates the predicate inside each slice
+      val got = spark.read.format("graft-change")
+        .option("url", url).option("table", "outbox").load()
+        .filter("payload = 'keep'")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(got == Set((1L, "keep"), (3L, "keep")))
+    }
+  }
+
   test("planInputPartitions: contiguous disjoint version slices covering " +
     "(start, end], horizon pinned from the END offset, empty delta = no work") {
     val conf = ChangeV2.Conf("jdbc:none", "", "", "", "outbox", "id", "xact_id",
