@@ -426,16 +426,27 @@ object ChangeV2 {
   def getters(schema: StructType): Array[ResultSet => Any] =
     schema.fields.zipWithIndex.map { case (f, idx) =>
       val i = idx + 1
+      // Object getters return null for SQL NULL — convert only after the
+      // null check (fromJavaTimestamp/Decimal NPE on null; the outer
+      // wasNull guard below covers the primitive getters' 0-on-NULL).
       val get: ResultSet => Any = f.dataType match {
         case LongType => rs => rs.getLong(i)
         case IntegerType => rs => rs.getInt(i)
         case DoubleType => rs => rs.getDouble(i)
         case BooleanType => rs => rs.getBoolean(i)
         case StringType => rs => UTF8String.fromString(rs.getString(i))
-        case TimestampType => rs => DateTimeUtils.fromJavaTimestamp(rs.getTimestamp(i))
-        case DateType => rs => DateTimeUtils.fromJavaDate(rs.getDate(i))
-        case d: DecimalType => rs =>
-          Decimal(rs.getBigDecimal(i), d.precision, d.scale)
+        case TimestampType => rs => {
+          val t = rs.getTimestamp(i)
+          if (t == null) null else DateTimeUtils.fromJavaTimestamp(t)
+        }
+        case DateType => rs => {
+          val dt = rs.getDate(i)
+          if (dt == null) null else DateTimeUtils.fromJavaDate(dt)
+        }
+        case d: DecimalType => rs => {
+          val b = rs.getBigDecimal(i)
+          if (b == null) null else Decimal(b, d.precision, d.scale)
+        }
         case other =>
           throw new IllegalArgumentException(s"graft-change: unsupported $other")
       }

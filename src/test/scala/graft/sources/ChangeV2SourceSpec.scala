@@ -305,6 +305,42 @@ class ChangeV2SourceSpec extends SparkSpec {
     }
   }
 
+  test("type coverage: timestamp, decimal, double, boolean, and NULLs " +
+    "round-trip through the slice readers") {
+    val name = "cv2types"
+    val cn = DriverManager.getConnection(s"jdbc:derby:memory:$name;create=true")
+    try {
+      val st = cn.createStatement()
+      st.execute("CREATE TABLE outbox (id BIGINT NOT NULL, xact_id BIGINT NOT NULL, " +
+        "ts TIMESTAMP, amount DECIMAL(10,2), ratio DOUBLE, flag BOOLEAN, note VARCHAR(20))")
+      st.execute("INSERT INTO outbox VALUES " +
+        "(1, 1, TIMESTAMP('2026-03-01 12:34:56'), 12345.67, 0.25, true, 'x'), " +
+        "(2, 2, NULL, NULL, NULL, NULL, NULL)")
+    } finally cn.close()
+    val url = s"jdbc:derby:memory:$name"
+    try {
+      val df = spark.read.format("graft-change")
+        .option("url", url).option("table", "outbox").load()
+      assert(df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+        == Seq(("ID", "bigint"), ("XACT_ID", "bigint"), ("TS", "timestamp"),
+          ("AMOUNT", "decimal(10,2)"), ("RATIO", "double"),
+          ("FLAG", "boolean"), ("NOTE", "string")))
+      val rows = df.orderBy("ID").collect()
+      assert(rows.length == 2)
+      val r1 = rows(0)
+      assert(r1.getAs[java.math.BigDecimal]("AMOUNT")
+        .compareTo(new java.math.BigDecimal("12345.67")) == 0)
+      assert(r1.getAs[Double]("RATIO") == 0.25 && r1.getAs[Boolean]("FLAG"))
+      assert(r1.getAs[java.sql.Timestamp]("TS").toString.startsWith("2026-03-01 12:34:56"))
+      val r2 = rows(1)
+      Seq("TS", "AMOUNT", "RATIO", "FLAG", "NOTE").foreach(c =>
+        assert(r2.isNullAt(r2.fieldIndex(c)), s"NULL $c must survive the reader"))
+    } finally {
+      try DriverManager.getConnection(s"jdbc:derby:memory:$name;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   test("planInputPartitions: contiguous disjoint version slices covering " +
     "(start, end], horizon pinned from the END offset, empty delta = no work") {
     val conf = ChangeV2.Conf("jdbc:none", "", "", "", "outbox", "id", "xact_id",
