@@ -69,9 +69,16 @@ object Bench {
     }
     // Diagnostic (stderr, stdout contract untouched): how much of the run
     // was Janino compilation — the per-DISTINCT-plan cold-codegen floor.
-    System.err.println(s"[bench] janino: " +
-      s"${org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount} compiles, " +
-      s"${org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum} ms total")
+    // METRIC_COMPILATION_TIME is a Codahale histogram over an
+    // exponentially-decaying ~1028-sample reservoir, so a raw
+    // getValues.sum UNDERREPORTS past ~1k compiles (r15 review); report
+    // count × sampled mean as the estimate, labeled as such.
+    locally {
+      val m = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+      System.err.println(f"[bench] janino: ${m.getCount} compiles, " +
+        f"~${m.getCount * m.getSnapshot.getMean / 1000.0}%.1f s estimated total " +
+        "(count x reservoir-sampled mean)")
+    }
     val esc = Harness.jsonEscape _
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")

@@ -555,7 +555,7 @@ object QueriesLlm {
             |  FROM url_parsed)""".stripMargin)(
           """SELECT pe.doc_id, pe.rd AS registrable_domain, pe.path,
             |       coalesce(arg_max(r.allow,
-            |         lpad(CAST(length(r.path_prefix) AS VARCHAR), 3, '0')
+            |         lpad(CAST(length(r.path_prefix) AS VARCHAR), 5, '0')
             |           || CASE WHEN r.allow THEN '1' ELSE '0' END), true) AS allowed,
             |       CAST(count(r.path_prefix) AS BIGINT) AS n_rules_matched
             |FROM pe LEFT JOIN robots r

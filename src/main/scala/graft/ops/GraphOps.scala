@@ -36,26 +36,33 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Support-counted canonical pairs from (_txn, item) rows — the shared
-    * row-local pair explode (collect_set dedups within-txn repeats;
-    * sort_array makes `pa < pb` canonical positionally). The pair build is
-    * the native `pair_structs` expression — the equivalent nested
-    * `transform(slice(...))` HOF chain runs INTERPRETED per element and
-    * measured ~2.5× slower for the explode stage (GraphProf sf0.1, both
-    * orders: HOF +0.45-0.6 s vs native +0.2-0.25 s warm over the
-    * group-by alone).
-    *
-    * `maxBasket` is the mega-basket skew guard (same contract as
-    * [[DedupOps.candidatePairs]]'s maxBucket): a bot basket with 100k
-    * items would cost C(n,2) pairs — quadratic memory AND support-count
-    * noise — so oversized baskets are dropped from PAIRING (item
-    * supports and n_tx still count them), with the drop count observed
-    * as `graft.graph.baskets` / `mega_baskets_dropped`. */
-  private def supportedPairs(rows: DataFrame, minSupport: Int,
-                             maxBasket: Int): DataFrame =
-    rows
+  /** The per-txn distinct item sets (collect_set dedups within-txn
+    * repeats; sort_array makes pair order canonical positionally). Rows
+    * with a NULL transaction key are dropped up front (r15 review: the
+    * branches previously disagreed — the pair explode's groupBy kept the
+    * null-key group while the countDistinct branches excluded it; no
+    * gated change feed produces null keys, so the uniform rule is "no
+    * key, no basket"). */
+  private def basketsOf(rows: DataFrame): DataFrame =
+    rows.filter(col("_txn").isNotNull)
       .groupBy(col("_txn"))
       .agg(sort_array(collect_set(col("item").cast("long"))).as("_items"))
+
+  /** Support-counted canonical `pa < pb` pairs from a basket table — ONE
+    * definition shared by [[supportedPairs]] and the associationRules
+    * basket branch (r15 review). The pair build is the native
+    * `pair_structs` expression — the equivalent nested
+    * `transform(slice(...))` HOF chain runs INTERPRETED per element and
+    * measured ~2.5× slower for the explode stage (GraphProf sf0.1, both
+    * orders). `maxBasket` is the mega-basket skew guard (same contract as
+    * [[DedupOps.candidatePairs]]'s maxBucket): a bot basket with 100k
+    * items would cost C(n,2) pairs — quadratic memory AND support-count
+    * noise — so oversized baskets are dropped from PAIRING (item supports
+    * and n_tx still count them), with the drop count observed as
+    * `graft.graph.baskets` / `mega_baskets_dropped`. */
+  private def pairsFromBaskets(baskets: DataFrame, minSupport: Int,
+                               maxBasket: Int): DataFrame =
+    baskets
       .observe("graft.graph.baskets",
         sum(when(size(col("_items")) > maxBasket, 1L).otherwise(0L))
           .as("mega_baskets_dropped"))
@@ -65,6 +72,10 @@ object GraphOps {
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minSupport)
+
+  private def supportedPairs(rows: DataFrame, minSupport: Int,
+                             maxBasket: Int): DataFrame =
+    pairsFromBaskets(basketsOf(rows), minSupport, maxBasket)
 
   /** Distinct item pairs co-occurring in a transaction, with the number of
     * transactions supporting each pair; `pa < pb` canonical. `minSupport`
@@ -129,19 +140,9 @@ object GraphOps {
           .localCheckpoint(), // joined on both rule sides
         op.agg(countDistinct(col("_txn")).as("n_tx")))
     } else {
-      val baskets = base.groupBy(col("_txn"))
-        .agg(sort_array(collect_set(col("item").cast("long"))).as("_items"))
+      val baskets = basketsOf(base)
         .localCheckpoint() // feeds pairs, item counts, and n_tx
-      val e = baskets
-        .observe("graft.graph.baskets",
-          sum(when(size(col("_items")) > maxBasket, 1L).otherwise(0L))
-            .as("mega_baskets_dropped"))
-        .filter(size(col("_items")) <= maxBasket)
-        .select(explode(expr("pair_structs(_items)")).as("_e"))
-        .select(col("_e.pa").as("pa"), col("_e.pb").as("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= minSupport)
+      val e = pairsFromBaskets(baskets, minSupport, maxBasket)
         .localCheckpoint() // both directions of the union read it
       // per-item basket count == countDistinct(txn): collect_set deduped.
       // Item-alphabet-bounded aggregate over the checkpointed leaf; mega

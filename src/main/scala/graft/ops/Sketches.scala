@@ -14,6 +14,21 @@ object Sketches {
   /** KMV estimate scale: hashes are uniform in [0, 2^60) (DedupOps.hash60). */
   val HashSpaceLong: Long = 1L << 60
 
+  /** The KMV distinct estimate over a bottom-k mins array column — exact
+    * below saturation (the sketch IS the set), else the (k−1)·2⁶⁰/kth-min
+    * estimator computed DIVISION-FIRST in int64 with a floor-1 divisor
+    * guard (round-10 rule d: the product form overflows at k=256, float
+    * is inexact above 2⁵³). ONE definition for every KMV surface
+    * (kmvDistinct, UrlOps.domainRollup, StreamingStats.snapshot — the r15
+    * review found the expression triplicated); the oracles replay the
+    * same arithmetic in SQL. */
+  def kmvEstimate(minsCol: String, k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.when(
+      org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col(minsCol)) < k,
+      org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col(minsCol)).cast("long"))
+      .otherwise(org.apache.spark.sql.functions.expr(
+        s"${HashSpaceLong}L div greatest(element_at($minsCol, $k) div ${k - 1}, 1L)"))
+
   /** Count-Min sketch over `hashCol` (a [[DedupOps.hash60]] hash of the
     * counted value): one row per group with the `depth·width` counter grid.
     * Point estimates read the grid with [[cmsEstimate]]. */
@@ -80,10 +95,7 @@ object Sketches {
       .agg(expr(s"kmv_mins(_h, $k)").as("_mins"))
     grouped
       .withColumn("n_mins", size(col("_mins")))
-      .withColumn("distinct_est",
-        when(col("n_mins") < k, col("n_mins").cast("long"))
-          .otherwise(expr(
-            s"${HashSpaceLong}L div greatest(element_at(_mins, $k) div ${k - 1}, 1L)")))
+      .withColumn("distinct_est", kmvEstimate("_mins", k))
       .drop("_mins")
   }
 

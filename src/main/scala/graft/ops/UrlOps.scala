@@ -251,12 +251,19 @@ object UrlOps {
     * unmatched URLs fall through the SAME coalesce(default-allow) path.
     * Join is broadcast-hash on the domain equi-key with the prefix test
     * as the join filter — map-only at any corpus size. Prefix length
-    * bound: < 1000 chars (the 3-digit pad). */
+    * bound: < 100000 chars (the 5-digit pad — Spark AND DuckDB lpad both
+    * TRUNCATE over-length strings, so an over-bound prefix would silently
+    * misorder the longest-match election; 5 digits clears any real-world
+    * robots.txt line by orders of magnitude, and the bound is enforced,
+    * not assumed). */
   def robotsFilter(df: DataFrame, idCol: String, domCol: String,
                    pathCol: String, rules: DataFrame): DataFrame = {
     val r = rules.select(col("domain").as("_rd"),
       col("path_prefix").as("_pp"), col("allow").as("_al"))
-    val key = concat(lpad(length(col("_pp")).cast("string"), 3, "0"),
+      // enforce the pad bound instead of assuming it: lpad TRUNCATES an
+      // over-length length-string, which would misorder the election
+      .filter(length(col("_pp")) < 100000)
+    val key = concat(lpad(length(col("_pp")).cast("string"), 5, "0"),
       when(col("_al"), lit("1")).otherwise(lit("0")))
     df.join(broadcast(r),
         df(domCol) === col("_rd") && col(pathCol).startsWith(col("_pp")), "left")
@@ -290,10 +297,7 @@ object UrlOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"),
         expr(s"kmv_mins(_h, $k)").as("_mins"))
       .withColumn("n_mins", size(col("_mins")).cast("long"))
-      .withColumn("distinct_content_est",
-        when(col("n_mins") < k, col("n_mins"))
-          .otherwise(expr(
-            s"${Sketches.HashSpaceLong}L div greatest(element_at(_mins, $k) div ${k - 1}, 1L)")))
+      .withColumn("distinct_content_est", Sketches.kmvEstimate("_mins", k))
       .withColumn("dup_factor_ppm",
         expr("n_docs * 1000000 div distinct_content_est"))
       .drop("_mins")

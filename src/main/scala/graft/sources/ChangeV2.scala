@@ -77,17 +77,23 @@ final class ChangeScanBuilder(full: StructType, conf: ChangeV2.Conf)
   private var pruned: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
-  /** Push the translatable subset to the database (exact-semantics only:
-    * integral/boolean/string comparisons, null checks, IN — never floats,
-    * whose SQL equality could diverge from Spark's). Returned filters are
-    * the residue Spark must re-apply; pushed ones are evaluated by the
-    * database INSIDE each slice query, so a selective predicate ships
-    * only matching rows at any delta size. */
+  /** Push the translatable subset to the database; returned filters are
+    * what Spark must STILL evaluate post-scan. Two tiers:
+    *  - integral/boolean comparisons, null checks, IN: exact in any SQL
+    *    dialect — pushed and trusted (not returned);
+    *  - anything mentioning a STRING value: pushed as a PREFILTER but
+    *    ALSO returned for Spark to re-apply, because the database's
+    *    collation may diverge from Spark's binary UTF8 comparison
+    *    (mssql's default collation is case-insensitive; locale collations
+    *    reorder </>) — the database still drops most non-matching rows at
+    *    the source, Spark guarantees the exact semantics.
+    * Floats never push (SQL float equality could diverge). */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     val (ok, rest) = filters.partition(f => ChangeV2.filterSql(f, full).isDefined)
     pushed = ok
-    rest
+    val recheck = ok.filter(ChangeV2.mentionsString(_, full))
+    rest ++ recheck
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -259,6 +265,11 @@ object ChangeV2 {
     val mode = opt("startMode", "seed")
     require(Set("seed", "earliest", "version")(mode),
       s"graft-change: startMode must be seed|earliest|version, got '$mode'")
+    val nParts = opt("numPartitions", "8").toInt
+    // A non-positive partition count would plan ZERO slices while offsets
+    // still advance — silent permanent data loss, not an error. Refuse.
+    require(nParts >= 1,
+      s"graft-change: numPartitions must be >= 1, got $nParts")
     Conf(
       url = req("url"),
       driver = opt("driver", ""),
@@ -267,7 +278,7 @@ object ChangeV2 {
       table = req("table"),
       versionCol = opt("versionCol", "id"),
       xactCol = opt("xactCol", "xact_id"),
-      numPartitions = opt("numPartitions", "8").toInt,
+      numPartitions = nParts,
       fetchSize = opt("fetchSize", "10000").toInt,
       startMode = mode,
       startVersion = opt("startVersion", "0").toLong,
@@ -336,12 +347,37 @@ object ChangeV2 {
     * spec's pushdown pin. */
   def sliceSql(schema: StructType, conf: Conf, slice: ChangeSlice,
                filterSqls: Seq[String] = Nil): String = {
-    val cols = schema.fields.map(f => qident(f.name)).mkString(", ")
+    // Spark prunes to ZERO columns for aggregates that reference none
+    // (count(*)) — the JDBC-source convention is selecting a constant so
+    // the row COUNT still flows.
+    val cols =
+      if (schema.fields.isEmpty) "1"
+      else schema.fields.map(f => qident(f.name)).mkString(", ")
     s"SELECT $cols FROM ${conf.table} " +
       s"WHERE ${qident(conf.versionCol)} > ${slice.lo} " +
       s"AND ${qident(conf.versionCol)} <= ${slice.hi} " +
       s"AND ${qident(conf.xactCol)} < ${slice.horizon}" +
       filterSqls.map(f => s" AND ($f)").mkString
+  }
+
+  /** True when the filter compares against a STRING column/value — the
+    * push-and-recheck tier of [[ChangeScanBuilder.pushFilters]] (database
+    * collation may diverge from Spark's binary comparison). */
+  def mentionsString(f: org.apache.spark.sql.sources.Filter,
+                     schema: StructType): Boolean = {
+    import org.apache.spark.sql.sources._
+    def isStr(n: String): Boolean =
+      schema.fields.exists(x => x.name.equalsIgnoreCase(n) && x.dataType == StringType)
+    f match {
+      case EqualTo(n, _) => isStr(n)
+      case GreaterThan(n, _) => isStr(n)
+      case GreaterThanOrEqual(n, _) => isStr(n)
+      case LessThan(n, _) => isStr(n)
+      case LessThanOrEqual(n, _) => isStr(n)
+      case In(n, _) => isStr(n)
+      case And(a, b) => mentionsString(a, schema) || mentionsString(b, schema)
+      case _ => false // IsNull/IsNotNull: collation-free
+    }
   }
 
   /** Translate one Spark v1 filter to portable SQL, or None when its

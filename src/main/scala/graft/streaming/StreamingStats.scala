@@ -33,7 +33,7 @@ import graft.state.ParquetStateStore
 object StreamingStats {
 
   private val StatsTable = "corpus_stats"
-  val HashSpace: Long = 1L << 60 // DedupOps.hash60 range
+  val HashSpace: Long = graft.ops.Sketches.HashSpaceLong // single definition
 
   private val statsSchema = new StructType()
     .add("source", StringType)
@@ -101,10 +101,7 @@ object StreamingStats {
     * be impossible by construction, not by luck). */
   def snapshot(store: ParquetStateStore, k: Int = 256): DataFrame =
     readState(store).select(col("source"), col("docs"), col("tokens"),
-        when(size(col("mins")) < k, size(col("mins")).cast("long"))
-          .otherwise(expr(
-            s"${HashSpace}L div greatest(element_at(mins, $k) div ${k - 1}, 1L)"))
-          .as("est_distinct"))
+        graft.ops.Sketches.kmvEstimate("mins", k).as("est_distinct"))
       .withColumn("dup_factor_ppm",
         expr("docs * 1000000 div greatest(est_distinct, 1)"))
 

@@ -225,6 +225,13 @@ class ChangeV2SourceSpec extends SparkSpec {
           java.util.Map.of("url", url, "table", "outbox", "startMode", "bogus")))
       }
       assert(err.getMessage.contains("startMode"))
+      // a non-positive partition count would plan zero slices while
+      // offsets advance — silent data loss; must be refused up front
+      val err2 = intercept[IllegalArgumentException] {
+        ChangeV2.conf(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("url", url, "table", "outbox", "numPartitions", "0")))
+      }
+      assert(err2.getMessage.contains("numPartitions"))
     }
   }
 
@@ -290,18 +297,29 @@ class ChangeV2SourceSpec extends SparkSpec {
       assert(ChangeV2.filterSql(
         Or(EqualTo("ID", 1L), EqualTo("ID", 2L)), full).isEmpty,
         "disjunctions stay Spark-side")
-      // the builder partitions pushed vs residual
+      // the builder partitions pushed vs residual; STRING comparisons are
+      // pushed as a prefilter AND returned for Spark to re-apply (database
+      // collation may diverge from Spark's binary comparison)
       val b = new ChangeScanBuilder(full, conf)
       val residual = b.pushFilters(Array(
         EqualTo("PAYLOAD", "keep"), IsNotNull("PAYLOAD"),
         Or(EqualTo("ID", 1L), EqualTo("ID", 2L))))
-      assert(b.pushedFilters().length == 2 && residual.length == 1)
+      assert(b.pushedFilters().length == 2, "string EqualTo + IsNotNull push")
+      assert(residual.toSet ==
+        Set(Or(EqualTo("ID", 1L), EqualTo("ID", 2L)), EqualTo("PAYLOAD", "keep")),
+        "the Or stays residual; the string EqualTo is pushed AND rechecked")
       // end-to-end: the database evaluates the predicate inside each slice
       val got = spark.read.format("graft-change")
         .option("url", url).option("table", "outbox").load()
         .filter("payload = 'keep'")
         .collect().map(r => (r.getLong(0), r.getString(2))).toSet
       assert(got == Set((1L, "keep"), (3L, "keep")))
+      // zero-column pruning (count over no columns) must not render
+      // broken SQL — the JDBC constant-select convention
+      assert(ChangeV2.sliceSql(new StructType(), conf, ChangeSlice(0L, 3L, 4L))
+        .startsWith("SELECT 1 FROM outbox"))
+      assert(spark.read.format("graft-change")
+        .option("url", url).option("table", "outbox").load().count() == 3L)
     }
   }
 
