@@ -593,8 +593,13 @@ object Funnel {
     * partition at every stage AND stays integer-deterministic, so the
     * DuckDB oracle reproduces the thresholds exactly (same hash order,
     * same rank row). Shapes: one conversion-filtered user rollup
-    * (checkpointed — four consumers), three k-bounded sample aggregates,
-    * three 1-row broadcasts, one 8-row rollup. */
+    * (checkpointed — two consumers), ONE fused aggregate carrying all
+    * three axes' k-bounded sample states (r15: the three separate
+    * quantileSample passes each re-scanned the user table — at 10⁸ users
+    * that is two full extra passes for no new information; the fused agg
+    * is bit-identical because each axis keeps its own salt/priority and
+    * the q=50 post-processing is replicated verbatim — FunnelSpec pins
+    * fused ≡ three-pass), one 1-row broadcast, one 8-row rollup. */
   def userRfm(events: DataFrame, tsCol: String, userCol: String,
               typeCol: String, valueCol: String, convType: String,
               k: Int = 256): DataFrame = {
@@ -607,13 +612,28 @@ object Funnel {
     val per = per0.crossJoin(broadcast(mx))
       .withColumn("recency_days", expr("(_mx - last_s) div 86400"))
       .localCheckpoint()
-    def p50(vCol: String, salt: String, as: String) = broadcast(
-      Sketches.quantileSample(per, col(vCol), col("user_id"), Seq(50), k, salt)
-        .select(col("value").as(as)))
+    def pri(salt: String) =
+      -graft.ops.DedupOps.hash60(
+        concat(lit(salt + ":"), col("user_id").cast("string")))
+    def med(c: String) = {
+      val sv = array_sort(transform(col(c),
+        p => struct(p.getField("tag").as("v"), p.getField("id").as("id"))))
+      element_at(sv, greatest(lit(1),
+        ceil(lit(50) * size(sv) / 100.0)).cast("int")).getField("v")
+    }
+    val meds = broadcast(per
+      .select(col("user_id").cast("long").as("_i"),
+        col("recency_days").cast("long").as("_vr"),
+        col("freq").cast("long").as("_vf"),
+        col("monetary_cents").cast("long").as("_vm"),
+        pri("rfm_r").as("_pr"), pri("rfm_f").as("_pf"), pri("rfm_m").as("_pm"))
+      .agg(expr(s"topk_pairs_tag(_pr, _i, _vr, $k)").as("_tr"),
+        expr(s"topk_pairs_tag(_pf, _i, _vf, $k)").as("_tf"),
+        expr(s"topk_pairs_tag(_pm, _i, _vm, $k)").as("_tm"))
+      .select(med("_tr").as("_med_r"), med("_tf").as("_med_f"),
+        med("_tm").as("_med_m")))
     per
-      .crossJoin(p50("recency_days", "rfm_r", "_med_r"))
-      .crossJoin(p50("freq", "rfm_f", "_med_f"))
-      .crossJoin(p50("monetary_cents", "rfm_m", "_med_m"))
+      .crossJoin(meds)
       .groupBy(
         (col("recency_days") < col("_med_r")).as("recent"),
         (col("freq") > col("_med_f")).as("frequent"),

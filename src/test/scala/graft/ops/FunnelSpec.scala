@@ -460,6 +460,48 @@ class FunnelSpec extends SparkSpec {
       (false, false, true, 1L, 1L, 5000L))) // u4
   }
 
+  test("userRfm fused medians: bit-identical to three separate " +
+    "quantileSample passes over the per-user table (r15 one-pass fusion)") {
+    // a larger deterministic population (> k would need 256+ users; this
+    // pins the arithmetic/salt equivalence, the sub-k degradation, and
+    // tie handling across all three axes at once)
+    val day = 86400L
+    val ev = (1 to 60).flatMap { u =>
+      (0 until (u % 4) + 1).map { i =>
+        ((u * 10 + i).toLong, ts((u % 11).toLong * day + i * 3600L),
+          u.toLong, "purchase", (u % 7 + 1) * 2.5)
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val fused = Funnel.userRfm(ev, "ts", "user_id", "event_type", "value",
+        convType = "purchase")
+      .as[(Boolean, Boolean, Boolean, Long, Long, Long)].collect().toSet
+    // reference: the pre-fusion shape — per-user rollup + three separate
+    // quantileSample calls with the same salts
+    val per0 = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(unix_timestamp(col("ts"))).as("last_s"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("value") * 100).cast("long")).as("monetary_cents"))
+    val mxv = per0.agg(max(col("last_s"))).as[Long].head()
+    val per = per0.withColumn("recency_days",
+      expr(s"($mxv - last_s) div 86400"))
+    def p50(vCol: String, salt: String): Long =
+      graft.ops.Sketches.quantileSample(per, col(vCol), col("user_id"),
+        Seq(50), 256, salt).select(col("value")).as[Long].head()
+    val (mr, mf, mm) =
+      (p50("recency_days", "rfm_r"), p50("freq", "rfm_f"),
+        p50("monetary_cents", "rfm_m"))
+    val expected = per.groupBy(
+        (col("recency_days") < mr).as("recent"),
+        (col("freq") > mf).as("frequent"),
+        (col("monetary_cents") > mm).as("high_value"))
+      .agg(count(lit(1)).as("n_users"), sum(col("freq")).as("sum_freq"),
+        sum(col("monetary_cents")).as("sum_cents"))
+      .as[(Boolean, Boolean, Boolean, Long, Long, Long)].collect().toSet
+    assert(fused === expected,
+      "the fused single-pass medians diverged from the three-pass form")
+  }
+
   test("sessionEntryExit: first/last by (ts, event_id); conversion flag per session") {
     val ev = Seq(
       // u1 session 1: view -> click -> purchase (entry view, exit purchase, converted)
