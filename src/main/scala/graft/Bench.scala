@@ -90,6 +90,80 @@ object Bench {
     val defaultOut = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"${esc(sfDir)}"}"""
+    // Stop Spark BEFORE the DuckDB pairing pass below — the denominator
+    // should not time against a still-active executor JVM.
+    spark.stop()
+    // Persist the complete artifact (the driver captures only a stdout TAIL
+    // of ~2000 chars — truncates ~40% of the per-query map at 100+ queries).
+    // A pre-existing artifact's DuckDB pairing keys are carried over so a
+    // Spark-only rerun doesn't destroy the only per-query ratio record, but
+    // the carry-over is now LABELED (`duckdb_carried_over: true`) and
+    // stamped: r14/r15 shipped over-bar artifacts (2.68x, 2.85x) minted from
+    // a load-spiked Spark rerun over a stale quiet-window denominator, and
+    // nothing in the artifact made the staleness machine-visible.
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val merged = mapper.readTree(line).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      merged.put("spark_run_at", java.time.Instant.now().toString)
+      val p = java.nio.file.Paths.get(outPath)
+      if (java.nio.file.Files.exists(p)) {
+        try {
+          val old = mapper.readTree(java.nio.file.Files.readString(p))
+          val carried = Seq("duckdb", "duckdb_total", "duckdb_errors",
+            "worst_ratios", "duckdb_paired_at", "duckdb_sf").filter { k =>
+            if (old.has(k) && !merged.has(k)) { merged.set[com.fasterxml.jackson.databind.JsonNode](k, old.get(k)); true }
+            else false
+          }
+          if (carried.nonEmpty) merged.put("duckdb_carried_over", true)
+        } catch { case _: Exception => () } // unreadable old artifact: plain overwrite
+      }
+      java.nio.file.Files.writeString(p, mapper.writeValueAsString(merged) + "\n")
+    } catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+
+    // Same-window pairing (r15 verdict, top task): a full-registry run pairs
+    // its OWN DuckDB denominator by invoking tools/bench_duckdb.py right
+    // here, in the same machine-load window as the Spark pass. The script
+    // rewrites the artifact with per-query duckdb times, duckdb_total,
+    // worst_ratios, a duckdb_paired_at stamp, and duckdb_carried_over=false.
+    // Subset runs never pair (their Spark side isn't the full registry);
+    // SPARK_GRAFT_NO_PAIR=1 opts out for quick local full runs. A missing
+    // script or a non-zero exit leaves the labeled carry-over as the
+    // documented fallback.
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_PAIR")) {
+      val script = java.nio.file.Paths.get("tools/bench_duckdb.py")
+      if (java.nio.file.Files.exists(script)) {
+        try {
+          val oraclePath = outPath.stripSuffix(".json") + ".oracle_sql.json"
+          val oj = SparkEntry.oracleSql
+            .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+            .mkString("{", ",", "}")
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(oraclePath), oj)
+          val pb = new ProcessBuilder("python3", script.toString, sfDir, outPath, oraclePath)
+          pb.redirectErrorStream(true)
+          val proc = pb.start()
+          scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+            .getLines().foreach(l => System.err.println(s"[bench-pair] $l"))
+          val code = proc.waitFor()
+          if (code != 0)
+            System.err.println(s"[bench-pair] exited $code — artifact keeps the labeled carried-over denominator")
+        } catch { case e: Exception =>
+          System.err.println(s"[bench-pair] failed: ${e.getMessage} — artifact keeps the labeled carried-over denominator")
+        }
+      } else System.err.println("[bench-pair] tools/bench_duckdb.py not found — skipping same-window pairing")
+    }
+
+    // Read the pairing result back for the stdout contract lines.
+    val (duckTotal, carriedOver) = try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(outPath)))
+      (if (node.has("duckdb_total")) Some(node.get("duckdb_total").asDouble) else None,
+        node.has("duckdb_carried_over") && node.get("duckdb_carried_over").asBoolean)
+    } catch { case _: Exception => (None, false) }
+    val pairJson = duckTotal.map { d =>
+      val ratio = if (d > 0) total / d else -1.0
+      s""","duckdb_total":$d,"ratio":${"%.3f".format(ratio)},"duckdb_carried_over":$carriedOver"""
+    }.getOrElse("")
+
     println(line)
     // The driver captures only a stdout TAIL (~2000 chars). At 114 queries
     // the full line is ~6 KB, so its head — `{"metric":...` — falls outside
@@ -99,7 +173,7 @@ object Bench {
     // byte budget, with a count of omitted entries and a pointer to the
     // complete artifact. Whether the driver takes the last line or greps
     // the tail for `{"metric"`, this line is the one that parses.
-    val budget = 1500
+    val budget = 1400
     val slowestFirst = timings.toSeq.sortBy(-_._2)
     val sb = new StringBuilder
     var kept = 0
@@ -111,28 +185,6 @@ object Bench {
       }
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{${sb.toString}},""" +
-      s""""queries_omitted":${timings.size - kept},"errors":$es,"sf":"${esc(sfDir)}","full":"$outPath"}""")
-    // The driver captures only a stdout TAIL (2000 chars — truncates ~40% of
-    // the per-query map at 100+ queries); persist the complete line too.
-    // A pre-existing artifact's DuckDB pairing keys (written by
-    // tools/bench_duckdb.py) are carried over, so a bench rerun refreshes the
-    // Spark side without destroying the only per-query ratio record — running
-    // Bench and the pairing script in either order leaves one artifact with
-    // both sides.
-    try {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val merged = mapper.readTree(line).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      val p = java.nio.file.Paths.get(outPath)
-      if (java.nio.file.Files.exists(p)) {
-        try {
-          val old = mapper.readTree(java.nio.file.Files.readString(p))
-          Seq("duckdb", "duckdb_total", "duckdb_errors", "worst_ratios").foreach { k =>
-            if (old.has(k) && !merged.has(k)) merged.set[com.fasterxml.jackson.databind.JsonNode](k, old.get(k))
-          }
-        } catch { case _: Exception => () } // unreadable old artifact: plain overwrite
-      }
-      java.nio.file.Files.writeString(p, mapper.writeValueAsString(merged) + "\n")
-    } catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    spark.stop()
+      s""""queries_omitted":${timings.size - kept},"errors":$es,"sf":"${esc(sfDir)}"$pairJson,"full":"$outPath"}""")
   }
 }

@@ -548,7 +548,8 @@ object QueriesLlm {
         withCtes(OracleCtes.urlsFrom("(doc_id % 125)"), OracleCtes.urlParsed,
           s"""robots AS (
             |  SELECT * FROM (VALUES
-            |    $rulesValues) AS t(domain, path_prefix, allow))""".stripMargin,
+            |    $rulesValues) AS t(domain, path_prefix, allow)
+            |  WHERE length(path_prefix) < 100000)""".stripMargin,
           """pe AS (
             |  SELECT doc_id, rd,
             |         CASE WHEN path = '' THEN '/' ELSE path END AS path

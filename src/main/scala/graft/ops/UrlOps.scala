@@ -255,7 +255,9 @@ object UrlOps {
     * TRUNCATE over-length strings, so an over-bound prefix would silently
     * misorder the longest-match election; 5 digits clears any real-world
     * robots.txt line by orders of magnitude, and the bound is enforced,
-    * not assumed). */
+    * not assumed; the llm_robots_filter oracle mirrors the same
+    * `length(path_prefix) < 100000` predicate on its rules CTE so a
+    * pathological rule set cannot diverge the two engines). */
   def robotsFilter(df: DataFrame, idCol: String, domCol: String,
                    pathCol: String, rules: DataFrame): DataFrame = {
     val r = rules.select(col("domain").as("_rd"),

@@ -41,6 +41,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * and a 1000-executor cluster drains a large delta in parallel. Only
   * driver-side work per micro-batch: two 1-row scalar queries (horizon +
   * gated watermark).
+  *
+  * DIALECT BOUNDARY: this source requires a directly QUERYABLE change table
+  * (the outbox shape — postgres, or any engine exposing the change feed as
+  * a table). The reference's SQL Server flavor reads changes only through
+  * `EXEC proc {"fromVersion":N}` over `CHANGETABLE(...)`
+  * (Source/Data/SqlDialect.cs:52, Source/SQL/02-stored-procedure
+  * .sqlserver.table.sql:44-50) — a procedure call has no WHERE clause to
+  * push range predicates into, so it cannot be sliced across executors and
+  * is deliberately NOT served here; `conf()` refuses such configs with a
+  * pointer to the driver-side foreachBatch relay (graft.streaming.Relay),
+  * which owns that path (SURVEY §4).
   */
 class ChangeTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-change"
@@ -156,6 +167,9 @@ final class ChangeMicroBatchStream(schema: StructType, conf: ChangeV2.Conf,
   // MAX over a briefly-empty table) must never move an offset backwards.
   private var last: ChangeOffset = _
 
+  /** Test probe for the monotone guard's state (ChangeV2SourceSpec). */
+  private[sources] def lastOffset: ChangeOffset = last
+
   override def initialOffset(): Offset = {
     val h = ChangeV2.horizon(conf)
     val off = conf.startMode match {
@@ -179,7 +193,13 @@ final class ChangeMicroBatchStream(schema: StructType, conf: ChangeV2.Conf,
 
   override def deserializeOffset(json: String): Offset = {
     val off = ChangeOffset.parse(json)
-    if (last == null || off.version > last.version) last = off
+    // Adopt on a LEXICOGRAPHIC (version, horizon) advance — the offset
+    // contract orders on the pair, so a restored offset with an equal
+    // version but higher horizon must still displace a stale `last`
+    // (latestOffset's max() would mask it today; the guard should not rely
+    // on that).
+    if (last == null || off.version > last.version ||
+        (off.version == last.version && off.horizon > last.horizon)) last = off
     off
   }
 
@@ -270,6 +290,22 @@ object ChangeV2 {
     // still advance — silent permanent data loss, not an error. Refuse.
     require(nParts >= 1,
       s"graft-change: numPartitions must be >= 1, got $nParts")
+    // Dialect boundary (see class scaladoc): this source range-slices a
+    // QUERYABLE change table. The reference's SQL Server loop — `EXEC proc
+    // {"fromVersion":N}` over CHANGETABLE (Source/Data/SqlDialect.cs:52,
+    // Source/SQL/02-stored-procedure.sqlserver.table.sql:44-50) — cannot be
+    // range-sliced into per-partition subqueries; that path is served by the
+    // driver-side foreachBatch relay (graft.streaming.Relay). Refuse the
+    // config crisply instead of letting slice 0 die on a SQL syntax error.
+    val relayHint = "procedure-call change feeds cannot be range-sliced; " +
+      "use the driver-side foreachBatch relay (graft.streaming.Relay) for that dialect path"
+    require(o.get("procedure") == null && o.get("storedProcedureName") == null,
+      s"graft-change: option 'procedure' is not supported — $relayHint")
+    val tableOpt = req("table")
+    val tnorm = tableOpt.trim.toUpperCase(java.util.Locale.ROOT)
+    require(!tnorm.startsWith("EXEC ") && !tnorm.startsWith("EXECUTE ") &&
+        !tnorm.contains("CHANGETABLE("),
+      s"graft-change: table '$tableOpt' is a procedure/CHANGETABLE call, not a queryable table — $relayHint")
     Conf(
       url = req("url"),
       driver = opt("driver", ""),
@@ -318,8 +354,16 @@ object ChangeV2 {
 
   /** The transaction horizon (P2's gate value): `min(active xact)` where the
     * deployment can see it (override via `horizonSql`), else the committed
-    * frontier `MAX(xact)+1` — everything visible is committed, the same
-    * default OutboxSource uses. */
+    * frontier `MAX(xact)+1` — the same default OutboxSource uses.
+    *
+    * DEPLOYMENT INVARIANT for the default: rows must become VISIBLE in
+    * version order (e.g. versions assigned at commit, or a serial writer).
+    * `MAX(xact)+1` gives no protection against out-of-order commit
+    * visibility — an in-flight transaction holding versions below an
+    * already-advanced watermark is skipped permanently once it commits.
+    * Engines that cannot guarantee ordered visibility MUST set `horizonSql`
+    * to the min-active-transaction query (pg: `SELECT COALESCE(MIN(xact_id),
+    * frontier) FROM active_xacts`; mssql: MIN_ACTIVE_ROWVERSION()). */
   def horizon(conf: Conf): Long = conf.horizonSql match {
     case Some(sql) => scalar(conf, sql)
     case None => scalar(conf,
@@ -334,9 +378,17 @@ object ChangeV2 {
     val span = end - from
     if (span <= 0) return Array.empty
     val n = math.min(numPartitions.toLong, span).toInt
+    // Overflow-safe bound math: the naive `span * i / n` overflows Long when
+    // versions are timestamp-like (epoch-micros ~1.7e18 with
+    // startMode=earliest and n >= 8), yielding garbage slice bounds = silent
+    // data loss. With span = q*n + r: span*i/n == q*i + r*i/n exactly
+    // (r < n <= numPartitions, so r*i never overflows), and the bounds are
+    // bit-identical to the naive form wherever that form doesn't overflow.
+    val q = span / n
+    val r = span % n
     (0 until n).map { i =>
-      val lo = from + span * i / n
-      val hi = from + span * (i + 1) / n
+      val lo = from + q * i + r * i / n
+      val hi = from + q * (i + 1) + r * (i + 1) / n
       ChangeSlice(lo, hi, horizon): InputPartition
     }.toArray
   }
@@ -384,7 +436,14 @@ object ChangeV2 {
     * semantics cannot be reproduced exactly (unknown column, float values
     * — SQL float equality could diverge from Spark's — or an operator
     * outside the conservative subset). Strings are escaped by doubling
-    * single quotes. */
+    * single quotes; a string containing a BACKSLASH is never pushed at
+    * all — on backslash-escaping dialects (MySQL with the default
+    * NO_BACKSLASH_ESCAPES off) `\` would escape the next character, so the
+    * doubled-quote escaping alone could break out of the literal: the
+    * pushed prefilter would then drop rows the Spark-side recheck can
+    * never restore (recheck only narrows), or inject SQL from query
+    * literals. Keeping such filters entirely Spark-side costs selectivity,
+    * never correctness. */
   def filterSql(f: org.apache.spark.sql.sources.Filter,
                 schema: StructType): Option[String] = {
     import org.apache.spark.sql.sources._
@@ -394,8 +453,8 @@ object ChangeV2 {
       case null => None
       case x @ (_: Long | _: Int | _: Short | _: Byte) => Some(x.toString)
       case b: Boolean => Some(if (b) "TRUE" else "FALSE")
-      case t: String => Some("'" + t.replace("'", "''") + "'")
-      case _ => None // floats/decimals/timestamps: keep Spark-side
+      case t: String if !t.contains("\\") => Some("'" + t.replace("'", "''") + "'")
+      case _ => None // floats/decimals/timestamps/backslash strings: Spark-side
     }
     def bin(n: String, op: String, v: Any): Option[String] =
       for (c <- col(n); l <- litSql(v)) yield s"$c $op $l"

@@ -165,6 +165,18 @@ class UrlOpsSpec extends SparkSpec {
       4L -> ((true, 2L)), 5L -> ((false, 1L)), 6L -> ((true, 0L))))
   }
 
+  test("robotsFilter ignores rules whose prefix exceeds the 5-digit pad bound " +
+    "(mirrored in the llm_robots_filter oracle CTE)") {
+    val docs = Seq((1L, "a.com", "/p")).toDF("doc_id", "rd", "path")
+    val over = "/" + ("p" * 100001)
+    val rules = Seq(("a.com", "/", false), ("a.com", over, true))
+      .toDF("domain", "path_prefix", "allow")
+    val out = UrlOps.robotsFilter(docs, "doc_id", "rd", "path", rules)
+      .select("allowed", "n_rules_matched").as[(Boolean, Long)].collect()
+    // the over-bound rule is dropped BEFORE matching: only the deny matches
+    assert(out.toSeq === Seq((false, 1L)))
+  }
+
   test("robotsFilter election keeps map-side partial aggregation and the rules " +
     "side broadcasts") {
     val docs = Seq((1L, "a.com", "/p")).toDF("doc_id", "rd", "path")

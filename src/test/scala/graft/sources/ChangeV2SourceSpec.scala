@@ -381,4 +381,77 @@ class ChangeV2SourceSpec extends SparkSpec {
     val off = ChangeOffset(123L, 456L)
     assert(ChangeOffset.parse(off.json()) == off)
   }
+
+  test("slices: timestamp-like version domains don't overflow — epoch-micro " +
+    "bounds stay contiguous, disjoint, and in-range") {
+    // span ~1.7e18: the naive span*(i+1) intermediate overflows Long and
+    // produced garbage bounds (silent data loss) before the q/r decomposition.
+    val from = 0L
+    val end = 1700000000000000000L
+    val slices = ChangeV2.slices(from, end, end + 1, 8).map(_.asInstanceOf[ChangeSlice])
+    assert(slices.length == 8)
+    assert(slices.head.lo == from && slices.last.hi == end)
+    assert(slices.sliding(2).forall { case Array(a, b) => a.hi == b.lo })
+    assert(slices.forall(s => s.lo >= from && s.hi <= end && s.lo < s.hi))
+    // bit-identical to the naive form where that form is safe
+    val small = ChangeV2.slices(10L, 20L, 99L, 4).map(_.asInstanceOf[ChangeSlice])
+    assert(small.map(s => (s.lo, s.hi)).toSeq ==
+      (0 until 4).map(i => (10L + 10L * i / 4, 10L + 10L * (i + 1) / 4)))
+  }
+
+  test("deserializeOffset: the monotone guard orders on the (version, horizon) " +
+    "PAIR — equal version with a higher horizon displaces a stale last") {
+    val conf = ChangeV2.Conf("jdbc:none", "", "", "", "outbox", "id", "xact_id",
+      numPartitions = 2, fetchSize = 100, startMode = "earliest",
+      startVersion = 0L, horizonSql = None, sessionInit = None)
+    val stream = new ChangeMicroBatchStream(new StructType(), conf)
+    stream.deserializeOffset("""{"version":10,"horizon":5}""")
+    assert(stream.lastOffset == ChangeOffset(10L, 5L))
+    stream.deserializeOffset("""{"version":10,"horizon":9}""")
+    assert(stream.lastOffset == ChangeOffset(10L, 9L),
+      "equal version, higher horizon must displace the stale last")
+    stream.deserializeOffset("""{"version":10,"horizon":7}""")
+    assert(stream.lastOffset == ChangeOffset(10L, 9L),
+      "a replayed lower pair never regresses the guard")
+    stream.deserializeOffset("""{"version":11,"horizon":2}""")
+    assert(stream.lastOffset == ChangeOffset(11L, 2L),
+      "a version advance adopts regardless of horizon (lexicographic order)")
+  }
+
+  test("filter pushdown refuses backslash-carrying string literals (dialect " +
+    "escape divergence would let the prefilter drop rows the recheck can't restore)") {
+    import org.apache.spark.sql.sources._
+    val schema = StructType(Seq(StructField("payload", StringType)))
+    assert(ChangeV2.filterSql(EqualTo("payload", "a\\b"), schema).isEmpty,
+      "backslash string must stay Spark-side")
+    assert(ChangeV2.filterSql(EqualTo("payload", "o'brien"), schema)
+      .contains("payload = 'o''brien'"), "quote doubling still pushes")
+    assert(ChangeV2.filterSql(In("payload", Array("x", "a\\b")), schema).isEmpty,
+      "one bad member poisons the IN list")
+  }
+
+  test("conf refuses procedure-only dialect configs with a pointer at the " +
+    "foreachBatch relay (mssql EXEC + CHANGETABLE cannot be range-sliced)") {
+    def confOf(opts: Map[String, String]) = {
+      val m = new java.util.HashMap[String, String]()
+      opts.foreach { case (k, v) => m.put(k, v) }
+      ChangeV2.conf(new org.apache.spark.sql.util.CaseInsensitiveStringMap(m))
+    }
+    val base = Map("url" -> "jdbc:none", "table" -> "outbox")
+    confOf(base) // sanity: the table shape is accepted
+    val e1 = intercept[IllegalArgumentException] {
+      confOf(base + ("procedure" -> "dbo.GetChanges"))
+    }
+    assert(e1.getMessage.contains("foreachBatch relay"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      confOf(Map("url" -> "jdbc:none",
+        "table" -> "EXEC dbo.GetChanges @Parameter = '{}'"))
+    }
+    assert(e2.getMessage.contains("foreachBatch relay"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      confOf(Map("url" -> "jdbc:none",
+        "table" -> "(SELECT * FROM CHANGETABLE(CHANGES dbo.t, 0) c) x"))
+    }
+    assert(e3.getMessage.contains("foreachBatch relay"), e3.getMessage)
+  }
 }

@@ -54,8 +54,17 @@ def main():
 
     bench["duckdb"] = {k: round(v, 6) for k, v in times.items()}
     bench["duckdb_total"] = round(sum(times.values()), 3)
+    # Freshness contract (r15 verdict): a pairing written by this script IS
+    # same-window by construction — stamp it and clear any carry-over label
+    # a Spark-only rerun may have set, so a stale denominator is always
+    # machine-visible in the artifact.
+    bench["duckdb_paired_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    bench["duckdb_sf"] = sfdir
+    bench["duckdb_carried_over"] = False
     if errors:
         bench["duckdb_errors"] = errors
+    elif "duckdb_errors" in bench:
+        del bench["duckdb_errors"]
 
     spark_q = bench.get("queries", {})
     ratios = sorted(
