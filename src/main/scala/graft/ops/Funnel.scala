@@ -451,25 +451,27 @@ object Funnel {
     * CTEs, so the two engines cross-check the whole trajectory, not just a
     * fixed point.
     *
-    * Scale shape (the iterative-trainer doctrine, round-9 rule h): the
-    * corpus-scale work is ONE transition-count aggregation + one distinct-
-    * type aggregation; the iteration state is the (event-type)² matrix —
-    * bounded by the type alphabet, never by events — so it is collected
-    * (annotated: type-scale, never corpus-scale) and iterated on the
-    * driver in microseconds at ANY event volume. */
+    * Scale shape: the corpus-scale work is ONE transition-count
+    * aggregation + one distinct-type aggregation; what happens next rides
+    * [[GraphOps.pageRankDispatch]]'s cap probe — the type alphabet is
+    * driver-bounded in every real deployment (so the driver fast path
+    * iterates in microseconds), but the collect is PROBED, not assumed
+    * (r15 verdict: the last unguarded graph-shaped collect), and an
+    * adversarial type domain falls through to the distributed power
+    * iteration with bit-identical truncating arithmetic. Nodes are the
+    * DISTINCT EVENT TYPES, not the edge-endpoint union — a type occurring
+    * only as some user's sole event has no transitions but still holds
+    * base mass (and changes n for everyone). */
   def typePageRank(events: DataFrame, tsCol: String, userCol: String,
                    typeCol: String, tieBreakCol: String,
-                   iters: Int = 8, dampPpm: Long = 850000L): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    // type-alphabet-scale collects, never corpus-scale
+                   iters: Int = 8, dampPpm: Long = 850000L,
+                   edgeCap: Int = GraphOps.prSmallEdgeCap): DataFrame = {
     val tr = transitionCounts(events, tsCol, userCol, typeCol, tieBreakCol)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val nodes = events.select(col(typeCol)).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    require(nodes.nonEmpty, "typePageRank: no events")
-    GraphOps.pageRankIterate(tr.toSeq, nodes, iters, dampPpm)
-      .toDF("node", "rank_ppm")
+      .select(col("from_type").as("f"), col("to_type").as("t"),
+        col("transitions").as("cnt"))
+      .localCheckpoint() // probed, then read by whichever path wins
+    val nodes = events.select(col(typeCol).as("node")).distinct()
+    GraphOps.pageRankDispatch(tr, Some(nodes), iters, dampPpm, edgeCap)
   }
 
   /** Gap-based sessionization: a new session starts whenever a user's

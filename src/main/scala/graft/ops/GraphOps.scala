@@ -231,17 +231,43 @@ object GraphOps {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 8, dampPpm: Long = 850000L,
                edgeCap: Int = prSmallEdgeCap): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
     val tr = edges.select(col(srcCol).as("f"), col(dstCol).as("t"))
       .groupBy(col("f"), col("t")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // probed, then read by whichever path wins
+    pageRankDispatch(tr, None, iters, dampPpm, edgeCap)
+  }
+
+  /** The cap-probe dispatch core shared by [[pageRank]] (endpoint-union
+    * nodes) and Funnel.typePageRank (explicit node table — distinct event
+    * types INCLUDING isolated ones, which endpoint union cannot see: a
+    * type occurring only as some user's sole event has no transition but
+    * still receives base mass, and n changes every rank). `tr` must be the
+    * pre-aggregated (f, t, cnt) edge table, localCheckpointed by the
+    * caller (it is probed AND read by whichever path wins). When a node
+    * table is supplied it is cap-probed too — both the edge aggregate and
+    * the node table must fit for the driver fast path; either over cap →
+    * distributed power iteration with the same node semantics. */
+  def pageRankDispatch(tr: DataFrame, nodesDf: Option[DataFrame],
+                       iters: Int, dampPpm: Long,
+                       edgeCap: Int = prSmallEdgeCap): DataFrame = {
+    val spark = tr.sparkSession
+    import spark.implicits._
     val head = if (edgeCap > 0) tr.take(edgeCap + 1) else Array.empty[org.apache.spark.sql.Row]
     if (edgeCap > 0 && head.length <= edgeCap) {
       val agg = head.toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val nodes = agg.flatMap(e => Seq(e._1, e._2)).distinct.sorted
-      pageRankIterate(agg, nodes, iters, dampPpm).toDF("node", "rank_ppm")
-    } else pageRankOnCounts(tr, iters, dampPpm)
+      val nodes = nodesDf match {
+        case None => Some(agg.flatMap(e => Seq(e._1, e._2)).distinct.sorted)
+        case Some(nd) =>
+          val nh = nd.select(col("node")).take(edgeCap + 1)
+          if (nh.length <= edgeCap) Some(nh.map(_.getString(0)).distinct.sorted.toSeq)
+          else None // node alphabet over cap: the edge probe fit but nodes don't
+      }
+      nodes match {
+        case Some(ns) =>
+          pageRankIterate(agg, ns, iters, dampPpm).toDF("node", "rank_ppm")
+        case None => pageRankOnCounts(tr, iters, dampPpm, nodesDf)
+      }
+    } else pageRankOnCounts(tr, iters, dampPpm, nodesDf)
   }
 
   /** Distributed power iteration over a pre-aggregated (f, t, cnt) edge
@@ -259,9 +285,11 @@ object GraphOps {
     * contrib join AND the dangling anti-join, and the lineage would
     * otherwise deepen by two joins per round. */
   def pageRankOnCounts(tr: DataFrame, iters: Int,
-                       dampPpm: Long = 850000L): DataFrame = {
-    val nodes = tr.select(col("f").as("node"))
-      .union(tr.select(col("t").as("node")))
+                       dampPpm: Long = 850000L,
+                       nodesDf: Option[DataFrame] = None): DataFrame = {
+    val nodes = nodesDf.map(_.select(col("node")))
+      .getOrElse(tr.select(col("f").as("node"))
+        .union(tr.select(col("t").as("node"))))
       .distinct().localCheckpoint() // re-read every round
     val n = nodes.count()
     require(n > 0, "pageRankOnCounts: no nodes")

@@ -81,6 +81,31 @@ class FunnelSpec extends SparkSpec {
     assert(again == pr)
   }
 
+  test("typePageRank rides the cap-probed dispatch: forced-distributed is " +
+    "bit-identical, and an ISOLATED type (a sole-event user) keeps base mass " +
+    "on both paths") {
+    // user 14 has ONE event of a type no transition touches: 'lonely' is in
+    // the node set (distinct event types) but not in any edge endpoint —
+    // the case that forbids delegating to endpoint-union nodes.
+    val g = Seq(
+      (1L, ts(1), 10L, "start"), (2L, ts(2), 10L, "mid"), (3L, ts(3), 10L, "end"),
+      (4L, ts(1), 11L, "start"), (5L, ts(2), 11L, "end"),
+      (6L, ts(1), 14L, "lonely")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    def run(cap: Int) =
+      Funnel.typePageRank(g, "ts", "user_id", "event_type", "event_id",
+          edgeCap = cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val driver = run(100000)  // well over: driver fast path
+    val dist = run(0)         // 0 disables the driver path: distributed
+    assert(driver.keySet == Set("start", "mid", "end", "lonely"),
+      "isolated type must appear in the ranking")
+    assert(driver == dist, s"paths diverged: driver=$driver dist=$dist")
+    // lonely is teleport-only (plus its share of dangling mass): it must
+    // hold mass but rank at/below 'start'
+    assert(driver("lonely") > 0L && driver("lonely") <= driver("start"))
+  }
+
   test("funnelSteps: greedy fold matches the hand-computed chained-min funnel") {
     val got = Funnel.funnelSteps(events, "ts", "user_id", "event_type",
         Seq("signup", "view", "purchase"), windowSeconds = 500L)
