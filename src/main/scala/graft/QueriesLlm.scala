@@ -3917,26 +3917,33 @@ object QueriesLlm {
       // the output: A's shards 'unchanged', B's 'added', nothing
       // 'removed'/'changed'.
       (s, d) => {
+        // ONE tokenize pass feeds BOTH versions: the batch flag rides the
+        // shard plan's partitionCols, so the two per-batch cumsum orders
+        // (bit-identical to planning each batch separately) share one
+        // checkpoint, one bucket rollup, and one window stage — the r16
+        // llm_manifest_diff job audit (was: two full manifestOf pipelines,
+        // each re-tokenizing its half and paying its own job rounds).
         val docs = Tables.documents(s, d)
-        def manifestOf(df: org.apache.spark.sql.DataFrame) = {
-          val based = TextOps.withNormToks(df, "text")
-          val nTokens = when(length(col("_norm")) === 0, 0L)
-            .otherwise(size(col("_toks")).cast("long"))
-          Assemble.shardManifest(
-            Assemble.shardPlan(
-              based.select(col("doc_id"), nTokens.as("n_tokens"),
-                Assemble.contentChecksumTerm(col("text")).as("_csum")),
-              "doc_id", "n_tokens", shardTokens = 2000L, salt = "shard"),
-            "shard_id", "doc_id", "n_tokens", col("_csum"))
-        }
-        // old manifest feeds the diff's old side AND the union (plan lint)
-        val a = manifestOf(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0))
-          .localCheckpoint(eager = false)
+        val based = TextOps.withNormToks(docs, "text")
+        val nTokens = when(length(col("_norm")) === 0, 0L)
+          .otherwise(size(col("_toks")).cast("long"))
+        val m = Assemble.shardManifest(
+          Assemble.shardPlan(
+            based.select(col("doc_id"), nTokens.as("n_tokens"),
+              Assemble.contentChecksumTerm(col("text")).as("_csum"),
+              (pmod(col("doc_id"), lit(10)) === 0).as("_isB")),
+            "doc_id", "n_tokens", shardTokens = 2000L, salt = "shard",
+            partitionCols = Seq("_isB")),
+          "shard_id", "doc_id", "n_tokens", col("_csum"),
+          extraKeys = Seq("_isB"))
+          .localCheckpoint(eager = false) // shard-scale; feeds off + both sides
+        val statCols = Seq("n_docs", "shard_tokens", "content_sum",
+          "min_id", "max_id").map(col)
+        val a = m.filter(!col("_isB")).select(col("shard_id") +: statCols: _*)
         val off = a.agg((max(col("shard_id")) + 1).as("_off"))
-        val b = manifestOf(docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+        val b = m.filter(col("_isB"))
           .crossJoin(broadcast(off)) // 1-row plan table, never collected
-          .select((col("shard_id") + col("_off")).as("shard_id"), col("n_docs"),
-            col("shard_tokens"), col("content_sum"), col("min_id"), col("max_id"))
+          .select((col("shard_id") + col("_off")).as("shard_id") +: statCols: _*)
         Assemble.manifestDiff(a, a.unionByName(b))
       },
       Some(withCtes(normDocsCte,

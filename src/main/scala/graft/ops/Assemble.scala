@@ -49,30 +49,39 @@ object Assemble {
     * aggregate and the per-bucket window, and at corpus scale re-deriving
     * the value column (typically a tokenization) twice costs more than
     * materializing the narrow (id, value) projection — callers should
-    * pre-project to exactly the columns they need downstream. */
+    * pre-project to exactly the columns they need downstream.
+    *
+    * `partitionCols` makes the running sum restart per group — N
+    * independent per-group prefix sums in ONE pass over the input (one
+    * checkpoint, one bucket rollup, one window stage), exactly equivalent
+    * to calling this once per group over the filtered input. The bucket
+    * rollup stays bounded at groups × buckets rows. */
   def hashOrderedCumSum(df: DataFrame, idCol: String, value: Column,
-                        salt: String, buckets: Int = 4096): DataFrame = {
+                        salt: String, buckets: Int = 4096,
+                        partitionCols: Seq[String] = Nil): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
       "buckets must be a power of two in [2, 2^20]")
     // hash60 < 2^60, so the top log2(buckets) bits give buckets that are
     // ordered by key range and uniformly loaded (the key is a sha-derived
     // uniform hash — no skew by construction).
     val shift = 60 - Integer.numberOfTrailingZeros(buckets)
+    val pcols = partitionCols.map(col)
     val keyed = df
       .withColumn("_key", shuffleKey(col(idCol), salt))
       .withColumn("_b", shiftright(col("_key"), shift))
       .withColumn("_v", value.cast("long"))
       .localCheckpoint()
-    // ≤ `buckets` rows: the unpartitioned window is bounded by construction,
-    // never by data volume.
-    val offsets = keyed.groupBy(col("_b")).agg(sum(col("_v")).as("_bt"))
+    // ≤ groups × `buckets` rows: the subtotal window is bounded by
+    // construction, never by data volume.
+    val offsets = keyed.groupBy(pcols :+ col("_b"): _*)
+      .agg(sum(col("_v")).as("_bt"))
       .withColumn("_off", coalesce(
-        sum(col("_bt")).over(Window.orderBy(col("_b"))
+        sum(col("_bt")).over(Window.partitionBy(pcols: _*).orderBy(col("_b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_b"), col("_off"))
-    val perBucket = Window.partitionBy(col("_b"))
+      .select(pcols :+ col("_b") :+ col("_off"): _*)
+    val perBucket = Window.partitionBy(pcols :+ col("_b"): _*)
       .orderBy(col("_key"), col(idCol))
-    keyed.join(broadcast(offsets), Seq("_b"))
+    keyed.join(broadcast(offsets), partitionCols :+ "_b")
       .withColumn("cum", col("_off") + sum(col("_v")).over(perBucket))
   }
 
@@ -93,9 +102,10 @@ object Assemble {
     * `tokensCol`; pre-project narrow — the input is checkpointed. */
   def shardPlan(df: DataFrame, idCol: String, tokensCol: String,
                 shardTokens: Long, salt: String = "shard",
-                buckets: Int = 4096): DataFrame = {
+                buckets: Int = 4096,
+                partitionCols: Seq[String] = Nil): DataFrame = {
     require(shardTokens >= 1, "shardTokens must be positive")
-    hashOrderedCumSum(df, idCol, col(tokensCol), salt, buckets)
+    hashOrderedCumSum(df, idCol, col(tokensCol), salt, buckets, partitionCols)
       .withColumn("_start", col("cum") - col("_v"))
       .withColumn("shard_id", expr(s"_start div ${shardTokens}L"))
       .withColumn("shard_offset", expr(s"_start % ${shardTokens}L"))
@@ -156,8 +166,9 @@ object Assemble {
     * shard membership and bytes. Plain group-by: one shuffle of
     * manifest-sized rows. */
   def shardManifest(planned: DataFrame, shardCol: String, idCol: String,
-                    tokensCol: String, checksumTerm: Column): DataFrame =
-    planned.groupBy(col(shardCol))
+                    tokensCol: String, checksumTerm: Column,
+                    extraKeys: Seq[String] = Nil): DataFrame =
+    planned.groupBy(extraKeys.map(col) :+ col(shardCol): _*)
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col(tokensCol)).as("shard_tokens"),

@@ -27,6 +27,20 @@ class AssembleSpec extends SparkSpec {
     assert(coarse == ref, "bucketed sum must equal the global-window reference")
   }
 
+  test("hashOrderedCumSum partitionCols: per-group sums in one pass are " +
+    "bit-identical to separate per-group calls (the llm_manifest_diff fusion)") {
+    val df = docs(500).withColumn("grp", pmod($"id", lit(10)) === 0)
+    val fused = Assemble.hashOrderedCumSum(df, "id", col("toks"), "s8",
+        partitionCols = Seq("grp"))
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    val separate = Seq(true, false).flatMap { g =>
+      Assemble.hashOrderedCumSum(df.filter($"grp" === g), "id", col("toks"), "s8")
+        .select($"id", $"cum").as[(Long, Long)].collect()
+    }.toMap
+    assert(fused == separate,
+      "partitioned cumsum must equal filtering + the unpartitioned form per group")
+  }
+
   test("shuffledOrder is a dense 0-based permutation, stable across runs, " +
     "and relative order survives data growth") {
     val df = docs(300).select($"id")
