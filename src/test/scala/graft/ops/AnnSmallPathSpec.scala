@@ -149,4 +149,36 @@ class AnnSmallPathSpec extends SparkSpec {
     assert(!Similarity.fitsSmallCorpus(emb, cap = 3))
     assert(Similarity.fitsSmallCorpus(emb, cap = 1000000))
   }
+
+  test("native qdot_q/qdist2_q reproduce the HOF forms bit-for-bit, " +
+    "including the null contract (either-null, unequal-length, null-element)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fix = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](4L, -5L, 6L)),
+      (2L, Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](4L, 5L, 6L)), // ragged
+      (3L, Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](4L, 5L, 6L)), // null el
+      (4L, null, Seq[java.lang.Long](1L, 2L, 3L)), // null side
+      (5L, Seq[java.lang.Long](-7L, 0L, 9L), Seq[java.lang.Long](2L, 8L, -3L))
+    ).toDF("id", "a", "b")
+    val got = fix.select(col("id"),
+      Similarity.qdot(col("a"), col("b")).as("nd"),
+      Similarity.qdotHof(col("a"), col("b")).as("hd"),
+      Similarity.qdist2(col("a"), col("b")).as("n2"),
+      Similarity.qdist2Hof(col("a"), col("b")).as("h2"))
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.get(4)))
+    got.foreach { case (id, nd, hd, n2, h2) =>
+      assert(nd == hd, s"id=$id qdot native=$nd hof=$hd")
+      assert(n2 == h2, s"id=$id qdist2 native=$n2 hof=$h2")
+    }
+    assert(got.find(_._1 == 1L).get._2 == 12L) // 4 - 10 + 18
+    assert(got.filter(r => Seq(2L, 3L, 4L).contains(r._1)).forall(_._2 == null))
+    // and on real corpus vectors the two forms agree everywhere
+    val both = emb.limit(50).select(Similarity.quantize(col("embedding")).as("v"))
+      .crossJoin(emb.limit(7).select(Similarity.quantize(col("embedding")).as("w")))
+    assert(both.filter(
+      Similarity.qdot(col("v"), col("w")) =!= Similarity.qdotHof(col("v"), col("w")) ||
+      Similarity.qdist2(col("v"), col("w")) =!= Similarity.qdist2Hof(col("v"), col("w"))
+    ).count() == 0)
+  }
 }
