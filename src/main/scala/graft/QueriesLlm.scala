@@ -51,7 +51,29 @@ object QueriesLlm {
     val emb = Tables.embeddings(s, d)
     Similarity.kmeansCentroidArrays(emb, k = 4, iterations = 1)
     Similarity.pqCodebookArrays(emb)
-    Classify.centroidModel(emb, 700, "cent").count(): Unit
+    Classify.centroidModel(emb, 700, "cent").count()
+    coEdges(s, d).count(): Unit
+  }
+
+  // Session-persisted co-purchase fixtures, the domainLinkGraph pattern:
+  // the basket table and its support-2 backbone feed FOUR registered
+  // queries (graph_triangles/components/degrees/assoc_rules), each of
+  // which previously re-scanned lineitem and re-aggregated baskets.
+  private val coBasketCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val coEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def coBaskets(s: SparkSession, d: String): DataFrame = {
+    Tables.sweepStopped(coBasketCache, (_: (SparkSession, String))._1)
+    coBasketCache.computeIfAbsent((s, d), _ =>
+      GraphOps.basketTable(Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+  private def coEdges(s: SparkSession, d: String): DataFrame = {
+    Tables.sweepStopped(coEdgeCache, (_: (SparkSession, String))._1)
+    coEdgeCache.computeIfAbsent((s, d), _ =>
+      GraphOps.edgesFromBaskets(coBaskets(s, d), minSupport = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   private val linkGraphCache =
@@ -4904,9 +4926,7 @@ object QueriesLlm {
         // Part co-purchase graph from lineitem (min-support-2 backbone),
         // degree-ordered wedge-join triangle count — see GraphOps scaladoc
         // for why support pruning precedes graph algebra at 100 TB.
-        (s, d) => GraphOps.triangleSummary(
-          GraphOps.coOccurrenceEdges(Tables.lineitem(s, d),
-            "l_orderkey", "l_partkey", minSupport = 2)),
+        (s, d) => GraphOps.triangleSummary(coEdges(s, d)),
         Some(withCtes(coOpCte, coEdgesWCte, coDegCte,
           """oriented AS MATERIALIZED (
             |  SELECT CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN e.pa ELSE e.pb END AS ku,
@@ -4930,14 +4950,9 @@ object QueriesLlm {
         // co-purchased parts) via the engine's CC machinery — checked
         // against a DuckDB RECURSIVE transitive closure, a different
         // algorithm that must agree on every component.
-        (s, d) => {
-          val edges = GraphOps.coOccurrenceEdges(Tables.lineitem(s, d),
-              "l_orderkey", "l_partkey", minSupport = 2)
-            .localCheckpoint()
-          DedupOps.connectedComponents(edges, "pa", "pb")
-            .groupBy(col("label").as("component_id"))
-            .agg(count(lit(1)).as("n_nodes"))
-        },
+        (s, d) => DedupOps.connectedComponents(coEdges(s, d), "pa", "pb")
+          .groupBy(col("label").as("component_id"))
+          .agg(count(lit(1)).as("n_nodes")),
         Some("WITH RECURSIVE " + Seq(coOpCte, coEdgesWCte,
           """bidir AS (
             |  SELECT pa AS src, pb AS dst FROM edges
@@ -4955,9 +4970,7 @@ object QueriesLlm {
         // Degree spectrum of the backbone in Zipf decades (digit count —
         // no float log), the hub-structure report.
         (s, d) => {
-          val edges = GraphOps.coOccurrenceEdges(Tables.lineitem(s, d),
-              "l_orderkey", "l_partkey", minSupport = 2)
-            .localCheckpoint()
+          val edges = coEdges(s, d)
           edges.select(col("pa").as("p")).unionAll(edges.select(col("pb").as("p")))
             .groupBy(col("p")).agg(count(lit(1)).as("d"))
             .groupBy((length(col("d").cast("string")) - 1).cast("long").as("deg_decade"))
@@ -5001,8 +5014,7 @@ object QueriesLlm {
         // Apriori step-1 association rules on the support-2 co-purchase
         // backbone: both rule directions with exact-integer confidence
         // (bp) and division-first lift (ppm).
-        (s, d) => GraphOps.associationRules(Tables.lineitem(s, d),
-          "l_orderkey", "l_partkey", minSupport = 2),
+        (s, d) => GraphOps.associationRulesOnBaskets(coBaskets(s, d), coEdges(s, d)),
         Some(withCtes(coOpCte, coEdgesWCte,
           """itemn AS MATERIALIZED (
             |  SELECT p AS item, CAST(count(*) AS BIGINT) AS n_item

@@ -86,6 +86,30 @@ object GraphOps {
       fact.select(col(txnCol).as("_txn"), col(itemCol).as("item")), minSupport,
       maxBasket)
 
+  /** Basket table (txn → sorted distinct item array) — exposed so a
+    * registry can persist ONE basket table across the whole co-purchase
+    * query family (r15 rule a: triangles, components, degrees, and
+    * association rules all derive from this one corpus-scale shuffle;
+    * re-deriving it per query paid the lineitem scan + basket aggregation
+    * four times per bench run). */
+  def basketTable(fact: DataFrame, txnCol: String, itemCol: String): DataFrame =
+    basketsOf(fact.select(col(txnCol).as("_txn"), col(itemCol).as("item")))
+
+  /** Support-pruned co-occurrence backbone from a [[basketTable]]. */
+  def edgesFromBaskets(baskets: DataFrame, minSupport: Int,
+                       maxBasket: Int = 1000): DataFrame =
+    pairsFromBaskets(baskets, minSupport, maxBasket)
+
+  /** [[associationRules]] over pre-built (typically session-persisted)
+    * basket + backbone tables — the same math as the default basket
+    * branch, minus the per-query derivation. */
+  def associationRulesOnBaskets(baskets: DataFrame, edges: DataFrame): DataFrame = {
+    val n = baskets.select(explode(col("_items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      .localCheckpoint() // joined on both rule sides
+    rulesTail(edges, n, baskets.agg(count(lit(1)).as("n_tx")))
+  }
+
   /** Pairwise association rules over the support-pruned co-occurrence
     * backbone (the Apriori step-1 surface a recommender mines):
     * both directions of every backbone edge, with exact-integer
@@ -152,6 +176,11 @@ object GraphOps {
         .localCheckpoint() // joined on both rule sides
       (e, n, baskets.agg(count(lit(1)).as("n_tx")))
     }
+    rulesTail(edgesCk, itemN, total)
+  }
+
+  private def rulesTail(edgesCk: DataFrame, itemN: DataFrame,
+                        total: DataFrame): DataFrame =
     edgesCk.select(col("pa").as("ante"), col("pb").as("cons"), col("w"))
       .unionAll(edgesCk.select(col("pb").as("ante"), col("pa").as("cons"), col("w")))
       .join(itemN.select(col("item").as("ante"), col("n_item").as("n_ante")), Seq("ante"))
@@ -160,7 +189,6 @@ object GraphOps {
       .select(col("ante"), col("cons"), col("w"), col("n_ante"), col("n_cons"),
         expr("w * 10000 div n_ante").as("conf_bp"),
         expr("(w * 1000000 div n_ante) * n_tx div n_cons").as("lift_ppm"))
-  }
 
   /** Degree-ordered triangle count over an undirected edge list
     * (`pa`/`pb`, canonical `pa < pb`): one summary row with node, edge,
