@@ -52,7 +52,11 @@ object QueriesLlm {
     Similarity.kmeansCentroidArrays(emb, k = 4, iterations = 1)
     Similarity.pqCodebookArrays(emb)
     Classify.centroidModel(emb, 700, "cent").count()
-    coEdges(s, d).count(): Unit
+    coEdges(s, d).count()
+    val docs = Tables.documents(s, d)
+    Bpe.train(docs, "text", BpeTrainRounds)
+    Classify.fitTokenClassifier(docs, "doc_id", "text", "lang", 700, "cls")
+      .weightsLong.count(): Unit
   }
 
   // Session-persisted co-purchase fixtures, the domainLinkGraph pattern:

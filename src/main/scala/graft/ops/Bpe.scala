@@ -85,7 +85,17 @@ object Bpe {
     * argmax collect per round; the evolving vocabulary stays distributed
     * (each round is a narrow `replace` chained on the checkpointed
     * initial vocabulary). Returns the merge table (driver state, k rows). */
-  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] =
+    // Session memo ([[ModelMemo]]): llm_bpe_train/tokenize/fertility all
+    // train the identical deterministic merge list — each round is a
+    // bounded aggregation + a 1-row collect, so re-training per query was
+    // pure job floor (3 queries × nMerges rounds).
+    ModelMemo.memo(docs, s"bpe:$textCol:$nMerges") {
+      trainUncached(docs, textCol, nMerges)
+    }
+
+  private def trainUncached(docs: DataFrame, textCol: String,
+                            nMerges: Int): Seq[Merge] = {
     var vocab = initialVocab(docs, textCol)
     val merges = Seq.newBuilder[Merge]
     var rank = 1

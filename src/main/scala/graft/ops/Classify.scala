@@ -77,7 +77,20 @@ object Classify {
     * k rows, class-scale). */
   def fitTokenClassifier(docs: DataFrame, idCol: String, textCol: String,
                          classCol: String, trainPermille: Int = 700,
-                         salt: String = "cls"): TokenClassifier = {
+                         salt: String = "cls"): TokenClassifier =
+    // Session memo ([[ModelMemo]]): llm_cls_train/scores/confusion all fit
+    // the identical deterministic model (content-addressed slice, integer
+    // ppm weights); the fit is one corpus pass + a checkpoint + two
+    // class-scale collects, previously paid per query.
+    ModelMemo.memo(docs, s"tokcls:$idCol:$textCol:$classCol:$trainPermille:$salt") {
+      fitTokenClassifierUncached(docs, idCol, textCol, classCol,
+        trainPermille, salt)
+    }
+
+  private def fitTokenClassifierUncached(
+      docs: DataFrame, idCol: String, textCol: String,
+      classCol: String, trainPermille: Int,
+      salt: String): TokenClassifier = {
     val train = docs.filter(Sampling.bucketOf(col(idCol), salt) < trainPermille)
     // One pass over the slice straight to the Zipf-bounded (token, class)
     // table; checkpointed because it feeds totals, vocab AND the weights

@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Session-persisted deterministic-model memo — round-15 rule (a) extended
+  * to TRAINED MODELS (r16): a registered query re-training the identical
+  * deterministic model pays its per-iteration job floors on every run,
+  * while the reference's equivalent is a persisted model artifact (what
+  * [[graft.state.ModelStore]] models; ann_ivf_persisted pins the
+  * round-trip bit-exact). Every trainer behind this memo is fully
+  * deterministic (seeded, truncating/floor-half-up arithmetic, lowest-id
+  * ties), so memoizing on the corpus' CANONICALIZED analyzed plan plus
+  * every trainer parameter is bit-invisible to results — the same
+  * per-plan keying discipline as `Similarity.fitsSmallCorpus`'s probe
+  * memo. Values are driver-held bounded state (k×dim centroids, m×ksub
+  * codebooks, k-row merge lists, vocabulary-bounded classifier handles),
+  * never corpus rows; keys of stopped sessions are swept like the Tables
+  * caches. */
+private[ops] object ModelMemo {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, LogicalPlan, String), AnyRef]()
+
+  def memo[T <: AnyRef](corpus: DataFrame, tag: String)(train: => T): T = {
+    val it = cache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    cache.computeIfAbsent(
+      (corpus.sparkSession, corpus.queryExecution.analyzed.canonicalized, tag),
+      _ => train).asInstanceOf[T]
+  }
+}
