@@ -85,6 +85,21 @@ class GraphOpsSpec extends SparkSpec {
       (3L, 2L, 2L, 3L, 4L, 6666L, 833332L)))
   }
 
+  test("associationRulesOnBaskets over pre-built basket/backbone tables " +
+    "equals the default path (the session-persisted fixture contract)") {
+    val fact = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L), (3L, 3L),
+      (4L, 2L), (4L, 3L), (5L, 3L)
+    ).toDF("txn", "item")
+    val baskets = GraphOps.basketTable(fact, "txn", "item")
+    val edges = GraphOps.edgesFromBaskets(baskets, minSupport = 2)
+    val viaFixtures = GraphOps.associationRulesOnBaskets(baskets, edges)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val direct = GraphOps.associationRules(fact, "txn", "item", minSupport = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaFixtures == direct)
+  }
+
   test("degree-ordered count equals brute-force triple enumeration (randomized)") {
     val rnd = new scala.util.Random(20260814L)
     for (trial <- 1 to 3) {
