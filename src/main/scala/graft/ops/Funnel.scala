@@ -687,15 +687,24 @@ object Funnel {
   def cohortLtv(events: DataFrame, tsCol: String, userCol: String,
                 typeCol: String, valueCol: String,
                 revType: String = "purchase"): DataFrame = {
+    // No checkpoint on the event projection (r12 rule d): it is a narrow
+    // cast/floor over ONE parquet table, so each consumer column-prunes
+    // its own scan — the first-seen branch reads (user, ts) only and the
+    // revenue branch pushes the type filter into the scan, where the old
+    // occurrence-scale localCheckpoint materialized every event row
+    // (incl. the type string) as deserialized rows just to save a cheap
+    // re-projection.
     val ev = events.select(col(userCol).as("user_id"),
       expr(s"CAST($tsCol AS LONG) div 604800").as("wk"),
       col(typeCol).as("event_type"),
       floor(col(valueCol) * 100).cast("long").as("v_cents"))
-      .localCheckpoint() // feeds first-seen AND the revenue join
     val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
-      .localCheckpoint() // feeds cohort sizes AND the revenue join
+      .localCheckpoint() // user-scale; feeds cohort sizes AND the revenue join
+    // `first` is one row per user by construction — plain count, no
+    // distinct state (the oracle's count(DISTINCT user_id) is identical
+    // on a deduped key).
     val sizes = first.groupBy(col("cohort_week"))
-      .agg(countDistinct(col("user_id")).as("cohort_users"))
+      .agg(count(lit(1)).as("cohort_users"))
     val rev = ev.filter(col("event_type") === revType)
       .join(first, Seq("user_id")) // same key as the groupBy — co-partitioned
       .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
