@@ -24,8 +24,18 @@ private[ops] object ModelMemo {
   def memo[T <: AnyRef](corpus: DataFrame, tag: String)(train: => T): T = {
     val it = cache.keySet.iterator()
     while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-    cache.computeIfAbsent(
-      (corpus.sparkSession, corpus.queryExecution.analyzed.canonicalized, tag),
-      _ => train).asInstanceOf[T]
+    val key = (corpus.sparkSession,
+      corpus.queryExecution.analyzed.canonicalized, tag)
+    // NOT computeIfAbsent: training runs Spark jobs and may one day call
+    // another memoized trainer — a reentrant computeIfAbsent on the same
+    // map throws/deadlocks. Racing duplicate trains are harmless (both
+    // produce the identical deterministic model; first put wins).
+    val existing = cache.get(key)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val v = train
+      val prev = cache.putIfAbsent(key, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
   }
 }
