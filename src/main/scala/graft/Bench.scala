@@ -9,8 +9,64 @@ package graft
   * optimizer prune projection-ending queries down to a row count, timing
   * none of the operator's actual work (the trap CLAUDE.md documents). */
 object Bench {
+
+  /** Invoke tools/bench_duckdb.py: dump the oracle SQL and time every query
+    * in DuckDB, rewriting `outPath` with the per-query denominator map +
+    * freshness stamps. Tolerates a missing artifact (duckdb-first order
+    * creates it). Failures leave whatever denominator the artifact already
+    * carries (labeled by the merge step). */
+  private def runPairing(sfDir: String, outPath: String): Unit = {
+    val esc = Harness.jsonEscape _
+    val script = java.nio.file.Paths.get("tools/bench_duckdb.py")
+    if (!java.nio.file.Files.exists(script)) {
+      System.err.println("[bench-pair] tools/bench_duckdb.py not found — skipping same-window pairing")
+      return
+    }
+    try {
+      val oraclePath = outPath.stripSuffix(".json") + ".oracle_sql.json"
+      val oj = SparkEntry.oracleSql
+        .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(oraclePath), oj)
+      val pb = new ProcessBuilder("python3", script.toString, sfDir, outPath, oraclePath)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+        .getLines().foreach(l => System.err.println(s"[bench-pair] $l"))
+      val code = proc.waitFor()
+      if (code != 0)
+        System.err.println(s"[bench-pair] exited $code — artifact keeps the labeled carried-over denominator")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench-pair] failed: ${e.getMessage} — artifact keeps the labeled carried-over denominator")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    val procStart = java.time.Instant.now()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional subset (comma-separated names) + repeat count for controlled
+    // A/B timing — per-query noise on a loaded machine is ±50%, so single
+    // runs of single queries are not comparable across invocations.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // A SPARK_GRAFT_ONLY subset run must never clobber the headline
+    // artifact: round 8 shipped a 3-query debug run over the only
+    // demonstrable full pairing (the r8 advice asked for exactly this
+    // guard). Full-registry runs keep the default path; subsets divert.
+    val defaultOut = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    val doPair = only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_PAIR")
+    // Pairing order: spark-first (default) times DuckDB right after the
+    // Spark pass; duckdb-first times it BEFORE this JVM does any Spark
+    // work — run both orders across two invocations for a publishable
+    // code-change claim (the BENCHNOTES both-orders discipline, now a
+    // harness switch instead of a manual campaign).
+    val pairOrder = sys.env.getOrElse("SPARK_GRAFT_PAIR_ORDER", "spark-first")
+    require(Set("spark-first", "duckdb-first")(pairOrder),
+      s"SPARK_GRAFT_PAIR_ORDER must be spark-first|duckdb-first, got '$pairOrder'")
+    if (doPair && pairOrder == "duckdb-first") runPairing(sfDir, outPath)
+
     val spark = Harness.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
 
     // Untimed warmup: the first action pays JVM/codegen/classloading costs
@@ -38,13 +94,6 @@ object Bench {
     // that exist before any query runs).
     try QueriesCore.warmFixtures(spark, sfDir) catch { case _: Throwable => () }
     try QueriesLlm.warmDerived(spark, sfDir) catch { case _: Throwable => () }
-
-    // Optional subset (comma-separated names) + repeat count for controlled
-    // A/B timing — per-query noise on a loaded machine is ±50%, so single
-    // runs of single queries are not comparable across invocations.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -83,12 +132,6 @@ object Bench {
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    // A SPARK_GRAFT_ONLY subset run must never clobber the headline
-    // artifact: round 8 shipped a 3-query debug run over the only
-    // demonstrable full pairing (the r8 advice asked for exactly this
-    // guard). Full-registry runs keep the default path; subsets divert.
-    val defaultOut = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"${esc(sfDir)}"}"""
     // Stop Spark BEFORE the DuckDB pairing pass below — the denominator
     // should not time against a still-active executor JVM.
@@ -114,43 +157,52 @@ object Bench {
             if (old.has(k) && !merged.has(k)) { merged.set[com.fasterxml.jackson.databind.JsonNode](k, old.get(k)); true }
             else false
           }
-          if (carried.nonEmpty) merged.put("duckdb_carried_over", true)
+          // "Carried over" means from a PREVIOUS window: a denominator the
+          // duckdb-first order wrote moments ago (stamp after this process
+          // started) is same-window and must not be labeled stale.
+          val freshOld = old.has("duckdb_paired_at") &&
+            (try java.time.Instant.parse(old.get("duckdb_paired_at").asText)
+              .isAfter(procStart)
+            catch { case _: Exception => false })
+          if (carried.nonEmpty) merged.put("duckdb_carried_over", !freshOld)
         } catch { case _: Exception => () } // unreadable old artifact: plain overwrite
+      }
+      // Recompute worst_ratios from the two maps now in THIS artifact —
+      // under duckdb-first the script computed them before the Spark side
+      // existed (stale/empty), and under carry-over they describe an old
+      // Spark pass.
+      if (merged.has("queries") && merged.has("duckdb")) {
+        val qn = merged.get("queries"); val dn = merged.get("duckdb")
+        val ratios = scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double)]()
+        qn.fieldNames().forEachRemaining { k =>
+          if (dn.has(k) && dn.get(k).asDouble > 0)
+            ratios += ((k, qn.get(k).asDouble / dn.get(k).asDouble,
+              qn.get(k).asDouble, dn.get(k).asDouble))
+        }
+        val arr = mapper.createArrayNode()
+        ratios.sortBy(-_._2).take(5).foreach { case (k, r, s, d) =>
+          val o = mapper.createObjectNode()
+          o.put("query", k); o.put("spark_over_duckdb", math.rint(r * 100) / 100)
+          o.put("spark_sec", math.rint(s * 1000) / 1000)
+          o.put("duckdb_sec", math.rint(d * 1000) / 1000)
+          arr.add(o)
+        }
+        merged.set[com.fasterxml.jackson.databind.JsonNode]("worst_ratios", arr)
       }
       java.nio.file.Files.writeString(p, mapper.writeValueAsString(merged) + "\n")
     } catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
 
     // Same-window pairing (r15 verdict, top task): a full-registry run pairs
-    // its OWN DuckDB denominator by invoking tools/bench_duckdb.py right
-    // here, in the same machine-load window as the Spark pass. The script
+    // its OWN DuckDB denominator by invoking tools/bench_duckdb.py in the
+    // same machine-load window as the Spark pass — after it (default) or
+    // before any Spark work (duckdb-first, already ran above). The script
     // rewrites the artifact with per-query duckdb times, duckdb_total,
     // worst_ratios, a duckdb_paired_at stamp, and duckdb_carried_over=false.
     // Subset runs never pair (their Spark side isn't the full registry);
     // SPARK_GRAFT_NO_PAIR=1 opts out for quick local full runs. A missing
     // script or a non-zero exit leaves the labeled carry-over as the
     // documented fallback.
-    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_PAIR")) {
-      val script = java.nio.file.Paths.get("tools/bench_duckdb.py")
-      if (java.nio.file.Files.exists(script)) {
-        try {
-          val oraclePath = outPath.stripSuffix(".json") + ".oracle_sql.json"
-          val oj = SparkEntry.oracleSql
-            .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
-            .mkString("{", ",", "}")
-          java.nio.file.Files.writeString(java.nio.file.Paths.get(oraclePath), oj)
-          val pb = new ProcessBuilder("python3", script.toString, sfDir, outPath, oraclePath)
-          pb.redirectErrorStream(true)
-          val proc = pb.start()
-          scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
-            .getLines().foreach(l => System.err.println(s"[bench-pair] $l"))
-          val code = proc.waitFor()
-          if (code != 0)
-            System.err.println(s"[bench-pair] exited $code — artifact keeps the labeled carried-over denominator")
-        } catch { case e: Exception =>
-          System.err.println(s"[bench-pair] failed: ${e.getMessage} — artifact keeps the labeled carried-over denominator")
-        }
-      } else System.err.println("[bench-pair] tools/bench_duckdb.py not found — skipping same-window pairing")
-    }
+    if (doPair && pairOrder == "spark-first") runPairing(sfDir, outPath)
 
     // Read the pairing result back for the stdout contract lines.
     val (duckTotal, carriedOver) = try {

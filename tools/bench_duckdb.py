@@ -31,7 +31,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main():
     sfdir, bench_path, oracle_path = sys.argv[1], sys.argv[2], sys.argv[3]
-    bench = json.load(open(bench_path))
+    # duckdb-first pairing (graft.Bench SPARK_GRAFT_PAIR_ORDER=duckdb-first)
+    # times the denominator BEFORE any Spark pass exists — start from an
+    # empty artifact and let Bench merge the Spark side in afterwards.
+    try:
+        bench = json.load(open(bench_path))
+    except FileNotFoundError:
+        bench = {}
     oracle = json.load(open(oracle_path))
 
     con = duckdb.connect()
