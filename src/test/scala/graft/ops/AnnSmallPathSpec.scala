@@ -181,4 +181,26 @@ class AnnSmallPathSpec extends SparkSpec {
       Similarity.qdist2(col("v"), col("w")) =!= Similarity.qdist2Hof(col("v"), col("w"))
     ).count() == 0)
   }
+
+  test("native kernels == HOF forms on randomized adversarial arrays " +
+    "(ragged lengths, null elements, null sides, extreme values)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    def arr(): Seq[java.lang.Long] =
+      if (rnd.nextInt(20) == 0) null
+      else Seq.fill(rnd.nextInt(9))(
+        if (rnd.nextInt(15) == 0) null
+        else java.lang.Long.valueOf(rnd.nextLong() % 1000000L))
+    val fix = (1 to 300).map(i => (i.toLong, arr(), arr()))
+      .toDF("id", "a", "b")
+    val diverged = fix.select(
+      Similarity.qdot(col("a"), col("b")).as("nd"),
+      Similarity.qdotHof(col("a"), col("b")).as("hd"),
+      Similarity.qdist2(col("a"), col("b")).as("n2"),
+      Similarity.qdist2Hof(col("a"), col("b")).as("h2"))
+      .filter(!(col("nd") <=> col("hd")) || !(col("n2") <=> col("h2")))
+      .count()
+    assert(diverged == 0, s"$diverged random rows diverged between native and HOF")
+  }
 }

@@ -399,6 +399,28 @@ class ChangeV2SourceSpec extends SparkSpec {
       (0 until 4).map(i => (10L + 10L * i / 4, 10L + 10L * (i + 1) / 4)))
   }
 
+  test("slices: randomized invariants — contiguous, disjoint, in-range, " +
+    "full coverage — across huge and tiny spans") {
+    val rnd = new scala.util.Random(20260816L)
+    for (_ <- 1 to 200) {
+      val from = rnd.nextLong() % (Long.MaxValue / 4)
+      val span = math.abs(rnd.nextLong()) % (Long.MaxValue / 2)
+      val end = from + span // no overflow: |from| < 2^61, span < 2^62
+      val n = 1 + rnd.nextInt(64)
+      val slices = ChangeV2.slices(from, end, end, n).map(_.asInstanceOf[ChangeSlice])
+      if (span <= 0) assert(slices.isEmpty)
+      else {
+        assert(slices.length == math.min(n.toLong, span).toInt)
+        assert(slices.head.lo == from && slices.last.hi == end)
+        assert(slices.forall(s => s.lo < s.hi))
+        assert(slices.sliding(2).forall {
+          case Array(a, b) => a.hi == b.lo
+          case _ => true
+        })
+      }
+    }
+  }
+
   test("deserializeOffset: the monotone guard orders on the (version, horizon) " +
     "PAIR — equal version with a higher horizon displaces a stale last") {
     val conf = ChangeV2.Conf("jdbc:none", "", "", "", "outbox", "id", "xact_id",
