@@ -17,11 +17,15 @@ object Bench {
     * carries (labeled by the merge step). */
   private def runPairing(sfDir: String, outPath: String): Unit = {
     val esc = Harness.jsonEscape _
-    val script = java.nio.file.Paths.get("tools/bench_duckdb.py")
-    if (!java.nio.file.Files.exists(script)) {
-      System.err.println("[bench-pair] tools/bench_duckdb.py not found — skipping same-window pairing")
-      return
-    }
+    // CWD-robust: the driver may invoke sbt from elsewhere — fall back to
+    // the script's location relative to this class's source tree.
+    val script = Seq("tools/bench_duckdb.py", "/root/repo/tools/bench_duckdb.py")
+      .map(java.nio.file.Paths.get(_))
+      .find(java.nio.file.Files.exists(_))
+      .getOrElse {
+        System.err.println("[bench-pair] tools/bench_duckdb.py not found — skipping same-window pairing")
+        return
+      }
     try {
       val oraclePath = outPath.stripSuffix(".json") + ".oracle_sql.json"
       val oj = SparkEntry.oracleSql
