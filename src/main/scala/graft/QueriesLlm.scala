@@ -877,19 +877,27 @@ object QueriesLlm {
       // rollup) — no window, no collect. Complements llm_repetition's
       // Gopher ppm filters (dup-token mass, bigram/trigram repetition).
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-          .filter(length(col("tok")) > 0)
-        toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("c")).as("n_tokens"),
-            count(lit(1)).as("distinct_tokens"),
-            max(col("c")).as("top_count"))
-          .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
-            floor(col("distinct_tokens") * 1000.0 / col("n_tokens")).cast("long")
-              .as("distinct_milli"),
-            floor(col("top_count") * 1000.0 / col("n_tokens")).cast("long")
-              .as("top_tok_milli"))
+        // MAP-ONLY since r16: the native repetition_stats kernel carries
+        // top_token (max unigram count), so the old two-shuffle
+        // (doc, token) aggregation collapses into one JVM walk per row —
+        // round-9 rule (a), the RepetitionStats precedent applied to this
+        // query. The explode(array(...)) Generate barrier keeps the stats
+        // struct evaluated ONCE per row (filter pushdown would otherwise
+        // substitute the expression into the predicate).
+        import org.apache.spark.sql.graftglue.ColumnGlue
+        val toks = array_remove(TextOps.tokens(col("text")), "")
+        val stats = ColumnGlue.column(
+          graft.expressions.RepetitionStats(ColumnGlue.expression(toks)))
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(array(stats)).as("_s"))
+          .filter(col("_s.n_tokens") > 0)
+          .select(col("doc_id"),
+            col("_s.n_tokens").as("n_tokens"),
+            col("_s.distinct_tokens").as("distinct_tokens"),
+            floor(col("_s.distinct_tokens") * 1000.0 / col("_s.n_tokens"))
+              .cast("long").as("distinct_milli"),
+            floor(col("_s.top_token") * 1000.0 / col("_s.n_tokens"))
+              .cast("long").as("top_tok_milli"))
       },
       Some(withCtes(normDocsCte,
         """tok_counts AS (

@@ -32,17 +32,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * direct static call so the surrounding projection stays in one
   * whole-stage-codegen span.
   *
-  * Returns struct(n_tokens, distinct_tokens, max_bigram, rep_trigram),
-  * all BIGINT: token count, distinct-token count, occurrence count of the
-  * most frequent bigram (0 when under 2 tokens), and repeat occurrences
-  * of trigrams `Σ(count−1)` (0 when under 3 tokens).
+  * Returns struct(n_tokens, distinct_tokens, top_token, max_bigram,
+  * rep_trigram), all BIGINT: token count, distinct-token count, occurrence
+  * count of the most frequent single token (0 on an empty array — r16,
+  * makes llm_token_diversity map-only instead of a two-shuffle
+  * (doc, token) aggregation), occurrence count of the most frequent
+  * bigram (0 when under 2 tokens), and repeat occurrences of trigrams
+  * `Σ(count−1)` (0 when under 3 tokens).
   */
 object RepetitionCore {
   def stats(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
-    val distinct = new java.util.HashSet[UTF8String](Math.max(16, n))
+    // One count map serves distinct (its size) AND the top-unigram count —
+    // same O(tokens) walk the old HashSet did.
+    val uni = new java.util.HashMap[UTF8String, Integer](Math.max(16, n))
+    var topTok = 0L
     var i = 0
-    while (i < n) { distinct.add(arr.getUTF8String(i)); i += 1 }
+    while (i < n) {
+      val c = uni.merge(arr.getUTF8String(i), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > topTok) topTok = c.intValue.toLong
+      i += 1
+    }
+    val distinct = uni
     var maxBi = 0L
     if (n >= 2) {
       val counts = new java.util.HashMap[AnyRef, Integer](Math.max(16, n))
@@ -65,7 +77,8 @@ object RepetitionCore {
         i += 1
       }
     }
-    new GenericInternalRow(Array[Any](n.toLong, distinct.size.toLong, maxBi, repTri))
+    new GenericInternalRow(Array[Any](n.toLong, distinct.size.toLong, topTok,
+      maxBi, repTri))
   }
 }
 
@@ -73,6 +86,7 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
     StructField("distinct_tokens", LongType, nullable = false),
+    StructField("top_token", LongType, nullable = false),
     StructField("max_bigram", LongType, nullable = false),
     StructField("rep_trigram", LongType, nullable = false)))
 

@@ -193,7 +193,10 @@ class RegisteredQueriesSpec extends SparkSpec {
     // r12 quality filters: per-document rules, Generate barriers only
     "llm_gopher_rules", "llm_c4_filters",
     // r12 unicode hygiene: strip + native nfc_normalize, pure projection
-    "llm_unicode_clean")
+    "llm_unicode_clean",
+    // r16: repetition_stats' top_token field collapsed the (doc, token)
+    // aggregation into the per-row kernel
+    "llm_token_diversity")
 
   test("map-only pin: row-local queries have zero exchanges") {
     // MUST read executedPlan with AQE off: sparkPlan predates

@@ -32,9 +32,10 @@ class NativeExprSpec extends SparkSpec {
   test("repetition_stats resolves from SQL and matches the Column-API path") {
     val got = spark.sql(
       """SELECT repetition_stats(array('a', 'a', 'a', 'b')) AS s"""
-    ).select($"s.n_tokens", $"s.distinct_tokens", $"s.max_bigram", $"s.rep_trigram")
-      .as[(Long, Long, Long, Long)].head()
-    assert(got == ((4L, 2L, 2L, 0L)))
+    ).select($"s.n_tokens", $"s.distinct_tokens", $"s.top_token",
+        $"s.max_bigram", $"s.rep_trigram")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((4L, 2L, 3L, 2L, 0L)))
     val typeErr = intercept[Exception] {
       spark.sql("SELECT repetition_stats(42)").collect()
     }
