@@ -3379,15 +3379,36 @@ object QueriesLlm {
       // "fraction of text in duplicated n-grams" quality gate, here over
       // 3-token shingle occurrences): ppm of a doc's shingle slots whose
       // shingle occurs more than once in that doc.
-      (s, d) => DedupOps.shingleHashRows(Tables.documents(s, d), "doc_id", "text")
-        .groupBy(col("doc_id"), col("_h")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_shingles"),
-          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup"))
-        .withColumn("dup_frac_ppm", expr("n_dup * 1000000 div n_shingles")),
-      Some("WITH " + Seq(normDocsCte, shinglesCte).mkString(",\n") + """,
-        |occ AS (SELECT doc_id, unnest(shingles) AS h FROM shingle_docs),
-        |pc AS (SELECT doc_id, h, count(*) AS c FROM occ GROUP BY 1, 2)
+      // MAP-ONLY and sha-free since r16: within-doc duplication never
+      // crosses rows, so the native kernel's dup_trigram_slots (count-map
+      // over UTF8String triples — EXACT string equality, no hash at all)
+      // replaces the hashed-shingle explode + two aggregations; the oracle
+      // counts the same raw string shingles. Docs under 3 tokens keep the
+      // one-sentinel-shingle convention (n_shingles=1, never dup) — the
+      // kernel sees Spark's split('')=[""] artifact as n_tokens=1, which
+      // lands in the same <3 branch the oracle's len(toks)=0 does.
+      (s, d) => {
+        import org.apache.spark.sql.graftglue.ColumnGlue
+        val stats = ColumnGlue.column(graft.expressions.RepetitionStats(
+          ColumnGlue.expression(TextOps.tokens(col("text")))))
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(array(stats)).as("_s"))
+          .select(col("doc_id"),
+            when(col("_s.n_tokens") >= 3, col("_s.n_tokens") - 2)
+              .otherwise(1L).as("n_shingles"),
+            when(col("_s.n_tokens") >= 3, col("_s.dup_trigram_slots"))
+              .otherwise(0L).as("n_dup"))
+          .withColumn("dup_frac_ppm", expr("n_dup * 1000000 div n_shingles"))
+      },
+      Some("WITH " + normDocsCte + """,
+        |sp AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |           THEN list_transform(range(len(toks) - 2),
+        |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+        |           ELSE [norm] END AS sps
+        |  FROM tok_docs),
+        |occ AS (SELECT doc_id, unnest(sps) AS s FROM sp),
+        |pc AS (SELECT doc_id, s, count(*) AS c FROM occ GROUP BY 1, 2)
         |SELECT doc_id,
         |       CAST(sum(c) AS BIGINT) AS n_shingles,
         |       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup,

@@ -37,8 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * count of the most frequent single token (0 on an empty array — r16,
   * makes llm_token_diversity map-only instead of a two-shuffle
   * (doc, token) aggregation), occurrence count of the most frequent
-  * bigram (0 when under 2 tokens), and repeat occurrences of trigrams
-  * `Σ(count−1)` (0 when under 3 tokens).
+  * bigram (0 when under 2 tokens), repeat occurrences of trigrams
+  * `Σ(count−1)` (0 when under 3 tokens), and `dup_trigram_slots` =
+  * `Σ_{count>1} count` — every trigram slot belonging to a repeated
+  * trigram, the Gopher dup-fraction numerator (0 when under 3 tokens).
   */
 object RepetitionCore {
   def stats(arr: ArrayData): InternalRow = {
@@ -68,17 +70,30 @@ object RepetitionCore {
       }
     }
     var repTri = 0L
+    var dupTriSlots = 0L
     if (n >= 3) {
-      val seen = new java.util.HashSet[AnyRef](Math.max(16, n))
+      // Count map instead of the old seen-set: rep_trigram = Σ(c−1) falls
+      // out as add-beyond-first, and dup_trigram_slots = Σ_{c>1} c (every
+      // slot belonging to a repeated trigram — the Gopher dup-fraction
+      // numerator) needs the counts (r16, makes llm_dup_ngram_frac
+      // map-only and sha-free).
+      val counts = new java.util.HashMap[AnyRef, Integer](Math.max(16, n))
       i = 0
       while (i < n - 2) {
-        if (!seen.add((arr.getUTF8String(i), arr.getUTF8String(i + 1),
-          arr.getUTF8String(i + 2)))) repTri += 1
+        val c = counts.merge((arr.getUTF8String(i), arr.getUTF8String(i + 1),
+          arr.getUTF8String(i + 2)), Integer.valueOf(1),
+          (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+        if (c.intValue > 1) repTri += 1
         i += 1
+      }
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().intValue()
+        if (c > 1) dupTriSlots += c
       }
     }
     new GenericInternalRow(Array[Any](n.toLong, distinct.size.toLong, topTok,
-      maxBi, repTri))
+      maxBi, repTri, dupTriSlots))
   }
 }
 
@@ -88,7 +103,8 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     StructField("distinct_tokens", LongType, nullable = false),
     StructField("top_token", LongType, nullable = false),
     StructField("max_bigram", LongType, nullable = false),
-    StructField("rep_trigram", LongType, nullable = false)))
+    StructField("rep_trigram", LongType, nullable = false),
+    StructField("dup_trigram_slots", LongType, nullable = false)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

@@ -196,7 +196,7 @@ class RegisteredQueriesSpec extends SparkSpec {
     "llm_unicode_clean",
     // r16: repetition_stats' top_token field collapsed the (doc, token)
     // aggregation into the per-row kernel
-    "llm_token_diversity")
+    "llm_token_diversity", "llm_dup_ngram_frac")
 
   test("map-only pin: row-local queries have zero exchanges") {
     // MUST read executedPlan with AQE off: sparkPlan predates
