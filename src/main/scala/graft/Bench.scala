@@ -10,6 +10,12 @@ package graft
   * none of the operator's actual work (the trap CLAUDE.md documents). */
 object Bench {
 
+  /** Locale-invariant "%.3f": the default-locale `format` emits a comma
+    * decimal separator under comma-decimal locales, which is invalid JSON
+    * in the machine-parsed stdout line. */
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   /** Invoke tools/bench_duckdb.py: dump the oracle SQL and time every query
     * in DuckDB, rewriting `outPath` with the per-query denominator map +
     * freshness stamps. Tolerates a missing artifact (duckdb-first order
@@ -17,10 +23,16 @@ object Bench {
     * carries (labeled by the merge step). */
   private def runPairing(sfDir: String, outPath: String): Unit = {
     val esc = Harness.jsonEscape _
-    // CWD-robust: the driver may invoke sbt from elsewhere — fall back to
-    // the script's location relative to this class's source tree.
-    val script = Seq("tools/bench_duckdb.py", "/root/repo/tools/bench_duckdb.py")
-      .map(java.nio.file.Paths.get(_))
+    // CWD-robust: the driver may invoke sbt from elsewhere — walk up from
+    // the working directory looking for tools/bench_duckdb.py (the repo
+    // root), instead of hard-coding one checkout location.
+    val rel = java.nio.file.Paths.get("tools", "bench_duckdb.py")
+    val script = Iterator
+      .iterate(java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath) { p =>
+        Option(p.getParent).orNull
+      }
+      .takeWhile(_ != null).take(8)
+      .map(_.resolve(rel))
       .find(java.nio.file.Files.exists(_))
       .getOrElse {
         System.err.println("[bench-pair] tools/bench_duckdb.py not found — skipping same-window pairing")
@@ -113,20 +125,38 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     if (selected.isEmpty)
       errors("_selection") = s"SPARK_GRAFT_ONLY matched zero registered queries: ${only.getOrElse(Set.empty).mkString(",")}"
-    (1 to repeat).flatMap(r => selected.map { case (n, f) =>
+    val named = (1 to repeat).flatMap(r => selected.map { case (n, f) =>
       (if (repeat > 1) s"$n#$r" else n, f)
-    }).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        // Small scan-dominated queries execute without AQE/codegen — the
-        // fixed floor dominates them and never amortizes (ExecPolicy).
-        graft.runtime.ExecPolicy.run(fn(spark, sfDir))(
-          _.write.format("noop").mode("overwrite").save())
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    })
+    // Per-query best-of-N (opt-in, SPARK_GRAFT_BEST_OF=2): one co-tenant
+    // spike on one query can distort a full-run artifact (r16 pair 8:
+    // p7_pause_filter 1.16 s vs 0.39 s on the rerun, same code). Extra
+    // passes reuse the warmed session; the headline map takes the
+    // per-query MIN across passes (the capability number the pairing
+    // doctrine already used manually, r15 rule f) and the artifact keeps
+    // every raw pass in `queries_passes` so nothing is hidden.
+    val bestOf = sys.env.getOrElse("SPARK_GRAFT_BEST_OF", "1").toInt.max(1)
+    val passTimings =
+      Seq.fill(bestOf)(scala.collection.mutable.LinkedHashMap[String, Double]())
+    (0 until bestOf).foreach { p =>
+      named.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          // Small scan-dominated queries execute without AQE/codegen — the
+          // fixed floor dominates them and never amortizes (ExecPolicy).
+          graft.runtime.ExecPolicy.run(fn(spark, sfDir))(
+            _.write.format("noop").mode("overwrite").save())
+          passTimings(p)(name) = (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            val key = if (bestOf > 1) s"$name#p${p + 1}" else name
+            errors(key) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
       }
+    }
+    named.foreach { case (name, _) =>
+      val vs = passTimings.flatMap(_.get(name))
+      if (vs.nonEmpty) timings(name) = vs.min
     }
     // Diagnostic (stderr, stdout contract untouched): how much of the run
     // was Janino compilation — the per-DISTINCT-plan cold-codegen floor.
@@ -160,6 +190,18 @@ object Bench {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val merged = mapper.readTree(line).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       merged.put("spark_run_at", java.time.Instant.now().toString)
+      if (bestOf > 1) {
+        // Raw per-pass timings behind the best-of headline: `queries` above
+        // holds the per-query MIN; every pass stays auditable here.
+        val passes = mapper.createArrayNode()
+        passTimings.foreach { pm =>
+          val o = mapper.createObjectNode()
+          pm.foreach { case (k, v) => o.put(k, v) }
+          passes.add(o)
+        }
+        merged.set[com.fasterxml.jackson.databind.JsonNode]("queries_passes", passes)
+        merged.put("best_of", bestOf)
+      }
       val p = java.nio.file.Paths.get(outPath)
       if (java.nio.file.Files.exists(p)) {
         try {
@@ -225,7 +267,7 @@ object Bench {
     } catch { case _: Exception => (None, false) }
     val pairJson = duckTotal.map { d =>
       val ratio = if (d > 0) total / d else -1.0
-      s""","duckdb_total":$d,"ratio":${"%.3f".format(ratio)},"duckdb_carried_over":$carriedOver"""
+      s""","duckdb_total":$d,"ratio":${f3(ratio)},"duckdb_carried_over":$carriedOver"""
     }.getOrElse("")
 
     println(line)
@@ -242,7 +284,7 @@ object Bench {
     val sb = new StringBuilder
     var kept = 0
     slowestFirst.foreach { case (k, v) =>
-      val entry = s""""${esc(k)}":${"%.3f".format(v)}"""
+      val entry = s""""${esc(k)}":${f3(v)}"""
       if (sb.length + entry.length + 1 <= budget) {
         if (sb.nonEmpty) sb.append(',')
         sb.append(entry); kept += 1

@@ -816,26 +816,52 @@ object DedupOps {
     *
     * Scale shape — linear passes, no doc×doc work: the compact
     * (id, token-array) projection is checkpointed ONCE and every
-    * occurrence-scale stage (the span Generate ×2, the token posexplode)
-    * re-derives from that local scan rather than materializing exploded
-    * rows (round-6 rule b / round-9 rule b); the dup election is one
-    * span-keyed map-side-combined aggregation (the [[duplicatedSpans]]
-    * shape); masking is a hash join back on the span; excision is a
-    * token-position anti join; reassembly is the per-doc in-group
-    * array_sort fold (the a3 pattern, no global sort). Every input doc
-    * returns a row (fully-masked or empty docs with cleaned_text "").
-    * Measured growth (ScaleSmoke r12, scale-invariant duplicate cliques):
-    * 100k docs 14.4 s → 1M docs 99.6 s = 6.9× per 10× — sub-linear per
-    * decade as the fixed stage costs amortize.
+    * occurrence-scale stage (the span Generate ×2) re-derives from that
+    * local scan rather than materializing exploded rows (round-6 rule b /
+    * round-9 rule b); the dup election is one span-keyed
+    * map-side-combined aggregation (the [[duplicatedSpans]] shape);
+    * masking is a hash join back on the span. Excision + reassembly is
+    * ROW-LOCAL (r17): the masked window STARTS are aggregated per doc
+    * (`collect_list(_idx)` — doc-length-bounded state, never unbounded),
+    * joined back to the toks checkpoint on the id (the checkpoint is
+    * already hash-partitioned by id, so only the start lists shuffle),
+    * and one native kernel pass ([[graft.expressions.ExciseSpans]])
+    * marks, merges overlaps, excises and rejoins per row. The previous
+    * shape paid a width× `maskedPos` explode, an occurrence-scale
+    * (id, pos) anti-join shuffle, and a corpus-scale
+    * `array_sort(collect_list(struct))` reassembly for the same per-doc
+    * work (r16 verdict task 1; round-9 rule a — the single JVM loop beats
+    * both the HOF chain and the shuffle shape). Every input doc returns a
+    * row (fully-masked or empty docs with cleaned_text "").
+    *
+    * The dup-span election table is localCheckpointed (it is an AGGREGATE
+    * feeding a join whose probe keys are Zipf-hot boilerplate spans —
+    * round-10 rule e: without the cut AQE cannot skew-split the fallback
+    * join) and the mask join auto-selects broadcast-vs-shuffle from a
+    * LIMIT-bounded probe of that materialization (reads at most cap+1
+    * rows — the [[decontaminate]] dispatch): a broadcast dup table makes
+    * the whole second span pass MAP-ONLY until the doc-bounded starts
+    * groupBy; a corpus whose dup-span table outgrows the cap falls back
+    * to the skew-splittable shuffle join instead of OOMing executors.
+    * `broadcastDupSpans` forces a path (specs pin path-output equality).
     *
     * Output: (idCol, cleaned_text, n_tokens, n_removed, n_spans_masked);
     * `cleaned_text` is over NORMALIZED tokens (same contract as
     * [[dropBoilerplateSegments]]). */
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                            width: Int = 8, keepFirst: Boolean = true): DataFrame = {
+                            width: Int = 8, keepFirst: Boolean = true,
+                            broadcastDupSpans: Option[Boolean] = None,
+                            broadcastMaxDupSpans: Long = 1000000L): DataFrame = {
     require(width >= 2, "a span needs at least 2 tokens")
-    def keyOf(id: Column, idx: Column): Column =
-      concat(lpad(id.cast("string"), 20, "0"), lpad(idx.cast("string"), 10, "0"))
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    // Keeper election key: numeric (id, idx) struct min — for non-negative
+    // ids this orders identically to the oracle's zero-padded
+    // `lpad(doc,20) ++ lpad(idx,10)` string min (both are (doc, position)
+    // lexicographic), so both engines elect the SAME occurrence while
+    // Spark skips building a 30-byte string per window occurrence in two
+    // passes (r17; struct min keeps map-side partials per the max_by
+    // note — the key never reaches the output, only the election does).
+    def keyOf(id: Column, idx: Column): Column = struct(id, idx)
     val toks = docs.repartition(col(idCol))
       .select(col(idCol), TextOps.normalize(col(textCol)).as("_norm"))
       .select(col(idCol),
@@ -854,30 +880,35 @@ object DedupOps {
         min(keyOf(col(idCol), col("_idx"))).as("_keeper"))
       .filter(col("_ndocs") > 1)
       .select(col("span"), col("_keeper"))
-    val masked = sp.join(dup, Seq("span"))
+      .localCheckpoint()
+    val useBroadcast = broadcastDupSpans.getOrElse {
+      val probe = math.min(broadcastMaxDupSpans, Int.MaxValue - 1L).toInt
+      dup.limit(probe + 1).count() <= probe
+    }
+    val dupSide = if (useBroadcast) broadcast(dup) else dup
+    // Masked window starts per doc — doc-length-bounded lists (a doc of T
+    // tokens has at most T-width+1 windows), so the per-group state is
+    // bounded by the longest document, not the corpus.
+    val starts = sp.join(dupSide, Seq("span"))
       .filter(if (keepFirst) keyOf(col(idCol), col("_idx")) =!= col("_keeper")
               else lit(true))
-      .select(col(idCol), col("_idx"))
-      .localCheckpoint() // feeds the position fan-out AND the window count
-    val maskedPos = masked.select(col(idCol),
-      explode(sequence(col("_idx"), col("_idx") + (width - 1))).as("_pos"))
-    val tokRows = toks.select(col(idCol),
-      posexplode(col("_toks")).as(Seq("_pos", "_tok")))
-    val perDoc = tokRows.join(maskedPos, Seq(idCol, "_pos"), "left_anti")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("_nkept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
-          x => x.getField("_tok")), " ").as("_cleaned"))
-    val wcnt = masked.groupBy(col(idCol)).agg(count(lit(1)).as("_nwin"))
-    toks.select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"))
-      .join(perDoc, Seq(idCol), "left")
-      .join(wcnt, Seq(idCol), "left")
+      .agg(collect_list(col("_idx").cast("long")).as("_starts"))
+    val ex = ColumnGlue.column(graft.expressions.ExciseSpans(
+      ColumnGlue.expression(col("_toks")),
+      ColumnGlue.expression(coalesce(col("_starts"), array().cast("array<long>"))),
+      width))
+    // `_ex` is multi-referenced and non-cheap, so CollapseProject keeps the
+    // projection materialized (round-7 rule b) — the kernel runs once per row.
+    toks.join(starts, Seq(idCol), "left")
+      .select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("_starts")), lit(0)).cast("long").as("n_spans_masked"),
+        ex.as("_ex"))
       .select(col(idCol),
-        coalesce(col("_cleaned"), lit("")).as("cleaned_text"),
+        col("_ex.cleaned_text").as("cleaned_text"),
         col("n_tokens"),
-        (col("n_tokens") - coalesce(col("_nkept"), lit(0L))).as("n_removed"),
-        coalesce(col("_nwin"), lit(0L)).as("n_spans_masked"))
+        (col("n_tokens") - col("_ex.n_kept")).as("n_removed"),
+        col("n_spans_masked"))
   }
 
   /** Per-SOURCE duplication rollup: for each source, the ppm of its

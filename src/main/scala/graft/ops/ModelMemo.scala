@@ -16,7 +16,17 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * memo. Values are driver-held bounded state (k×dim centroids, m×ksub
   * codebooks, k-row merge lists, vocabulary-bounded classifier handles),
   * never corpus rows; keys of stopped sessions are swept like the Tables
-  * caches. */
+  * caches.
+  *
+  * Staleness boundary: the key is the CANONICALIZED ANALYZED PLAN, which
+  * for file-backed corpora is path-level — rewriting a parquet file in
+  * place within one long-lived session would serve the model trained on
+  * the old bytes. The memo is session-scoped snapshot-at-first-read, the
+  * same contract as the Tables catalog cache; it is NOT content-addressed.
+  * ModelMemoSpec's data-change-miss pin covers LocalRelations (data
+  * embedded in the plan), which is exactly where content changes ARE
+  * plan-visible. Long-session callers mutating inputs in place must
+  * create a fresh session (or write a new path) to retrain. */
 private[ops] object ModelMemo {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, LogicalPlan, String), AnyRef]()

@@ -302,9 +302,11 @@ object ChangeV2 {
     require(o.get("procedure") == null && o.get("storedProcedureName") == null,
       s"graft-change: option 'procedure' is not supported — $relayHint")
     val tableOpt = req("table")
+    // Whitespace-normalized match: 'EXEC\tproc' or 'CHANGETABLE (' must hit
+    // the crisp refusal, not fall through to an opaque slice-0 SQL error.
     val tnorm = tableOpt.trim.toUpperCase(java.util.Locale.ROOT)
-    require(!tnorm.startsWith("EXEC ") && !tnorm.startsWith("EXECUTE ") &&
-        !tnorm.contains("CHANGETABLE("),
+    require(!tnorm.matches("(?s)^EXEC(UTE)?\\s.*") &&
+        !tnorm.matches("(?s).*CHANGETABLE\\s*\\(.*"),
       s"graft-change: table '$tableOpt' is a procedure/CHANGETABLE call, not a queryable table — $relayHint")
     Conf(
       url = req("url"),

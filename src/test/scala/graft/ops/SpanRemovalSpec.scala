@@ -58,4 +58,44 @@ class SpanRemovalSpec extends SparkSpec {
       assert(kept + nRem == nTok, s"'$cleaned' kept=$kept rem=$nRem tok=$nTok")
     }
   }
+
+  test("broadcast and shuffle mask-join paths produce identical output") {
+    def all(forced: Option[Boolean]) =
+      DedupOps.removeDuplicatedSpans(fixture, "doc_id", "text",
+          width = 4, broadcastDupSpans = forced)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(all(Some(true)) == all(Some(false)))
+  }
+
+  // The r17 native kernel (ExciseSpans) replaced the explode + anti-join +
+  // collect_list reassembly — pin its row-local contract directly on the
+  // edge cases the operator relies on: unsorted/duplicate starts, window
+  // union across touching and nested overlaps, tail clipping, full
+  // coverage, and the no-mask fast path.
+  test("excise kernel: overlap union, unsorted starts, clipping, full/none coverage") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ts: String*) =
+      new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+    def starts(ss: Long*) = new GenericArrayData(ss.toArray[Any])
+    def go(toks: Seq[String], ss: Seq[Long], w: Int) = {
+      val r = graft.expressions.ExciseSpansCore.excise(arr(toks: _*), starts(ss: _*), w)
+      (r.getUTF8String(0).toString, r.getLong(1))
+    }
+    val t = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    // unsorted + duplicate starts; [4,7] ∪ [2,5] = positions 2..7
+    assert(go(t, Seq(4L, 2L, 4L), 4) == (("a b", 2L)))
+    // touching (not overlapping) windows mask their exact union
+    assert(go(t, Seq(0L, 2L), 2) == (("e f g h", 4L)))
+    // staggered overlap: [1,5] ∪ [2,6] masks 1..6
+    assert(go(t, Seq(1L, 2L), 5) == (("a h", 2L)))
+    // tail clip: a start whose window runs past the end masks to the end only
+    assert(go(t, Seq(6L), 4) == (("a b c d e f", 6L)))
+    // full coverage reassembles to the empty string
+    assert(go(t, Seq(0L, 4L), 4) == (("", 0L)))
+    // no masks: fast path rejoins every token
+    assert(go(t, Seq(), 4) == (("a b c d e f g h", 8L)))
+    // empty doc stays empty whatever the starts claim
+    assert(go(Seq(), Seq(0L), 4) == (("", 0L)))
+  }
 }

@@ -58,9 +58,17 @@ def main():
         run = run + 1 if f else 0
         longest = max(longest, run)
 
+    # Two-segment prefix for the llm_/ann_/dedup_/mm_ namespaces — a
+    # one-segment key makes every llm_* query one "family" and lets a
+    # FAMILY-LOCAL verdict fire for unrelated queries sharing the prefix.
+    def family(k):
+        parts = k.split("_")
+        wide = {"llm", "ann", "dedup", "mm", "ev", "stream"}
+        return "_".join(parts[:2]) if parts[0] in wide and len(parts) > 1 else parts[0]
+
     fam = {}
     for d, k in movers:
-        fam.setdefault(k.split("_")[0], []).append(k)
+        fam.setdefault(family(k), []).append(k)
     fam_top = max(fam.items(), key=lambda kv: len(kv[1]), default=(None, []))
 
     print("\nsignature tests:")
