@@ -39,7 +39,24 @@ class RegisteredQueriesSpec extends SparkSpec {
     val names = SparkEntry.allQueries.map(_.name)
     assert(names.distinct.size == names.size,
       s"duplicate query names: ${names.diff(names.distinct).distinct}")
-    assert(names.size >= 211, s"registry shrank to ${names.size} queries (211 in round 10)")
+    assert(names.size >= 226, s"registry shrank to ${names.size} queries (226 in round 16)")
+  }
+
+  test("memoized-model query: cold session (no warmDerived, memo empty) " +
+    "output is byte-identical to the warmed shared session's") {
+    // ModelMemoSpec pins the memo layer; this pins it END-TO-END through
+    // the registry (r16 verdict task 6): training is deterministic, so a
+    // registry query served from a session-warmed model must equal the
+    // same query retraining from scratch. The fresh session shares the
+    // SparkContext and extensions but has its own memo keys (ModelMemo
+    // keys on the session), so its run is guaranteed memo-cold.
+    def rows(s: org.apache.spark.sql.SparkSession) =
+      SparkEntry.queries("ann_ivf_kmeans")(s, sfDir)
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    QueriesLlm.warmDerived(spark, sfDir) // shared session: memo warm
+    val warm = rows(spark)
+    val cold = rows(spark.newSession())
+    assert(cold == warm, "cold retrain diverged from the memoized model")
   }
 
   test("every registered query is documented in COVERAGE.md") {

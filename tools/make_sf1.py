@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Synthesize an sf1.0-scale documents/embeddings decade from sf0.1.
+
+The driver ships testdata at sf0.001/0.01/0.1 (x10 rows per step); no
+sf1.0 exists and /root/testdata is read-only, so the r16 verdict's
+"one measured decade" task is served by a synthetic x10 of the two
+corpus tables, built so the OPERATOR-relevant structure is
+scale-invariant:
+
+- documents (5000 -> 50000): copy 0 is sf0.1 verbatim; copies 1-9 get
+  every token prefixed with 'c<copy>' (the ScaleSmoke salting scheme),
+  so each copy reproduces the base corpus' internal duplicate/near-dup
+  structure in a disjoint token space and NO shingle matches across
+  copies. Duplicate-clique sizes and the dup fraction are therefore
+  invariant under the x10 - growth numbers measure the engine, not
+  ever-larger identical-copy cliques.
+
+- embeddings (2000 -> 20000): copy 0 verbatim; copy c's vectors are the
+  base vectors with coordinates ROTATED by 13*c positions (mod dim).
+  A coordinate permutation preserves norms and every within-copy dot
+  product exactly (the copy is an isometric image of the base cluster
+  structure), while cross-copy dot products decorrelate - so near-dup
+  cliques and label/cluster geometry are invariant and the corpus is a
+  genuine x10, not 10 stacked replicas (which would inflate near-dup
+  output quadratically, the ScaleSmoke caveat).
+
+Usage: python3 tools/make_sf1.py [outdir=/tmp/sf1.0]
+
+Only documents.parquet and embeddings.parquet are produced - the
+decade subset (SPARK_GRAFT_ONLY over the dedup/ann/llm families that
+read only these tables) is what the sf1.0 measurement runs.
+"""
+import sys
+
+import duckdb
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1.0"
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+con = duckdb.connect()
+con.execute("SET threads TO 16")
+import os
+
+os.makedirs(OUT, exist_ok=True)
+
+con.execute(f"""
+COPY (
+  SELECT d.doc_id + c.copy * 10000000 AS doc_id,
+         CASE WHEN c.copy = 0 THEN d.text
+              ELSE array_to_string(
+                     list_transform(string_split(d.text, ' '),
+                                    t -> 'c' || c.copy || t), ' ')
+         END AS text,
+         d.lang, d.source,
+         CASE WHEN c.copy = 0 THEN d.n_chars
+              ELSE CAST(length(array_to_string(
+                     list_transform(string_split(d.text, ' '),
+                                    t -> 'c' || c.copy || t), ' ')) AS BIGINT)
+         END AS n_chars
+  FROM '{SRC}/documents.parquet' d
+  CROSS JOIN (SELECT unnest(range({COPIES})) AS copy) c
+  ORDER BY doc_id
+) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
+""")
+
+con.execute(f"""
+COPY (
+  SELECT e.vec_id + c.copy * 10000000 AS vec_id,
+         CASE WHEN c.copy = 0 THEN e.embedding
+              ELSE list_transform(
+                     range(1, len(e.embedding) + 1),
+                     i -> e.embedding[
+                       1 + CAST((i - 1 + 13 * c.copy) % len(e.embedding) AS BIGINT)])
+         END AS embedding,
+         e.label
+  FROM '{SRC}/embeddings.parquet' e
+  CROSS JOIN (SELECT unnest(range({COPIES})) AS copy) c
+  ORDER BY vec_id
+) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("documents", "embeddings"):
+    n, = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()
+    print(f"{t}: {n} rows -> {OUT}/{t}.parquet")
