@@ -2995,12 +2995,12 @@ object QueriesLlm {
             col("top_bigram_ppm") < 400000 && col("dup_trigram_ppm") < 300000)
           .select(col("doc_id"), col("q_keep"), col("rep_ok"))
         val pii = piiRaw(docs).select(col("doc_id"),
-          (regexp_count(col("raw_text"), lit(TextOps.EmailRe)) +
-            regexp_count(col("raw_text"), lit(TextOps.PhoneRe)) +
-            regexp_count(col("raw_text"), lit(TextOps.Ipv4Re)) +
-            regexp_count(col("raw_text"), lit(TextOps.Ipv6Re)) +
+          (TextOps.guardedCount(col("raw_text"), "@", TextOps.EmailRe) +
+            TextOps.guardedCount(col("raw_text"), "-", TextOps.PhoneRe) +
+            TextOps.guardedCount(col("raw_text"), ".", TextOps.Ipv4Re) +
+            TextOps.guardedCount(col("raw_text"), ":", TextOps.Ipv6Re) +
             regexp_count(col("raw_text"), lit(TextOps.IbanRe)) +
-            regexp_count(col("raw_text"), lit(TextOps.SsnRe)))
+            TextOps.guardedCount(col("raw_text"), "-", TextOps.SsnRe))
             .cast("long").as("n_pii"))
         sig.join(keepers, Seq("doc_id"), "left")
           .join(pii, Seq("doc_id"))
@@ -3518,12 +3518,17 @@ object QueriesLlm {
         val raw = piiRaw(Tables.documents(s, d))
         raw.select(col("doc_id"),
           TextOps.redactPii(col("raw_text")).as("redacted"),
-          regexp_count(col("raw_text"), lit(TextOps.EmailRe)).cast("long").as("n_emails"),
-          regexp_count(col("raw_text"), lit(TextOps.PhoneRe)).cast("long").as("n_phones"),
-          regexp_count(col("raw_text"), lit(TextOps.Ipv4Re)).cast("long").as("n_ipv4"),
-          regexp_count(col("raw_text"), lit(TextOps.Ipv6Re)).cast("long").as("n_ipv6"),
+          TextOps.guardedCount(col("raw_text"), "@", TextOps.EmailRe)
+            .cast("long").as("n_emails"),
+          TextOps.guardedCount(col("raw_text"), "-", TextOps.PhoneRe)
+            .cast("long").as("n_phones"),
+          TextOps.guardedCount(col("raw_text"), ".", TextOps.Ipv4Re)
+            .cast("long").as("n_ipv4"),
+          TextOps.guardedCount(col("raw_text"), ":", TextOps.Ipv6Re)
+            .cast("long").as("n_ipv6"),
           regexp_count(col("raw_text"), lit(TextOps.IbanRe)).cast("long").as("n_iban"),
-          regexp_count(col("raw_text"), lit(TextOps.SsnRe)).cast("long").as("n_ssn"))
+          TextOps.guardedCount(col("raw_text"), "-", TextOps.SsnRe)
+            .cast("long").as("n_ssn"))
       },
       Some(withCtes(piiRawCte)(
         s"""SELECT doc_id,

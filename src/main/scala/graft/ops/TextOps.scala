@@ -358,23 +358,60 @@ object TextOps {
   val IbanRe = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\\b"
   val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
 
+  /** A regex step guarded by a cheap `contains(<required literal>)`: a
+    * pattern that REQUIRES a literal character ('@' for EmailRe, ':' for
+    * Ipv6Re, '.' for Ipv4Re, '-' for SsnRe/PhoneRe) provably has zero
+    * matches in a text lacking it, so the regex scan can be skipped from
+    * one instr() probe. This matters most for the email class — Java
+    * regex backtracks the `[a-zA-Z0-9._%+-]+` local-part class at every
+    * start position of ordinary prose (PiiProf at sf1.0: 1.9-2.1 s for
+    * the email count alone vs 0.26-0.54 s per other class), which is the
+    * bulk of the 6× gap to the oracle's RE2 (automaton, no backtracking).
+    * Semantics are bit-identical, so the oracle SQL is unchanged; IBAN
+    * and the long-digit fallback have no single required literal and stay
+    * unguarded (they are the cheap patterns). */
+  def litGuard(text: Column, lit0: String, ifMay: Column, ifNot: Column): Column =
+    when(text.contains(lit0), ifMay).otherwise(ifNot)
+
+  def emailGuard(text: Column, ifEmail: Column, ifNot: Column): Column =
+    litGuard(text, "@", ifEmail, ifNot)
+
+  /** Guarded count of one PII class (see [[litGuard]]). */
+  def guardedCount(text: Column, lit0: String, re: String): Column =
+    litGuard(text, lit0, regexp_count(text, lit(re)), lit(0))
+
   /** Redact email / IPv6 / IPv4 / IBAN-shape / SSN-shape / phone-shape /
     * long-digit-run substrings with typed placeholder tags. Pure codegen'd
-    * regexp_replace chain — one narrow pass, scales embarrassingly. */
-  def redactPii(text: Column): Column =
+    * regexp_replace chain — one narrow pass, scales embarrassingly; the
+    * literal-bearing classes skip their scan via [[litGuard]].
+    *
+    * Guards probe the ORIGINAL text, not the evolving chain value: the
+    * replacement tags introduce none of the guarded literals and a
+    * replacement only removes matched substrings, so an original-text
+    * probe can only be conservatively wrong (running a scan that finds
+    * nothing), never skip a real match. Each guarded step still
+    * references its chain input twice (replace branch + passthrough), so
+    * the analyzed tree carries 2⁴ copies of the inner chain (~300 nodes
+    * — well under the round-7 rule b JIT cliff and the ExecPolicy
+    * node guard); whole-stage codegen's subexpression elimination
+    * evaluates each distinct level once. */
+  def redactPii(text: Column): Column = {
+    def step(t: Column, lit0: String, re: String, tag: String): Column =
+      litGuard(text, lit0, regexp_replace(t, re, tag), t)
     regexp_replace(
-      regexp_replace(
-        regexp_replace(
+      step(
+        step(
           regexp_replace(
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(text, EmailRe, "<EMAIL>"),
-                Ipv6Re, "<IPV6>"),
-              Ipv4Re, "<IPV4>"),
+            step(
+              step(
+                step(text, "@", EmailRe, "<EMAIL>"),
+                ":", Ipv6Re, "<IPV6>"),
+              ".", Ipv4Re, "<IPV4>"),
             IbanRe, "<IBAN>"),
-          SsnRe, "<SSN>"),
-        PhoneRe, "<PHONE>"),
+          "-", SsnRe, "<SSN>"),
+        "-", PhoneRe, "<PHONE>"),
       LongNumRe, "<NUM>")
+  }
 
   /** Sliding token windows for model-input chunking: windows of `window`
     * tokens every `stride` tokens, starts at 0, stride, … until the tail is
