@@ -21,8 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantize an embedding to int64 milli-units. */
-  def quantize(vec: Column): Column =
+  /** Quantize a FLOAT embedding to int64 milli-units — native
+    * [[graft.expressions.QuantizeMilli]] (one compiled loop per row; the
+    * former `transform(vec, x -> round(x * 1000).cast(long))` ran 64
+    * interpreted lambda evals with a BigDecimal-backed round per row on
+    * EVERY encode of every ann query — the r17 sf1.0 decade exposed it as
+    * the family's per-row constant). Bit-equality with the HOF form is
+    * pinned by QuantizeMilliSpec; [[quantizeHof]] stays as the reference
+    * implementation. Requires ARRAY<FLOAT> (the embeddings schema) —
+    * double-typed test fixtures must cast, keeping one arithmetic. */
+  def quantize(vec: Column): Column = call_function("quantize_milli", vec)
+
+  /** The HOF reference form of [[quantize]] (spec cross-check only). */
+  private[ops] def quantizeHof(vec: Column): Column =
     transform(vec, x => round(x * 1000).cast("long"))
 
   // ---------------------------------------------------------------------
@@ -207,16 +218,19 @@ object Similarity {
       .sortBy(_._1)
     val mnLit = array(stats.map(s => lit(s._2)): _*)
     val spLit = array(stats.map(s => lit(math.max(1L, s._3 - s._2))): _*)
-    q
-      .withColumn("_mn", mnLit).withColumn("_sp", spLit)
-      .withColumn("_d", zip_with(col("_v"), col("_mn"), (v, m) => v - m))
-      .withColumn("codes", expr("zip_with(_d, _sp, (x, s) -> x * 255 div s)"))
-      .withColumn("_recon", expr("zip_with(codes, _sp, (c, s) -> c * s div 255)"))
-      .withColumn("sum_abs_err_milli",
-        aggregate(zip_with(col("_d"), col("_recon"), (x, r) => abs(x - r)),
-          lit(0L), (acc, e) => acc + e))
-      .select(col(idCol), array_join(col("codes"), ",").as("codes_str"),
-        col("sum_abs_err_milli"))
+    // Encode + error in ONE native pass ([[graft.expressions.Sq8Encode]]):
+    // the former 4-pass HOF chain (diff/code/recon/|err| zip_with +
+    // aggregate) ran ~256 interpreted lambda evals per row (round-9 rule
+    // a); the kernel replicates its arithmetic and null contract
+    // bit-for-bit (Sq8Spec recomputes both from the driver).
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val enc = ColumnGlue.column(graft.expressions.Sq8Encode(
+      ColumnGlue.expression(col("_v")),
+      ColumnGlue.expression(mnLit),
+      ColumnGlue.expression(spLit)))
+    q.select(col(idCol), enc.as("_e"))
+      .select(col(idCol), col("_e.codes_str").as("codes_str"),
+        col("_e.err").as("sum_abs_err_milli"))
   }
 
   /** Quantized elements as rows: (vec_id, _i, _q) — the layout for

@@ -10,8 +10,11 @@ class Sq8Spec extends SparkSpec {
   import spark.implicits._
 
   private def run(vecs: Seq[(Long, Seq[Double])], dims: Int) =
-    Similarity.sq8Quantize(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
-        dims)
+    Similarity.sq8Quantize(
+        vecs.toDF("vec_id", "embedding")
+          // the real schema is FLOAT[]; quantize_milli is float-typed
+          .withColumn("embedding", col("embedding").cast("array<float>")),
+        "vec_id", "embedding", dims)
       .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
 
   test("codes in [0,255]; extremes map to 0/255; constant dim encodes 0 " +
