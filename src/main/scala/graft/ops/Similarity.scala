@@ -54,9 +54,19 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   /** Rows a corpus may have and still take the fused broadcast path.
-    * Override via SPARK_GRAFT_ANN_SMALL_CAP; 0 disables the fast path. */
+    * Override via SPARK_GRAFT_ANN_SMALL_CAP; 0 disables the fast path.
+    *
+    * 32768 (r17, was 8192): the cap bounds DRIVER state — 32k rows ×
+    * 64 dims × 8 B = 16 MB collected, and every fused path's driver
+    * compute is k- or dim-bounded on top of it — so the guard is memory,
+    * not cores. Raised after the sf1.0 decade (20k vectors) pushed the
+    * iterative drivers onto their distributed paths for pure job floor:
+    * ann_mmr_topk paid its 8 map-only rounds at 2.1-3.0 s vs 0.26-0.5 s
+    * fused (same-window A/B, both orders; recall_at_k ~0.3 s better,
+    * everything else a wash). The distributed twins remain spec-pinned
+    * bit-identical and ScaleSmoke forces them via smallCap = 0. */
   val smallCorpusCap: Long =
-    sys.env.get("SPARK_GRAFT_ANN_SMALL_CAP").map(_.toLong).getOrElse(8192L)
+    sys.env.get("SPARK_GRAFT_ANN_SMALL_CAP").map(_.toLong).getOrElse(32768L)
 
   /** Minimum centroid count for the two-level coarse quantizer to engage
     * (below it the √C super-level saves nothing over the flat argmax).
