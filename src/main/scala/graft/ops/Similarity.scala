@@ -506,11 +506,20 @@ object Similarity {
       // ≤ bands·smallCap-row explode so the Generate runs once (plan lint).
       val bb = keyed.select(col("vec_id"), posexplode(col("_bks")).as(Seq("band", "bucket")))
         .localCheckpoint(eager = false)
+      // Candidates stay OCCURRENCE-scale until after the minCos filter:
+      // deduplicating 9M+ candidate rows BEFORE scoring (the former
+      // `pairs.distinct()`) was the stage's dominant shuffle at the sf1.0
+      // decade, while scoring a multi-band duplicate costs one extra
+      // native qdot (~34% more dots, measured 12.1M slots vs 9.06M
+      // distinct pairs at 20k vectors). Score per collision, filter, then
+      // dedup the SURVIVORS — score and cos_milli are deterministic per
+      // (id_a, id_b), so the post-filter distinct collapses byte-identical
+      // rows and the output contract is unchanged.
       val pairs = bb.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
         .join(broadcast(bb.select(col("band"), col("bucket"), col("vec_id").as("id_b"))),
           Seq("band", "bucket"))
         .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+        .select(col("id_a"), col("id_b"))
       pairs
         .join(broadcast(keyed.select(col("vec_id").as("id_a"), col("qv").as("qa"),
           col("n2").as("na2"))), Seq("id_a"))
@@ -521,16 +530,22 @@ object Similarity {
         .withColumn("cos_milli",
           floor(col("score") * 1000 / sqrt((col("na2") * col("nb2")).cast("double"))).cast("long"))
         .select(col("id_a"), col("id_b"), col("score"), col("cos_milli"))
+        .distinct()
     } else {
       // Materialize the band/bucket keys once: the self-join below would
       // otherwise re-run the posexplode + bands×planes aggregate per side
       // (self-joins re-evaluate the shared subtree — see DedupOps scaladoc).
       val bb = lshBandBuckets(corpus, bands, planesPerBand).localCheckpoint(eager = false)
+      // Occurrence-scale candidates, post-filter dedup — same rationale as
+      // the fused path above: the pre-score distinct of corpus²/2^planes
+      // candidate rows is the dominant shuffle, the duplicate dots are
+      // band-count-bounded, and the per-pair output rows are deterministic
+      // so the final distinct is byte-exact.
       val pairs = bb.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
         .join(bb.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
           Seq("band", "bucket"))
         .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+        .select(col("id_a"), col("id_b"))
       val keyed = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
         .withColumn("n2", qdot(col("qv"), col("qv")))
       pairs
@@ -543,6 +558,7 @@ object Similarity {
         .withColumn("cos_milli",
           floor(col("score") * 1000 / sqrt((col("na2") * col("nb2")).cast("double"))).cast("long"))
         .select(col("id_a"), col("id_b"), col("score"), col("cos_milli"))
+        .distinct()
     }
   }
 
