@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CmsCounts, GramMatrix, GzipCompress, GzipDecompress, KmvMins, MinhashSigs, NfcNormalize, PairStructs, QDist2, QDot, QuantizeMilli, RepetitionStats, SimhashFp, WinnowMins, TopKPairs, TopKPairsTagged}
+import graft.expressions.{CmsCounts, GramMatrix, GzipCompress, GzipDecompress, KmvMins, MinhashSigs, NfcNormalize, NormalizeText, PairStructs, QDist2, QDot, QuantizeMilli, RepetitionStats, SimhashFp, WinnowMins, TopKPairs, TopKPairsTagged}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so they are callable from SQL in any session configured with
@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("qdot_q"),
       new ExpressionInfo(classOf[QDot].getName, "qdot_q"),
       (children: Seq[Expression]) => QDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (children: Seq[Expression]) => NormalizeText(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("quantize_milli"),
       new ExpressionInfo(classOf[QuantizeMilli].getName, "quantize_milli"),

@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Lowercase, strip non-alphanumerics to spaces, collapse runs, trim —
-    * the canonical normalization before tokenizing/fingerprinting. */
-  def normalize(text: Column): Column =
+    * the canonical normalization before tokenizing/fingerprinting. One
+    * native byte-walk ([[graft.expressions.NormalizeText]], r17) replacing
+    * the two-regex chain that fronted every tokenize-bearing query;
+    * [[normalizeRef]] keeps the built-in chain as the parity reference
+    * (NormalizeTextSpec pins kernel ≡ chain). */
+  def normalize(text: Column): Column = call_function("normalize_text", text)
+
+  /** The built-in reference form of [[normalize]] (spec cross-check only). */
+  private[ops] def normalizeRef(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
 
   /** Whitespace tokens of the normalized text. */

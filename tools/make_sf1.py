@@ -26,6 +26,12 @@ scale-invariant:
 
 Usage: python3 tools/make_sf1.py [outdir=/tmp/sf1.0]
 
+Row groups are written SMALL (2048 rows) so Spark can split the single
+file: DuckDB's default one-giant-row-group output serializes every
+map-only Spark query onto ~1 task (a fixture artifact — real corpora
+are many files/groups), which understates the engine at exactly the
+scale the decade exists to measure.
+
 Only documents.parquet and embeddings.parquet are produced - the
 decade subset (SPARK_GRAFT_ONLY over the dedup/ann/llm families that
 read only these tables) is what the sf1.0 measurement runs.
@@ -61,7 +67,7 @@ COPY (
   FROM '{SRC}/documents.parquet' d
   CROSS JOIN (SELECT unnest(range({COPIES})) AS copy) c
   ORDER BY doc_id
-) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
+) TO '{OUT}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)
 """)
 
 con.execute(f"""
@@ -77,7 +83,7 @@ COPY (
   FROM '{SRC}/embeddings.parquet' e
   CROSS JOIN (SELECT unnest(range({COPIES})) AS copy) c
   ORDER BY vec_id
-) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)
 """)
 
 for t in ("documents", "embeddings"):
