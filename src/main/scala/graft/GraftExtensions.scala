@@ -66,6 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QDot].getName, "qdot_q"),
       (children: Seq[Expression]) => QDot(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("tokens_norm"),
+      new ExpressionInfo(classOf[graft.expressions.TokensNorm].getName, "tokens_norm"),
+      (children: Seq[Expression]) => graft.expressions.TokensNorm(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
       (children: Seq[Expression]) => NormalizeText(children.head)))

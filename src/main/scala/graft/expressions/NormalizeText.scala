@@ -71,3 +71,58 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): NormalizeText =
     copy(child = newChild)
 }
+
+/** Fused normalize + tokenize: the token ARRAY of [[NormalizeTextCore]]'s
+  * normalization, one byte walk, no intermediate normalized string and no
+  * regex split (Spark's `split(s, " ")` compiles the single-space pattern
+  * as a regex and re-allocates per token).
+  *
+  * Parity contract (pinned by NormalizeTextSpec): identical to
+  * `split(normalize_text(s), " ")` — each [a-z0-9] run of the lowered
+  * text is one token; ZERO runs yield `[""]` (split of the empty string
+  * is a one-element empty-string array — the "tokens is never empty"
+  * invariant CLAUDE.md documents and callers' element_at(_toks, 1)
+  * guards rely on). */
+object TokensNormCore {
+  def tokens(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val lower = s.toLowerCase
+    val b = lower.getBytes
+    val out = new java.util.ArrayList[Object](16)
+    var start = -1
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      val keep = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (keep) { if (start < 0) start = i }
+      else if (start >= 0) {
+        out.add(UTF8String.fromBytes(b, start, i - start)); start = -1
+      }
+      i += 1
+    }
+    if (start >= 0) out.add(UTF8String.fromBytes(b, start, b.length - start))
+    if (out.isEmpty) out.add(UTF8String.EMPTY_UTF8)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+case class TokensNorm(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "tokens_norm"
+  // containsNull = true matches StringSplit's dataType, so swapping the
+  // built-in formulation in and out never changes a schema.
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tokens_norm expects STRING, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokensNormCore.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TokensNormCore.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokensNorm =
+    copy(child = newChild)
+}

@@ -570,7 +570,7 @@ object DedupOps {
     docs.repartition(col(idCol))
       .select(col(idCol), TextOps.normalize(col(textCol)).as("_norm"))
       .filter(length(col("_norm")) > 0)
-      .select(col(idCol), split(col("_norm"), " ").as("_toks"))
+      .select(col(idCol), expr("tokens_norm(_norm)").as("_toks"))
       .select(col(idCol), col("_toks"),
         explode(sequence(lit(0),
           ceil(size(col("_toks")) / segTokens.toDouble).cast("long") - 1)).as("seg_idx"))
@@ -866,7 +866,7 @@ object DedupOps {
       .select(col(idCol), TextOps.normalize(col(textCol)).as("_norm"))
       .select(col(idCol),
         when(length(col("_norm")) === 0, array().cast("array<string>"))
-          .otherwise(split(col("_norm"), " ")).as("_toks"))
+          .otherwise(expr("tokens_norm(_norm)")).as("_toks"))
       .localCheckpoint() // compact projection; all exploded stages re-derive from this scan
     def sp: DataFrame = toks
       .filter(size(col("_toks")) >= width)

@@ -26,8 +26,13 @@ object TextOps {
   private[ops] def normalizeRef(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
 
-  /** Whitespace tokens of the normalized text. */
-  def tokens(text: Column): Column = split(normalize(text), " ")
+  /** Whitespace tokens of the normalized text — fused native walk
+    * ([[graft.expressions.TokensNorm]]; ≡ `split(normalize(text), " ")`,
+    * parity spec-pinned, incl. the `[""]`-on-empty invariant). */
+  def tokens(text: Column): Column = call_function("tokens_norm", text)
+
+  /** The built-in reference form of [[tokens]] (spec cross-check only). */
+  private[ops] def tokensRef(text: Column): Column = split(normalizeRef(text), " ")
 
   /** Token count (whitespace) — the cheap length signal. */
   def tokenCount(text: Column): Column =
@@ -53,7 +58,10 @@ object TextOps {
     * (measured ~4× the steady-state cost of llm_quality). */
   def withNormToks(df: DataFrame, textCol: String): DataFrame =
     df.select(col("*"), explode(array(normalize(col(textCol)))).as("_norm"))
-      .select(col("*"), explode(array(split(col("_norm"), " "))).as("_toks"))
+      // tokens_norm on already-normalized text ≡ split(_norm, " ") (runs of
+      // [a-z0-9] separated by single spaces; "" → [""]) without the regex
+      // split's per-token Pattern machinery.
+      .select(col("*"), explode(array(call_function("tokens_norm", col("_norm")))).as("_toks"))
 
   /** Quality features: chars, words, mean word length, punctuation ratio,
     * stopword ratio — the length/punct/stopword heuristics of C4-style
@@ -433,7 +441,7 @@ object TextOps {
     df.repartition(col(idCol))
       .select(col(idCol), normalize(col(textCol)).as("_norm"))
       .filter(length(col("_norm")) > 0)
-      .select(col(idCol), split(col("_norm"), " ").as("_toks"))
+      .select(col(idCol), expr("tokens_norm(_norm)").as("_toks"))
       .select(col(idCol), col("_toks"),
         explode(sequence(lit(0),
           ceil(greatest(size(col("_toks")) - window, lit(0)) / stride.toDouble)
