@@ -27,11 +27,22 @@ object Bench {
     // the working directory looking for tools/bench_duckdb.py (the repo
     // root), instead of hard-coding one checkout location.
     val rel = java.nio.file.Paths.get("tools", "bench_duckdb.py")
-    val script = Iterator
-      .iterate(java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath) { p =>
+    // Roots, in precedence order: explicit env override (forked/daemonized
+    // JVMs whose cwd is outside the tree — r18 advice fix), then the cwd
+    // walk-up, then the classpath location of this class (target/... sits
+    // under the repo root, so its walk-up finds tools/ too).
+    val roots =
+      sys.env.get("SPARK_GRAFT_REPO_ROOT").map(java.nio.file.Paths.get(_)).iterator ++
+      Iterator.iterate(java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath) { p =>
         Option(p.getParent).orNull
-      }
-      .takeWhile(_ != null).take(8)
+      }.takeWhile(_ != null).take(8) ++
+      (try {
+        val loc = java.nio.file.Paths.get(
+          getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        Iterator.iterate(loc)(p => Option(p.getParent).orNull)
+          .takeWhile(_ != null).take(8)
+      } catch { case _: Exception => Iterator.empty })
+    val script = roots
       .map(_.resolve(rel))
       .find(java.nio.file.Files.exists(_))
       .getOrElse {

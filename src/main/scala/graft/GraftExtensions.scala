@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
       (children: Seq[Expression]) => WinnowMins(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[graft.expressions.ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => graft.expressions.ShingleHashes(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("pair_structs"),
       new ExpressionInfo(classOf[PairStructs].getName, "pair_structs"),
       (children: Seq[Expression]) => PairStructs(children.head)))
@@ -73,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
       (children: Seq[Expression]) => NormalizeText(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("punct_count"),
+      new ExpressionInfo(classOf[graft.expressions.PunctCount].getName, "punct_count"),
+      (children: Seq[Expression]) => graft.expressions.PunctCount(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("quantize_milli"),
       new ExpressionInfo(classOf[QuantizeMilli].getName, "quantize_milli"),

@@ -11,7 +11,7 @@ object QMicro {
     for (rep <- 1 to 3) {
       val t0 = System.nanoTime()
       var i = 0; var s = 0L
-      while (i < arrs.length) { s += graft.expressions.QuantizeMilliCore.quant(arrs(i)).numElements(); i += 1 }
+      while (i < arrs.length) { s += graft.expressions.QuantizeMilliCore.quant(arrs(i), false).numElements(); i += 1 }
       println(f"native rep$rep ${(System.nanoTime()-t0)/1e9}%6.3f s ($s)")
     }
     // scala-BigDecimal variant (what Spark's Round actually calls)

@@ -3296,9 +3296,8 @@ object QueriesLlm {
           .otherwise(size(col("_toks")).cast("long"))
         val meanWordLen = (length(col("_norm")) - size(col("_toks")) + 1)
           .cast("double") / size(col("_toks"))
-        val punctRatio = (length(col("text")) -
-          length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
-          .cast("double") / length(col("text"))
+        val punctRatio =
+          TextOps.punctCount(col("text")).cast("double") / length(col("text"))
         val keep = size(col("_toks")) >= 10 &&
           meanWordLen >= 2.0 && meanWordLen <= 12.0 && punctRatio < 0.2
         based

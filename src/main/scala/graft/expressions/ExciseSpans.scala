@@ -58,10 +58,15 @@ object ExciseSpansCore {
     val masked = new Array[Boolean](n)
     var j = 0
     while (j < m) {
-      var p = starts.getLong(j).toInt
-      val end = Math.min(p + width, n)
-      if (p < 0) p = 0
-      while (p < end) { masked(p) = true; p += 1 }
+      val raw = starts.getLong(j)
+      // Defensive: a start outside [0, n) is IGNORED (scaladoc contract) —
+      // bounds-check the long before narrowing so >Int.MaxValue values
+      // can't wrap into a bogus in-range position.
+      if (raw >= 0L && raw < n) {
+        var p = raw.toInt
+        val end = Math.min(p + width, n)
+        while (p < end) { masked(p) = true; p += 1 }
+      }
       j += 1
     }
     var kept = 0

@@ -105,6 +105,60 @@ object TokensNormCore {
   }
 }
 
+/** Punctuation-character count of the RAW text — the quality-filter punct
+  * signal `length(t) - length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))` as
+  * one byte walk instead of a full Java-regex rewrite pass (the BENCHNOTES
+  * round-17 residual's candidate (b): the punct regex was the last regex
+  * in the llm_quality/llm_quality_filter/llm_mix_report hot path after
+  * normalize/tokenize went native, and regexp_replace pays
+  * UTF8String→String→UTF8String conversion plus an automaton walk plus
+  * the rewritten-string allocation just to take a LENGTH).
+  *
+  * Parity argument (pinned by NormalizeTextSpec against the regex form):
+  * Spark `length` on a string is `UTF8String.numChars` (code points);
+  * the regex keeps exactly the ASCII bytes [a-zA-Z0-9 ] — every kept char
+  * is a single UTF-8 byte, and every non-ASCII code point (lead byte
+  * ≥ 0xC0 + continuations) matches the negated class once per CODE POINT,
+  * exactly what `numChars - keptBytes` counts. Valid-UTF-8 inputs only
+  * (parquet strings are; an invalid byte sequence would diverge from the
+  * regex form's U+FFFD replacement semantics, not crash). NULL → NULL. */
+object PunctCountCore {
+  def count(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var keep = 0
+    var i = 0
+    while (i < n) {
+      val c = s.getByte(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == ' ') keep += 1
+      i += 1
+    }
+    s.numChars() - keep
+  }
+}
+
+case class PunctCount(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "punct_count"
+  // INT, matching `length(a) - length(b)` so swapping the regex form in
+  // and out never changes a schema.
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"punct_count expects STRING, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PunctCountCore.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.PunctCountCore.count($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PunctCount =
+    copy(child = newChild)
+}
+
 case class TokensNorm(child: Expression) extends UnaryExpression {
   override def prettyName: String = "tokens_norm"
   // containsNull = true matches StringSplit's dataType, so swapping the

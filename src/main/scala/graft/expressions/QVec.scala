@@ -155,13 +155,17 @@ object QuantizeMilliCore {
     if (d < 0) -r else r
   }
 
-  def quant(arr: ArrayData): ArrayData = {
+  /** `isDouble` selects the element accessor: ARRAY<DOUBLE> inputs (e.g.
+    * averaged/derived vectors) skip the float→double promotion — the HOF
+    * form's `x * 1000` is already double arithmetic there (r18 advice fix:
+    * the kernel previously rejected double arrays the HOF chain accepted). */
+  def quant(arr: ArrayData, isDouble: Boolean): ArrayData = {
     val n = arr.numElements()
     val res = new Array[Any](n)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val d = arr.getFloat(i).toDouble * 1000.0
+        val d = (if (isDouble) arr.getDouble(i) else arr.getFloat(i).toDouble) * 1000.0
         if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
           throw new ArithmeticException(
             s"quantize_milli: value $d cannot be cast to BIGINT (ANSI cast overflow)")
@@ -182,16 +186,23 @@ case class QuantizeMilli(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"quantize_milli expects ARRAY<FLOAT>, got ${other.catalogString}")
+      s"quantize_milli expects ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${other.catalogString}")
+  }
+
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    QuantizeMilliCore.quant(input.asInstanceOf[ArrayData])
+    QuantizeMilliCore.quant(input.asInstanceOf[ArrayData], isDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.QuantizeMilliCore.quant($c)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.QuantizeMilliCore.quant($c, $isDouble)")
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeMilli =
     copy(child = newChild)

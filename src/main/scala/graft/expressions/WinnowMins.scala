@@ -116,6 +116,59 @@ object WinnowMinsCore {
   }
 }
 
+/** All 3-token shingle hashes of a token array, in position order, as
+  * `array<bigint>` — one JVM pass per row (r18; VERDICT r17 tasks 2/3).
+  *
+  * Why native: [[graft.ops.DedupOps.shingleHashRows]] fronted every
+  * shingle-family operator (source dup rollup, decontamination, Jaccard
+  * verify, KMV source overlap) with an index explode whose per-OCCURRENCE
+  * work was `conv(substring(sha2(concat_ws(...)), 1, 15), 16, 10) % P` —
+  * a UTF8String concat allocation, a hex-string digest render, a
+  * base-16 string parse and a substring per shingle. This computes the
+  * digest over the raw token bytes and parses nothing ([[WinnowMinsCore
+  * .hash60Mod]] — the first 7.5 digest bytes ARE the 15-hex-char value),
+  * hashing each shingle exactly once; the explode downstream carries
+  * ready longs. Same hash contract as winnow_mins/minhash_sigs via the
+  * shared [[WinnowMinsCore.shingleHashMod]], so the SQL oracles replay
+  * values unchanged.
+  *
+  * Under 3 tokens there are no shingles — returns an empty array; callers
+  * keep the whole-doc-hash fallback (the `shingleHashRows` contract). */
+object ShingleHashesCore {
+  def hashes(arr: ArrayData): ArrayData = {
+    val m = arr.numElements() - 2
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = java.lang.Long.valueOf(WinnowMinsCore.shingleHashMod(arr, i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class ShingleHashes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects ARRAY<STRING> tokens, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(toks: Any): Any =
+    ShingleHashesCore.hashes(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expressions.ShingleHashesCore.hashes($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 case class WinnowMins(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

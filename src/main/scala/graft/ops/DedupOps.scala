@@ -17,6 +17,25 @@ import org.apache.spark.sql.functions._
   * any engine), and MinHash permutations are `(a·h + b) mod p` over
   * `p = 2^31-1` in plain int64 arithmetic — so signatures, buckets and
   * candidate pairs are oracle-checkable in DuckDB, not just "plausible".
+  *
+  * == localCheckpoint at cluster scale (the one-place statement) ==
+  * Operators here (and in Similarity/TextOps/GraphOps) use
+  * `Dataset.localCheckpoint()` wherever a derived table feeds 2+ consumers
+  * or must be severed from its lineage before a skew-sensitive join
+  * (CLAUDE.md r4d, r10e). localCheckpoint stores deserialized partitions in
+  * EXECUTOR-LOCAL block storage: on this single-JVM sandbox that is free
+  * and correct, but on a real multi-executor cluster those blocks are LOST
+  * when an executor dies, failing the job (no lineage to recompute — that
+  * is the point of the cut). Cluster deployments should swap the call
+  * sites for one of: (a) `spark.sparkContext.setCheckpointDir` + reliable
+  * `checkpoint()` (HDFS/S3-backed, survives executor loss, costs a write +
+  * read), (b) explicit materialization to a parquet/Delta temp table when
+  * the derived table is reused across queries, or (c) for the PLAN-shaping
+  * uses only (duplicate-subtree prevention, AQE skew-split enablement),
+  * `persist(StorageLevel.MEMORY_AND_DISK)` + a count() barrier — which
+  * keeps lineage for fault recovery at the cost of re-running the cut
+  * subtree on loss. Each call site's comment states WHY the cut is there;
+  * this block states the trade-off once so per-site notes can stay short.
   */
 object DedupOps {
 
@@ -78,20 +97,24 @@ object DedupOps {
     *    (parquet cannot split them) and pre-clusters by doc id for the
     *    downstream signature groupBy. */
   def shingleHashRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
     val P = MersennePrime31
+    // r18: the per-OCCURRENCE `sha2 → hex → conv → %` expression chain is
+    // now ONE JVM loop per doc ([[graft.expressions.ShingleHashes]], same
+    // shared hash core as winnow_mins/minhash_sigs — values bit-identical,
+    // oracles unchanged); the explode carries ready longs instead of
+    // re-deriving each shingle's hash from element_at+concat_ws+sha2
+    // string machinery per position. The when() keeps the whole-doc-hash
+    // fallback for under-3-token docs (one row, `_doc_h`).
+    val sh = ColumnGlue.column(graft.expressions.ShingleHashes(
+      ColumnGlue.expression(col("_toks"))))
     df.repartition(col(idCol))
       .select(col(idCol),
         (hash60(TextOps.normalize(col(textCol))) % P).as("_doc_h"),
         TextOps.tokens(col(textCol)).as("_toks"))
-      .select(col(idCol), col("_doc_h"), col("_toks"),
-        explode(sequence(lit(0), greatest(size(col("_toks")) - 3, lit(0)))).as("_idx"))
       .select(col(idCol),
-        when(size(col("_toks")) >= 3,
-          hash60(concat_ws(" ",
-            expr("element_at(_toks, _idx + 1)"),
-            expr("element_at(_toks, _idx + 2)"),
-            expr("element_at(_toks, _idx + 3)"))) % P)
-          .otherwise(col("_doc_h")).as("_h"))
+        explode(when(size(col("_toks")) >= 3, sh)
+          .otherwise(array(col("_doc_h")))).as("_h"))
   }
 
   /** One row per adjacent token bigram — same codegen index-explode shape
@@ -570,7 +593,7 @@ object DedupOps {
     docs.repartition(col(idCol))
       .select(col(idCol), TextOps.normalize(col(textCol)).as("_norm"))
       .filter(length(col("_norm")) > 0)
-      .select(col(idCol), expr("tokens_norm(_norm)").as("_toks"))
+      .select(col(idCol), TextOps.tokens(col("_norm")).as("_toks"))
       .select(col(idCol), col("_toks"),
         explode(sequence(lit(0),
           ceil(size(col("_toks")) / segTokens.toDouble).cast("long") - 1)).as("seg_idx"))
@@ -861,12 +884,21 @@ object DedupOps {
     // Spark skips building a 30-byte string per window occurrence in two
     // passes (r17; struct min keeps map-side partials per the max_by
     // note — the key never reaches the output, only the election does).
-    def keyOf(id: Column, idx: Column): Column = struct(id, idx)
+    // Non-numeric idCol falls back to the padded-string key itself (the
+    // struct ordering of strings is plain lexicographic, which the
+    // unpadded oracle key is NOT) — r18 advice fix: a string-typed caller
+    // previously elected a different keeper than the oracle silently.
+    val idIsNumeric = docs.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def keyOf(id: Column, idx: Column): Column =
+      if (idIsNumeric) struct(id, idx)
+      else concat(lpad(id.cast("string"), 20, "0"),
+                  lpad(idx.cast("string"), 10, "0"))
     val toks = docs.repartition(col(idCol))
       .select(col(idCol), TextOps.normalize(col(textCol)).as("_norm"))
       .select(col(idCol),
         when(length(col("_norm")) === 0, array().cast("array<string>"))
-          .otherwise(expr("tokens_norm(_norm)")).as("_toks"))
+          .otherwise(TextOps.tokens(col("_norm"))).as("_toks"))
       .localCheckpoint() // compact projection; all exploded stages re-derive from this scan
     def sp: DataFrame = toks
       .filter(size(col("_toks")) >= width)

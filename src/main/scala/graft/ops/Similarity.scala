@@ -28,9 +28,15 @@ object Similarity {
     * EVERY encode of every ann query — the r17 sf1.0 decade exposed it as
     * the family's per-row constant). Bit-equality with the HOF form is
     * pinned by QuantizeMilliSpec; [[quantizeHof]] stays as the reference
-    * implementation. Requires ARRAY<FLOAT> (the embeddings schema) —
-    * double-typed test fixtures must cast, keeping one arithmetic. */
-  def quantize(vec: Column): Column = call_function("quantize_milli", vec)
+    * implementation. Accepts ARRAY<FLOAT> (the embeddings schema) and
+    * ARRAY<DOUBLE> (derived/averaged vectors — the double branch skips the
+    * float→double promotion, matching the HOF arithmetic; r18 advice fix).
+    * Built via ColumnGlue so it resolves in sessions without
+    * GraftExtensions; the SQL name stays registered for oracle use. */
+  def quantize(vec: Column): Column = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    ColumnGlue.column(graft.expressions.QuantizeMilli(ColumnGlue.expression(vec)))
+  }
 
   /** The HOF reference form of [[quantize]] (spec cross-check only). */
   private[ops] def quantizeHof(vec: Column): Column =
@@ -172,9 +178,13 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1).toIndexedSeq
 
-  /** Integer dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
-    call_function("qdot_q", a, b)
+  /** Integer dot product of two quantized vectors (session-independent —
+    * direct expression, no GraftExtensions dependency). */
+  def qdot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    ColumnGlue.column(graft.expressions.QDot(
+      ColumnGlue.expression(a), ColumnGlue.expression(b)))
+  }
 
   /** The HOF form [[qdot]] replaced (kept for the null-semantics contract
     * statement in QVec.scala's scaladoc and as the reference
@@ -183,13 +193,22 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Integer squared-L2 distance of two quantized vectors. */
-  def qdist2(a: Column, b: Column): Column =
-    call_function("qdist2_q", a, b)
+  def qdist2(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    ColumnGlue.column(graft.expressions.QDist2(
+      ColumnGlue.expression(a), ColumnGlue.expression(b)))
+  }
 
   private[ops] def qdist2Hof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
 
-  /** Float cosine similarity (production scoring). */
+  /** Float cosine similarity — NON-HOT convenience form. This is a 3-lambda
+    * INTERPRETED HOF chain (~3×dim lambda evals per call, round-9 rule a);
+    * no registered query uses it, and none should on a pair stage — hot
+    * paths quantize once and score with the native [[qdot]]/[[qdist2]]
+    * kernels (r16 rule c took the ann pair family 2-14× off exactly this
+    * shape). Kept for ad-hoc float scoring where exactness vs the float
+    * formulation matters more than throughput. */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.ColumnGlue
 
 /** Text-analysis primitives for a training-data pipeline: normalization,
   * tokenization, language scoring, quality scoring, fingerprinting.
@@ -20,7 +21,11 @@ object TextOps {
     * the two-regex chain that fronted every tokenize-bearing query;
     * [[normalizeRef]] keeps the built-in chain as the parity reference
     * (NormalizeTextSpec pins kernel ≡ chain). */
-  def normalize(text: Column): Column = call_function("normalize_text", text)
+  def normalize(text: Column): Column =
+    // Direct expression construction (not call_function) so the operator
+    // works in sessions that never registered GraftExtensions (r18 advice
+    // fix — the SQL name stays registered for oracle/SQL use).
+    ColumnGlue.column(graft.expressions.NormalizeText(ColumnGlue.expression(text)))
 
   /** The built-in reference form of [[normalize]] (spec cross-check only). */
   private[ops] def normalizeRef(text: Column): Column =
@@ -29,10 +34,21 @@ object TextOps {
   /** Whitespace tokens of the normalized text — fused native walk
     * ([[graft.expressions.TokensNorm]]; ≡ `split(normalize(text), " ")`,
     * parity spec-pinned, incl. the `[""]`-on-empty invariant). */
-  def tokens(text: Column): Column = call_function("tokens_norm", text)
+  def tokens(text: Column): Column =
+    ColumnGlue.column(graft.expressions.TokensNorm(ColumnGlue.expression(text)))
 
   /** The built-in reference form of [[tokens]] (spec cross-check only). */
   private[ops] def tokensRef(text: Column): Column = split(normalizeRef(text), " ")
+
+  /** Punctuation-char count of the RAW text — native byte walk
+    * ([[graft.expressions.PunctCount]]; ≡ [[punctCountRef]], spec-pinned).
+    * The last regex in the quality-feature hot path (r17 residual b). */
+  def punctCount(text: Column): Column =
+    ColumnGlue.column(graft.expressions.PunctCount(ColumnGlue.expression(text)))
+
+  /** The regex reference form of [[punctCount]] (spec cross-check only). */
+  private[ops] def punctCountRef(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
 
   /** Token count (whitespace) — the cheap length signal. */
   def tokenCount(text: Column): Column =
@@ -61,7 +77,7 @@ object TextOps {
       // tokens_norm on already-normalized text ≡ split(_norm, " ") (runs of
       // [a-z0-9] separated by single spaces; "" → [""]) without the regex
       // split's per-token Pattern machinery.
-      .select(col("*"), explode(array(call_function("tokens_norm", col("_norm")))).as("_toks"))
+      .select(col("*"), explode(array(tokens(col("_norm")))).as("_toks"))
 
   /** Quality features: chars, words, mean word length, punctuation ratio,
     * stopword ratio — the length/punct/stopword heuristics of C4-style
@@ -70,7 +86,7 @@ object TextOps {
     val t = col(textCol)
     val based = withNormToks(df, textCol)
     val toks = when(length(col("_norm")) === 0, 0).otherwise(size(col("_toks")))
-    val punct = length(t) - length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))
+    val punct = punctCount(t)
     based.withColumn("n_chars_m", length(t))
       .withColumn("n_words", toks)
       .withColumn("punct_chars", punct)
@@ -336,8 +352,7 @@ object TextOps {
         toks.as("n_words"),
         when(toks > 0, (length(col("_norm")) - toks + 1).cast("double") / toks)
           .as("mean_word_len"),
-        ((length(t) - length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))).cast("double")
-          / length(t)).as("punct_ratio"),
+        (punctCount(t).cast("double") / length(t)).as("punct_ratio"),
         stats.as("_s"))
       .select(col(idCol), col("n_words"), col("mean_word_len"), col("punct_ratio"),
         col("_s.n_tokens").as("n_tokens"),
@@ -441,7 +456,7 @@ object TextOps {
     df.repartition(col(idCol))
       .select(col(idCol), normalize(col(textCol)).as("_norm"))
       .filter(length(col("_norm")) > 0)
-      .select(col(idCol), expr("tokens_norm(_norm)").as("_toks"))
+      .select(col(idCol), tokens(col("_norm")).as("_toks"))
       .select(col(idCol), col("_toks"),
         explode(sequence(lit(0),
           ceil(greatest(size(col("_toks")) - window, lit(0)) / stride.toDouble)

@@ -62,7 +62,7 @@ object StreamingStats {
         explode(array(TextOps.normalize(coalesce(col(textCol), lit(""))))).as("_norm"))
       .select(col("source"),
         when(length(col("_norm")) === 0, 0L)
-          .otherwise(size(expr("tokens_norm(_norm)")).cast("long")).as("_nt"),
+          .otherwise(size(TextOps.tokens(col("_norm"))).cast("long")).as("_nt"),
         DedupOps.hash60(col("_norm")).as("_h"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs"), sum(col("_nt")).as("tokens"),

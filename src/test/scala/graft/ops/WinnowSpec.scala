@@ -40,6 +40,51 @@ class WinnowSpec extends SparkSpec {
     got.keys.foreach(id => assert(got(id) == ref(id), s"doc $id"))
   }
 
+  test("shingleHashRows kernel rows equal the SQL-form expression chain (r18)") {
+    // The pre-r18 formulation: index explode + per-position
+    // hash60(concat_ws(...)) % P — the exact expression chain the oracles
+    // replay. The native shingle_hashes path must emit the same multiset
+    // of (id, hash) rows, including the whole-doc-hash fallback.
+    val P = DedupOps.MersennePrime31
+    val ref = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        (DedupOps.hash60(TextOps.normalize(col("text"))) % P).as("_doc_h"),
+        TextOps.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("_doc_h"), col("_toks"),
+        explode(sequence(lit(0), greatest(size(col("_toks")) - 3, lit(0)))).as("_idx"))
+      .select(col("doc_id"),
+        when(size(col("_toks")) >= 3,
+          DedupOps.hash60(concat_ws(" ",
+            expr("element_at(_toks, _idx + 1)"),
+            expr("element_at(_toks, _idx + 2)"),
+            expr("element_at(_toks, _idx + 3)"))) % P)
+          .otherwise(col("_doc_h")).as("_h"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val got = DedupOps.shingleHashRows(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == ref)
+    // and on real corpus text
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val refC = corpus.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        (DedupOps.hash60(TextOps.normalize(col("text"))) % P).as("_doc_h"),
+        TextOps.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("_doc_h"), col("_toks"),
+        explode(sequence(lit(0), greatest(size(col("_toks")) - 3, lit(0)))).as("_idx"))
+      .select(col("doc_id"),
+        when(size(col("_toks")) >= 3,
+          DedupOps.hash60(concat_ws(" ",
+            expr("element_at(_toks, _idx + 1)"),
+            expr("element_at(_toks, _idx + 2)"),
+            expr("element_at(_toks, _idx + 3)"))) % P)
+          .otherwise(col("_doc_h")).as("_h"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val gotC = DedupOps.shingleHashRows(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(gotC == refC)
+  }
+
   test("density and containment guarantees: fingerprints are a subset of " +
     "shingle hashes and at most one per window start") {
     val fps = DedupOps.winnowFingerprints(docs, "doc_id", "text")
