@@ -117,6 +117,29 @@ object DedupOps {
           .otherwise(array(col("_doc_h")))).as("_h"))
   }
 
+  /** [[shingleHashRows]] with the per-document dedup made ROW-LOCAL
+    * (r18; round-9 rule b applied to shingles): `array_distinct` runs on
+    * the per-doc hash array BEFORE the explode, so consumers needing
+    * per-doc distinct (id, _h) rows get them with ZERO extra exchange —
+    * the old `.select(id, _h).distinct()` shuffled every occurrence on a
+    * near-unique (doc, shingle) key just to collapse within-doc repeats,
+    * which are row-local by definition. Cross-doc rows are already
+    * distinct because the id differs. */
+  def shingleHashRowsDistinctPerDoc(df: DataFrame, idCol: String,
+                                    textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val P = MersennePrime31
+    val sh = ColumnGlue.column(graft.expressions.ShingleHashes(
+      ColumnGlue.expression(col("_toks"))))
+    df.repartition(col(idCol))
+      .select(col(idCol),
+        (hash60(TextOps.normalize(col(textCol))) % P).as("_doc_h"),
+        TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        explode(when(size(col("_toks")) >= 3, array_distinct(sh))
+          .otherwise(array(col("_doc_h")))).as("_h"))
+  }
+
   /** One row per adjacent token bigram — same codegen index-explode shape
     * as [[shingleHashRows]]; used for boilerplate/coverage scoring. */
   def tokenBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -948,102 +971,88 @@ object DedupOps {
     * corpus-wide — the signal that ranks feeds/crawls by boilerplate
     * weight before sampling a training mix.
     *
-    * Linear passes over the shingle rows hash-joined on the shingle hash,
-    * then one rollup on the source — no doc×doc work. The shingle pass is
-    * materialized once (localCheckpoint, round-4 shared-subtree rule).
+    * JOIN-FREE SHAPE (r18): the occurrence→per-shingle-count join this
+    * operator was built around is algebraically unnecessary. Identity:
+    * every occurrence of a shingle with `n_docs = 1` lives in exactly ONE
+    * document, hence one source — so
+    * `dup_occ(source) = total_occ(source) − Σ_{h: n_docs(h)=1} occ(h)`,
+    * with each unique-shingle sum attributed to the single source its one
+    * document carries. Dataflow:
+    *   1. `total_occ(source)`: per-doc shingle COUNTS need no explode —
+    *      `greatest(size(tokens)−2, 1)` per doc, one map-only pass with
+    *      map-side combine on the tiny source domain;
+    *   2. ONE occurrence-scale aggregation to (shingle, doc⊕source) — the
+    *      partial-agg half the old shape's countDistinct ran internally,
+    *      made explicit so the occurrence count and the
+    *      source-of-the-single-doc ride the same pass (no Expand, no
+    *      second distinct plan);
+    *   3. a shingle-scale rollup to (n_occ, n_docs, src-if-unique), a
+    *      source-scale filter+sum, and a source-domain join of two
+    *      bounded aggregates.
+    * The former shape's occurrence-scale localCheckpoint, its TWO
+    * occurrence aggregations and its occurrence×counts join — plus the
+    * hot/cold two-path machinery protecting that join from boilerplate
+    * skew (AQE's OptimizeSkewedJoin declines joins above aggregates;
+    * DedupSimilaritySpec still documents the declination on the naive
+    * form) — are all gone because THERE IS NO JOIN LEFT TO SKEW. The only
+    * remaining hot-key concentration is stage 3's reduce partition
+    * receiving one row per (hot shingle, doc) pair — the identical
+    * distinct-pair bound the old countDistinct paid internally,
+    * ~n_docs(h) rows for the hottest shingle, fine at any corpus size.
+    * `hotOccThreshold` is retained for source compatibility; the r18
+    * shape has no skewable join for it to guard.
     *
-    * HOT-KEY HANDLING IS A TWO-PATH JOIN, not AQE: boilerplate shingles
-    * are hot by definition (a crawl header can be 1% of all occurrences),
-    * and the count join's build side is an AGGREGATE — AQE's
-    * OptimizeSkewedJoin only matches SMJ(Sort(ShuffleRead), ...), so it
-    * structurally DECLINES to split here (verified in DedupSimilaritySpec
-    * by forcing the skew thresholds and watching the single-join form
-    * keep its mega-partition). Instead: exact hot keys from a skew-safe
-    * count(*) (map-side combine → one row per mapper per key), hot
-    * occurrences joined MAP-ONLY against the broadcast hot-count table,
-    * cold occurrences hash-joined with every hot key removed from both
-    * sides. Every shuffle in the operator is skew-free by construction,
-    * deterministically — no runtime re-plan dependence. With no key above
-    * `hotOccThreshold` the hot branches are empty and the cost over the
-    * plain join is one extra map-side-combined aggregate pass.
+    * Historical design record (BENCHNOTES round 6) — two r6 "improvements"
+    * measured and REJECTED against the old join shape, kept because the
+    * lesson generalizes:
+    *   - (shingle-STRING, source) pre-aggregation BEFORE the join: −17%
+    *     at 100k docs, then 10× WORSE at 1M (673 vs 66 s) — string keys,
+    *     reduced nothing, spilled, and still paid the join. (The r18
+    *     stage 2 differs in kind: long/struct keys at the cardinality the
+    *     old countDistinct already shuffled, and it REPLACES the join +
+    *     checkpoint rather than adding a stage in front of them.)
+    *   - left-semi filtering occurrences against `_nd > 1` shingles:
+    *     99.85% of occurrences survive on natural text — paid two
+    *     occurrence shuffles to remove nothing.
     *
-    * Two other "improvements" were built, MEASURED AT TWO SCALES, and
-    * REJECTED (full numbers in BENCHNOTES round 6) — kept as design
-    * record:
-    *   - pre-aggregating occurrences to (shingle, source) before the
-    *     join: −17% at 100k docs, then 10× WORSE at 1M (673 vs 66 s).
-    *     Mostly-unique (shingle, source) keys defeat partial aggregation —
-    *     the hash maps grow to tens of millions of entries, reduce
-    *     nothing, and spill.
-    *   - left-semi filtering occurrences against only `_nd > 1` shingles
-    *     before counting: a stage probe showed 99.85% of occurrence rows
-    *     SURVIVE the filter on natural text (3-token shingles repeat
-    *     across documents pervasively), so the "filter" pays two extra
-    *     occurrence-scale shuffles to remove nothing.
-    * Both died on the same lesson: an optimization premised on a data
-    * property ("shingles are mostly unique to a doc") must VERIFY that
-    * property at scale before it ships — the 100k-doc measurement alone
-    * endorsed both.
-    *
-    * CALLER CONTRACT: `docs` is evaluated up to three times (the shingle
-    * pass plus the hot- and cold-branch (id, source) joins) — pass a
-    * scan-backed or materialized DataFrame, as the registered query does
-    * (a parquet scan re-read is column-pruned to two columns and cheap;
-    * an expensive upstream pipeline should be checkpointed by the caller,
-    * who knows its cost — blanket-checkpointing |docs| rows here would
-    * tax the common scan-backed case for nothing). */
+    * CALLER CONTRACT: `docs` is evaluated twice (the shingle pass and the
+    * no-explode totals pass) — pass a scan-backed or materialized
+    * DataFrame, as the registered query does (a parquet scan re-read is
+    * column-pruned and cheap; an expensive upstream pipeline should be
+    * checkpointed by the caller, who knows its cost). */
   def sourceDupRollup(docs: DataFrame, idCol: String, textCol: String,
                       srcCol: String,
                       hotOccThreshold: Long = 2000000L): DataFrame = {
-    val occ = shingleHashRows(docs, idCol, textCol).localCheckpoint()
-    // EXACT hot-key detection is itself skew-safe: a plain count(*)
-    // partial-aggregates map-side, so the mega-shingle contributes one row
-    // per mapper to its shuffle, never a hot reduce partition. The hot set
-    // (Zipf head above the threshold) is tiny — checkpoint it and
-    // broadcast it everywhere below.
-    val hotKeys = occ.groupBy(col("_h")).agg(count(lit(1)).as("_no"))
-      .filter(col("_no") >= hotOccThreshold).select(col("_h"))
-      .localCheckpoint()
-    // Hot/cold split happens ON THE CHECKPOINT LEAF via map-only
-    // broadcast filters, so each branch re-reads a local materialization
-    // (the lint's sanctioned duplicated-subtree shape — the "recompute"
-    // is a scan, never a shuffle). countDistinct's distinct expansion
-    // shuffles uniform (_h, id) pairs and partial-merges before the _h
-    // shuffle, so both count aggregates are skew-safe; the hot one
-    // additionally collapses to ≤|hot| rows per mapper.
-    def docCounts(part: DataFrame) = part
-      .groupBy(col("_h")).agg(countDistinct(col(idCol)).as("_nd"))
-    val srcOf = docs.select(col(idCol), col(srcCol))
-    // The hot set is MATERIALIZED (checkpoint above), so asking whether it
-    // is empty costs a bounded read of one row — and empty is the common
-    // case (no shingle above threshold). Empty hot set ⇒ the cold join IS
-    // the whole join and provably skew-free (no key ≥ hotOccThreshold
-    // occurrences survives to dwarf a partition), so the broadcast
-    // branches, the anti-join filter and the union are dead weight —
-    // skip them. Driver-side adaptivity on materialized state, the same
-    // move as decontaminate's LIMIT-probe strategy pick.
-    val hasHot = hotKeys.limit(1).count() > 0
-    // Cold path: the big 1:1 hash join with every hot key REMOVED from
-    // both sides — no partition can dwarf the median. Hot path: map-only
-    // broadcast join (a hot shingle's occurrence rows never shuffle on
-    // `_h` at all). The two id-joins cover DISJOINT row sets — two joins,
-    // one join's worth of data. AQE cannot rescue the single-join form:
-    // its OptimizeSkewedJoin only matches SMJ(Sort(ShuffleRead), ...),
-    // and this join's build side is an aggregate — verified by forcing
-    // the skew thresholds in DedupSimilaritySpec and watching it decline.
-    val joined = if (!hasHot)
-      occ.join(docCounts(occ), Seq("_h")).join(srcOf, Seq(idCol))
-    else {
-      val occHot = occ.join(broadcast(hotKeys), Seq("_h"))
-      val occCold = occ.join(broadcast(hotKeys), Seq("_h"), "left_anti")
-      occCold.join(docCounts(occCold), Seq("_h"))
-        .join(srcOf, Seq(idCol))
-        .unionByName(occHot.join(broadcast(docCounts(occHot)), Seq("_h"))
-          .join(srcOf, Seq(idCol)))
-    }
-    joined.groupBy(col(srcCol))
-      .agg(count(lit(1)).as("n_shingle_occ"),
-        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_dup_occ"))
+    // Occurrences with the source packed into the row key (the
+    // sourceOverlap struct-id move) so stage 3 can recover the unique
+    // source of n_docs=1 shingles without any join back to `docs`.
+    val occ = shingleHashRows(
+      docs.select(struct(col(srcCol).as("s"), col(idCol).as("i")).as("_sid"),
+        col(textCol)),
+      "_sid", textCol)
+    // Stage 2: (shingle, doc⊕source) — near-unique long/struct keys; the
+    // partial agg collapses only within-doc repeats, exactly like the
+    // distinct expansion inside the old countDistinct.
+    val perDocShingle = occ.groupBy(col("_h"), col("_sid"))
+      .agg(count(lit(1)).as("_c"))
+    // Stage 3: shingle-scale. For _nd = 1 the group holds ONE _sid, so
+    // min(_sid.s) IS that document's source.
+    val perShingle = perDocShingle.groupBy(col("_h"))
+      .agg(sum(col("_c")).as("_no"), count(lit(1)).as("_nd"),
+        min(col("_sid").getField("s")).as("_src"))
+    val uniqOcc = perShingle.filter(col("_nd") === 1)
+      .groupBy(col("_src")).agg(sum(col("_no")).as("_uniq"))
+      .withColumnRenamed("_src", srcCol)
+    // Stage 1: totals without exploding — per-doc shingle-row count is
+    // size(tokens)−2 for ≥3-token docs and 1 (the whole-doc-hash fallback
+    // row) otherwise; `tokens` is never empty so greatest(...,1) covers
+    // both fallback cases.
+    val totals = docs.groupBy(col(srcCol))
+      .agg(sum(greatest(size(TextOps.tokens(col(textCol))) - 2, lit(1))
+        .cast("long")).as("n_shingle_occ"))
+    totals.join(broadcast(uniqOcc), Seq(srcCol), "left")
+      .select(col(srcCol), col("n_shingle_occ"),
+        (col("n_shingle_occ") - coalesce(col("_uniq"), lit(0L))).as("n_dup_occ"))
       .withColumn("dup_ppm", expr("n_dup_occ * 1000000 div n_shingle_occ"))
   }
 
@@ -1075,9 +1084,18 @@ object DedupOps {
       val probe = math.min(broadcastMaxTestDocs, Int.MaxValue - 1L).toInt
       testDocs.limit(probe + 1).count() <= probe
     }
-    val trainShingles = shingleHashRows(docs.filter(bucket >= testPermille),
-      idCol, textCol).select(col(idCol), col("_h")).distinct()
-    val testShingles0 = shingleHashRows(testDocs,
+    // Per-doc distinct is ROW-LOCAL (r18, shingleHashRowsDistinctPerDoc):
+    // the train side needs (id, _h) distinct — cross-doc rows are already
+    // distinct by id, so the array_distinct covers it with NO shuffle
+    // (the old corpus-scale distinct() on the near-unique (doc, shingle)
+    // key was round-9 rule b in disguise). The test side still needs the
+    // GLOBAL _h distinct (a shingle in two test docs must count once per
+    // matching train shingle), but its input is the reduced per-doc-
+    // distinct rows and its key is the lone hash column.
+    val trainShingles = shingleHashRowsDistinctPerDoc(
+      docs.filter(bucket >= testPermille), idCol, textCol)
+      .select(col(idCol), col("_h"))
+    val testShingles0 = shingleHashRowsDistinctPerDoc(testDocs,
       idCol, textCol).select(col("_h")).distinct()
     val testShingles = (if (useBroadcast) broadcast(testShingles0)
                         else testShingles0).withColumn("_m", lit(1L))

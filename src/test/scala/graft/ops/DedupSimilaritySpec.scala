@@ -398,7 +398,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got("feedA")._1 == 8L, "2 docs x 4 shingles of a 6-token text")
   }
 
-  test("source dup rollup: hot shingles take the broadcast path; AQE alone cannot split the count join") {
+  test("source dup rollup: join-free shape is value-identical on a hot-shingle fixture; AQE cannot split the naive join") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
@@ -479,27 +479,32 @@ class DedupSimilaritySpec extends SparkSpec {
           "if Spark learns this, reconsider the two-path operator")
     } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
 
-    // (2) The two-path operator: value-identical to the reference both
-    // with a threshold that catches the hot key and with the all-cold
-    // default (empty hot set exercises the anti-join edge).
-    val twoPath = DedupOps.sourceDupRollup(docs, "doc_id", "text", "source",
-      hotOccThreshold = 100L)
-    val got = twoPath.collect().toSeq.sortBy(_.getString(0))
-    assert(got == expected, "two-path join must not change values")
-    assert(DedupOps.sourceDupRollup(docs, "doc_id", "text", "source")
+    // (2) The r18 join-free operator: value-identical to the naive
+    // single-join reference on the adversarial hot fixture (and with the
+    // legacy threshold param set, which must be a no-op).
+    val joinFree = DedupOps.sourceDupRollup(docs, "doc_id", "text", "source")
+    val got = joinFree.collect().toSeq.sortBy(_.getString(0))
+    assert(got == expected, "join-free rollup must not change values")
+    assert(DedupOps.sourceDupRollup(docs, "doc_id", "text", "source",
+        hotOccThreshold = 100L)
       .collect().toSeq.sortBy(_.getString(0)) == expected,
-      "empty hot set (default threshold) must also be value-identical")
+      "legacy hotOccThreshold must be value-invisible")
 
-    // Plan pins for the hot run: a broadcast join carries the hot counts
-    // (map-only - hot occurrences never shuffle on _h), and NO remaining
-    // shuffle holds a mega-partition (every hot key was subtracted from
-    // the cold join's inputs).
-    val nodes2 = walk(twoPath.queryExecution.executedPlan)
-    assert(nodes2.exists(_.isInstanceOf[BroadcastHashJoinExec]),
-      "hot path must be a broadcast join")
-    val worst = worstSkew(nodes2)
-    assert(worst < 2.0,
-      s"cold-path shuffles must be skew-free once hot keys are removed (worst max/median $worst)")
+    // Plan pin: NO join carries occurrence-scale rows — the only join in
+    // the plan is the final source-domain merge of two bounded aggregates
+    // (broadcast). The skew the two-path machinery used to manage is gone
+    // WITH the join; the remaining hot-key concentration (one row per
+    // (hot shingle, doc) pair into the per-shingle rollup's reduce
+    // partition) is the same distinct-pair bound the old countDistinct
+    // paid internally, so no skew-ratio pin applies to it.
+    val nodes2 = walk(joinFree.queryExecution.executedPlan)
+    val joins = nodes2.collect {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.forall(_.isInstanceOf[BroadcastHashJoinExec]),
+      "only the bounded source-domain broadcast merge may join")
+    assert(joins.size <= 1, s"expected at most the final merge join, got ${joins.size}")
   }
 
   test("PQ top-k: codebook vectors are their own codes; duplicates tie exactly") {

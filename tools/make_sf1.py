@@ -24,6 +24,23 @@ scale-invariant:
   genuine x10, not 10 stacked replicas (which would inflate near-dup
   output quadratically, the ScaleSmoke caveat).
 
+- events (100k -> 1M; r18, VERDICT r17 task 4): copy 0 verbatim; copy c
+  offsets user_id by c*10^7 and event_id by c*10^9, keeping ts/type/
+  value/props VERBATIM — each copy's users are new users with identical
+  per-user event streams, so session counts, funnel conversion, per-user
+  RFM and retention structure are scale-INVARIANT (the ev_* growth
+  numbers measure the engine's shuffle shapes, not deeper sessions).
+  Within-copy event_id order is preserved by the constant offset.
+
+- lineitem (600k -> 6M; graph_* family): copy 0 verbatim; copy c offsets
+  l_orderkey by c*10^8 and l_partkey by c*10^7 — ten DISJOINT copies of
+  the co-purchase graph (same basket sizes, same degree distribution,
+  component/triangle counts x10) rather than x10-weighted edges on one
+  graph, so the graph stages grow with the data like the salted-token
+  documents decade. Non-graph lineitem columns ride along verbatim;
+  the part/orders FKs of copies >0 dangle BY DESIGN (the graph_* family
+  reads lineitem alone — TPC-H q* queries are not in the decade subset).
+
 Usage: python3 tools/make_sf1.py [outdir=/tmp/sf1.0]
 
 Row groups are written SMALL (2048 rows) so Spark can split the single
@@ -49,6 +66,14 @@ con.execute("SET threads TO 16")
 import os
 
 os.makedirs(OUT, exist_ok=True)
+
+# The pre-r18 recipe symlinked the non-corpus tables into the read-only
+# driver testdata; COPY TO would write THROUGH such a link. Unlink any
+# symlink at an output path before writing (never touch the link target).
+for t in ("documents", "embeddings", "events", "lineitem"):
+    p = os.path.join(OUT, f"{t}.parquet")
+    if os.path.islink(p):
+        os.remove(p)
 
 con.execute(f"""
 COPY (
@@ -86,6 +111,30 @@ COPY (
 ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)
 """)
 
-for t in ("documents", "embeddings"):
+con.execute(f"""
+COPY (
+  SELECT e.event_id + c.copy * 1000000000 AS event_id,
+         e.ts,
+         e.user_id + c.copy * 10000000 AS user_id,
+         e.event_type, e.value, e.props
+  FROM '{SRC}/events.parquet' e
+  CROSS JOIN (SELECT unnest(range({COPIES})) AS copy) c
+  ORDER BY event_id
+) TO '{OUT}/events.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 8192)
+""")
+
+con.execute(f"""
+COPY (
+  SELECT l.l_orderkey + c.copy * 100000000 AS l_orderkey,
+         l.l_partkey + c.copy * 10000000 AS l_partkey,
+         l.l_suppkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+         l.l_discount, l.l_tax, l.l_returnflag, l.l_linestatus, l.l_shipdate
+  FROM '{SRC}/lineitem.parquet' l
+  CROSS JOIN (SELECT unnest(range({COPIES})) AS copy) c
+  ORDER BY l_orderkey, l_linenumber
+) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 65536)
+""")
+
+for t in ("documents", "embeddings", "events", "lineitem"):
     n, = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()
     print(f"{t}: {n} rows -> {OUT}/{t}.parquet")
