@@ -627,38 +627,86 @@ object DedupOps {
   /** Cross-document boilerplate removal (the CCNet/C4 "dedup repeated
     * lines across the corpus" pass): segments appearing in more than
     * `maxDocs` DISTINCT documents are dropped from every document, and the
-    * text is reassembled from the surviving segments in order.
+    * text is reassembled from the surviving segments in order. Returns
+    * every input document — fully-boilerplate or empty docs come back with
+    * empty `cleaned_text`.
     *
-    * Dataflow at scale: one countDistinct groupBy keyed by the segment
-    * (map-side partial into a distinct pre-aggregate), one hash join back
-    * to the segment rows, one per-doc ordered fold (in-group `array_sort`,
-    * no global sort — the a3 pattern). Returns every input document —
-    * fully-boilerplate or empty docs come back with empty `cleaned_text`. */
+    * maxDocs = 1 (the CCNet standard and the registered query) takes a
+    * JOIN-FREE path (r18 — the [[sourceDupRollup]] identity transplanted):
+    * a segment survives iff ALL its occurrences live in ONE document, so
+    * the per-segment count aggregate can CARRY the survivor payload — the
+    * (doc, seg_idx-list) of its single document via `min(struct(...))`
+    * over a group that provably holds one row — and no occurrence-scale
+    * join or checkpoint is needed:
+    *   1. (segment, doc) rollup with a doc-bounded `collect_list(seg_idx)`
+    *      (one occurrence-scale shuffle on near-unique string keys — the
+    *      same rows the old countDistinct shuffled internally);
+    *   2. segment-scale: n_docs = count(*), payload = min(struct) —
+    *      evaluated wastefully on dropped-segment groups but one struct
+    *      of state per group;
+    *   3. survivors explode (survivor-scale) into the per-doc ordered
+    *      fold (in-group array_sort, no global sort — the a3 pattern);
+    *   4. per-doc totals map-only from the corpus (`ceil(tokens/seg)`,
+    *      no explode), n_removed = n_segs − n_kept.
+    * Replaces: the occurrence-scale localCheckpoint of segment STRINGS,
+    * the countDistinct aggregate, and the string-keyed occurrence join.
+    *
+    * maxDocs > 1 keeps the join shape (survivor groups then hold up to
+    * `maxDocs` docs — an aggregate cannot return them without unbounded
+    * collect state on the hot boilerplate groups it exists to drop):
+    * countDistinct groupBy, hash join back, per-doc fold, with the
+    * shared segment rows localCheckpointed (round-4 rule d). */
   def dropBoilerplateSegments(docs: DataFrame, idCol: String, textCol: String,
                               segTokens: Int = 8, maxDocs: Int = 1): DataFrame = {
-    // Materialized once: consumed by BOTH the boilerplate counts and the
-    // join back — without the lineage cut the tokenize+explode subtree is
-    // recomputed per consumer (the dedup_jaccard pattern, visible as two
-    // full Generate subtrees in the physical plan).
-    val segs = segmentRows(docs, idCol, textCol, segTokens).localCheckpoint()
-    val counts = segs.groupBy(col("segment"))
-      .agg(countDistinct(col(idCol)).as("ndocs"))
-    val perDoc = segs.join(counts, Seq("segment"))
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_segs"),
-        sum(when(col("ndocs") > maxDocs, 1L).otherwise(0L)).as("n_removed"),
-        // collect_list skips nulls → only surviving segments enter the fold
-        array_join(transform(
-          array_sort(collect_list(when(col("ndocs") <= maxDocs,
-            struct(col("seg_idx"), col("segment"))))),
-          x => x.getField("segment")), " ").as("cleaned_text"))
-    docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
-        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+    val totals = docs.select(col(idCol),
+      when(length(TextOps.normalize(col(textCol))) === 0, 0L)
+        .otherwise(ceil(size(TextOps.tokens(col(textCol))) / segTokens.toDouble)
+          .cast("long")).as("n_segs"))
+    if (maxDocs == 1) {
+      val perDocSeg = segmentRows(docs, idCol, textCol, segTokens)
+        .groupBy(col("segment"), col(idCol))
+        .agg(collect_list(col("seg_idx")).as("_idxs"))
+      val perSeg = perDocSeg.groupBy(col("segment"))
+        .agg(count(lit(1)).as("_nd"),
+          min(struct(col(idCol).as("i"), col("_idxs").as("x"))).as("_w"))
+      val kept = perSeg.filter(col("_nd") <= 1)
+        .select(col("_w").getField("i").as(idCol), col("segment"),
+          explode(col("_w").getField("x")).as("seg_idx"))
+      val perDoc = kept.groupBy(col(idCol))
+        .agg(count(lit(1)).as("_nkept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("segment")))),
+            x => x.getField("segment")), " ").as("cleaned_text"))
+      totals.join(perDoc, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+          col("n_segs"),
+          (col("n_segs") - coalesce(col("_nkept"), lit(0L))).as("n_removed"))
+    } else {
+      // Materialized once: consumed by BOTH the boilerplate counts and the
+      // join back — without the lineage cut the tokenize+explode subtree is
+      // recomputed per consumer (the dedup_jaccard pattern, visible as two
+      // full Generate subtrees in the physical plan).
+      val segs = segmentRows(docs, idCol, textCol, segTokens).localCheckpoint()
+      val counts = segs.groupBy(col("segment"))
+        .agg(countDistinct(col(idCol)).as("ndocs"))
+      val perDoc = segs.join(counts, Seq("segment"))
+        .groupBy(col(idCol))
+        .agg(
+          count(lit(1)).as("n_segs"),
+          sum(when(col("ndocs") > maxDocs, 1L).otherwise(0L)).as("n_removed"),
+          // collect_list skips nulls → only surviving segments enter the fold
+          array_join(transform(
+            array_sort(collect_list(when(col("ndocs") <= maxDocs,
+              struct(col("seg_idx"), col("segment"))))),
+            x => x.getField("segment")), " ").as("cleaned_text"))
+      docs.select(col(idCol))
+        .join(perDoc, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+          coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+    }
   }
 
   /** Incremental (batch-over-batch) exact dedup — the daily-increment

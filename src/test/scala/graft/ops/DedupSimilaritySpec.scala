@@ -222,6 +222,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(4L) == (("", 0L, 0L)), "empty doc still returned")
   }
 
+  test("segment dedup: join-free maxDocs=1 path equals the join reference on a collision-rich corpus") {
+    // Fixture with real cross-doc segment collisions (coarse residue salt,
+    // the r13e lesson: fixtures must COLLIDE where the interesting branch
+    // needs groups) + within-doc REPEATS of a segment (the min(struct)
+    // payload must carry ALL seg_idx occurrences of the single doc).
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 120L).map { i =>
+      // i%7==0: a doc-UNIQUE segment repeated at seg_idx 0 and 1 — the
+      // surviving-with-multiple-occurrences case the min(struct) payload
+      // must carry whole. Otherwise: an 8-token segment shared by the
+      // i%9 class (dropped), then a random doc-salted tail.
+      val head = if (i % 7 == 0) (s"u$i " * 8) * 2 else s"s${i % 9} " * 8
+      val tail = (0 until rnd.nextInt(20)).map(_ => s"w${i}x${rnd.nextInt(50)}").mkString(" ")
+      (i, s"$head$tail")
+    }.toDF("doc_id", "text")
+    // Join reference = the generic-path formulation with maxDocs = 1.
+    val segs = DedupOps.segmentRows(docs, "doc_id", "text", 8)
+    val counts = segs.groupBy($"segment").agg(countDistinct($"doc_id").as("ndocs"))
+    val perDoc = segs.join(counts, Seq("segment"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when($"ndocs" > 1, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when($"ndocs" <= 1, struct($"seg_idx", $"segment")))),
+          x => x.getField("segment")), " ").as("cleaned_text"))
+    val expected = docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cleaned_text", lit("")).as("cleaned_text"),
+        coalesce($"n_segs", lit(0L)).as("n_segs"),
+        coalesce($"n_removed", lit(0L)).as("n_removed"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].longValue)
+    val got = DedupOps.dropBoilerplateSegments(docs, "doc_id", "text", 8, maxDocs = 1)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].longValue)
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("incremental dedup: later batches drop docs seen in earlier commits") {
     import spark.implicits._
     val empty = Seq.empty[String].toDF("fingerprint")
