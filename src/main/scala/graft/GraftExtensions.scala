@@ -28,7 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cms_counts"),
       new ExpressionInfo(classOf[CmsCounts].getName, "cms_counts"),
-      (children: Seq[Expression]) => CmsCounts(children(0), children(1), children(2))))
+      (children: Seq[Expression]) =>
+        CmsCounts(children(0), children(1), children(2), children.lift(3))))
     ext.injectFunction((
       new FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),

@@ -3584,14 +3584,24 @@ object QueriesLlm {
       // estimate is the min across depth cells and can only overcount,
       // and the whole grid is reproduced bucket-by-bucket in the oracle.
       (s, d) => {
-        val toks = TextOps.withNormToks(Tables.documents(s, d), "text")
+        // r18: aggregate to VOCABULARY scale first (round-9 rule b — the
+        // token domain is Zipf-bounded), then hash each DISTINCT token
+        // once and feed the grid through the WEIGHTED update (+cnt ≡ cnt
+        // unit updates, bit-identical grid). The former shape
+        // localCheckpointed occurrence-scale (tok, _h) rows and paid one
+        // sha256 PER OCCURRENCE (FloorProfile: 1.0-1.2 s of build-time
+        // actions at sf1.0); this one's checkpoint and sha pass are both
+        // vocab-scale and the occurrence rows shuffle once, map-side
+        // combined.
+        val tokCounts = TextOps.withNormToks(Tables.documents(s, d), "text")
           .select(explode(col("_toks")).as("tok"))
           .filter(length(col("tok")) > 0)
+          .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
           .withColumn("_h", DedupOps.hash60(col("tok")))
-          .localCheckpoint() // consumed by BOTH the sketch and the exact counts
-        val cms = Sketches.cmsSketch(toks, Nil, col("_h"))
-        val top = toks.groupBy(col("tok"))
-          .agg(count(lit(1)).as("exact_cnt"), min(col("_h")).as("_h"))
+          .localCheckpoint() // vocab-scale; feeds BOTH the sketch and top-20
+        val cms = Sketches.cmsSketch(tokCounts, Nil, col("_h"),
+          weightCol = Some(col("exact_cnt")))
+        val top = tokCounts
           .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
         top.crossJoin(broadcast(cms))
           .withColumn("est_cnt", Sketches.cmsEstimate(col("_h"), col("cms")))

@@ -30,6 +30,7 @@ case class CmsCounts(
     child: Expression,
     depthExpr: Expression,
     widthExpr: Expression,
+    weightExpr: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
@@ -39,7 +40,8 @@ case class CmsCounts(
   private lazy val depth: Int = depthExpr.eval().asInstanceOf[Number].intValue()
   private lazy val width: Int = widthExpr.eval().asInstanceOf[Number].intValue()
 
-  override def children: Seq[Expression] = Seq(child, depthExpr, widthExpr)
+  override def children: Seq[Expression] =
+    Seq(child, depthExpr, widthExpr) ++ weightExpr
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "cms_counts"
@@ -50,6 +52,9 @@ case class CmsCounts(
     else if (child.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"cms_counts expects a BIGINT hash, got ${child.dataType.catalogString}")
+    else if (weightExpr.exists(_.dataType != LongType))
+      TypeCheckResult.TypeCheckFailure(
+        s"cms_counts weight must be BIGINT, got ${weightExpr.get.dataType.catalogString}")
     else (depthExpr.eval(), widthExpr.eval()) match { // null would NPE intValue()
       case (d: Number, w: Number)
         if d.intValue() >= 1 && d.intValue() <= 16 && w.intValue() >= 2 &&
@@ -65,16 +70,30 @@ case class CmsCounts(
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
+      // Optional WEIGHT (r18): incrementing by w is bit-identical to w
+      // unit updates of the same hash — it lets pre-aggregated
+      // (value, count) rows feed the grid so the sketch input can be
+      // vocabulary-scale instead of occurrence-scale (sk_cms_freq). A
+      // NULL weight row contributes nothing (matches the null-hash rule).
+      val w = weightExpr match {
+        case None => 1L
+        case Some(we) => we.eval(input) match {
+          case null => 0L
+          case x => x.asInstanceOf[Long]
+        }
+      }
       // floorMod: the SQL surface accepts any BIGINT (xxhash64 is negative
       // half the time); a signed % would index out of bounds at d=0 and
       // silently corrupt the previous depth row at d>=1. Non-negative
       // inputs (the engine's hash60) are unaffected.
       val hm = java.lang.Math.floorMod(v.asInstanceOf[Long], P)
-      var d = 0
-      while (d < depth) {
-        val bucket = (((2L * d + 3) * hm + 12289L * (d + 1)) % P % width).toInt
-        buffer(d * width + bucket) += 1
-        d += 1
+      if (w != 0L) {
+        var d = 0
+        while (d < depth) {
+          val bucket = (((2L * d + 3) * hm + 12289L * (d + 1)) % P % width).toInt
+          buffer(d * width + bucket) += w
+          d += 1
+        }
       }
     }
     buffer
@@ -108,5 +127,6 @@ case class CmsCounts(
   override def withNewInputAggBufferOffset(newOffset: Int): CmsCounts =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CmsCounts =
-    copy(child = newChildren(0), depthExpr = newChildren(1), widthExpr = newChildren(2))
+    copy(child = newChildren(0), depthExpr = newChildren(1), widthExpr = newChildren(2),
+      weightExpr = newChildren.lift(3))
 }

@@ -31,15 +31,22 @@ object Sketches {
 
   /** Count-Min sketch over `hashCol` (a [[DedupOps.hash60]] hash of the
     * counted value): one row per group with the `depth·width` counter grid.
-    * Point estimates read the grid with [[cmsEstimate]]. */
+    * Point estimates read the grid with [[cmsEstimate]]. `weightCol` (r18)
+    * adds each row's weight instead of 1 — bit-identical to replaying the
+    * row weight times, so a (value, count) pre-aggregate can feed the grid
+    * at vocabulary scale instead of occurrence scale. */
   def cmsSketch(df: DataFrame, groupCols: Seq[String], hashCol: Column,
-                depth: Int = 4, width: Int = 512): DataFrame = {
-    val keyed = df.select(groupCols.map(col) :+ hashCol.as("_h"): _*)
-    val agged =
-      if (groupCols.isEmpty) keyed.agg(expr(s"cms_counts(_h, $depth, $width)").as("cms"))
-      else keyed.groupBy(groupCols.map(col): _*)
-        .agg(expr(s"cms_counts(_h, $depth, $width)").as("cms"))
-    agged
+                depth: Int = 4, width: Int = 512,
+                weightCol: Option[Column] = None): DataFrame = {
+    val keyed = df.select(
+      (groupCols.map(col) :+ hashCol.as("_h")) ++
+        weightCol.map(_.as("_w")).toSeq: _*)
+    val aggExpr = weightCol match {
+      case None => expr(s"cms_counts(_h, $depth, $width)").as("cms")
+      case Some(_) => expr(s"cms_counts(_h, $depth, $width, _w)").as("cms")
+    }
+    if (groupCols.isEmpty) keyed.agg(aggExpr)
+    else keyed.groupBy(groupCols.map(col): _*).agg(aggExpr)
   }
 
   /** Min-over-depths point estimate for a value's hash against a CMS grid

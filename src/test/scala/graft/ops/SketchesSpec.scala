@@ -79,6 +79,29 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("CMS: weighted update grid is bit-identical to unit updates (r18)") {
+    // occurrence rows vs the (value, count) pre-aggregate through the
+    // weighted child — same grid, every cell
+    val occ = (1 to 3000).map(i => (i % 97).toString).toDF("tok")
+      .withColumn("_h", DedupOps.hash60($"tok"))
+    val unit = Sketches.cmsSketch(occ, Nil, $"_h", depth = 4, width = 64)
+      .select($"cms").as[Seq[Long]].head()
+    val pre = occ.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("_h", DedupOps.hash60($"tok"))
+    val weighted = Sketches.cmsSketch(pre, Nil, $"_h", depth = 4, width = 64,
+        weightCol = Some($"cnt"))
+      .select($"cms").as[Seq[Long]].head()
+    assert(unit == weighted)
+    // null weight rows contribute nothing (matches the null-hash rule)
+    val withNull = pre.unionByName(
+      Seq(("ghost", Option.empty[Long])).toDF("tok", "cnt")
+        .withColumn("_h", DedupOps.hash60($"tok")))
+    val wn = Sketches.cmsSketch(withNull, Nil, $"_h", depth = 4, width = 64,
+        weightCol = Some($"cnt"))
+      .select($"cms").as[Seq[Long]].head()
+    assert(wn == weighted)
+  }
+
   test("CMS: grid is independent of partitioning and sums to depth*N") {
     val df = (1 to 3000).map(i => (i % 97).toString).toDF("tok")
       .withColumn("_h", DedupOps.hash60($"tok"))
