@@ -61,7 +61,11 @@ object ScaleSmoke {
     // lets Catalyst prune the reassembly entirely — measured 0.2 s vs real)
     t("segment dedup")(DedupOps.dropBoilerplateSegments(docs, "doc_id", "text")
       .filter(length(col("cleaned_text")) >= 0).count())
-    t("decontaminate")(DedupOps.decontaminate(docs, "doc_id", "text").count())
+    // sum(n_matched) forces the test-side probe: the distinct test set is
+    // UNIQUE on the join key, so under count() Catalyst eliminates the
+    // left join entirely (same trap as the join-free rollup below).
+    t("decontaminate")({ DedupOps.decontaminate(docs, "doc_id", "text")
+      .agg(sum(col("n_matched")), sum(col("overlap_ppm"))).collect(); 1L })
     // A/B that DECIDED the duplicated-spans shape: the one-pass string-
     // keyed form beat the two-pass hash-keyed form 2x at 100k docs and
     // 10x at 1M (same-run measurements — see duplicatedSpans scaladoc).
@@ -202,9 +206,14 @@ object ScaleSmoke {
           concat(lit(bp + " "), col("text"))).otherwise(col("text")))
       // threshold 5000: the bp shingles (~10k occurrences at 100k docs,
       // ~100k at 1M) go hot; ordinary dup shingles stay cold.
-      def twoPath(): Unit = t("source rollup (two-path)")(
+      // Force the VALUE columns, not count(): with the r18 join-free
+      // shape, count() lets Catalyst eliminate the provably-unique left
+      // join and with it the entire shingle aggregation subtree (measured:
+      // 0.47 s "at 1M docs" — the r4 count()-pruning trap in join form).
+      def twoPath(): Unit = t("source rollup (join-free)")({
         DedupOps.sourceDupRollup(srcDocs, "doc_id", "text", "src",
-          hotOccThreshold = 5000L).count())
+          hotOccThreshold = 5000L)
+          .agg(sum(col("n_dup_occ")), sum(col("dup_ppm"))).collect(); 20L })
       // Same-run reference: the abandoned PLAIN single-join form (the
       // shape AQE verifiably cannot skew-split — build side is an
       // aggregate). The round-6 verdict asked for the 1M-doc row: run
@@ -220,7 +229,8 @@ object ScaleSmoke {
           .groupBy(col("src"))
           .agg(count(lit(1)).as("n_shingle_occ"),
             sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_dup_occ"))
-          .count()
+          .agg(sum(col("n_dup_occ")), sum(col("n_shingle_occ"))).collect()
+        20L
       }
       if (sys.env.get("SCALE_ROLLUP_ORDER").contains("plain_first")) { plain(); twoPath() }
       else { twoPath(); plain() }
