@@ -17,7 +17,16 @@ object Harness {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.sql.files.openCostInBytes", "1m")
+      // 256k (r18, was 1m): Spark's split size is
+      // min(maxPartitionBytes, max(openCostInBytes, bytes/defaultParallelism)),
+      // so openCost is the floor on split granularity for MB-scale single
+      // files — at the sf1.0 decade the 6 MB documents corpus split into 6
+      // tasks and the map-heavy BPE queries ran 2.4-5× slower than at 24
+      // tasks (three-leg same-JVM FloorProfile, the 4m return leg slowest —
+      // not warmth). Local file opens cost ~nothing, unlike the cloud-store
+      // assumption behind Spark's 4 MB default; real corpora are many files
+      // and never feel this knob.
+      .config("spark.sql.files.openCostInBytes", "256k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
