@@ -101,6 +101,28 @@ class NativeExprSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("pair_structs")))
   }
 
+  test("hot-path kernel helpers build DIRECT expressions, not catalog lookups (r18 advice)") {
+    // A session that never registered GraftExtensions must still be able
+    // to use every operator: the Column helpers construct the Catalyst
+    // expression via ColumnGlue instead of call_function, so resolution
+    // never consults the function registry. Pin the mechanism by class.
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    import graft.ops.{Similarity, TextOps}
+    def exprOf(c: org.apache.spark.sql.Column) = ColumnGlue.expression(c)
+    assert(exprOf(TextOps.normalize(col("x")))
+      .isInstanceOf[graft.expressions.NormalizeText])
+    assert(exprOf(TextOps.tokens(col("x")))
+      .isInstanceOf[graft.expressions.TokensNorm])
+    assert(exprOf(TextOps.punctCount(col("x")))
+      .isInstanceOf[graft.expressions.PunctCount])
+    assert(exprOf(Similarity.quantize(col("v")))
+      .isInstanceOf[graft.expressions.QuantizeMilli])
+    assert(exprOf(Similarity.qdot(col("a"), col("b")))
+      .isInstanceOf[graft.expressions.QDot])
+    assert(exprOf(Similarity.qdist2(col("a"), col("b")))
+      .isInstanceOf[graft.expressions.QDist2])
+  }
+
   test("salted aggregation matches plain groupBy under a hot key") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i.toLong))
       .toDF("k", "v")
