@@ -980,9 +980,18 @@ object TextOps {
     // `tokens` never yields an empty array (split of "" is [""]), so the
     // empty-doc filter is exactly "first token non-empty" — safe under
     // ANSI element_at.
-    val toks = docs.select(tokens(col(textCol)).as("_toks"))
+    // RESCAN, not checkpoint (r18): the r17g checkpoint-beats-rescan call
+    // was made when recompute meant re-running the two-regex normalize
+    // chain (~2.5 s/pass at sf1.0); with the native tokens_norm kernel a
+    // both-orders sf1.0 A/B read a WASH warm (ckpt 0.94-1.08 s vs rescan
+    // 0.87-1.11 s), and the r12d tiebreak applies: each consumer
+    // column-prunes its own scan and no executor-local storage is held.
+    // SPARK_GRAFT_TOK_CKPT=1 restores the checkpoint for future A/Bs.
+    val toks0 = docs.select(tokens(col(textCol)).as("_toks"))
       .filter(element_at(col("_toks"), 1) =!= "")
-      .localCheckpoint()
+    val toks = if (sys.env.get("SPARK_GRAFT_TOK_CKPT").contains("1"))
+                 toks0.localCheckpoint()
+               else toks0
     val uni = toks.select(explode(col("_toks")).as("_token"))
       .groupBy(col("_token"))
       .agg(count(lit(1)).as("_c"))
