@@ -85,6 +85,21 @@ class WinnowSpec extends SparkSpec {
     assert(gotC == refC)
   }
 
+  test("shingleHashRowsDistinctPerDoc == shingleHashRows + per-doc distinct (r18)") {
+    // row-local array_distinct must produce exactly the distinct (id, _h)
+    // set — incl. the whole-doc-hash fallback rows and docs whose shingles
+    // repeat (doc 5's periodic text)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(150)
+    Seq(docs, corpus).foreach { d =>
+      val ref = DedupOps.shingleHashRows(d, "doc_id", "text")
+        .distinct().as[(Long, Long)].collect().sorted.toSeq
+      val got = DedupOps.shingleHashRowsDistinctPerDoc(d, "doc_id", "text")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == ref)
+    }
+  }
+
   test("density and containment guarantees: fingerprints are a subset of " +
     "shingle hashes and at most one per window start") {
     val fps = DedupOps.winnowFingerprints(docs, "doc_id", "text")
