@@ -28,8 +28,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cms_counts"),
       new ExpressionInfo(classOf[CmsCounts].getName, "cms_counts"),
-      (children: Seq[Expression]) =>
-        CmsCounts(children(0), children(1), children(2), children.lift(3))))
+      (children: Seq[Expression]) => {
+        // explicit arity gate: lift(3) alone would silently DROP a 5th
+        // argument, so a typo'd call builds a valid-looking sketch (r19
+        // advice) — the other injected functions fail naturally via
+        // positional access.
+        if (children.length < 3 || children.length > 4)
+          throw new IllegalArgumentException(
+            s"cms_counts expects (hash, depth, width[, weight]), got ${children.length} arguments")
+        CmsCounts(children(0), children(1), children(2), children.lift(3))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
@@ -90,6 +98,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("qdist2_q"),
       new ExpressionInfo(classOf[QDist2].getName, "qdist2_q"),
       (children: Seq[Expression]) => QDist2(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("gram_counts"),
+      new ExpressionInfo(classOf[graft.expressions.GramCounts].getName, "gram_counts"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"gram_counts expects (tokens, mode), got ${children.length} arguments")
+        graft.expressions.GramCounts(children(0), children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("topk_pairs_tag"),
       new ExpressionInfo(classOf[TopKPairsTagged].getName, "topk_pairs_tag"),

@@ -765,17 +765,27 @@ object QueriesLlm {
       // joined back per document — fraction of the document's bigrams that
       // are corpus-dominant. High coverage = templated/boilerplate text.
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val bigrams = DedupOps.tokenBigrams(docs, "doc_id", "text")
+        // Per-doc-distinct (bigram, c) rows via the gram_counts kernel
+        // (r19): drops tokenBigrams' corpus-TEXT repartition exchange (a
+        // full-corpus shuffle at 100 TB) and shrinks both the top-20
+        // aggregation input and the join probes by the within-doc
+        // repetition factor; `c` weights keep every count
+        // occurrence-exact. Locally a wash warm (GramProf both orders
+        // 0.78-1.04 vs 0.76-1.07 s) — shipped for the deleted corpus
+        // exchange (r13 rule d: ship the scale-correct shape, record the
+        // local wash).
+        def bc = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextOps.gramCounts(TextOps.tokens(col("text")), 2)).as("_g"))
+          .select(col("doc_id"), col("_g.s").as("bigram"), col("_g.c").as("c"))
         val top = broadcast(
-          bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
+          bc.groupBy(col("bigram")).agg(sum(col("c")).as("freq"))
             .orderBy(col("freq").desc, col("bigram")).limit(20)
             .select(col("bigram")))
-        bigrams
-          .join(top.withColumn("is_top", lit(1)), Seq("bigram"), "left_outer")
+        bc.join(top.withColumn("is_top", lit(1)), Seq("bigram"), "left_outer")
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            sum(coalesce(col("is_top"), lit(0))).as("top_hits"))
+          .agg(sum(col("c")).as("n_bigrams"),
+            sum(when(col("is_top") === 1, col("c")).otherwise(0L)).as("top_hits"))
           .withColumn("coverage_milli",
             floor(col("top_hits") * 1000.0 / col("n_bigrams")).cast("long"))
           .select(col("doc_id"), col("n_bigrams"), col("top_hits"), col("coverage_milli"))
@@ -3218,14 +3228,19 @@ object QueriesLlm {
       // subtree is materialized once (consumed by BOTH aggregations).
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = TextOps.withNormToks(Tables.documents(s, d), "text")
-          .select(col("doc_id"), explode(col("_toks")).as("tok"))
-          .filter(length(col("tok")) > 0)
-        val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-          // tf rows are distinct per (doc, tok), so document frequency is a
-          // plain count over tf — ONE pass over the exploded tokens instead
-          // of materializing them for two aggregations
-          .localCheckpoint()
+        // tf is ROW-LOCAL (all occurrences of a token within a doc live in
+        // one row): the gram_counts kernel pre-counts per doc, so the old
+        // corpus-scale (doc, tok) groupBy + its checkpoint job are gone —
+        // tf is a map-only explode, dfreq aggregates the per-doc-distinct
+        // rows (tf rows are distinct per (doc, tok) by construction, so df
+        // is a plain count). GramProf both orders at sf1.0: 0.70-0.83 s vs
+        // 1.02-1.41 s. Rescan over checkpoint for the shared tf subtree
+        // (r12 rule d / r18 rule h: the recompute is one tokens_norm +
+        // kernel pass over one parquet table).
+        def tf = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextOps.gramCounts(TextOps.tokens(col("text")), 1)).as("_g"))
+          .select(col("doc_id"), col("_g.s").as("tok"), col("_g.c").as("tf"))
         val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score_ppm").desc, col("tok"))

@@ -140,19 +140,6 @@ object DedupOps {
           .otherwise(array(col("_doc_h")))).as("_h"))
   }
 
-  /** One row per adjacent token bigram — same codegen index-explode shape
-    * as [[shingleHashRows]]; used for boilerplate/coverage scoring. */
-  def tokenBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.repartition(col(idCol))
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
-      .filter(size(col("_toks")) >= 2)
-      .select(col(idCol), col("_toks"),
-        explode(sequence(lit(0), size(col("_toks")) - 2)).as("_idx"))
-      .select(col(idCol),
-        concat_ws(" ",
-          expr("element_at(_toks, _idx + 1)"),
-          expr("element_at(_toks, _idx + 2)")).as("bigram"))
-
   /** Distinct shingle-hash set per document (for Jaccard verification). */
   def shingleHashSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
     shingleHashRows(df, idCol, textCol)

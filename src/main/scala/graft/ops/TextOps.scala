@@ -40,6 +40,17 @@ object TextOps {
   /** The built-in reference form of [[tokens]] (spec cross-check only). */
   private[ops] def tokensRef(text: Column): Column = split(normalizeRef(text), " ")
 
+  /** Per-document n-gram count pre-aggregation — `array<struct<s, c>>` of
+    * (gram, within-doc count), one JVM pass per row
+    * ([[graft.expressions.GramCounts]]). `mode` bit set: 1 = unigrams,
+    * 2 = adjacent space-joined bigrams, 3 = both (disjoint by
+    * `contains(' ')`). Null/empty tokens are skipped, so the empty-doc
+    * `[""]` tokenizer case maps to an empty array and the usual
+    * `element_at(_toks, 1) =!= ""` guard is subsumed. */
+  def gramCounts(toks: Column, mode: Int): Column =
+    ColumnGlue.column(graft.expressions.GramCounts(
+      ColumnGlue.expression(toks), ColumnGlue.expression(lit(mode))))
+
   /** Punctuation-char count of the RAW text — native byte walk
     * ([[graft.expressions.PunctCount]]; ≡ [[punctCountRef]], spec-pinned).
     * The last regex in the quality-feature hot path (r17 residual b). */
@@ -505,7 +516,8 @@ object TextOps {
     * keeps the split static so shards are reproducible).
     *
     * Scale shape: TWO tokenize passes, NO corpus materialization. The
-    * scoring pass explodes every occurrence; the vocab pass re-tokenizes
+    * scoring pass explodes per-doc-distinct kernel-counted (tok, c) pairs
+    * (occurrence-exact via the `c` weights); the vocab pass re-tokenizes
     * only the reference slice (the content-addressed `bucketOf` filter
     * sits BELOW the tokenizer, so it reads ~refPermille/1000 of the
     * corpus) and explodes `array_distinct(_toks)` — per-doc dedup is
@@ -532,9 +544,15 @@ object TextOps {
                      rarityHeadPts: Long = 150000L, oovHeadPpm: Long = 100000L,
                      salt: String = "ref",
                      broadcastMaxVocab: Long = 4000000L): DataFrame = {
-    val occ = withNormToks(docs.select(col(idCol), col(textCol)), textCol)
-      .select(col(idCol), explode(col("_toks")).as("tok"))
-      .filter(length(col("tok")) > 0) // split("") yields [""] — drop it
+    // Scoring pass explodes per-doc-DISTINCT (tok, within-doc count) pairs
+    // from the gram_counts kernel instead of raw occurrences (r19): the
+    // broadcast-join probes and the per-doc aggregation input shrink by the
+    // within-doc repetition factor, and every sum below re-weights by `c`
+    // so the values are occurrence-exact (GramProf both orders at sf1.0:
+    // 0.50-0.76 s vs 1.03-1.25 s for the occurrence-explode shape).
+    val occ = docs
+      .select(col(idCol), explode(gramCounts(tokens(col(textCol)), 1)).as("_g"))
+      .select(col(idCol), col("_g.s").as("tok"), col("_g.c").as("c"))
     // slice filter BELOW the tokenizer: the vocab pass re-reads only
     // ~refPermille/1000 of the corpus instead of materializing any of it
     val vocab0 = withNormToks(
@@ -549,10 +567,11 @@ object TextOps {
                 else vocab0
     occ.join(vocab, Seq("tok"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_toks"),
-        sum(when(col("df").isNull, 1L).otherwise(0L)).as("n_oov"),
-        sum(when(col("df").isNotNull, expr("1000000 div df")).otherwise(0L)).as("_rsum"),
-        sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("_nv"))
+      .agg(sum(col("c")).as("n_toks"),
+        sum(when(col("df").isNull, col("c")).otherwise(0L)).as("n_oov"),
+        sum(when(col("df").isNotNull, col("c") * expr("1000000 div df"))
+          .otherwise(0L)).as("_rsum"),
+        sum(when(col("df").isNotNull, col("c")).otherwise(0L)).as("_nv"))
       .withColumn("oov_ppm", expr("n_oov * 1000000 div n_toks"))
       .withColumn("rarity_pts",
         when(col("_nv") > 0, expr("_rsum div _nv")).otherwise(lit(1000000L)))
@@ -966,50 +985,42 @@ object TextOps {
     * where T < 9·10¹². A `minCount` support floor drops the noise tail
     * (singleton pairs otherwise dominate any PMI ranking).
     *
-    * Scale shape: two Zipf-bounded aggregations (unigram vocab, bigram
-    * vocab with map-side partials), two equi-joins of the DISTINCT-bigram
-    * table against the unigram table (post-aggregation rows, so the hot
-    * 'the'-key carries one row per distinct partner, not per occurrence),
-    * a 1-row total broadcast, and a TakeOrdered top-k. No windows. */
+    * Scale shape: ONE Zipf-bounded fused aggregation (unigram + bigram
+    * vocab together, per-doc counts pre-collapsed row-locally by the
+    * `gram_counts` kernel, map-side partials on top), two equi-joins of
+    * the DISTINCT-bigram table against the probe-broadcast unigram table
+    * (post-aggregation rows, so the hot 'the'-key carries one row per
+    * distinct partner, not per occurrence), a 1-row total broadcast, and
+    * a TakeOrdered top-k. No windows. */
   def collocations(docs: DataFrame, textCol: String,
-                   minCount: Long = 5L, topK: Int = 50): DataFrame = {
-    // Compact token-array projection, checkpointed: BOTH aggregations
-    // below consume it, and without the barrier the plan re-tokenizes the
-    // corpus once per consumer (round-4 rule d / round-9 rule b — always
-    // the token-ARRAY rows, never exploded occurrences).
-    // `tokens` never yields an empty array (split of "" is [""]), so the
-    // empty-doc filter is exactly "first token non-empty" — safe under
-    // ANSI element_at.
-    // RESCAN, not checkpoint (r18): the r17g checkpoint-beats-rescan call
-    // was made when recompute meant re-running the two-regex normalize
-    // chain (~2.5 s/pass at sf1.0); with the native tokens_norm kernel a
-    // both-orders sf1.0 A/B read a WASH warm (ckpt 0.94-1.08 s vs rescan
-    // 0.87-1.11 s), and the r12d tiebreak applies: each consumer
-    // column-prunes its own scan and no executor-local storage is held.
-    // SPARK_GRAFT_TOK_CKPT=1 restores the checkpoint for future A/Bs.
-    val toks0 = docs.select(tokens(col(textCol)).as("_toks"))
-      .filter(element_at(col("_toks"), 1) =!= "")
-    val toks = if (sys.env.get("SPARK_GRAFT_TOK_CKPT").contains("1"))
-                 toks0.localCheckpoint()
-               else toks0
-    val uni = toks.select(explode(col("_toks")).as("_token"))
-      .groupBy(col("_token"))
-      .agg(count(lit(1)).as("_c"))
-      .localCheckpoint() // consumed by 3 subtrees (round-4 rule d)
-    val total = uni.agg(sum(col("_c")).as("_t"))
-    val bi = toks.filter(size(col("_toks")) >= 2)
-      .select(col("_toks"),
-        explode(sequence(lit(0), size(col("_toks")) - 2)).as("_i"))
-      .select(concat_ws(" ",
-        expr("element_at(_toks, _i + 1)"),
-        expr("element_at(_toks, _i + 2)")).as("bigram"))
-      .groupBy(col("bigram"))
-      .agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= minCount)
-      .withColumn("_w1", split(col("bigram"), " ").getItem(0))
-      .withColumn("_w2", split(col("bigram"), " ").getItem(1))
-    bi.join(uni.select(col("_token").as("_w1"), col("_c").as("n_a")), Seq("_w1"))
-      .join(uni.select(col("_token").as("_w2"), col("_c").as("n_b")), Seq("_w2"))
+                   minCount: Long = 5L, topK: Int = 50,
+                   broadcastMaxVocab: Long = 4000000L): DataFrame = {
+    // ONE corpus pass, ONE fused aggregation (r19): `gram_counts(toks, 3)`
+    // pre-counts unigrams AND bigrams within each row (row-local — the
+    // safe kind of pre-aggregation; r6 rule (b)'s loss was CROSS-row
+    // keying), so the explode is per-doc-DISTINCT scale and the single
+    // groupBy builds the unigram and bigram tables together (unigram
+    // strings never contain a space, bigrams always do — disjoint key
+    // spaces). Replaces the two-pass two-aggregation shape: same-JVM
+    // both-orders A/B at sf1.0 read 0.57-0.71 s vs 0.75-1.03 s warm and
+    // 1.30 vs 1.53-2.11 s cold (GramProf). The old shape's
+    // SPARK_GRAFT_TOK_CKPT toggle died with the second pass.
+    val grams = docs
+      .select(explode(gramCounts(tokens(col(textCol)), 3)).as("_g"))
+      .groupBy(col("_g.s").as("_s")).agg(sum(col("_g.c")).as("_c"))
+      .localCheckpoint() // vocab-scale; feeds uni (×2 joins), total, bi
+    val uni0 = grams.filter(!col("_s").contains(" "))
+    // broadcast-vs-shuffle probe (the refFreqQuality/decontaminate
+    // pattern): reads at most cap+1 rows off the checkpointed table
+    val probe = math.min(broadcastMaxVocab, Int.MaxValue - 1L).toInt
+    val uni = if (uni0.limit(probe + 1).count() <= probe) broadcast(uni0) else uni0
+    val total = uni0.agg(sum(col("_c")).as("_t"))
+    val bi = grams.filter(col("_s").contains(" ") && col("_c") >= minCount)
+      .select(col("_s").as("bigram"), col("_c").as("n_pair"),
+        split(col("_s"), " ").getItem(0).as("_w1"),
+        split(col("_s"), " ").getItem(1).as("_w2"))
+    bi.join(uni.select(col("_s").as("_w1"), col("_c").as("n_a")), Seq("_w1"))
+      .join(uni.select(col("_s").as("_w2"), col("_c").as("n_b")), Seq("_w2"))
       .crossJoin(broadcast(total))
       .select(col("bigram"), col("n_pair"), col("n_a"), col("n_b"),
         expr("((n_pair * 1000000 div n_a) * _t) div n_b").as("pmi_ppm"))
