@@ -99,6 +99,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QDist2].getName, "qdist2_q"),
       (children: Seq[Expression]) => QDist2(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("count_in_sorted"),
+      new ExpressionInfo(classOf[graft.expressions.CountInSorted].getName, "count_in_sorted"),
+      (children: Seq[Expression]) => graft.expressions.CountInSorted(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("gram_counts"),
       new ExpressionInfo(classOf[graft.expressions.GramCounts].getName, "gram_counts"),
       (children: Seq[Expression]) => {

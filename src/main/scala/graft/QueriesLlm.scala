@@ -1607,19 +1607,20 @@ object QueriesLlm {
       // Eval-leakage check: per train document, the ppm of its distinct
       // 3-token shingles that occur anywhere in the content-addressed 10%
       // test split; flagged at >= 50%. Overlap in integer ppm — no float
-      // division to diverge between engines. Auto-selects the broadcast
-      // path here (the split is provably small).
+      // division to diverge between engines. Auto-selects the map-only
+      // driver-set tier here (the split is provably small).
       (s, d) => DedupOps.decontaminate(Tables.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_shingles"), col("n_matched"),
           col("overlap_ppm"), col("contaminated")),
       Some(decontamOracleSql)),
 
     Q("llm_decontam_hash",
-      // The shuffle-join twin: identical semantics with the broadcast
-      // FORCED OFF — the fallback a huge test split takes. Oracle-checked
-      // against the same SQL to prove the strategy never changes results.
+      // The shuffle-join twin: identical semantics with the driver-set
+      // tier AND the broadcast FORCED OFF — the fallback a huge test split
+      // takes. Oracle-checked against the same SQL to prove the strategy
+      // never changes results.
       (s, d) => DedupOps.decontaminate(Tables.documents(s, d), "doc_id", "text",
-          broadcastTest = Some(false))
+          driverTestSet = Some(false), broadcastTest = Some(false))
         .select(col("doc_id"), col("n_shingles"), col("n_matched"),
           col("overlap_ppm"), col("contaminated")),
       Some(decontamOracleSql)),

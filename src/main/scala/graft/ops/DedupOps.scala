@@ -126,18 +126,37 @@ object DedupOps {
     * which are row-local by definition. Cross-doc rows are already
     * distinct because the id differs. */
   def shingleHashRowsDistinctPerDoc(df: DataFrame, idCol: String,
-                                    textCol: String): DataFrame = {
+                                    textCol: String,
+                                    repartitionById: Boolean = true): DataFrame = {
+    // repartitionById = false for consumers that never group by the doc id
+    // downstream (e.g. decontaminate's test side, which goes straight to a
+    // global _h distinct): the id pre-clustering buys nothing there and the
+    // corpus-text exchange is pure cost (measured at sf1.0, DecontamProf
+    // both orders: 1.4-1.7 -> 1.0-1.1 s warm).
+    val based = if (repartitionById) df.repartition(col(idCol)) else df
+    withPerDocDistinctShingles(based, idCol, textCol)
+      .select(col(idCol), explode(col("_hs")).as("_h"))
+  }
+
+  /** (id, `_hs`) rows where `_hs` is the per-doc DISTINCT shingle-hash
+    * array — `array_distinct` over the native shingle_hashes kernel with
+    * the whole-doc-hash fallback for under-3-token docs (never empty).
+    * Two-stage select so `_toks`/`_doc_h` are ATTRIBUTES (multi-referenced
+    * non-cheap projections stay un-collapsed — r7 rule b). Shared by
+    * [[shingleHashRowsDistinctPerDoc]] and decontaminate's map-only fast
+    * path. */
+  private def withPerDocDistinctShingles(df: DataFrame, idCol: String,
+                                         textCol: String): DataFrame = {
     import org.apache.spark.sql.graftglue.ColumnGlue
     val P = MersennePrime31
     val sh = ColumnGlue.column(graft.expressions.ShingleHashes(
       ColumnGlue.expression(col("_toks"))))
-    df.repartition(col(idCol))
-      .select(col(idCol),
+    df.select(col(idCol),
         (hash60(TextOps.normalize(col(textCol))) % P).as("_doc_h"),
         TextOps.tokens(col(textCol)).as("_toks"))
       .select(col(idCol),
-        explode(when(size(col("_toks")) >= 3, array_distinct(sh))
-          .otherwise(array(col("_doc_h")))).as("_h"))
+        when(size(col("_toks")) >= 3, array_distinct(sh))
+          .otherwise(array(col("_doc_h"))).as("_hs"))
   }
 
   /** Distinct shingle-hash set per document (for Jaccard verification). */
@@ -1102,23 +1121,28 @@ object DedupOps {
     * — broadcast it when it fits, fall back to a hash join on the shingle
     * when it doesn't. Either way no doc×doc work.
     *
-    * Strategy selection: `broadcastTest = None` (the default) AUTO-selects
-    * from the test-split row count, probed with a LIMIT-bounded count that
-    * reads at most `broadcastMaxTestDocs + 1` rows — never the corpus, and
-    * cheap even when the split is huge. A typical eval split broadcasts; a
-    * misconfigured permille that captures half the corpus falls back to
-    * the shuffle join instead of OOMing every executor on the broadcast. */
+    * Strategy selection, three tiers (each probed, never assumed):
+    *  1. driver set (r19): test split ≤ `broadcastMaxTestDocs` docs (LIMIT
+    *     probe on base rows) AND distinct shingles ≤ `maxDriverTestShingles`
+    *     (checked on the one-row sorted-array fetch) → the sorted set ships
+    *     as ONE array Literal and the train side is MAP-ONLY via the native
+    *     `count_in_sorted` probe: no broadcast build job, no join, no
+    *     per-doc groupBy exchange (`driverTestSet` forces either way for
+    *     specs);
+    *  2. broadcast join: test split ≤ `broadcastMaxTestDocs` docs (LIMIT
+    *     probe) → broadcast the distinct test shingles;
+    *  3. shuffle join on the shingle hash — a misconfigured permille that
+    *     captures half the corpus degrades to this instead of OOMing
+    *     every executor on a broadcast (or the driver on tier 1). */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     testPermille: Int = 100, salt: String = "contam",
                     thresholdPpm: Long = 500000L,
                     broadcastTest: Option[Boolean] = None,
-                    broadcastMaxTestDocs: Long = 1000000L): DataFrame = {
+                    broadcastMaxTestDocs: Long = 1000000L,
+                    driverTestSet: Option[Boolean] = None,
+                    maxDriverTestShingles: Long = 2000000L): DataFrame = {
     val bucket = Sampling.bucketOf(col(idCol), salt)
     val testDocs = docs.filter(bucket < testPermille)
-    val useBroadcast = broadcastTest.getOrElse {
-      val probe = math.min(broadcastMaxTestDocs, Int.MaxValue - 1L).toInt
-      testDocs.limit(probe + 1).count() <= probe
-    }
     // Per-doc distinct is ROW-LOCAL (r18, shingleHashRowsDistinctPerDoc):
     // the train side needs (id, _h) distinct — cross-doc rows are already
     // distinct by id, so the array_distinct covers it with NO shuffle
@@ -1126,20 +1150,64 @@ object DedupOps {
     // key was round-9 rule b in disguise). The test side still needs the
     // GLOBAL _h distinct (a shingle in two test docs must count once per
     // matching train shingle), but its input is the reduced per-doc-
-    // distinct rows and its key is the lone hash column.
-    val trainShingles = shingleHashRowsDistinctPerDoc(
-      docs.filter(bucket >= testPermille), idCol, textCol)
-      .select(col(idCol), col("_h"))
-    val testShingles0 = shingleHashRowsDistinctPerDoc(testDocs,
-      idCol, textCol).select(col("_h")).distinct()
-    val testShingles = (if (useBroadcast) broadcast(testShingles0)
-                        else testShingles0).withColumn("_m", lit(1L))
-    trainShingles.join(testShingles, Seq("_h"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(coalesce(col("_m"), lit(0L))).as("n_matched"))
-      .withColumn("overlap_ppm", expr("n_matched * 1000000 div n_shingles"))
-      .withColumn("contaminated", col("overlap_ppm") >= thresholdPpm)
+    // distinct rows and its key is the lone hash column. No repartition on
+    // the test side either way — it never groups by the doc id.
+    val testShingleRows = shingleHashRowsDistinctPerDoc(testDocs,
+      idCol, textCol, repartitionById = false).select(col("_h"))
+    lazy val testShingles0 = testShingleRows.distinct()
+    // MAP-ONLY fast path (r19): when the test split is provably small (the
+    // cheap LIMIT doc-count probe — reads at most broadcastMaxTestDocs + 1
+    // base rows, never tokenizes), fetch its distinct shingle set ONCE as a
+    // SINGLE sorted-array row (no per-shingle Row boxing — a take(cap+1) of
+    // ~1M individual rows measured driver-bound at sf1.0), ship it as one
+    // array Literal, and score every train doc row-locally with the native
+    // count_in_sorted probe — no broadcast-build job, no occurrence
+    // explode, no join, no per-doc groupBy exchange, no train repartition.
+    // Driver exposure equals the tier-2 broadcast path's (a broadcast set
+    // also materializes on the driver); the doc-count probe guards both
+    // tiers, and a shingle count past `maxDriverTestShingles` falls back to
+    // the broadcast join, bit-identically (spec pins path equality + flip).
+    val docProbe = math.min(broadcastMaxTestDocs, Int.MaxValue - 1L).toInt
+    lazy val testDocsSmall = testDocs.limit(docProbe + 1).count() <= docProbe
+    val tryDriverSet = driverTestSet.getOrElse(testDocsSmall)
+    val cap = math.min(maxDriverTestShingles, Int.MaxValue - 8L).toInt
+    val setOpt: Option[Array[Long]] = if (tryDriverSet) {
+      // collect_set IS the distinct — aggregating the raw per-doc-distinct
+      // rows directly saves the distinct's own exchange stage (one
+      // partial-agg per partition + a single merge task).
+      val arr = testShingleRows
+        .agg(sort_array(collect_set(col("_h"))).as("_arr"))
+        .head.getSeq[Long](0).toArray
+      if (arr.length <= cap || driverTestSet.contains(true)) Some(arr) else None
+    } else None
+    if (setOpt.isDefined) {
+      val set = setOpt.get // sort_array already sorted ascending
+      import org.apache.spark.sql.graftglue.ColumnGlue
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, LongType}
+      val setLit = Literal.create(set, ArrayType(LongType, containsNull = false))
+      val matched = ColumnGlue.column(graft.expressions.CountInSorted(
+        ColumnGlue.expression(col("_hs")), setLit))
+      withPerDocDistinctShingles(docs.filter(bucket >= testPermille),
+          idCol, textCol)
+        .select(col(idCol), size(col("_hs")).cast("long").as("n_shingles"),
+          matched.as("n_matched"))
+        .withColumn("overlap_ppm", expr("n_matched * 1000000 div n_shingles"))
+        .withColumn("contaminated", col("overlap_ppm") >= thresholdPpm)
+    } else {
+      val useBroadcast = broadcastTest.getOrElse(testDocsSmall)
+      val trainShingles = shingleHashRowsDistinctPerDoc(
+        docs.filter(bucket >= testPermille), idCol, textCol)
+        .select(col(idCol), col("_h"))
+      val testShingles = (if (useBroadcast) broadcast(testShingles0)
+                          else testShingles0).withColumn("_m", lit(1L))
+      trainShingles.join(testShingles, Seq("_h"), "left")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("_m"), lit(0L))).as("n_matched"))
+        .withColumn("overlap_ppm", expr("n_matched * 1000000 div n_shingles"))
+        .withColumn("contaminated", col("overlap_ppm") >= thresholdPpm)
+    }
   }
 
   /** Connected components by alternating large-star/small-star contraction

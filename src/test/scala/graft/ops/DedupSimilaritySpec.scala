@@ -317,11 +317,12 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(trainIds(1)) == ((0L, false)))
     assert(!got.contains(testId), "test docs are not scored")
 
-    // Auto-strategy: broadcast when the test split is at/below the doc cap,
-    // shuffle join above it — and both plans compute identical results.
+    // Auto-strategy tiers 2/3 (forced past the driver-set tier): broadcast
+    // when the test split is at/below the doc cap, shuffle join above it —
+    // and both plans compute identical results.
     def planOf(broadcastMax: Long): (String, Map[Long, Long]) = {
       val df = DedupOps.decontaminate(contamDocs, "doc_id", "text",
-        broadcastMaxTestDocs = broadcastMax)
+        broadcastMaxTestDocs = broadcastMax, driverTestSet = Some(false))
       (df.queryExecution.analyzed.toString,
         df.select($"doc_id", $"overlap_ppm").as[(Long, Long)].collect().toMap)
     }
@@ -332,6 +333,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!shufflePlan.contains("ResolvedHint"),
       s"split above the cap must NOT broadcast:\n$shufflePlan")
     assert(broadcastRes == shuffleRes, "join strategy must never change results")
+
+    // Tier 1 (r19, map-only driver set): bit-identical rows to the join
+    // path; the auto-dispatch flips on the shingle cap (cap 0 → join path —
+    // behavioral pin, the r12b no-plan-through-checkpoint lesson doesn't
+    // bite here but the flip must still be observable structurally: the
+    // join path carries an Aggregate-after-Join, tier 1 does not).
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_shingles", $"n_matched", $"overlap_ppm",
+        $"contaminated").as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    val forcedDriver = DedupOps.decontaminate(contamDocs, "doc_id", "text",
+      driverTestSet = Some(true))
+    val forcedJoin = DedupOps.decontaminate(contamDocs, "doc_id", "text",
+      driverTestSet = Some(false))
+    assert(rowsOf(forcedDriver) == rowsOf(forcedJoin),
+      "driver-set and join paths must be bit-identical")
+    val autoSmallCap = DedupOps.decontaminate(contamDocs, "doc_id", "text",
+      maxDriverTestShingles = 0L)
+    assert(autoSmallCap.queryExecution.analyzed.toString.contains("Join"),
+      "cap 0 must auto-select the join path")
+    val autoDefault = DedupOps.decontaminate(contamDocs, "doc_id", "text")
+    assert(!autoDefault.queryExecution.analyzed.toString.contains("Join"),
+      "default cap on a tiny split must auto-select the map-only path")
+    assert(rowsOf(autoDefault) == rowsOf(forcedJoin))
   }
 
   test("incremental near-dedup: committed buckets reject near-dups, hubs admit batchmates' losers") {
