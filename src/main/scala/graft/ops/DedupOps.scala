@@ -665,7 +665,11 @@ object DedupOps {
   def dropBoilerplateSegments(docs: DataFrame, idCol: String, textCol: String,
                               segTokens: Int = 8, maxDocs: Int = 1): DataFrame = {
     val totals = docs.select(col(idCol),
-      when(length(TextOps.normalize(col(textCol))) === 0, 0L)
+      // isnull arm: a NULL text must come back as ("", 0, 0) like the
+      // maxDocs>1 path's coalesce — without it the when() evaluates
+      // null-false and n_segs/n_removed leak NULL (r19 advice).
+      when(col(textCol).isNull ||
+          length(TextOps.normalize(col(textCol))) === 0, 0L)
         .otherwise(ceil(size(TextOps.tokens(col(textCol))) / segTokens.toDouble)
           .cast("long")).as("n_segs"))
     if (maxDocs == 1) {
@@ -1077,11 +1081,22 @@ object DedupOps {
   def sourceDupRollup(docs: DataFrame, idCol: String, textCol: String,
                       srcCol: String,
                       hotOccThreshold: Long = 2000000L): DataFrame = {
+    // NULL-text rows are excluded from BOTH passes (r19 advice): the
+    // occurrence pass would emit one shared null-hash row per null doc
+    // (two null docs in different sources would then read as cross-doc
+    // duplicates) while the totals pass counted them via greatest(..,1) —
+    // the two passes must see the same row set. A doc with no text has no
+    // shingle occurrences by definition.
+    // CONTRACT (also r19 advice): `_nd` counts distinct (source, id)
+    // structs — doc ids must be unique ACROSS sources (true of every
+    // corpus here); a doc id repeated in two sources would read as two
+    // documents.
+    val nonNull = docs.filter(col(textCol).isNotNull)
     // Occurrences with the source packed into the row key (the
     // sourceOverlap struct-id move) so stage 3 can recover the unique
     // source of n_docs=1 shingles without any join back to `docs`.
     val occ = shingleHashRows(
-      docs.select(struct(col(srcCol).as("s"), col(idCol).as("i")).as("_sid"),
+      nonNull.select(struct(col(srcCol).as("s"), col(idCol).as("i")).as("_sid"),
         col(textCol)),
       "_sid", textCol)
     // Stage 2: (shingle, doc⊕source) — near-unique long/struct keys; the
@@ -1101,7 +1116,7 @@ object DedupOps {
     // size(tokens)−2 for ≥3-token docs and 1 (the whole-doc-hash fallback
     // row) otherwise; `tokens` is never empty so greatest(...,1) covers
     // both fallback cases.
-    val totals = docs.groupBy(col(srcCol))
+    val totals = nonNull.groupBy(col(srcCol))
       .agg(sum(greatest(size(TextOps.tokens(col(textCol))) - 2, lit(1))
         .cast("long")).as("n_shingle_occ"))
     totals.join(broadcast(uniqOcc), Seq(srcCol), "left")
