@@ -190,7 +190,12 @@ object DedupOps {
     // The former exploded form hashed every shingle once per overlapping
     // window (w× redundant sha256) and distinct()ed position-scale rows
     // (same-run A/B in BENCHNOTES round-10 session-5).
-    df.repartition(col(idCol))
+    // No repartition(id) (r19): neither consumer groups by the doc id
+    // (dedup_winnow is map output; dedup_winnow_matches groups by the
+    // FINGERPRINT) so the id pre-clustering bought nothing and cost a
+    // corpus-text exchange; scan parallelism comes from the r18 split-size
+    // floor, not a respread.
+    df
       .select(col(idCol),
         (hash60(TextOps.normalize(col(textCol))) % P).as("_doc_h"),
         TextOps.tokens(col(textCol)).as("_toks"))

@@ -651,22 +651,38 @@ object Funnel {
     * floor that keeps output bounded — raw path space is |types|^len).
     *
     * Scale shape: the session window is the ONE user-keyed shuffle (the
-    * round-10 sessionization pin), and the per-session `row_number` that
-    * truncates to `pathLen` REUSES it (partitioning on `user_id`
-    * satisfies the (user, session) clustering by the subset rule) — so
-    * the rows entering the collect_list are HARD-capped at `pathLen` per
-    * session before aggregation. Without that cap a bot user pinging
-    * under the gap for weeks would funnel its entire months-long session
-    * through one aggregation buffer just to keep 5 elements. The final
-    * rollup keys on the support-floored path alphabet. */
+    * round-10 sessionization pin), and the per-session position that
+    * truncates to `pathLen` is derived IN THE SAME (user)(ep, tie) window
+    * pass (running last session-start position — r19; the former
+    * (user, session)-keyed row_number reused the exchange but re-sorted
+    * every event locally) — so the rows entering the collect_list are
+    * HARD-capped at `pathLen` per session before aggregation. Without
+    * that cap a bot user pinging under the gap for weeks would funnel its
+    * entire months-long session through one aggregation buffer just to
+    * keep 5 elements. The final rollup keys on the support-floored path
+    * alphabet. */
   def topPaths(events: DataFrame, tsCol: String, userCol: String,
                typeCol: String, tieBreakCol: String,
                gapSecs: Long = 1800L, pathLen: Int = 5,
                minSessions: Long = 2L): DataFrame = {
-    val seq = Window.partitionBy(col("user_id"), col("session_idx"))
+    // Per-session position WITHOUT a (user, session)-keyed window (r19):
+    // that window reused the user exchange (subset rule) but still forced
+    // a full LOCAL RE-SORT of every event by (user, session, ep, tie) —
+    // Spark cannot know session_idx is monotone in (ep, tie) within a
+    // user. Instead, derive it in the SAME (user)(ep, tie) spec the
+    // session windows already sorted for: global-in-user position `_g`
+    // minus the running last session-start position (every session's
+    // first event has new_sess = 1, so the ignoreNulls last is never
+    // null) — zero additional exchanges or sorts, row-identical to the
+    // row_number form (FunnelSpec pins it).
+    val perUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ep_s"), col("tie"))
+    val running = perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withSessionIdx(events, tsCol, userCol, typeCol, tieBreakCol, gapSecs)
-      .withColumn("_rn", row_number().over(seq))
+      .withColumn("_g", row_number().over(perUser))
+      .withColumn("_rn", col("_g") - last(
+        when(col("new_sess") === 1L, col("_g")), ignoreNulls = true)
+        .over(running) + 1)
       .filter(col("_rn") <= pathLen)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(concat_ws(">", transform(

@@ -72,6 +72,52 @@ class EngagementSpec extends SparkSpec {
       ("view>click>view>click>purchase", 1L), ("signup", 1L)))
   }
 
+  test("topPaths: running-last session position is row-identical to the " +
+      "(user, session) row_number form on a randomized fixture (r19)") {
+    // The shipped shape derives the per-session position inside the one
+    // (user)(ep, tie) window pass; this reference re-derives paths with an
+    // explicit per-(user, session) row_number sort — both must agree on
+    // every (path, sessions) row, including multi-session users, exact-gap
+    // boundaries and same-second tie-breaks.
+    val rnd = new scala.util.Random(11L)
+    val base = 1700000000L
+    val rows = (1 to 600).map { i =>
+      val u = rnd.nextInt(12).toLong
+      // gaps cluster around the 1800 s boundary to exercise splits
+      val off = rnd.nextInt(40) * 450L + rnd.nextInt(3)
+      (u, base + off * rnd.nextInt(12), Seq("view", "click", "purchase",
+        "error")(rnd.nextInt(4)), i.toLong)
+    }
+    val df = rows.toDF("user_id", "es", "event_type", "event_id")
+      .withColumn("ts", col("es").cast("timestamp"))
+    val got = Funnel.topPaths(df, "ts", "user_id", "event_type", "event_id",
+      minSessions = 1L).as[(String, Long)].collect().toSet
+
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep_s"), col("tie"))
+    val seq = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ep_s"), col("tie"))
+    val ref = df
+      .select(col("user_id"), col("es").as("ep_s"), col("event_type"),
+        col("event_id").as("tie"))
+      .withColumn("new_sess",
+        when(col("ep_s") - lag(col("ep_s"), 1).over(perUser) <= 1800L, 0L)
+          .otherwise(1L))
+      .withColumn("session_idx", sum(col("new_sess")).over(
+        perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_rn", row_number().over(seq))
+      .filter(col("_rn") <= 5)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("_rn").as("k"),
+          col("event_type").as("y")))),
+        e => e.getField("y"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("sessions"))
+      .as[(String, Long)].collect().toSet
+    assert(got == ref)
+  }
+
   test("cohortLtv: hand-exact cumulative revenue and per-user normalization") {
     val wk = 604800L
     def ev(u: Long, week: Long, t: String, v: Double) = (u, week * wk + u, t, v)
