@@ -19,22 +19,24 @@ import org.apache.spark.sql.functions._
   * candidate pairs are oracle-checkable in DuckDB, not just "plausible".
   *
   * == localCheckpoint at cluster scale (the one-place statement) ==
-  * Operators here (and in Similarity/TextOps/GraphOps) use
-  * `Dataset.localCheckpoint()` wherever a derived table feeds 2+ consumers
-  * or must be severed from its lineage before a skew-sensitive join
-  * (CLAUDE.md r4d, r10e). localCheckpoint stores deserialized partitions in
+  * Operators here (and in Similarity/TextOps/GraphOps) cut lineage
+  * wherever a derived table feeds 2+ consumers or must be severed from its
+  * lineage before a skew-sensitive join (CLAUDE.md r4d, r10e).
+  * localCheckpoint (the default) stores deserialized partitions in
   * EXECUTOR-LOCAL block storage: on this single-JVM sandbox that is free
   * and correct, but on a real multi-executor cluster those blocks are LOST
   * when an executor dies, failing the job (no lineage to recompute — that
-  * is the point of the cut). Cluster deployments should swap the call
-  * sites for one of: (a) `spark.sparkContext.setCheckpointDir` + reliable
-  * `checkpoint()` (HDFS/S3-backed, survives executor loss, costs a write +
-  * read), (b) explicit materialization to a parquet/Delta temp table when
-  * the derived table is reused across queries, or (c) for the PLAN-shaping
-  * uses only (duplicate-subtree prevention, AQE skew-split enablement),
-  * `persist(StorageLevel.MEMORY_AND_DISK)` + a count() barrier — which
-  * keeps lineage for fault recovery at the cost of re-running the cut
-  * subtree on loss. Each call site's comment states WHY the cut is there;
+  * is the point of the cut). Cluster deployments pick the alternative via
+  * `spark.graft.checkpointMode` ([[Lineage]] — every DedupOps site routes
+  * through it, r19): `reliable` = `setCheckpointDir` + `checkpoint()`
+  * (HDFS/S3-backed, survives executor loss, costs a write + read);
+  * `persist` = MEMORY_AND_DISK + count() barrier (keeps lineage for fault
+  * recovery, re-runs the subtree on loss — sound only for the PLAN-shaping
+  * uses: duplicate-subtree prevention, AQE skew-split enablement).
+  * Explicit materialization to a parquet/Delta temp table remains the
+  * right call when a derived table is reused across queries. The
+  * drop-in-ness of `reliable` is spec-pinned (CheckpointSwapSpec), not
+  * just documented. Each call site's comment states WHY the cut is there;
   * this block states the trade-off once so per-site notes can stay short.
   */
 object DedupOps {
@@ -363,9 +365,9 @@ object DedupOps {
   def minhashEstimate(docs: DataFrame, idCol: String, textCol: String,
                       numPerms: Int = 8): DataFrame = {
     require(1000 % numPerms == 0, "milli units need numPerms | 1000")
-    val sigs = minhashSignature(docs, idCol, textCol, numPerms).localCheckpoint()
+    val sigs = minhashSignature(docs, idCol, textCol, numPerms).transform(Lineage.cut)
     val pairs = candidatePairs(lshBuckets(sigs, idCol, numPerms), idCol)
-      .localCheckpoint()
+      .transform(Lineage.cut)
     val matches = (0 until numPerms)
       .map(j => when(col(s"a.sig_$j") === col(s"b.sig_$j"), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -441,7 +443,7 @@ object DedupOps {
     // Bounded by the candidate set (vanishing vs the corpus), so the
     // materialization is small by construction.
     val sets = shingleHashSets(docs.join(candidateIds, Seq(idCol), "left_semi"),
-      idCol, textCol).localCheckpoint()
+      idCol, textCol).transform(Lineage.cut)
     def side(n: String) = sets
       .withColumnRenamed(idCol, s"id_$n").withColumnRenamed("shset", s"set_$n")
     pairs.join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
@@ -520,9 +522,9 @@ object DedupOps {
                                      maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().transform(Lineage.cut)
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node")).transform(Lineage.cut)
     var converged = false
     var i = 0
     // Convergence probe: labels are per-node non-increasing, so the label
@@ -536,7 +538,7 @@ object DedupOps {
         .select(edges("src").as("node"), col("label"))
       val next = labels.unionByName(nbrLabels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .transform(Lineage.cut)
       val sum = next.agg(org.apache.spark.sql.functions.sum(
         col("label").cast("decimal(38,0)")).as("s")).head().getDecimal(0)
       labels = next
@@ -572,7 +574,7 @@ object DedupOps {
     val pairs = bucketStarEdges(
       lshBuckets(minhashSignature(docs, idCol, textCol, numPerms), idCol,
         numPerms),
-      idCol).localCheckpoint() // consumed twice seeding the CC loop
+      idCol).transform(Lineage.cut) // consumed twice seeding the CC loop
     val losers = connectedComponents(pairs, "id_a", "id_b",
         smallEdgeCap = smallEdgeCap)
       .filter(col("node") =!= col("label"))
@@ -600,14 +602,14 @@ object DedupOps {
     val pairs = bucketStarEdges(
       lshBuckets(minhashSignature(docs, idCol, textCol, numPerms), idCol,
         numPerms),
-      idCol).localCheckpoint() // consumed twice seeding the CC loop
+      idCol).transform(Lineage.cut) // consumed twice seeding the CC loop
     val members = connectedComponents(pairs, "id_a", "id_b",
       smallEdgeCap = smallEdgeCap)
     // member-scale (pair participants only), consumed by both the
     // election and the loser filter — checkpoint, never recompute the CC
     val scored = members
       .join(docs.select(col(idCol).as("node"), metric.as("_m")), Seq("node"))
-      .localCheckpoint()
+      .transform(Lineage.cut)
     val reps = scored.groupBy(col("label"))
       .agg(max_by(col("node"), struct(col("_m"), -col("node"))).as("_rep"))
     val losers = scored.join(reps, Seq("label"))
@@ -702,7 +704,7 @@ object DedupOps {
       // join back — without the lineage cut the tokenize+explode subtree is
       // recomputed per consumer (the dedup_jaccard pattern, visible as two
       // full Generate subtrees in the physical plan).
-      val segs = segmentRows(docs, idCol, textCol, segTokens).localCheckpoint()
+      val segs = segmentRows(docs, idCol, textCol, segTokens).transform(Lineage.cut)
       val counts = segs.groupBy(col("segment"))
         .agg(countDistinct(col(idCol)).as("ndocs"))
       val perDoc = segs.join(counts, Seq("segment"))
@@ -745,7 +747,7 @@ object DedupOps {
     val survivors = fp
       .join(firstPerFp, Seq("fingerprint", idCol), "left_semi")
       .join(seenFingerprints, Seq("fingerprint"), "left_anti")
-      .localCheckpoint() // consumed by the caller AND the seen-set union
+      .transform(Lineage.cut) // consumed by the caller AND the seen-set union
     val updatedSeen = seenFingerprints
       .unionByName(survivors.select(col("fingerprint")))
     (survivors, updatedSeen)
@@ -775,7 +777,7 @@ object DedupOps {
     // election, seen-set union) — materialize once or the signature
     // pipeline re-runs per consumer.
     val buckets = lshBuckets(minhashSignature(newDocs, idCol, textCol, numPerms),
-      idCol, numPerms, bands).localCheckpoint()
+      idCol, numPerms, bands).transform(Lineage.cut)
     incrementalNearDedupFromBuckets(newDocs, buckets, seenBuckets, idCol)
   }
 
@@ -798,7 +800,7 @@ object DedupOps {
     val intraLosers = buckets.join(freshHubs, Seq("band", "bucket"))
       .filter(col(idCol) =!= col("_hub")).select(col(idCol)).distinct()
     val losers = collided.unionByName(intraLosers).distinct()
-    val survivors = newDocs.join(losers, Seq(idCol), "left_anti").localCheckpoint()
+    val survivors = newDocs.join(losers, Seq(idCol), "left_anti").transform(Lineage.cut)
     val updatedSeen = seen
       .unionByName(buckets.select(col("band"), col("bucket"))).distinct()
     (survivors, updatedSeen)
@@ -886,7 +888,7 @@ object DedupOps {
       .groupBy(col("_h"))
       .agg(count(lit(1)).as("n_occ"), countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") > 1)
-      .localCheckpoint()
+      .transform(Lineage.cut)
     // The weakest (n_occ, n_docs) among the top-k hashes; keeping
     // everything at-or-above it keeps all boundary ties. NULL (no
     // qualifying hash at all) keeps nothing — vacuously right.
@@ -985,7 +987,7 @@ object DedupOps {
       .select(col(idCol),
         when(length(col("_norm")) === 0, array().cast("array<string>"))
           .otherwise(TextOps.tokens(col("_norm"))).as("_toks"))
-      .localCheckpoint() // compact projection; all exploded stages re-derive from this scan
+      .transform(Lineage.cut) // compact projection; all exploded stages re-derive from this scan
     def sp: DataFrame = toks
       .filter(size(col("_toks")) >= width)
       .select(col(idCol), col("_toks"),
@@ -998,7 +1000,7 @@ object DedupOps {
         min(keyOf(col(idCol), col("_idx"))).as("_keeper"))
       .filter(col("_ndocs") > 1)
       .select(col("span"), col("_keeper"))
-      .localCheckpoint()
+      .transform(Lineage.cut)
     val useBroadcast = broadcastDupSpans.getOrElse {
       val probe = math.min(broadcastMaxDupSpans, Int.MaxValue - 1L).toInt
       dup.limit(probe + 1).count() <= probe
@@ -1263,9 +1265,9 @@ object DedupOps {
     // AND rebuilds the node set at the end (canon drops self-loops, so the
     // node set cannot be recovered from the contracted edges) — without the
     // cut the caller's whole candidate pipeline runs once per consumer.
-    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).transform(Lineage.cut)
     var edges = canon(p)
-      .localCheckpoint()
+      .transform(Lineage.cut)
     def directed(e: DataFrame): DataFrame =
       e.union(e.select(col("b").as("a"), col("a").as("b")))
     def signature(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
@@ -1283,7 +1285,7 @@ object DedupOps {
         .select(col("a").as("_u"), least(col("a"), col("_mn")).as("_m"))
       val large = canon(d.filter(col("b") > col("a"))
         .join(mins, d("a") === col("_u"))
-        .select(col("b").as("a"), col("_m").as("b"))).localCheckpoint()
+        .select(col("b").as("a"), col("_m").as("b"))).transform(Lineage.cut)
       // small-star: every neighbor v <= u (and u itself) links to the min
       // of u's small neighborhood
       val dl = directed(large)
@@ -1294,7 +1296,7 @@ object DedupOps {
         sm.join(smins, sm("a") === col("_u"))
           .select(col("b").as("a"), col("_m").as("b"))
           .union(smins.select(col("_u").as("a"), col("_m").as("b"))))
-        .localCheckpoint()
+        .transform(Lineage.cut)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
@@ -1316,7 +1318,7 @@ object DedupOps {
     // per consumer.
     val starLabels = edges.select(col("b").as("node"), col("a").as("label"))
       .union(edges.select(col("a").as("node"), col("a").as("label")).distinct())
-      .localCheckpoint()
+      .transform(Lineage.cut)
     // canon() drops self-loops, so a node whose only pairs are (n, n) has
     // no star edge — restore it as its own singleton cluster to keep the
     // "every node appearing in pairs" contract propagation honors.
@@ -1368,7 +1370,7 @@ object DedupOps {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sh = simhashWide(docs, idCol, textCol, 60)
-      .localCheckpoint() // feeds the band explode AND both verify joins
+      .transform(Lineage.cut) // feeds the band explode AND both verify joins
     val banded = sh.select(col(idCol),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), 15 * b).bitwiseAND(0x7fff)): _*))
@@ -1408,7 +1410,7 @@ object DedupOps {
     // checkpoint or the corpus-scale shingle pass runs twice (rule 4d)
     val sk = rows.select(col("_sid.s").as("src"), col("_h"))
       .groupBy(col("src")).agg(expr(s"kmv_mins(_h, $k)").as("mins"))
-      .localCheckpoint(eager = false)
+      .transform(Lineage.cutLazy)
     val a = sk.select(col("src").as("src_a"), col("mins").as("_am"))
     val b = sk.select(col("src").as("src_b"), col("mins").as("_bm"))
     a.join(broadcast(b), col("src_a") < col("src_b"))
