@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.model.{EnvironmentConfig, TrackingObject}
 import graft.ops.{Dlq, Envelope, Incremental, StateOps, Windows}
-import graft.sinks.{ExportMeta, Sinks}
+import graft.sinks.{Amqp, ExportFailure, ExportMeta, Sinks}
 import graft.state.ParquetStateStore
 
 /** The change-relay pipeline: one polling cycle per tracked object —
@@ -26,7 +26,10 @@ final class ChangeRelay(
     horizonOf: DataFrame => Long = ChangeRelay.defaultHorizon,
     // opt-in REAL HTTP delivery for "http" endpoints (Sinks.httpPost);
     // default keeps the zero-egress prepare-only guard behavior
-    performHttp: Boolean = false) {
+    performHttp: Boolean = false,
+    // opt-in REAL AMQP 0-9-1 wire delivery for "rabbitmq" endpoints
+    // (Sinks side: Amqp.publish; the loopback-broker e2e drives it)
+    performAmqp: Boolean = false) {
 
   import spark.implicits._
 
@@ -160,7 +163,7 @@ final class ChangeRelay(
         // of plain values, never `this` (the relay holds the session/store).
         val plan = ChangeRelay.ExportPlan(config.name, obj.name, obj.database,
           nowUtc, totalBatches, fileSinkTemplate, config.endpoints,
-          config.maxPayloadSizeBytes, performHttp)
+          config.maxPayloadSizeBytes, performHttp, performAmqp)
         val acc = spark.sparkContext.longAccumulator("graft.relay.envelopesExportedOnExecutors")
         val failures = envelopes.select("g", "envelope_json").as[(String, String)]
           .mapPartitions(it => ChangeRelay.exportPartition(plan, it, acc))
@@ -239,7 +242,8 @@ object ChangeRelay {
       fileSinkTemplate: Option[String],
       endpoints: Seq[graft.model.SinkEndpoint],
       maxPayloadSizeBytes: Long,
-      performHttp: Boolean = false)
+      performHttp: Boolean = false,
+      performAmqp: Boolean = false)
 
   /** Fan one partition of `(g, envelope_json)` rows out to every configured
     * sink, executor-side. Emits only the failures as (error, payload) — the
@@ -269,6 +273,23 @@ object ChangeRelay {
               .flatMap(r =>
                 if (plan.performHttp) Sinks.httpPost(r).map(_ => ())
                 else Right(()))
+          case "rabbitmq" if plan.performAmqp =>
+            // REAL wire delivery (r19, the performHttp precedent): guards
+            // first (required fields, caps), then the AMQP 0-9-1 publish —
+            // target "amqp://host:port/exchange", routing key = the object
+            // name, correlation id = the batch group (replayable).
+            Sinks.prepareBrokerMessage("rabbitmq", json, ep.headers).flatMap { body =>
+              ep.target.stripPrefix("amqp://").split("/", 2) match {
+                case Array(hostPort, exchange) =>
+                  val Array(h, p) = hostPort.split(":", 2)
+                  Amqp.publish(h, p.toInt, exchange,
+                    routingKey = s"${plan.database}.${plan.objectName}",
+                    body = body, correlationId = g,
+                    headers = ep.headers).map(_ => ())
+                case _ =>
+                  Left(ExportFailure(ep.key, s"bad amqp target '${ep.target}'"))
+              }
+            }
           case broker =>
             Sinks.prepareBrokerMessage(broker, json, ep.headers).map(_ => ())
         }

@@ -41,7 +41,36 @@ scale-invariant:
   the part/orders FKs of copies >0 dangle BY DESIGN (the graph_* family
   reads lineitem alone — TPC-H q* queries are not in the decade subset).
 
-Usage: python3 tools/make_sf1.py [outdir=/tmp/sf1.0]
+== --skew (r19, VERDICT r18 task 3) ==
+
+The uniform decade is self-similar BY CONSTRUCTION — it cannot surface
+skew that only organic data has. `--skew` keeps the SAME row counts
+(runtimes comparable 1:1 with the uniform fixture) but concentrates
+~20% of each table in one hot structure, exercising the machinery the
+code claims is skew-safe:
+
+- documents: copies 0-7 uniform + a 10,000-doc EXACT-DUP CLIQUE (one
+  median-length base doc, 'c8'-salted, single hot source 'megasource')
+  — hot content-hash group, hot shingles, LSH mega-buckets (cap paths),
+  one 10k connected component, 20%-of-corpus boilerplate;
+- embeddings: copies 0-7 rotated + 4,000 vectors that are one base
+  vector under tiny per-row scalings (cosine ~ 1) — one mega
+  cluster/cell for IVF, semantic-dedup cell caps, kNN audits;
+- events: copies 0-7 + ONE USER holding 200,000 events (every base
+  event twice, distinct event_ids) — a 20% hot key into every
+  user-keyed session window (windows cannot be AQE-skew-split, so this
+  measures the true hot-partition cost) and giant merged sessions
+  against the pathLen/collect caps;
+- lineitem: copies 0-7 + copies 8-9 where every order's first line is
+  ONE HOT PART (co-purchase hub of ~300k baskets) + one 2,000-item
+  MEGA BASKET (pair_structs' documented 65,535 cap is far above it;
+  2M exact pairs from one row on both engines).
+
+Oracles replay the same SQL over the same parquet, so all 160 decade
+queries stay hash-checkable; what the fixture changes is which code
+paths carry the weight.
+
+Usage: python3 tools/make_sf1.py [outdir=/tmp/sf1.0] [--skew]
 
 Row groups are written SMALL (2048 rows) so Spark can split the single
 file: DuckDB's default one-giant-row-group output serializes every
@@ -57,9 +86,11 @@ import sys
 
 import duckdb
 
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1.0"
+args = [a for a in sys.argv[1:] if a != "--skew"]
+SKEW = "--skew" in sys.argv[1:]
+OUT = args[0] if args else ("/tmp/sf1.0-skew" if SKEW else "/tmp/sf1.0")
 SRC = "/root/testdata/sf0.1"
-COPIES = 10
+COPIES = 8 if SKEW else 10  # skew: copies 8-9's row budget goes to the hot blocks
 
 con = duckdb.connect()
 con.execute("SET threads TO 16")
@@ -75,8 +106,21 @@ for t in ("documents", "embeddings", "events", "lineitem"):
     if os.path.islink(p):
         os.remove(p)
 
+doc_skew = f"""
+  UNION ALL
+  SELECT CAST(80000000 + i.i AS BIGINT) AS doc_id,
+         m.stext AS text, 'en' AS lang, 'megasource' AS source,
+         CAST(length(m.stext) AS BIGINT) AS n_chars
+  FROM (SELECT array_to_string(list_transform(string_split(text, ' '),
+                 t -> 'c8' || t), ' ') AS stext
+        FROM (SELECT text FROM '{SRC}/documents.parquet'
+              ORDER BY length(text), doc_id LIMIT 1 OFFSET 2500)) m
+  CROSS JOIN (SELECT unnest(range(10000)) AS i) i
+""" if SKEW else ""
+
 con.execute(f"""
 COPY (
+  SELECT * FROM (
   SELECT d.doc_id + c.copy * 10000000 AS doc_id,
          CASE WHEN c.copy = 0 THEN d.text
               ELSE array_to_string(
@@ -91,12 +135,25 @@ COPY (
          END AS n_chars
   FROM '{SRC}/documents.parquet' d
   CROSS JOIN (SELECT unnest(range({COPIES})) AS copy) c
-  ORDER BY doc_id
+  {doc_skew}
+  ) ORDER BY doc_id
 ) TO '{OUT}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)
 """)
 
+emb_skew = f"""
+  UNION ALL
+  SELECT CAST(80000000 + i.i AS BIGINT) AS vec_id,
+         list_transform(m.embedding,
+           x -> CAST(x * (1 + (i.i % 97) * 0.000001) AS FLOAT)) AS embedding,
+         m.label
+  FROM (SELECT embedding, label FROM '{SRC}/embeddings.parquet'
+        ORDER BY vec_id LIMIT 1 OFFSET 7) m
+  CROSS JOIN (SELECT unnest(range(4000)) AS i) i
+""" if SKEW else ""
+
 con.execute(f"""
 COPY (
+  SELECT * FROM (
   SELECT e.vec_id + c.copy * 10000000 AS vec_id,
          CASE WHEN c.copy = 0 THEN e.embedding
               ELSE list_transform(
@@ -107,31 +164,63 @@ COPY (
          e.label
   FROM '{SRC}/embeddings.parquet' e
   CROSS JOIN (SELECT unnest(range({COPIES})) AS copy) c
-  ORDER BY vec_id
+  {emb_skew}
+  ) ORDER BY vec_id
 ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)
 """)
 
+ev_skew = f"""
+  UNION ALL
+  SELECT CAST(8000000000 + e.event_id * 2 + k.k AS BIGINT) AS event_id,
+         e.ts, CAST(99999999 AS BIGINT) AS user_id,
+         e.event_type, e.value, e.props
+  FROM '{SRC}/events.parquet' e
+  CROSS JOIN (SELECT unnest(range(2)) AS k) k
+""" if SKEW else ""
+
 con.execute(f"""
 COPY (
+  SELECT * FROM (
   SELECT e.event_id + c.copy * 1000000000 AS event_id,
          e.ts,
          e.user_id + c.copy * 10000000 AS user_id,
          e.event_type, e.value, e.props
   FROM '{SRC}/events.parquet' e
   CROSS JOIN (SELECT unnest(range({COPIES})) AS copy) c
-  ORDER BY event_id
+  {ev_skew}
+  ) ORDER BY event_id
 ) TO '{OUT}/events.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 8192)
 """)
 
+li_skew = f"""
+  UNION ALL
+  SELECT l.l_orderkey + c.copy * 100000000 AS l_orderkey,
+         CASE WHEN l.l_linenumber = 1 THEN CAST(70000001 AS BIGINT)
+              ELSE l.l_partkey + c.copy * 10000000 END AS l_partkey,
+         l.l_suppkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+         l.l_discount, l.l_tax, l.l_returnflag, l.l_linestatus, l.l_shipdate
+  FROM '{SRC}/lineitem.parquet' l
+  CROSS JOIN (SELECT unnest(range(8, 10)) AS copy) c
+  UNION ALL
+  SELECT CAST(999999999 AS BIGINT) AS l_orderkey,
+         CAST(70010000 + m.rn AS BIGINT) AS l_partkey,
+         m.l_suppkey, m.l_linenumber, m.l_quantity, m.l_extendedprice,
+         m.l_discount, m.l_tax, m.l_returnflag, m.l_linestatus, m.l_shipdate
+  FROM (SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        FROM '{SRC}/lineitem.parquet' LIMIT 2000) m
+""" if SKEW else ""
+
 con.execute(f"""
 COPY (
+  SELECT * FROM (
   SELECT l.l_orderkey + c.copy * 100000000 AS l_orderkey,
          l.l_partkey + c.copy * 10000000 AS l_partkey,
          l.l_suppkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
          l.l_discount, l.l_tax, l.l_returnflag, l.l_linestatus, l.l_shipdate
   FROM '{SRC}/lineitem.parquet' l
   CROSS JOIN (SELECT unnest(range({COPIES})) AS copy) c
-  ORDER BY l_orderkey, l_linenumber
+  {li_skew}
+  ) ORDER BY l_orderkey, l_linenumber
 ) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 65536)
 """)
 
