@@ -295,10 +295,22 @@ object QueriesLlm {
       |  SELECT doc_id, 3, CAST(sig_6 AS VARCHAR) || '_' || CAST(sig_7 AS VARCHAR) FROM sig_docs)""".stripMargin
 
   private val pairsCte =
-    """pair_docs AS (
+    // The ok_buckets filter replays the maxBucket = 1000 mega-bucket drop
+    // BOTH Spark pair builders apply (candidatePairs AND bucketStarEdges —
+    // identical drop semantics, so capped all-pairs closure and capped star
+    // edges still agree on components). Before r19 the oracle was uncapped
+    // and only agreed because no uniform fixture ever grew a bucket past
+    // the cap; the skewed decade's 2,000-doc dup clique exposed it (and
+    // 5×10⁷ oracle-side pairs with it — found by the skew fixture doing
+    // its job).
+    """ok_buckets AS (
+      |  SELECT band, bucket FROM bucket_docs GROUP BY 1, 2
+      |  HAVING count(*) > 1 AND count(*) <= 1000),
+      |pair_docs AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bucket_docs a JOIN bucket_docs b
-      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  JOIN ok_buckets o ON o.band = a.band AND o.bucket = a.bucket)""".stripMargin
 
   /** Shared Spark-side collision graph for both CC algorithms — ONE
     * definition so the two variants can never silently cluster different

@@ -49,13 +49,18 @@ skew that only organic data has. `--skew` keeps the SAME row counts
 ~20% of each table in one hot structure, exercising the machinery the
 code claims is skew-safe:
 
-- documents: copies 0-7 uniform + a 10,000-doc EXACT-DUP CLIQUE (one
-  median-length base doc, 'c8'-salted, single hot source 'megasource')
-  — hot content-hash group, hot shingles, LSH mega-buckets (cap paths),
-  one 10k connected component, 20%-of-corpus boilerplate;
-- embeddings: copies 0-7 rotated + 4,000 vectors that are one base
-  vector under tiny per-row scalings (cosine ~ 1) — one mega
-  cluster/cell for IVF, semantic-dedup cell caps, kNN audits;
+- documents: copies 0-7 uniform + a 2,000-doc EXACT-DUP CLIQUE (one
+  median-length base doc, 'c8'-salted — above the maxBucket=1000 LSH
+  cap, so the mega-bucket DROP path actually executes, but small enough
+  that the all-pairs closure oracles stay feasible) + 8,000 'c9'-salted
+  docs, ALL 10,000 under one hot source 'megasource' (20% of the
+  corpus in one domain) — hot content-hash group, hot shingles, one 2k
+  connected component, hot-source rollups;
+- embeddings: copies 0-7 rotated + 2,000 vectors that are one base
+  vector under tiny per-row scalings (cosine ~ 1; one mega cluster/cell
+  for IVF, semantic-dedup cell caps, kNN audits — ~2M exact intra-
+  cluster pairs on BOTH engines in the near-dup queries) + 2,000
+  rotation-9 rows;
 - events: copies 0-7 + ONE USER holding 200,000 events (every base
   event twice, distinct event_ids) — a 20% hot key into every
   user-keyed session window (windows cannot be AQE-skew-split, so this
@@ -115,7 +120,23 @@ doc_skew = f"""
                  t -> 'c8' || t), ' ') AS stext
         FROM (SELECT text FROM '{SRC}/documents.parquet'
               ORDER BY length(text), doc_id LIMIT 1 OFFSET 2500)) m
-  CROSS JOIN (SELECT unnest(range(10000)) AS i) i
+  CROSS JOIN (SELECT unnest(range(2000)) AS i) i
+  UNION ALL
+  SELECT d.doc_id + 90000000 AS doc_id,
+         array_to_string(list_transform(string_split(d.text, ' '),
+                         t -> 'c9' || t), ' ') AS text,
+         d.lang, 'megasource' AS source,
+         CAST(length(array_to_string(list_transform(string_split(d.text, ' '),
+                      t -> 'c9' || t), ' ')) AS BIGINT) AS n_chars
+  FROM '{SRC}/documents.parquet' d
+  UNION ALL
+  SELECT d.doc_id + 95000000 AS doc_id,
+         array_to_string(list_transform(string_split(d.text, ' '),
+                         t -> 'c10' || t), ' ') AS text,
+         d.lang, 'megasource' AS source,
+         CAST(length(array_to_string(list_transform(string_split(d.text, ' '),
+                      t -> 'c10' || t), ' ')) AS BIGINT) AS n_chars
+  FROM (SELECT * FROM '{SRC}/documents.parquet' ORDER BY doc_id LIMIT 3000) d
 """ if SKEW else ""
 
 con.execute(f"""
@@ -148,7 +169,14 @@ emb_skew = f"""
          m.label
   FROM (SELECT embedding, label FROM '{SRC}/embeddings.parquet'
         ORDER BY vec_id LIMIT 1 OFFSET 7) m
-  CROSS JOIN (SELECT unnest(range(4000)) AS i) i
+  CROSS JOIN (SELECT unnest(range(2000)) AS i) i
+  UNION ALL
+  SELECT e.vec_id + 90000000 AS vec_id,
+         list_transform(range(1, len(e.embedding) + 1),
+           i -> e.embedding[
+             1 + CAST((i - 1 + 13 * 9) % len(e.embedding) AS BIGINT)]) AS embedding,
+         e.label
+  FROM (SELECT * FROM '{SRC}/embeddings.parquet' ORDER BY vec_id LIMIT 2000) e
 """ if SKEW else ""
 
 con.execute(f"""
