@@ -1438,10 +1438,16 @@ object QueriesLlm {
         DedupOps.lshBuckets(
           DedupOps.minhashSignature(Tables.documents(s, d), "doc_id", "text", 8), "doc_id"),
         "doc_id"),
-      Some(withCtes(normDocsCte, shinglesCte, sigCte, bucketCte)(
+      // the inline CTE replays the same maxBucket = 1000 drop as pairsCte
+      // (r19 — the skewed decade's 2k clique diverged the uncapped form)
+      Some(withCtes(normDocsCte, shinglesCte, sigCte, bucketCte,
+        """ok_buckets AS (
+          |  SELECT band, bucket FROM bucket_docs GROUP BY 1, 2
+          |  HAVING count(*) > 1 AND count(*) <= 1000)""".stripMargin)(
         """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           |FROM bucket_docs a JOIN bucket_docs b
-          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin))),
+          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          |JOIN ok_buckets o ON o.band = a.band AND o.bucket = a.bucket""".stripMargin))),
 
     Q("dedup_clusters",
       // Pairwise candidates → dedup clusters: connected components of the
