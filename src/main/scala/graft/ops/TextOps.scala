@@ -531,11 +531,13 @@ object TextOps {
     * corpus-scale checkpoint), vs 40-52 s stable for this two-pass shape
     * (RefFreqProfile ABBA) — and at 100 TB a tokenized-corpus
     * materialization is a non-starter while a 0.3× re-scan is routine.
-    * The vocab join auto-broadcasts via a LIMIT-bounded probe (the
-    * `decontaminate` pattern) and falls back to a shuffle join keyed on
-    * token. Documents whose normalized text is empty have no token rows
-    * and are absent from the output (mirrored by the oracle's
-    * `unnest([])`).
+    * Strategy tiers (r19, mirrors decontaminate): (1) vocab ≤
+    * `maxDriverVocab` rows → the sorted (tok, df) arrays ride as two
+    * Literals and scoring is MAP-ONLY via the native `reffreq_stats` fold
+    * (no probe job, no join, no per-doc groupBy); (2) broadcast join via
+    * the LIMIT-bounded probe; (3) shuffle join keyed on token. Documents
+    * whose normalized text is empty have no token rows and are absent
+    * from the output (mirrored by the oracle's `unnest([])`).
     *
     * Output: (doc_id, n_toks, n_oov, oov_ppm, rarity_pts, bucket). */
   def refFreqQuality(docs: DataFrame, idCol: String, textCol: String,
@@ -543,16 +545,9 @@ object TextOps {
                      oovTailPpm: Long = 400000L, rarityTailPts: Long = 250000L,
                      rarityHeadPts: Long = 150000L, oovHeadPpm: Long = 100000L,
                      salt: String = "ref",
-                     broadcastMaxVocab: Long = 4000000L): DataFrame = {
-    // Scoring pass explodes per-doc-DISTINCT (tok, within-doc count) pairs
-    // from the gram_counts kernel instead of raw occurrences (r19): the
-    // broadcast-join probes and the per-doc aggregation input shrink by the
-    // within-doc repetition factor, and every sum below re-weights by `c`
-    // so the values are occurrence-exact (GramProf both orders at sf1.0:
-    // 0.50-0.76 s vs 1.03-1.25 s for the occurrence-explode shape).
-    val occ = docs
-      .select(col(idCol), explode(gramCounts(tokens(col(textCol)), 1)).as("_g"))
-      .select(col(idCol), col("_g.s").as("tok"), col("_g.c").as("c"))
+                     broadcastMaxVocab: Long = 4000000L,
+                     driverVocab: Option[Boolean] = None,
+                     maxDriverVocab: Long = 2000000L): DataFrame = {
     // slice filter BELOW the tokenizer: the vocab pass re-reads only
     // ~refPermille/1000 of the corpus instead of materializing any of it
     val vocab0 = withNormToks(
@@ -562,16 +557,7 @@ object TextOps {
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-    val probe = math.min(broadcastMaxVocab, Int.MaxValue - 1L).toInt
-    val vocab = if (vocab0.limit(probe + 1).count() <= probe) broadcast(vocab0)
-                else vocab0
-    occ.join(vocab, Seq("tok"), "left")
-      .groupBy(col(idCol))
-      .agg(sum(col("c")).as("n_toks"),
-        sum(when(col("df").isNull, col("c")).otherwise(0L)).as("n_oov"),
-        sum(when(col("df").isNotNull, col("c") * expr("1000000 div df"))
-          .otherwise(0L)).as("_rsum"),
-        sum(when(col("df").isNotNull, col("c")).otherwise(0L)).as("_nv"))
+    def post(df: DataFrame): DataFrame = df
       .withColumn("oov_ppm", expr("n_oov * 1000000 div n_toks"))
       .withColumn("rarity_pts",
         when(col("_nv") > 0, expr("_rsum div _nv")).otherwise(lit(1000000L)))
@@ -582,6 +568,64 @@ object TextOps {
             lit("head"))
           .otherwise(lit("middle")))
       .drop("_rsum", "_nv")
+    // MAP-ONLY tier (r19, the decontaminate tier-1 pattern): fetch the
+    // Zipf-bounded (tok, df) vocab as ONE sorted-array row (sort_array on
+    // struct = UTF8String binary order on the unique tok — the exact order
+    // the kernel's binary search needs), ship keys/dfs as two array
+    // Literals, and fold each doc's gram_counts entries row-locally with
+    // reffreq_stats — no LIMIT-probe job, no broadcast build, no join, no
+    // per-doc groupBy. Driver exposure equals the broadcast tier's (that
+    // path also materializes the vocab driver-side); an over-cap vocab
+    // falls back to the join tiers bit-identically (spec pins equality +
+    // the cap-0 flip).
+    val cap = math.min(maxDriverVocab, Int.MaxValue - 8L).toInt
+    val vocabArr: Option[Array[org.apache.spark.sql.Row]] =
+      if (driverVocab.getOrElse(true)) {
+        val a = vocab0
+          .agg(sort_array(collect_list(struct(col("tok"), col("df")))).as("_a"))
+          .head.getSeq[org.apache.spark.sql.Row](0).toArray
+        if ((a.length <= cap && !driverVocab.contains(false)) ||
+          driverVocab.contains(true)) Some(a) else None
+      } else None
+    if (vocabArr.isDefined) {
+      import org.apache.spark.sql.graftglue.ColumnGlue
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+      val keys = Literal.create(vocabArr.get.map(_.getString(0)),
+        ArrayType(StringType, containsNull = false))
+      val dfs = Literal.create(vocabArr.get.map(_.getLong(1)),
+        ArrayType(LongType, containsNull = false))
+      val stats = ColumnGlue.column(graft.expressions.RefFreqStats(
+        ColumnGlue.expression(gramCounts(tokens(col(textCol)), 1)), keys, dfs))
+      post(docs
+        // explode(array(...)) Generate barrier: the stats struct is
+        // evaluated ONCE per row (4 field extractions would otherwise
+        // re-evaluate the kernel — the llm_token_diversity move)
+        .select(col(idCol), explode(array(stats)).as("_s"))
+        .filter(col("_s.n_toks") > 0) // empty-norm docs are absent (contract)
+        .select(col(idCol), col("_s.n_toks").as("n_toks"),
+          col("_s.n_oov").as("n_oov"), col("_s.rsum").as("_rsum"),
+          col("_s.nv").as("_nv")))
+    } else {
+      // Join tiers: scoring pass explodes per-doc-DISTINCT (tok, c) pairs
+      // from the gram_counts kernel (occurrence-exact via the c weights;
+      // GramProf both orders at sf1.0: 0.50-0.76 s vs 1.03-1.25 s for the
+      // occurrence-explode shape), vocab broadcast when the LIMIT probe
+      // says it fits, shuffle join otherwise.
+      val occ = docs
+        .select(col(idCol), explode(gramCounts(tokens(col(textCol)), 1)).as("_g"))
+        .select(col(idCol), col("_g.s").as("tok"), col("_g.c").as("c"))
+      val probe = math.min(broadcastMaxVocab, Int.MaxValue - 1L).toInt
+      val vocab = if (vocab0.limit(probe + 1).count() <= probe) broadcast(vocab0)
+                  else vocab0
+      post(occ.join(vocab, Seq("tok"), "left")
+        .groupBy(col(idCol))
+        .agg(sum(col("c")).as("n_toks"),
+          sum(when(col("df").isNull, col("c")).otherwise(0L)).as("n_oov"),
+          sum(when(col("df").isNotNull, col("c") * expr("1000000 div df"))
+            .otherwise(0L)).as("_rsum"),
+          sum(when(col("df").isNotNull, col("c")).otherwise(0L)).as("_nv")))
+    }
   }
 
   /** Token-distribution drift between two corpus slices (dataset-version

@@ -150,6 +150,33 @@ class LabelQualitySpec extends SparkSpec {
     assert(commonDoc.forall(_._2 == 0L), "all-common docs have zero OOV")
   }
 
+  test("refFreqQuality: map-only driver-vocab tier is row-identical to the " +
+      "join tiers; the cap-0 flip selects the join (r19)") {
+    val docs = ((0 until 60).map { i =>
+      val extra = if (i % 3 == 0) s" rare${i % 5} spice${i % 7}" else ""
+      (i.toLong, s"common words everywhere$extra")
+    } :+ ((200L, "qq1 qq2 qq3 common")) :+ ((201L, "")))
+      .toDF("doc_id", "text")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val auto = TextOps.refFreqQuality(docs, "doc_id", "text",
+      refPermille = 500, minDf = 2, salt = "spec2")
+    val forcedDriver = TextOps.refFreqQuality(docs, "doc_id", "text",
+      refPermille = 500, minDf = 2, salt = "spec2", driverVocab = Some(true))
+    val forcedJoin = TextOps.refFreqQuality(docs, "doc_id", "text",
+      refPermille = 500, minDf = 2, salt = "spec2", driverVocab = Some(false))
+    assert(rowsOf(forcedDriver) == rowsOf(forcedJoin),
+      "driver-vocab and join tiers must be row-identical")
+    assert(rowsOf(auto) == rowsOf(forcedJoin))
+    assert(!auto.queryExecution.analyzed.toString.contains("Join"),
+      "the tiny vocab must auto-select the map-only tier (no Join in the plan)")
+    val capped = TextOps.refFreqQuality(docs, "doc_id", "text",
+      refPermille = 500, minDf = 2, salt = "spec2", maxDriverVocab = 0L)
+    assert(capped.queryExecution.analyzed.toString.contains("Join"),
+      "cap 0 must fall back to the join tiers")
+    assert(rowsOf(capped) == rowsOf(forcedJoin))
+  }
+
   test("integrityAudit: planted dim violation, zero vector, and orphan are each counted") {
     val emb = Seq(
       (0L, Array(0.5f, 0.5f), 0),     // clean, paired: norm2 = 2*500²
