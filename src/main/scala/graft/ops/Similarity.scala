@@ -202,19 +202,13 @@ object Similarity {
   private[ops] def qdist2Hof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
 
-  /** Float cosine similarity — NON-HOT convenience form. This is a 3-lambda
-    * INTERPRETED HOF chain (~3×dim lambda evals per call, round-9 rule a);
-    * no registered query uses it, and none should on a pair stage — hot
-    * paths quantize once and score with the native [[qdot]]/[[qdist2]]
-    * kernels (r16 rule c took the ann pair family 2-14× off exactly this
-    * shape). Kept for ad-hoc float scoring where exactness vs the float
-    * formulation matters more than throughput. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
-    dot / (na * nb)
-  }
+  // (r19) the float `cosine` HOF helper was DELETED: unused by any
+  // registered query for three rounds, and every pair-stage caller must
+  // quantize once and score with the native qdot/qdist2 kernels anyway
+  // (r16 rule c — the interpreted 3-lambda chain cost the ann family
+  // 2-14×). Ad-hoc float scoring composes from built-ins in one line;
+  // keeping a ready-made footgun named `cosine` invited exactly the
+  // mistake the kernels exist to prevent (r17/r18 verdict hygiene note).
 
   /** Scalar (SQ8) quantization — the standard index-compression companion
     * to PQ (a FAISS `SQ8`-style codec): per-dimension min/max calibration
