@@ -1144,13 +1144,14 @@ object DedupOps {
     * when it doesn't. Either way no doc×doc work.
     *
     * Strategy selection, three tiers (each probed, never assumed):
-    *  1. driver set (r19): test split ≤ `broadcastMaxTestDocs` docs (LIMIT
-    *     probe on base rows) AND distinct shingles ≤ `maxDriverTestShingles`
-    *     (checked on the one-row sorted-array fetch) → the sorted set ships
-    *     as ONE array Literal and the train side is MAP-ONLY via the native
-    *     `count_in_sorted` probe: no broadcast build job, no join, no
-    *     per-doc groupBy exchange (`driverTestSet` forces either way for
-    *     specs);
+    *  1. driver set (r19): one `kmv_mins(_h, cap+1)` job fetches the
+    *     bottom-(cap+1) distinct test shingles with cap-BOUNDED aggregate
+    *     state — ≤ cap values returned IS the complete sorted set (probe
+    *     and fetch are the same bounded job; driver exposure ≤ cap+1 longs
+    *     always) → it ships as ONE array Literal and the train side is
+    *     MAP-ONLY via the native `count_in_sorted` probe: no broadcast
+    *     build job, no join, no per-doc groupBy exchange (`driverTestSet`
+    *     forces either way for specs);
     *  2. broadcast join: test split ≤ `broadcastMaxTestDocs` docs (LIMIT
     *     probe) → broadcast the distinct test shingles;
     *  3. shuffle join on the shingle hash — a misconfigured permille that
@@ -1191,19 +1192,33 @@ object DedupOps {
     // the broadcast join, bit-identically (spec pins path equality + flip).
     val docProbe = math.min(broadcastMaxTestDocs, Int.MaxValue - 1L).toInt
     lazy val testDocsSmall = testDocs.limit(docProbe + 1).count() <= docProbe
-    val tryDriverSet = driverTestSet.getOrElse(testDocsSmall)
     val cap = math.min(maxDriverTestShingles, Int.MaxValue - 8L).toInt
+    // cap < 1 can't admit any driver set — skip straight to the join tiers
+    // (also the spec's forced-flip lever); kmv_mins' k >= 2 contract is
+    // satisfied via max(cap+1, 2) below.
+    val tryDriverSet = driverTestSet.getOrElse(cap >= 1)
     val setOpt: Option[Array[Long]] = if (tryDriverSet) {
-      // collect_set IS the distinct — aggregating the raw per-doc-distinct
-      // rows directly saves the distinct's own exchange stage (one
-      // partial-agg per partition + a single merge task).
+      // kmv_mins(_h, cap+1) — the bottom-(cap+1) DISTINCT hashes with
+      // cap-BOUNDED aggregate state (a TreeSet of at most cap+1 longs per
+      // partition). If the result holds ≤ cap values it IS the complete
+      // sorted distinct test set; cap+1 values mean the set is bigger and
+      // the join tiers take over. This replaces the r19 first cut's
+      // fetch-then-check (`sort_array(collect_set(..))`), which collected
+      // the WHOLE set before checking the cap — 144 MB of driver boxing on
+      // a 1M-doc ScaleSmoke corpus whose split was always going to fall
+      // back; the probe and the fetch are now the same ONE bounded job, so
+      // no separate doc-count guard is needed either.
       val arr = testShingleRows
-        .agg(sort_array(collect_set(col("_h"))).as("_arr"))
+        .agg(org.apache.spark.sql.functions
+          .expr(s"kmv_mins(_h, ${math.max(cap + 1, 2)})").as("_arr"))
         .head.getSeq[Long](0).toArray
-      if (arr.length <= cap || driverTestSet.contains(true)) Some(arr) else None
+      if (arr.length <= cap) Some(arr)
+      else if (driverTestSet.contains(true)) // forced: complete the set anyway
+        Some(testShingles0.collect().map(_.getLong(0)).sorted)
+      else None
     } else None
     if (setOpt.isDefined) {
-      val set = setOpt.get // sort_array already sorted ascending
+      val set = setOpt.get // kmv_mins iterates its TreeSet ascending
       import org.apache.spark.sql.graftglue.ColumnGlue
       import org.apache.spark.sql.catalyst.expressions.Literal
       import org.apache.spark.sql.types.{ArrayType, LongType}
