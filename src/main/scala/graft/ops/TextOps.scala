@@ -574,10 +574,15 @@ object TextOps {
     // the kernel's binary search needs), ship keys/dfs as two array
     // Literals, and fold each doc's gram_counts entries row-locally with
     // reffreq_stats — no LIMIT-probe job, no broadcast build, no join, no
-    // per-doc groupBy. Driver exposure equals the broadcast tier's (that
-    // path also materializes the vocab driver-side); an over-cap vocab
-    // falls back to the join tiers bit-identically (spec pins equality +
-    // the cap-0 flip).
+    // per-doc groupBy. An over-cap vocab falls back to the join tiers
+    // bit-identically (spec pins equality + the cap-0 flip).
+    // Fetch-BEFORE-check is deliberate here and deliberately NOT shared
+    // with decontaminate's shingle sets (which grow linearly with the
+    // split and needed the kmv_mins bounded probe): a minDf-pruned token
+    // VOCABULARY is Zipf-bounded — 1M docs measured 1.3M tokens, and df>=2
+    // drops the singleton tail that drives vocab growth — so the worst
+    // case of the one-row fetch matches what the broadcast tier would
+    // materialize driver-side anyway.
     val cap = math.min(maxDriverVocab, Int.MaxValue - 8L).toInt
     val vocabArr: Option[Array[org.apache.spark.sql.Row]] =
       if (driverVocab.getOrElse(true)) {
