@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvMins].getName, "kmv_mins"),
       (children: Seq[Expression]) => KmvMins(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("vocab_mins"),
+      new ExpressionInfo(classOf[graft.expressions.VocabMins].getName, "vocab_mins"),
+      (children: Seq[Expression]) =>
+        graft.expressions.VocabMins(children(0), children(1), children(2))))
+    ext.injectFunction((
       new FunctionIdentifier("cms_counts"),
       new ExpressionInfo(classOf[CmsCounts].getName, "cms_counts"),
       (children: Seq[Expression]) => {

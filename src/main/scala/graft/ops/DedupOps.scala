@@ -1178,18 +1178,21 @@ object DedupOps {
     val testShingleRows = shingleHashRowsDistinctPerDoc(testDocs,
       idCol, textCol, repartitionById = false).select(col("_h"))
     lazy val testShingles0 = testShingleRows.distinct()
-    // MAP-ONLY fast path (r19): when the test split is provably small (the
-    // cheap LIMIT doc-count probe — reads at most broadcastMaxTestDocs + 1
-    // base rows, never tokenizes), fetch its distinct shingle set ONCE as a
-    // SINGLE sorted-array row (no per-shingle Row boxing — a take(cap+1) of
-    // ~1M individual rows measured driver-bound at sf1.0), ship it as one
-    // array Literal, and score every train doc row-locally with the native
-    // count_in_sorted probe — no broadcast-build job, no occurrence
-    // explode, no join, no per-doc groupBy exchange, no train repartition.
-    // Driver exposure equals the tier-2 broadcast path's (a broadcast set
-    // also materializes on the driver); the doc-count probe guards both
-    // tiers, and a shingle count past `maxDriverTestShingles` falls back to
-    // the broadcast join, bit-identically (spec pins path equality + flip).
+    // MAP-ONLY fast path (r19): fetch the test split's distinct shingle
+    // set ONCE as a SINGLE sorted-array row via the `kmv_mins(_h, cap+1)`
+    // bounded probe-and-fetch below (no per-shingle Row boxing — a
+    // take(cap+1) of ~1M individual rows measured driver-bound at sf1.0;
+    // no separate probe job — the probe IS the fetch, with cap-bounded
+    // aggregate state), ship it as one array Literal, and score every
+    // train doc row-locally with the native count_in_sorted probe — no
+    // broadcast-build job, no occurrence explode, no join, no per-doc
+    // groupBy exchange, no train repartition. Driver exposure equals the
+    // tier-2 broadcast path's (a broadcast set also materializes on the
+    // driver). Tier 1 is guarded by the kmv_mins bound alone; the cheap
+    // LIMIT doc-count probe (`testDocsSmall`) gates only the tier-2
+    // broadcast join. A shingle count past `maxDriverTestShingles` falls
+    // back to the join tiers bit-identically (spec pins path equality +
+    // flip).
     val docProbe = math.min(broadcastMaxTestDocs, Int.MaxValue - 1L).toInt
     lazy val testDocsSmall = testDocs.limit(docProbe + 1).count() <= docProbe
     val cap = math.min(maxDriverTestShingles, Int.MaxValue - 8L).toInt
@@ -1214,7 +1217,11 @@ object DedupOps {
         .head.getSeq[Long](0).toArray
       if (arr.length <= cap) Some(arr)
       else if (driverTestSet.contains(true)) // forced: complete the set anyway
-        Some(testShingles0.collect().map(_.getLong(0)).sorted)
+        // a NULL-text test doc contributes one null _h row that survives
+        // distinct(); getLong on it would NPE — the kmv/join tiers all
+        // skip nulls, so filtering keeps the forced path bit-identical
+        Some(testShingles0.filter(col("_h").isNotNull)
+          .collect().map(_.getLong(0)).sorted)
       else None
     } else None
     if (setOpt.isDefined) {

@@ -568,29 +568,33 @@ object TextOps {
             lit("head"))
           .otherwise(lit("middle")))
       .drop("_rsum", "_nv")
-    // MAP-ONLY tier (r19, the decontaminate tier-1 pattern): fetch the
-    // Zipf-bounded (tok, df) vocab as ONE sorted-array row (sort_array on
-    // struct = UTF8String binary order on the unique tok — the exact order
-    // the kernel's binary search needs), ship keys/dfs as two array
-    // Literals, and fold each doc's gram_counts entries row-locally with
-    // reffreq_stats — no LIMIT-probe job, no broadcast build, no join, no
-    // per-doc groupBy. An over-cap vocab falls back to the join tiers
-    // bit-identically (spec pins equality + the cap-0 flip).
-    // Fetch-BEFORE-check is deliberate here and deliberately NOT shared
-    // with decontaminate's shingle sets (which grow linearly with the
-    // split and needed the kmv_mins bounded probe): a minDf-pruned token
-    // VOCABULARY is Zipf-bounded — 1M docs measured 1.3M tokens, and df>=2
-    // drops the singleton tail that drives vocab growth — so the worst
-    // case of the one-row fetch matches what the broadcast tier would
-    // materialize driver-side anyway.
+    // MAP-ONLY tier (r19; probe hardened r20): fetch the (tok, df) vocab
+    // as ONE sorted-array row via `vocab_mins(tok, df, cap+1)` — the
+    // bottom-(cap+1) pairs by UTF8 binary tok order with cap-BOUNDED
+    // aggregate state (the decontaminate kmv_mins probe-and-fetch pattern;
+    // a TreeMap of at most cap+1 entries per partial). ≤ cap entries back
+    // means the array IS the complete sorted vocabulary — the exact order
+    // the reffreq_stats binary search needs — shipped as two array
+    // Literals so scoring is row-local: no broadcast build, no join, no
+    // per-doc groupBy. cap+1 entries mean the vocab is over the driver
+    // cap: the join tiers take over bit-identically (spec pins equality +
+    // the cap-0 flip) WITHOUT the full vocab ever materializing in an
+    // aggregate row — the r19 first cut's `sort_array(collect_list(..))`
+    // fetched before checking, so a caller-defeated Zipf bound (minDf=1,
+    // non-natural text) had no effective memory cap. The probe and the
+    // fetch are still the same single job.
     val cap = math.min(maxDriverVocab, Int.MaxValue - 8L).toInt
     val vocabArr: Option[Array[org.apache.spark.sql.Row]] =
       if (driverVocab.getOrElse(true)) {
         val a = vocab0
-          .agg(sort_array(collect_list(struct(col("tok"), col("df")))).as("_a"))
+          .agg(expr(s"vocab_mins(tok, df, ${cap + 1})").as("_a"))
           .head.getSeq[org.apache.spark.sql.Row](0).toArray
-        if ((a.length <= cap && !driverVocab.contains(false)) ||
-          driverVocab.contains(true)) Some(a) else None
+        if (a.length <= cap) Some(a)
+        else if (driverVocab.contains(true)) // forced: complete the vocab anyway
+          Some(vocab0
+            .agg(sort_array(collect_list(struct(col("tok"), col("df")))).as("_a"))
+            .head.getSeq[org.apache.spark.sql.Row](0).toArray)
+        else None
       } else None
     if (vocabArr.isDefined) {
       import org.apache.spark.sql.graftglue.ColumnGlue

@@ -109,8 +109,13 @@ object Amqp {
               frameMaxWanted: Int = 131072,
               timeoutMs: Int = 10000): Either[ExportFailure, Long] =
     try {
-      val sock = new Socket(host, port)
+      // connect with an explicit timeout: setSoTimeout only governs reads
+      // AFTER the connection is up — a bare `new Socket(host, port)` on a
+      // black-holed broker would stall the executor task for the OS TCP
+      // connect timeout (minutes) before the DLQ ever saw the failure
+      val sock = new Socket()
       try {
+        sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
         sock.setSoTimeout(timeoutMs)
         val in = new DataInputStream(sock.getInputStream)
         val out = new Writer(new DataOutputStream(sock.getOutputStream))

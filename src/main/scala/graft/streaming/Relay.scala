@@ -279,13 +279,27 @@ object ChangeRelay {
             // target "amqp://host:port/exchange", routing key = the object
             // name, correlation id = the batch group (replayable).
             Sinks.prepareBrokerMessage("rabbitmq", json, ep.headers).flatMap { body =>
+              // parse defensively: a missing port or non-numeric port is a
+              // CONFIG error and must dead-letter like the missing-slash
+              // case below — a MatchError/NumberFormatException here would
+              // escape the Either channel and fail the whole task (r19
+              // advice)
               ep.target.stripPrefix("amqp://").split("/", 2) match {
                 case Array(hostPort, exchange) =>
-                  val Array(h, p) = hostPort.split(":", 2)
-                  Amqp.publish(h, p.toInt, exchange,
-                    routingKey = s"${plan.database}.${plan.objectName}",
-                    body = body, correlationId = g,
-                    headers = ep.headers).map(_ => ())
+                  hostPort.split(":", 2) match {
+                    case Array(h, p) if h.nonEmpty =>
+                      p.toIntOption.filter(n => n > 0 && n <= 65535) match {
+                        case Some(port) =>
+                          Amqp.publish(h, port, exchange,
+                            routingKey = s"${plan.database}.${plan.objectName}",
+                            body = body, correlationId = g,
+                            headers = ep.headers).map(_ => ())
+                        case None =>
+                          Left(ExportFailure(ep.key, s"bad amqp target '${ep.target}'"))
+                      }
+                    case _ =>
+                      Left(ExportFailure(ep.key, s"bad amqp target '${ep.target}'"))
+                  }
                 case _ =>
                   Left(ExportFailure(ep.key, s"bad amqp target '${ep.target}'"))
               }

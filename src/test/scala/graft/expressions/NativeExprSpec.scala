@@ -132,4 +132,34 @@ class NativeExprSpec extends SparkSpec {
     assert(salted == plain)
     assert(salted("HOT") == 900L)
   }
+
+  test("vocab_mins: bounded bottom-k by UTF8 key order; under-k result is the " +
+      "complete sorted vocab (r20, the kmv_mins probe-and-fetch for strings)") {
+    val n = 5000
+    val df = (0 until n).map(i => (f"tok$i%05d", i.toLong))
+      .toDF("tok", "df").repartition(16) // force real partial merges
+    def fetch(k: Int): Seq[(String, Long)] =
+      df.agg(expr(s"vocab_mins(tok, df, $k)").as("a"))
+        .selectExpr("explode(a) AS e").select($"e.tok", $"e.df")
+        .as[(String, Long)].collect().toSeq
+    // k below the vocab size: exactly the k lexicographically-smallest keys
+    val bottom = fetch(50)
+    assert(bottom == (0 until 50).map(i => (f"tok$i%05d", i.toLong)))
+    // k above the vocab size: the COMPLETE vocab in sort_array order
+    val full = fetch(n + 1)
+    val viaCollectList = df
+      .agg(sort_array(collect_list(struct($"tok", $"df"))).as("a"))
+      .selectExpr("explode(a) AS e").select($"e.tok", $"e.df")
+      .as[(String, Long)].collect().toSeq
+    assert(full == viaCollectList,
+      "under-cap vocab_mins must equal the sort_array(collect_list) fetch")
+    assert(full.size == n)
+    // null keys/values are skipped, matching the join tiers' behavior
+    val withNulls = Seq((Some("aa"), Some(1L)), (None, Some(2L)), (Some("bb"), None))
+      .toDF("tok", "df")
+    val got = withNulls.agg(expr("vocab_mins(tok, df, 10)").as("a"))
+      .selectExpr("explode(a) AS e").select($"e.tok", $"e.df")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("aa", 1L)))
+  }
 }

@@ -356,6 +356,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!autoDefault.queryExecution.analyzed.toString.contains("Join"),
       "default cap on a tiny split must auto-select the map-only path")
     assert(rowsOf(autoDefault) == rowsOf(forcedJoin))
+
+    // forced driver set + over-cap (cap 0) completes via the full collect;
+    // a NULL-text test doc contributes a null _h row that must be skipped,
+    // not NPE'd on (r20 advice fix) — and the result still matches the
+    // join path run on the same fixture
+    val testId2 = ids.filter(_._2 < 100).map(_._1).drop(1).headOption
+      .getOrElse(testId)
+    val withNullText = contamDocs.union(
+      Seq((testId2, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val forcedCompleted = DedupOps.decontaminate(withNullText, "doc_id", "text",
+      driverTestSet = Some(true), maxDriverTestShingles = 0L)
+    assert(rowsOf(forcedCompleted) ==
+      rowsOf(DedupOps.decontaminate(withNullText, "doc_id", "text",
+        driverTestSet = Some(false))),
+      "forced completion with a null-text test doc must match the join path")
   }
 
   test("incremental near-dedup: committed buckets reject near-dups, hubs admit batchmates' losers") {

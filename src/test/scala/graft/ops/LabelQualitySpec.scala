@@ -175,6 +175,21 @@ class LabelQualitySpec extends SparkSpec {
     assert(capped.queryExecution.analyzed.toString.contains("Join"),
       "cap 0 must fall back to the join tiers")
     assert(rowsOf(capped) == rowsOf(forcedJoin))
+    // non-zero cap BELOW the vocab size: the bounded vocab_mins probe
+    // returns cap+1 entries and the join tiers take over without the full
+    // vocab ever materializing in one aggregate row (r20 advice fix)
+    val capped2 = TextOps.refFreqQuality(docs, "doc_id", "text",
+      refPermille = 500, minDf = 2, salt = "spec2", maxDriverVocab = 2L)
+    assert(capped2.queryExecution.analyzed.toString.contains("Join"),
+      "an over-cap vocab must fall back to the join tiers")
+    assert(rowsOf(capped2) == rowsOf(forcedJoin))
+    // forced driver tier with an over-cap vocab: completes the full fetch
+    // (the spec lever) and stays map-only + row-identical
+    val forcedTiny = TextOps.refFreqQuality(docs, "doc_id", "text",
+      refPermille = 500, minDf = 2, salt = "spec2", driverVocab = Some(true),
+      maxDriverVocab = 2L)
+    assert(!forcedTiny.queryExecution.analyzed.toString.contains("Join"))
+    assert(rowsOf(forcedTiny) == rowsOf(forcedJoin))
   }
 
   test("integrityAudit: planted dim violation, zero vector, and orphan are each counted") {
