@@ -116,6 +116,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.GramCounts(children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("span_counts"),
+      new ExpressionInfo(classOf[graft.expressions.SpanCounts].getName, "span_counts"),
+      (children: Seq[Expression]) =>
+        graft.expressions.SpanCounts(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("seg_groups"),
+      new ExpressionInfo(classOf[graft.expressions.SegGroups].getName, "seg_groups"),
+      (children: Seq[Expression]) =>
+        graft.expressions.SegGroups(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("topk_pairs_tag"),
       new ExpressionInfo(classOf[TopKPairsTagged].getName, "topk_pairs_tag"),
       (children: Seq[Expression]) => TopKPairsTagged(children(0), children(1), children(2),

@@ -651,9 +651,10 @@ object DedupOps {
     * (doc, seg_idx-list) of its single document via `min(struct(...))`
     * over a group that provably holds one row — and no occurrence-scale
     * join or checkpoint is needed:
-    *   1. (segment, doc) rollup with a doc-bounded `collect_list(seg_idx)`
-    *      (one occurrence-scale shuffle on near-unique string keys — the
-    *      same rows the old countDistinct shuffled internally);
+    *   1. (segment, doc, seg_idx-list) rows built ROW-LOCALLY by the
+    *      `seg_groups` kernel (r20 — within-doc grouping needs no
+    *      exchange; the old explode + groupBy(segment, doc) shuffled
+    *      occurrence-scale near-unique string keys to form these groups);
     *   2. segment-scale: n_docs = count(*), payload = min(struct) —
     *      evaluated wastefully on dropped-segment groups but one struct
     *      of state per group;
@@ -680,9 +681,18 @@ object DedupOps {
         .otherwise(ceil(size(TextOps.tokens(col(textCol))) / segTokens.toDouble)
           .cast("long")).as("n_segs"))
     if (maxDocs == 1) {
-      val perDocSeg = segmentRows(docs, idCol, textCol, segTokens)
-        .groupBy(col("segment"), col(idCol))
-        .agg(collect_list(col("seg_idx")).as("_idxs"))
+      // seg_groups kernel (r20): the per-doc (segment → seg_idx list)
+      // grouping is ROW-LOCAL — the old segmentRows explode +
+      // groupBy(segment, id).agg(collect_list) paid an occurrence-scale
+      // exchange on near-unique (segment, doc) string keys just to form
+      // groups the kernel emits directly; that exchange is deleted and
+      // the per-segment rollup below is the FIRST shuffle.
+      val perDocSeg = docs
+        .select(col(idCol), TextOps.normalize(col(textCol)).as("_norm"))
+        .filter(length(col("_norm")) > 0)
+        .select(col(idCol),
+          explode(TextOps.segGroups(TextOps.tokens(col("_norm")), segTokens)).as("_g"))
+        .select(col("_g.s").as("segment"), col(idCol), col("_g.x").as("_idxs"))
       val perSeg = perDocSeg.groupBy(col("segment"))
         .agg(count(lit(1)).as("_nd"),
           min(struct(col(idCol).as("i"), col("_idxs").as("x"))).as("_w"))
@@ -813,12 +823,21 @@ object DedupOps {
     * grouped across the WHOLE corpus, keeping spans seen in more than one
     * document; top-k by occurrence count.
     *
-    * Scale shape — ONE LINEAR PASS: one Generate (index-explode, flat
-    * `element_at` expressions — no HOF lambdas, same codegen rationale as
-    * [[shingleHashRows]]) + one map-side-combined groupBy keyed by the
-    * span TEXT, then TakeOrdered top-k (each partition keeps k, the
-    * driver merges — no global sort shuffle). The (n_occ, n_docs, span)
-    * ordering is total, so the limit boundary is deterministic.
+    * Scale shape — ONE LINEAR PASS: the native `span_counts` kernel
+    * ([[graft.expressions.SpanCounts]], r20 — the gram_counts lever at
+    * width N) walks each doc's token array ONCE in the JVM and emits
+    * (span, within-doc count) structs, so the Generate output is per-doc-
+    * DISTINCT scale and never carries the `_toks` array (the old
+    * index-explode + width-wide `element_at` chain copied the full token
+    * array into every exploded unsafe row — O(tokens × doc_length) row
+    * production for an enumeration needing O(tokens × width)); then one
+    * map-side-combined groupBy keyed by the span TEXT (n_occ = sum of the
+    * within-doc counts, n_docs = row count — rows are per-doc-distinct),
+    * then TakeOrdered top-k (each partition keeps k, the driver merges —
+    * no global sort shuffle). The (n_occ, n_docs, span) ordering is
+    * total, so the limit boundary is deterministic. The r19-rule-(b)
+    * repartition(id) the old form carried is gone too — this groupBy is
+    * keyed by span, so it was a pure corpus-text exchange.
     *
     * A hash-keyed TWO-pass variant ([[duplicatedSpansHashKeyed]], kept as
     * the measured-and-rejected reference) was built on the theory that
@@ -834,10 +853,13 @@ object DedupOps {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       width: Int = 8, topK: Int = 50): DataFrame = {
     require(width >= 2, "a span needs at least 2 tokens")
-    spanRows(docs, idCol, textCol, width)
+    docs
+      .select(col(idCol),
+        explode(TextOps.spanCounts(TextOps.tokens(col(textCol)), width)).as("_g"))
+      .select(col(idCol), col("_g.s").as("span"), col("_g.c").as("c"))
       .groupBy(col("span"))
-      .agg(count(lit(1)).as("n_occ"),
-        countDistinct(col(idCol)).as("n_docs"),
+      .agg(sum(col("c")).as("n_occ"),
+        count(lit(1)).as("n_docs"),
         min(col(idCol)).as("first_doc"))
       .filter(col("n_docs") > 1)
       .orderBy(col("n_occ").desc, col("n_docs").desc, col("span"))

@@ -51,6 +51,21 @@ object TextOps {
     ColumnGlue.column(graft.expressions.GramCounts(
       ColumnGlue.expression(toks), ColumnGlue.expression(lit(mode))))
 
+  /** Per-document SLIDING width-token span pre-aggregation —
+    * `array<struct<s, c>>` of (span, within-doc count), one JVM pass per
+    * row ([[graft.expressions.SpanCounts]]; the gram_counts lever at
+    * width N, r20). */
+  def spanCounts(toks: Column, width: Int): Column =
+    ColumnGlue.column(graft.expressions.SpanCounts(
+      ColumnGlue.expression(toks), ColumnGlue.expression(lit(width))))
+
+  /** Per-document ALIGNED width-token segment grouping —
+    * `array<struct<s, x>>` of (segment, ascending seg_idx list), one JVM
+    * pass per row ([[graft.expressions.SegGroups]]). */
+  def segGroups(toks: Column, width: Int): Column =
+    ColumnGlue.column(graft.expressions.SegGroups(
+      ColumnGlue.expression(toks), ColumnGlue.expression(lit(width))))
+
   /** Punctuation-char count of the RAW text — native byte walk
     * ([[graft.expressions.PunctCount]]; ≡ [[punctCountRef]], spec-pinned).
     * The last regex in the quality-feature hot path (r17 residual b). */

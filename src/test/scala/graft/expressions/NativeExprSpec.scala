@@ -133,6 +133,30 @@ class NativeExprSpec extends SparkSpec {
     assert(salted("HOT") == 900L)
   }
 
+  test("span_counts and seg_groups: window semantics match the expression forms (r20)") {
+    // sliding: spans at stride 1, within-doc counts, first-occurrence order
+    val sl = spark.sql(
+      "SELECT span_counts(array('a','b','a','b','a'), 2) AS g")
+      .selectExpr("explode(g) AS e").select($"e.s", $"e.c")
+      .as[(String, Long)].collect().toSeq
+    assert(sl == Seq(("a b", 2L), ("b a", 2L)))
+    // short doc: fewer tokens than width → empty, not null
+    assert(spark.sql("SELECT size(span_counts(array('x'), 2)) AS n")
+      .as[Int].head() == 0)
+    // null array → null out
+    assert(spark.sql("SELECT span_counts(cast(null AS array<string>), 2) IS NULL AS z")
+      .as[Boolean].head())
+    // aligned: stride = width, short tail segment, repeated segment gets
+    // an ascending idx list
+    val al = spark.sql(
+      "SELECT seg_groups(array('a','b','a','b','c'), 2) AS g")
+      .selectExpr("explode(g) AS e").select($"e.s", $"e.x")
+      .as[(String, Seq[Long])].collect().toSeq
+    assert(al == Seq(("a b", Seq(0L, 1L)), ("c", Seq(2L))))
+    assert(spark.sql("SELECT size(seg_groups(cast(array() AS array<string>), 3)) AS n")
+      .as[Int].head() == 0)
+  }
+
   test("vocab_mins: bounded bottom-k by UTF8 key order; under-k result is the " +
       "complete sorted vocab (r20, the kmv_mins probe-and-fetch for strings)") {
     val n = 5000
