@@ -121,6 +121,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.expressions.SpanCounts(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("bpe_sym_count"),
+      new ExpressionInfo(classOf[graft.expressions.BpeSymCount].getName, "bpe_sym_count"),
+      (children: Seq[Expression]) =>
+        graft.expressions.BpeSymCount(children(0), children(1), children(2))))
+    ext.injectFunction((
       new FunctionIdentifier("seg_groups"),
       new ExpressionInfo(classOf[graft.expressions.SegGroups].getName, "seg_groups"),
       (children: Seq[Expression]) =>

@@ -1208,17 +1208,16 @@ object QueriesLlm {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val merges = Bpe.train(docs, "text", BpeTrainRounds)
-        // flat whole-text segmentation (zero HOFs — Bpe.segmentTextFlat);
-        // the Generate barrier materializes the merged string so the
-        // two length() reads don't each re-run the 8-op replace chain
+        // native symbol-count walk (r20 — Bpe.symCount): one JVM pass per
+        // doc over (start, len) symbol spans; replaces the flat wrapped-
+        // string replace chain (and its Generate barrier — the count is a
+        // single scalar referenced once, nothing to re-evaluate)
         TextOps.withNormToks(docs.select(col("doc_id"), col("text")), "text")
           .select(col("doc_id"), col("_norm"),
             size(col("_toks")).cast("long").as("n_words"))
           .filter(length(col("_norm")) > 0) // empty-norm docs absent (join oracle)
           .select(col("doc_id"), col("n_words"),
-            explode(array(Bpe.segmentTextFlat(col("_norm"), merges))).as("_m"))
-          .select(col("doc_id"), col("n_words"),
-            Bpe.flatSymbolCount(col("_m"), col("n_words")).as("n_bpe"))
+            Bpe.symCount(col("_norm"), merges).as("n_bpe"))
       },
       Some(withCtes(bpeRoundCtes(BpeTrainRounds) :+
         """doc_words AS (
@@ -1233,8 +1232,8 @@ object QueriesLlm {
       // Tokenizer fertility by language: BPE tokens per word (milli) and
       // chars per BPE token — the per-language cost report that drives
       // vocab-size and mixing decisions (a lang with 2× fertility pays 2×
-      // the context budget per word). Rides the SAME flat map-only
-      // segmentation as llm_bpe_tokenize, rolled up per lang; the oracle
+      // the context budget per word). Rides the SAME native map-only
+      // symbol-count walk as llm_bpe_tokenize, rolled up per lang; the oracle
       // reaches the counts via its vocabulary join instead.
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -1245,9 +1244,7 @@ object QueriesLlm {
           .filter(length(col("_norm")) > 0)
           .select(col("lang"), col("n_words"),
             length(col("_norm")).cast("long").as("n_chars"),
-            explode(array(Bpe.segmentTextFlat(col("_norm"), merges))).as("_m"))
-          .select(col("lang"), col("n_words"), col("n_chars"),
-            Bpe.flatSymbolCount(col("_m"), col("n_words")).as("n_bpe"))
+            Bpe.symCount(col("_norm"), merges).as("n_bpe"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_words")).as("n_words"),

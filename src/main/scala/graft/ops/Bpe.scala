@@ -168,4 +168,24 @@ object Bpe {
   def flatSymbolCount(segCol: Column, nWords: Column): Column =
     shiftright(length(segCol) - length(replace(segCol, lit("||"), lit(""))), 1)
       .cast("long") + nWords
+
+  /** Native per-document BPE symbol count
+    * ([[graft.expressions.BpeSymCount]], r20): one JVM walk applying the
+    * driver-held merge table to (start, len) symbol spans — no wrapped
+    * string, no lookaround regex, no k document-sized `replace`
+    * allocations. Spec-pinned ≡ `flatSymbolCount(segmentTextFlat(..))`
+    * (BpeSpec); the counting consumers (llm_bpe_tokenize/_fertility) ride
+    * this, the flat form remains the encoding the train oracle replays. */
+  def symCount(normCol: Column, merges: Seq[Merge]): Column = {
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val sorted = merges.sortBy(_.rank)
+    val lhs = Literal.create(sorted.map(_.lhs).toArray,
+      ArrayType(StringType, containsNull = false))
+    val rhs = Literal.create(sorted.map(_.rhs).toArray,
+      ArrayType(StringType, containsNull = false))
+    ColumnGlue.column(graft.expressions.BpeSymCount(
+      ColumnGlue.expression(normCol), lhs, rhs))
+  }
 }

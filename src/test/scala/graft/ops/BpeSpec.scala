@@ -138,4 +138,31 @@ class BpeSpec extends SparkSpec {
       assert(viaCount == n, s"doc $id symbol count: $viaCount vs $n")
     }
   }
+
+  test("native bpe_sym_count equals the flat replace-chain count (r20)") {
+    // cascade-heavy fixture: merges built on earlier merges, overlapping
+    // repeats (aaa under (a,a) → [aa, a] — the left-to-right contract),
+    // single-char words, empty docs, and a random tail
+    val rnd = new scala.util.Random(41)
+    val base = Seq("lelele lele banana", "banana le", "a", "", "x2y z9",
+      "aaaa aaa aa a", "abab ababab ab", "mississippi mississauga")
+    val docs = docsOf(base ++ (1 to 40).map(_ =>
+      (0 until rnd.nextInt(12)).map(_ =>
+        ("le" * (1 + rnd.nextInt(3))) + Seq("", "a", "na", "ba")(rnd.nextInt(4)))
+        .mkString(" ")))
+    for (k <- Seq(0, 1, 6, 12)) {
+      val merges = Bpe.train(docs, "text", k)
+      val both = docs
+        .select(col("doc_id"), TextOps.normalize(col("text")).as("_n"),
+          TextOps.tokens(col("text")).as("_t"))
+        .select(col("doc_id"),
+          Bpe.symCount(col("_n"), merges).as("native"),
+          when(length(col("_n")) === 0, 0L).otherwise(
+            Bpe.flatSymbolCount(Bpe.segmentTextFlat(col("_n"), merges),
+              size(col("_t")).cast("long"))).as("flat"))
+        .as[(Long, Long, Long)].collect()
+      for ((id, native, flat) <- both)
+        assert(native == flat, s"doc $id diverges at $k merges: $native vs $flat")
+    }
+  }
 }
