@@ -495,7 +495,27 @@ object Similarity {
     * self-join is per (band, bucket), so the shuffle key stays selective
     * while banding recovers the near-neighbours a single plane set splits
     * apart (each extra band only adds |corpus| rows to the bucket join,
-    * never all-pairs work). */
+    * never all-pairs work).
+    *
+    * MEGA-CLUSTER ADJUDICATION (r20, measured — [[graft.MbSkewProf]] on
+    * the skewed decade, 20k vectors with a ~2.3k hot clique): a
+    * recall-preserving hot-bucket sub-split does NOT exist. Re-keying
+    * buckets > 1000 with +2/+4 extra hyperplanes cut candidate slots only
+    * 17.59M → 16.77M/16.58M (−4.7%/−5.7%) while LOSING 67k/85k of the
+    * 2.93M true output pairs (2.3%/2.9% recall) and running SLOWER (the
+    * sub-key join costs more than the slots it saves). The physics: a
+    * tight cosine cluster is sign-invariant under random hyperplanes —
+    * sub-splits cannot separate what the similarity threshold holds
+    * together, they only shear off boundary members, and every sheared
+    * pair is a TRUE pair (the verify yield inside the hot buckets is
+    * ~37%, so the quadratic is mostly in the OUTPUT, not wasted
+    * verification). Deployment rule at 100 TB: this operator's hot-cluster
+    * cost is Θ(output) and irreducible while all pairs ARE the product —
+    * cap tolerable cluster size upstream (the candidatePairs
+    * maxBucket-with-surfaced-drop-count pattern) or, when only cluster
+    * MEMBERSHIP is needed, use the hub-star consumers
+    * ([[graft.ops.DedupOps.bucketStarEdges]] / nearDupSurvivors), which
+    * are linear in cluster size. */
   def embeddingNearDupMultiband(corpus: DataFrame, minCos: Double,
                                 bands: Int = 3, planesPerBand: Int = 8,
                                 dim: Int = 64,
