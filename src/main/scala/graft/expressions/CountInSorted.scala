@@ -50,6 +50,69 @@ object CountInSortedCore {
   }
 }
 
+/** String twin of [[CountInSortedCore]]: count of left ARRAY<STRING>
+  * elements present in the right UTF8-binary-ascending sorted ARRAY<STRING>
+  * (r20). Built for the language-ID marker probes — the per-token HOF
+  * `filter(toks, t.isin(markers))` form paid |langs| interpreted lambda
+  * passes over every token array; this is one JVM loop + binary search per
+  * (row, lang). Same null contract as the BIGINT form. */
+object CountInSortedStrCore {
+  def count(toks: ArrayData, sorted: ArrayData): Long = {
+    val n = toks.numElements()
+    val m = sorted.numElements()
+    if (m == 0) return 0L
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val v = toks.getUTF8String(i)
+        var lo = 0
+        var hi = m - 1
+        var found = false
+        while (lo <= hi && !found) {
+          val mid = (lo + hi) >>> 1
+          val cmp = sorted.getUTF8String(mid).compareTo(v)
+          if (cmp == 0) found = true
+          else if (cmp < 0) lo = mid + 1
+          else hi = mid - 1
+        }
+        if (found) c += 1L
+      }
+      i += 1
+    }
+    c
+  }
+}
+
+case class CountInSortedStr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "count_in_sorted_str"
+  override def dataType: DataType = LongType
+
+  private def isStrArray(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!isStrArray(left.dataType) || !isStrArray(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"count_in_sorted_str expects (ARRAY<STRING>, ARRAY<STRING>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(toks: Any, sorted: Any): Any =
+    CountInSortedStrCore.count(toks.asInstanceOf[ArrayData], sorted.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, s) => s"graft.expressions.CountInSortedStrCore.count($t, $s)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountInSortedStr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class CountInSorted(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "count_in_sorted"

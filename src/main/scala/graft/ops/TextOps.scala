@@ -137,7 +137,25 @@ object TextOps {
   /** Per-language scores over an already-materialized token array (see
     * [[withNormToks]]) — the text-based overload re-tokenizes once per
     * language. */
-  def langScoresFromToks(toks: Column): Seq[(String, Column)] =
+  def langScoresFromToks(toks: Column): Seq[(String, Column)] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    LangMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      // native probe (r20): one JVM loop + binary search per (row, lang)
+      // vs |langs| interpreted HOF passes over every token array — the
+      // markers are ASCII so Ordering.String == UTF8 binary order, the
+      // order the kernel's search needs. Occurrence-count semantics are
+      // identical to the old size(filter(toks, isin(words))) form
+      // (spec-pinned in NormalizeTextSpec).
+      lang -> ColumnGlue.column(graft.expressions.CountInSortedStr(
+        ColumnGlue.expression(toks),
+        Literal.create(words.sorted.toArray,
+          ArrayType(StringType, containsNull = false))))
+    }
+  }
+
+  /** The HOF reference form of [[langScoresFromToks]] (spec cross-check). */
+  private[ops] def langScoresFromToksRef(toks: Column): Seq[(String, Column)] =
     LangMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words: _*)))
     }
