@@ -32,12 +32,31 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val copies = spark.range(docCopies).withColumnRenamed("id", "copy")
-    val docs = docs0.crossJoin(copies)
+    val uniform = docs0.crossJoin(copies)
       .select((col("doc_id") + col("copy") * 10000000L).as("doc_id"),
         when(col("copy") < 2, col("text"))
           .otherwise(array_join(transform(split(col("text"), " "),
             t => concat(lit("c"), col("copy"), t)), " ")).as("text"))
+    // SCALE_SKEW=1 (r20, r19-verdict task 8): a hot clique of ONE salted
+    // text replicated for 4% of the corpus — the clique GROWS with the
+    // corpus (4k docs at 100k, 40k at 1M), the adversarial case for the
+    // capped shapes (candidatePairs maxBucket, decontaminate tiers,
+    // sourceDupRollup hot/cold split): their growth must stay ~linear
+    // BECAUSE the caps bound the hot structure, while any uncapped
+    // enumeration would grow ~quadratically in the clique.
+    val skew = sys.env.get("SCALE_SKEW").exists(_ == "1")
+    val docs = if (!skew) uniform else {
+      val hotText = docs0.orderBy(length(col("text")), col("doc_id"))
+        .limit(1).select(
+          array_join(transform(split(col("text"), " "),
+            t => concat(lit("hot"), t)), " ").as("t"))
+        .head.getString(0)
+      val cliqueN = math.max(1L, docs0.count() * docCopies / 25L)
+      uniform.unionByName(spark.range(cliqueN)
+        .select((col("id") + 900000000L).as("doc_id"), lit(hotText).as("text")))
+    }
     docs.cache(); val n = docs.count()
+    if (skew) println(s"[scale] SKEW fixture: hot clique ${n / 25} of $n docs")
     // SCALE_ONLY=substr1,substr2 runs only matching stages (A/B iteration).
     val only = sys.env.get("SCALE_ONLY").map(_.split(",").toSeq)
     def t(name: String)(f: => Long): Unit = {
@@ -201,7 +220,12 @@ object ScaleSmoke {
     locally {
       val bp = (1 to 48).map(i => s"boilerplate$i").mkString(" ")
       val srcDocs = docs
-        .withColumn("src", concat(lit("feed"), pmod(col("doc_id"), lit(20))))
+        // SCALE_SKEW: feed0 takes ~24% of docs (20% direct + its 1/20
+        // residue share) — the hot-source case the two-path split guards
+        .withColumn("src", if (skew)
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("feed0"))
+            .otherwise(concat(lit("feed"), pmod(col("doc_id"), lit(20))))
+          else concat(lit("feed"), pmod(col("doc_id"), lit(20))))
         .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 0,
           concat(lit(bp + " "), col("text"))).otherwise(col("text")))
       // threshold 5000: the bp shingles (~10k occurrences at 100k docs,
