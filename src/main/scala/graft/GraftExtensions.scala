@@ -126,6 +126,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.expressions.BpeSymCount(children(0), children(1), children(2))))
     ext.injectFunction((
+      new FunctionIdentifier("span_groups"),
+      new ExpressionInfo(classOf[graft.expressions.SpanGroups].getName, "span_groups"),
+      (children: Seq[Expression]) =>
+        graft.expressions.SpanGroups(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("seg_groups"),
       new ExpressionInfo(classOf[graft.expressions.SegGroups].getName, "seg_groups"),
       (children: Seq[Expression]) =>

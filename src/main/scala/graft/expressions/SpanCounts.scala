@@ -70,6 +70,41 @@ object SpanCountsCore {
     new GenericArrayData(out)
   }
 
+  /** SLIDING windows with POSITIONS: every `width`-token window grouped to
+    * (span, ascending window-start list) in first-occurrence order — the
+    * [[sliding]] shape for consumers that need occurrence positions
+    * (span-removal keeper election / masking). Documents with fewer than
+    * `width` tokens emit an empty array. */
+  def slidingGroups(arr: ArrayData, width: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < width) return new GenericArrayData(Array.empty[Any])
+    val m = new java.util.LinkedHashMap[UTF8String, java.util.ArrayList[Long]](
+      Math.max(16, n))
+    val scratch = new Array[UTF8String](width)
+    var i = 0
+    while (i <= n - width) {
+      val span = joinWindow(arr, i, width, scratch)
+      var v = m.get(span)
+      if (v == null) { v = new java.util.ArrayList[Long](1); m.put(span, v) }
+      v.add(i.toLong)
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val idxList = e.getValue
+      val idxs = new Array[Long](idxList.size())
+      var j = 0
+      while (j < idxs.length) { idxs(j) = idxList.get(j); j += 1 }
+      out(i) = new GenericInternalRow(
+        Array[Any](e.getKey, new GenericArrayData(idxs)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ALIGNED segments (stride = width): segment i covers tokens
     * [i*width, min(n, (i+1)*width)) — the last segment may be short —
     * grouped to (segment, ascending seg_idx list) in first-occurrence
@@ -143,6 +178,30 @@ object SpanCounts {
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$name width must be a non-null constant >= $minWidth")
     }
+}
+
+/** `span_groups(tokens, width)` → `array<struct<s: string, x: array<bigint>>>`
+  * of (sliding width-token span, ascending window-start list) — the
+  * position-carrying twin of [[SpanCounts]]. */
+case class SpanGroups(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "span_groups"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("s", StringType, nullable = false),
+    StructField("x", ArrayType(LongType, containsNull = false), nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    SpanCounts.check("span_groups", left, right, minWidth = 2)
+
+  override protected def nullSafeEval(toks: Any, width: Any): Any =
+    SpanCountsCore.slidingGroups(toks.asInstanceOf[ArrayData], width.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w) => s"graft.expressions.SpanCountsCore.slidingGroups($t, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanGroups =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `seg_groups(tokens, width)` → `array<struct<s: string, x: array<bigint>>>`

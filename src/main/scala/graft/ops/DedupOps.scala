@@ -1010,16 +1010,22 @@ object DedupOps {
         when(length(col("_norm")) === 0, array().cast("array<string>"))
           .otherwise(TextOps.tokens(col("_norm"))).as("_toks"))
       .transform(Lineage.cut) // compact projection; all exploded stages re-derive from this scan
-    def sp: DataFrame = toks
-      .filter(size(col("_toks")) >= width)
-      .select(col(idCol), col("_toks"),
-        explode(sequence(lit(0), size(col("_toks")) - width)).as("_idx"))
-      .select(col(idCol), col("_idx"),
-        concat_ws(" ",
-          (1 to width).map(o => expr(s"element_at(_toks, _idx + $o)")): _*).as("span"))
-    val dup = sp.groupBy(col("span"))
-      .agg(countDistinct(col(idCol)).as("_ndocs"),
-        min(keyOf(col(idCol), col("_idx"))).as("_keeper"))
+    // span_groups kernel (r20): one JVM pass per doc emits (span,
+    // ascending start list) structs — the Generate output is per-doc-
+    // DISTINCT scale and never carries the `_toks` array (the old
+    // index-explode + width-wide element_at chain copied the token array
+    // into every exploded row, TWICE — this projection is re-derived by
+    // both passes). The dup election aggregates per-doc-distinct rows:
+    // n_docs is a plain count and the keeper key uses each doc's FIRST
+    // start (x[1] — the per-doc min, so min over docs == min over
+    // occurrences for the (id, idx)-lexicographic key).
+    def spg: DataFrame = toks
+      .select(col(idCol),
+        explode(TextOps.spanGroups(col("_toks"), width)).as("_g"))
+      .select(col(idCol), col("_g.s").as("span"), col("_g.x").as("_idxs"))
+    val dup = spg.groupBy(col("span"))
+      .agg(count(lit(1)).as("_ndocs"),
+        min(keyOf(col(idCol), element_at(col("_idxs"), 1))).as("_keeper"))
       .filter(col("_ndocs") > 1)
       .select(col("span"), col("_keeper"))
       .transform(Lineage.cut)
@@ -1031,11 +1037,12 @@ object DedupOps {
     // Masked window starts per doc — doc-length-bounded lists (a doc of T
     // tokens has at most T-width+1 windows), so the per-group state is
     // bounded by the longest document, not the corpus.
-    val starts = sp.join(dupSide, Seq("span"))
+    val starts = spg.join(dupSide, Seq("span"))
+      .select(col(idCol), col("_keeper"), explode(col("_idxs")).as("_idx"))
       .filter(if (keepFirst) keyOf(col(idCol), col("_idx")) =!= col("_keeper")
               else lit(true))
       .groupBy(col(idCol))
-      .agg(collect_list(col("_idx").cast("long")).as("_starts"))
+      .agg(collect_list(col("_idx")).as("_starts"))
     val ex = ColumnGlue.column(graft.expressions.ExciseSpans(
       ColumnGlue.expression(col("_toks")),
       ColumnGlue.expression(coalesce(col("_starts"), array().cast("array<long>"))),

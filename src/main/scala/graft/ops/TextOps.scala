@@ -59,6 +59,14 @@ object TextOps {
     ColumnGlue.column(graft.expressions.SpanCounts(
       ColumnGlue.expression(toks), ColumnGlue.expression(lit(width))))
 
+  /** Per-document SLIDING width-token span grouping with POSITIONS —
+    * `array<struct<s, x>>` of (span, ascending start list)
+    * ([[graft.expressions.SpanGroups]]; span-removal's keeper/mask
+    * producer). */
+  def spanGroups(toks: Column, width: Int): Column =
+    ColumnGlue.column(graft.expressions.SpanGroups(
+      ColumnGlue.expression(toks), ColumnGlue.expression(lit(width))))
+
   /** Per-document ALIGNED width-token segment grouping —
     * `array<struct<s, x>>` of (segment, ascending seg_idx list), one JVM
     * pass per row ([[graft.expressions.SegGroups]]). */
