@@ -888,11 +888,21 @@ object TextOps {
     * absent (the segmentRows contract). */
   def mixedLangReport(docs: DataFrame, idCol: String, textCol: String,
                       segTokens: Int = 8): DataFrame = {
-    val segLang = DedupOps.segmentRows(docs, idCol, textCol, segTokens)
+    // seg_groups kernel (r20): segments grouped row-locally to (segment,
+    // start list) — the lang probe runs once per DISTINCT segment per doc
+    // (identical segments share a prediction) weighted by the occurrence
+    // count, and the Generate never carries the token array (the old
+    // segmentRows explode + slice + concat_ws shape did, per occurrence).
+    val segLang = docs
+      .select(col(idCol), normalize(col(textCol)).as("_norm"))
+      .filter(length(col("_norm")) > 0)
       .select(col(idCol),
-        predictedLangFromToks(split(col("segment"), " ")).as("seg_lang"))
+        explode(segGroups(tokens(col("_norm")), segTokens)).as("_g"))
+      .select(col(idCol),
+        predictedLangFromToks(split(col("_g.s"), " ")).as("seg_lang"),
+        size(col("_g.x")).cast("long").as("_c"))
     segLang.groupBy(col(idCol), col("seg_lang"))
-      .agg(count(lit(1)).as("_n"))
+      .agg(sum(col("_c")).as("_n"))
       .groupBy(col(idCol))
       .agg(sum(col("_n")).as("n_segs"),
         count(lit(1)).as("n_langs"),
