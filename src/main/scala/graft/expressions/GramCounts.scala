@@ -74,6 +74,60 @@ object GramCountsCore {
   }
 }
 
+/** `hash_counts(array<bigint>)` → `array<struct<h: bigint, c: bigint>>` of
+  * (hash, within-row count) in first-occurrence order — [[GramCountsCore]]
+  * for ready-hashed shingles (r20). Null elements are skipped; a null
+  * array yields null. Makes per-(doc, hash) occurrence counts ROW-LOCAL,
+  * deleting the near-unique-key (hash, doc) exchange the old
+  * groupBy-after-explode paid (the r19 tfidf tf move, hash edition). */
+object HashCountsCore {
+  def counts(arr: org.apache.spark.sql.catalyst.util.ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val m = new java.util.LinkedHashMap[java.lang.Long, Array[Long]](Math.max(16, n * 2))
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val k = java.lang.Long.valueOf(arr.getLong(i))
+        val v = m.get(k)
+        if (v == null) m.put(k, Array(1L)) else v(0) += 1L
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new GenericInternalRow(Array[Any](e.getKey.longValue(), e.getValue()(0)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class HashCounts(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "hash_counts"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hash_counts expects ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(arr: Any): Any =
+    HashCountsCore.counts(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expressions.HashCountsCore.counts($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashCounts =
+    copy(child = newChild)
+}
+
 case class GramCounts(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "gram_counts"
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -1128,18 +1128,36 @@ object DedupOps {
     // corpus here); a doc id repeated in two sources would read as two
     // documents.
     val nonNull = docs.filter(col(textCol).isNotNull)
-    // Occurrences with the source packed into the row key (the
-    // sourceOverlap struct-id move) so stage 3 can recover the unique
-    // source of n_docs=1 shingles without any join back to `docs`.
-    val occ = shingleHashRows(
-      nonNull.select(struct(col(srcCol).as("s"), col(idCol).as("i")).as("_sid"),
-        col(textCol)),
-      "_sid", textCol)
-    // Stage 2: (shingle, doc⊕source) — near-unique long/struct keys; the
-    // partial agg collapses only within-doc repeats, exactly like the
-    // distinct expansion inside the old countDistinct.
-    val perDocShingle = occ.groupBy(col("_h"), col("_sid"))
-      .agg(count(lit(1)).as("_c"))
+    // Stage 2, ROW-LOCAL (r20 — the r19 tfidf-tf move, hash edition):
+    // per-(doc, shingle) occurrence counts come straight out of the
+    // `hash_counts` kernel over the per-doc shingle-hash array, with the
+    // source packed into the row key (the sourceOverlap struct-id move)
+    // so stage 3 can recover the unique source of n_docs=1 shingles
+    // without any join back to `docs`. This deletes the old explode +
+    // groupBy(_h, _sid) exchange (near-unique keys — the partial agg only
+    // ever collapsed within-doc repeats, which the kernel now does in the
+    // map) AND the shingleHashRows repartition(id) (pure corpus-text
+    // exchange here — this operator never groups by the doc id, r19 rule
+    // b). The when() keeps the whole-doc-hash fallback for under-3-token
+    // docs.
+    val P = MersennePrime31
+    val sh = {
+      import org.apache.spark.sql.graftglue.ColumnGlue
+      ColumnGlue.column(graft.expressions.ShingleHashes(
+        ColumnGlue.expression(col("_toks"))))
+    }
+    val hc = {
+      import org.apache.spark.sql.graftglue.ColumnGlue
+      ColumnGlue.column(graft.expressions.HashCounts(
+        ColumnGlue.expression(when(size(col("_toks")) >= 3, sh)
+          .otherwise(array(col("_doc_h"))))))
+    }
+    val perDocShingle = nonNull
+      .select(struct(col(srcCol).as("s"), col(idCol).as("i")).as("_sid"),
+        (hash60(TextOps.normalize(col(textCol))) % P).as("_doc_h"),
+        TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col("_sid"), explode(hc).as("_g"))
+      .select(col("_g.h").as("_h"), col("_sid"), col("_g.c").as("_c"))
     // Stage 3: shingle-scale. For _nd = 1 the group holds ONE _sid, so
     // min(_sid.s) IS that document's source.
     val perShingle = perDocShingle.groupBy(col("_h"))
