@@ -161,11 +161,14 @@ object DedupOps {
           .otherwise(array(col("_doc_h"))).as("_hs"))
   }
 
-  /** Distinct shingle-hash set per document (for Jaccard verification). */
+  /** Distinct shingle-hash set per document (for Jaccard verification) —
+    * ROW-LOCAL (r20): `array_sort` over the per-doc distinct array; the
+    * old explode + groupBy(id) + collect_set paid an occurrence-scale
+    * exchange (plus the shingleHashRows repartition) to rebuild groups
+    * each row already holds. */
   def shingleHashSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    shingleHashRows(df, idCol, textCol)
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_set(col("_h"))).as("shset"))
+    withPerDocDistinctShingles(df, idCol, textCol)
+      .select(col(idCol), array_sort(col("_hs")).as("shset"))
 
   /** Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003): the
     * minimum shingle hash of every `w`-wide sliding window, deduplicated —
