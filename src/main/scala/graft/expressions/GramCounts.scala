@@ -128,6 +128,70 @@ case class HashCounts(child: Expression)
     copy(child = newChild)
 }
 
+/** `bigram_buckets(tokens, buckets)` → `array<struct<h: bigint, c: bigint>>`
+  * of (DSIR feature bucket, within-doc count) in first-occurrence order
+  * (r20): bucket = `hash60(tok_i || ' ' || tok_{i+1}) pmod buckets` via
+  * the shared [[WinnowMinsCore.bigramHashRaw]] sha core — bit-identical
+  * to the SQL form, so the oracle replays values unchanged. One JVM pass
+  * per doc replaces the index-explode + per-occurrence
+  * sha2→hex→conv→pmod chain AND makes the (doc, bucket) count row-local
+  * (the r19 tfidf-tf move). Fewer than 2 tokens → empty; null array →
+  * null. */
+object BigramBucketsCore {
+  def counts(arr: org.apache.spark.sql.catalyst.util.ArrayData, buckets: Long): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val m = new java.util.LinkedHashMap[java.lang.Long, Array[Long]](Math.max(16, n))
+    var i = 0
+    while (i < n - 1) {
+      val b = java.lang.Long.valueOf(WinnowMinsCore.bigramHashRaw(arr, i) % buckets)
+      val v = m.get(b)
+      if (v == null) m.put(b, Array(1L)) else v(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new GenericInternalRow(Array[Any](e.getKey.longValue(), e.getValue()(0)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class BigramBuckets(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "bigram_buckets"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.dataType.isInstanceOf[ArrayType] ||
+      left.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bigram_buckets expects ARRAY<STRING> tokens, got ${left.dataType.catalogString}")
+    else if (!right.foldable || right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure("bigram_buckets bucket count must be a constant BIGINT")
+    else right.eval() match {
+      case b: java.lang.Long if b >= 1 => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "bigram_buckets bucket count must be a non-null constant >= 1")
+    }
+
+  override protected def nullSafeEval(toks: Any, buckets: Any): Any =
+    BigramBucketsCore.counts(toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      buckets.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, b) => s"graft.expressions.BigramBucketsCore.counts($t, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BigramBuckets =
+    copy(left = newLeft, right = newRight)
+}
+
 case class GramCounts(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "gram_counts"
   override def dataType: DataType = ArrayType(StructType(Seq(

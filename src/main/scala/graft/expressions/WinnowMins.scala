@@ -85,6 +85,25 @@ object WinnowMinsCore {
     hash60Mod(buf)
   }
 
+  /** Raw hash60 (NO % P) of the 2-token gram starting at `i` — tokens
+    * joined by a single space, null elements dropped like concat_ws.
+    * The DSIR feature hash (`hash60(concat_ws(' ', t1, t2))`). */
+  def bigramHashRaw(arr: org.apache.spark.sql.catalyst.util.ArrayData, i: Int): Long = {
+    val t0 = arr.getUTF8String(i)
+    val t1 = arr.getUTF8String(i + 1)
+    val buf = if (t0 != null && t1 != null) {
+      val b0 = t0.getBytes; val b1 = t1.getBytes
+      val b = new Array[Byte](b0.length + b1.length + 1)
+      System.arraycopy(b0, 0, b, 0, b0.length)
+      b(b0.length) = ' '
+      System.arraycopy(b1, 0, b, b0.length + 1, b1.length)
+      b
+    } else if (t0 != null) t0.getBytes
+    else if (t1 != null) t1.getBytes
+    else Array.empty[Byte]
+    hash60Raw(buf)
+  }
+
   def mins(arr: ArrayData, w: Int): ArrayData = {
     val n = arr.numElements()
     val m = n - 2

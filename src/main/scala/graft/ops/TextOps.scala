@@ -947,18 +947,22 @@ object TextOps {
   def dsirResample(docs: DataFrame, idCol: String, textCol: String,
                    isTarget: Column, buckets: Int = 1024,
                    gainPpm: Long = 400000L, salt: String = "dsir"): DataFrame = {
+    // bigram_buckets kernel (r20): per-(doc, bucket) counts are ROW-LOCAL
+    // (the r19 tfidf-tf move) — one JVM pass hashes each bigram once via
+    // the shared sha core (bit-identical to the SQL
+    // pmod(hash60(concat_ws(' ', t1, t2)), buckets), oracle unchanged),
+    // deleting the index-explode + per-occurrence sha chain, the
+    // (doc, _tgt, bucket) near-unique-key exchange, and the corpus-text
+    // repartition(id) (the checkpointed rows are compact (id, tgt,
+    // bucket, c) — both downstream groupBys shuffle those, not text).
     val docBucket = docs
       .select(col(idCol), isTarget.as("_tgt"), tokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= 2)
-      .repartition(col(idCol))
-      .select(col(idCol), col("_tgt"), col("_toks"),
-        explode(sequence(lit(0), size(col("_toks")) - 2)).as("_idx"))
       .select(col(idCol), col("_tgt"),
-        pmod(DedupOps.hash60(concat_ws(" ",
-          expr("element_at(_toks, _idx + 1)"),
-          expr("element_at(_toks, _idx + 2)"))), lit(buckets.toLong)).as("bucket"))
-      .groupBy(col(idCol), col("_tgt"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+        explode(ColumnGlue.column(graft.expressions.BigramBuckets(
+          ColumnGlue.expression(col("_toks")),
+          ColumnGlue.expression(lit(buckets.toLong))))).as("_g"))
+      .select(col(idCol), col("_tgt"), col("_g.h").as("bucket"), col("_g.c").as("c"))
       .localCheckpoint(eager = false) // feeds weights AND scoring (plan lint)
     val perBucket = docBucket.groupBy(col("bucket"))
       .agg(sum(col("c")).as("rc"),
