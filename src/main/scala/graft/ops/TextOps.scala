@@ -964,9 +964,17 @@ object TextOps {
           ColumnGlue.expression(lit(buckets.toLong))))).as("_g"))
       .select(col(idCol), col("_tgt"), col("_g.h").as("bucket"), col("_g.c").as("c"))
       .localCheckpoint(eager = false) // feeds weights AND scoring (plan lint)
+    // perBucket feeds totals AND the weight join: un-cut, the bucket
+    // rollup over the corpus-scale docBucket rows runs once PER consumer
+    // (two Exchanges + two partial/final agg passes — the r4 rule (d)
+    // duplicate was latent for rounds because the old nullable pmod key
+    // put an isnotnull filter on only one side, defeating the lint's
+    // canonical match; the non-nullable r20 kernel exposed it). The cut
+    // table is `buckets` rows (≤1024) — bounded by construction.
     val perBucket = docBucket.groupBy(col("bucket"))
       .agg(sum(col("c")).as("rc"),
         sum(when(col("_tgt"), col("c")).otherwise(0L)).as("tc"))
+      .localCheckpoint(eager = false) // feeds totals AND weights (plan lint)
     val totals = perBucket.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
     val weights = perBucket.crossJoin(broadcast(totals))
       .select(col("bucket"),
