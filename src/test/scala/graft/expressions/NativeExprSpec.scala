@@ -16,6 +16,53 @@ class NativeExprSpec extends SparkSpec {
     assert(got._2 < 1000 && got._2 > 0)
   }
 
+  test("r20 ThreadLocal codec is byte-identical to the JDK streaming path") {
+    // The reused-Deflater fast path must emit EXACTLY the bytes
+    // GZIPOutputStream would (fixed 10-byte header, same deflate stream,
+    // CRC32+ISIZE trailer) — the reference's Gzip.cs determinism contract,
+    // and what keeps the r20 native-churn fix invisible to every consumer.
+    def jdkGzip(in: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(in); gz.close()
+      bos.toByteArray
+    }
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      "x".getBytes("UTF-8"),
+      ("payload " * 500).getBytes("UTF-8"),
+      Array.fill(65536)(rnd.nextInt(256).toByte),
+      Array.fill(100000)(0x00.toByte))
+    for (c <- cases) {
+      val ours = GzipCodec.compress(c)
+      assert(ours.sameElements(jdkGzip(c)), s"compress mismatch at len=${c.length}")
+      assert(GzipCodec.decompress(ours).sameElements(c), s"roundtrip at len=${c.length}")
+      // repeat on the same thread: reset() must leave no state behind
+      assert(GzipCodec.compress(c).sameElements(ours), s"re-use at len=${c.length}")
+    }
+  }
+
+  test("r20 decompress falls back to the streaming path on non-trivial streams") {
+    val a = "first member ".getBytes("UTF-8")
+    val b = "second member".getBytes("UTF-8")
+    // Concatenated multi-member stream: RFC 1952 says the result is the
+    // concatenation of the members; GZIPInputStream honours that and the
+    // fast path must detect the extra trailing bytes and defer.
+    val multi = GzipCodec.compress(a) ++ GzipCodec.compress(b)
+    assert(GzipCodec.decompress(multi).sameElements(a ++ b))
+    // FNAME flag set (FLG byte != 0): fast path defers on the header check.
+    val plain = GzipCodec.compress(a)
+    val flagged = plain.clone()
+    flagged(3) = 0x08 // FNAME
+    val withName = flagged.take(10) ++
+      ("n.txt".getBytes("ISO-8859-1") :+ 0.toByte) ++ plain.drop(10)
+    assert(GzipCodec.decompress(withName).sameElements(a))
+    // Corrupt trailer CRC throws, as the JDK path does.
+    val bad = plain.clone(); bad(bad.length - 5) = (bad(bad.length - 5) ^ 0x5a).toByte
+    intercept[java.io.IOException](GzipCodec.decompress(bad))
+  }
+
   test("native gzip via call_function in the Column API matches the UDF") {
     val df = Seq("payload payload payload").toDF("t")
     val native = df.select(
