@@ -66,12 +66,40 @@ object Funnel {
     * count reads at most cap+1 rows, never the corpus. */
   private val foldBytesCap = BigInt(512L << 20)
 
+  private val fitsFoldCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
+    java.lang.Boolean]()
+
   /** True when `relevant` verifiably holds ≤ `cap` rows (the
-    * `Similarity.fitsSmallCorpus` / `decontaminate` dispatch pattern). */
+    * `Similarity.fitsSmallCorpus` / `decontaminate` dispatch pattern).
+    *
+    * Memoized per (session, CANONICALIZED analyzed plan, cap) — the
+    * ModelMemo keying discipline. The funnel family (steps, A/B, latency,
+    * …) probes the SAME relevant slice once per query; at the decade each
+    * probe is a ~0.7-1.2 s full pass of the slice (FloorProfile: it was
+    * most of ev_funnel/ev_ab_funnel's "build" time), and canonicalized
+    * keying dedups them to one probe per session. Same staleness boundary
+    * as ModelMemo/Tables: session-scoped snapshot-at-first-read, so an
+    * in-place rewrite of the events path within one session would reuse
+    * the old verdict (the dispatch is a pure strategy choice — both paths
+    * are exact, so a stale verdict can cost time, never correctness). */
   def fitsFold(relevant: DataFrame, cap: Long = foldEventsCap): Boolean =
-    cap > 0 && (cap == Long.MaxValue ||
-      (relevant.queryExecution.optimizedPlan.stats.sizeInBytes <= foldBytesCap &&
-        relevant.limit(math.min(cap, Int.MaxValue - 1L).toInt + 1).count() <= cap))
+    cap > 0 && (cap == Long.MaxValue || {
+      val it = fitsFoldCache.keySet.iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      val key = (relevant.sparkSession,
+        relevant.queryExecution.analyzed.canonicalized, cap)
+      val cached = fitsFoldCache.get(key)
+      if (cached != null) cached.booleanValue()
+      else {
+        val fits =
+          relevant.queryExecution.optimizedPlan.stats.sizeInBytes <= foldBytesCap &&
+            relevant.limit(math.min(cap, Int.MaxValue - 1L).toInt + 1).count() <= cap
+        fitsFoldCache.put(key, java.lang.Boolean.valueOf(fits))
+        fits
+      }
+    })
 
   /** Greedy sequential funnel: for each user, t1 = earliest `steps(0)`
     * event; t_{j+1} = earliest `steps(j)` event strictly after t_j and
@@ -551,24 +579,34 @@ object Funnel {
     *
     * The same-session test for the preceding event is exactly the session
     * boundary flag (`new_sess = 0` ⇔ the gap to the previous event is
-    * within `gapSecs`), so no second session-index lag is needed. The
-    * event-scale projection with its window columns is consumed by BOTH
-    * the conversion filter and the session-entry election — checkpointed
-    * (round-4 rule d; locally expensive at occurrence scale, but the
-    * alternative recomputes the user-keyed window sort twice at 100 TB).
-    * Output is bounded by |types|² + a direct row. */
+    * within `gapSecs`), so no second session-index lag is needed.
+    *
+    * Shape (r20): ONE per-(user, session) aggregation carries BOTH sides
+    * of the old conv⋈entry join — `min_by` elects the session entry while
+    * `collect_list(when(type = conv, last_touch))` gathers that session's
+    * conversion credits (collect_list drops the nulls non-conversion rows
+    * produce; `last_touch` itself is never null — `new_sess = 0` implies a
+    * preceding event exists). Exploding the bounded per-session list then
+    * re-aggregating replaces the former eager localCheckpoint (a full
+    * event-scale materialization job, 1.0-1.6 s of pure build time at the
+    * decade per FloorProfile) + two consumers + (user, session) join: the
+    * rollup reuses the window's user-keyed exchange (subset rule), so the
+    * whole operator is one shuffle + one bounded rollup exchange.
+    * FunnelSpec pins fused ≡ the join formulation. Output is bounded by
+    * |types|² + a direct row. */
   def attribution(events: DataFrame, tsCol: String, userCol: String,
                   typeCol: String, tieBreakCol: String, convType: String,
                   gapSecs: Long = 1800L): DataFrame = {
     val base = withSessionIdx(events, tsCol, userCol, typeCol, tieBreakCol,
-      gapSecs).localCheckpoint()
-    val conv = base.filter(col("event_type") === convType)
-      .select(col("user_id"), col("session_idx"),
-        when(col("new_sess") === 0L, col("prev_type"))
-          .otherwise(lit("(direct)")).as("last_touch"))
-    val entry = base.groupBy(col("user_id"), col("session_idx"))
-      .agg(min_by(col("event_type"), sessionOrdKey).as("first_touch"))
-    conv.join(entry, Seq("user_id", "session_idx"))
+      gapSecs)
+    val lastTouch = when(col("new_sess") === 0L, col("prev_type"))
+      .otherwise(lit("(direct)"))
+    base
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min_by(col("event_type"), sessionOrdKey).as("first_touch"),
+        collect_list(when(col("event_type") === convType, lastTouch))
+          .as("_lts"))
+      .select(col("first_touch"), explode(col("_lts")).as("last_touch"))
       .groupBy(col("first_touch"), col("last_touch"))
       .agg(count(lit(1)).as("conversions"))
   }

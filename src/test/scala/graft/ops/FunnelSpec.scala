@@ -235,6 +235,41 @@ class FunnelSpec extends SparkSpec {
       "event_type", steps, 500L, foldCap = 0L)) > 0)
   }
 
+  test("fitsFold memoizes the probe per (plan, cap): second call runs no job (r20)") {
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    val rel = events.filter($"event_type".isin("signup", "view"))
+    val cap = 12345L // non-default, not a sentinel: forces the probe branch
+    // the listener bus is async; settle() waits until the count stops
+    // moving (bounded), so "no new job" assertions are race-free
+    def settle(): Int = {
+      var last = -1; var cur = jobs; var spins = 0
+      while (cur != last && spins < 40) {
+        last = cur; Thread.sleep(50); cur = jobs; spins += 1
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val first = Funnel.fitsFold(rel, cap)
+      val afterFirst = settle()
+      assert(afterFirst >= 1, "first probe must run the LIMIT count job")
+      // a structurally identical slice (fresh plan object, same canonical
+      // form) must hit the memo — zero further jobs
+      val rel2 = events.filter($"event_type".isin("signup", "view"))
+      val second = Funnel.fitsFold(rel2, cap)
+      assert(second === first)
+      assert(settle() === afterFirst, "memoized probe must not run another job")
+      // a different cap is a different decision: probes again
+      Funnel.fitsFold(rel, cap + 1)
+      assert(settle() > afterFirst)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("funnelSteps: chained path honors the per-user event cap identically") {
     val storm = (1 to 50).map(i => (100L + i, ts(1000L + i), 7L, "view"))
     val e = (Seq(
@@ -444,14 +479,23 @@ class FunnelSpec extends SparkSpec {
       (5L, ts(0L), 2L, "view"),
       (6L, ts(1801L), 2L, "purchase"),
       // u3: no purchase at all -> contributes nothing
-      (7L, ts(0L), 3L, "view")
+      (7L, ts(0L), 3L, "view"),
+      // u4: TWO purchases in ONE session — each is its own conversion
+      // credit (r20: pins the per-conversion count in the fused
+      // collect_list shape): (view, click) and (view, purchase)
+      (8L, ts(0L), 4L, "view"),
+      (9L, ts(50L), 4L, "click"),
+      (10L, ts(100L), 4L, "purchase"),
+      (11L, ts(150L), 4L, "purchase")
     ).toDF("event_id", "ts", "user_id", "event_type")
     val got = Funnel.attribution(ev, "ts", "user_id", "event_type",
       "event_id", convType = "purchase")
       .as[(String, String, Long)].collect().toSet
-    // u1 #2 and u2's purchase both OPEN their sessions -> (purchase, direct) ×2
+    // u1 #2 and u2's purchase both OPEN their sessions -> (purchase, direct) ×2;
+    // (view, click) = u1's conversion + u4's first = 2
     assert(got === Set(
-      ("view", "click", 1L),
+      ("view", "click", 2L),
+      ("view", "purchase", 1L),
       ("purchase", "(direct)", 2L)))
   }
 
