@@ -274,7 +274,20 @@ object DedupOps {
     * expression packs ids as longs). A string id would cast to NULL and be
     * silently dropped by collect_list, so non-integral ids are rejected up
     * front instead. */
-  def candidatePairs(buckets: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
+  def candidatePairs(buckets: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame =
+    candidatePairsRaw(buckets, idCol, maxBucket).distinct()
+
+  /** [[candidatePairs]] WITHOUT the multi-band dedup: emits one row per
+    * in-bucket pair slot, so a pair sharing k band buckets appears k
+    * times. For consumers whose verify step is a cheap per-row expression
+    * (simhash hamming), deduplicating the SURVIVORS after the verify
+    * filter beats a candidate-scale `distinct()` exchange — r17 rule (d):
+    * a multi-band duplicate costs one extra bit_count, while the
+    * pre-verify distinct shuffles every candidate slot (4.1M rows at the
+    * sf1.0 decade for the 4×15-bit simhash banding, measured). Consumers
+    * whose verify is itself expensive (Jaccard over shingle sets) should
+    * keep [[candidatePairs]]. */
+  def candidatePairsRaw(buckets: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
     requireIntegralId(buckets, idCol, "candidatePairs")
     buckets
       .groupBy(col("band"), col("bucket"))
@@ -288,7 +301,6 @@ object DedupOps {
       // as GraphOps.supportedPairs)
       .select(explode(expr("pair_structs(ids)")).as("p"))
       .select(col("p.pa").as("id_a"), col("p.pb").as("id_b"))
-      .distinct()
   }
 
   /** Guard for operators whose pair machinery packs ids into longs:
@@ -1447,12 +1459,19 @@ object DedupOps {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), 15 * b).bitwiseAND(0x7fff)): _*))
         .as(Seq("band", "bucket")))
-    candidatePairs(banded, idCol)
+    // r20: pair slots stay UN-deduplicated through the verify — the
+    // hamming bit_count is ~free per slot, so the multi-band duplicates
+    // are deduped on the SURVIVOR set (r17 rule d; hamming is a function
+    // of the pair, so distinct over (pair, hamming) ≡ distinct over the
+    // pair). The former candidate-scale distinct() shuffled 4.1M slots at
+    // the sf1.0 decade to protect a filter that keeps a few thousand.
+    candidatePairsRaw(banded, idCol)
       .join(sh.select(col(idCol).as("id_a"), col("simhash").as("_ha")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("simhash").as("_hb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Cross-source overlap matrix: estimated shingle-set Jaccard between
