@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Executor-side, once per JVM: `javax.imageio` defaults to spooling
+    * EVERY ImageInputStream/ImageOutputStream through a DISK cache file
+    * (`ImageIO.getUseCache` = true), so each in-memory encode/decode paid
+    * a temp-file create+write+delete — r20 measured it as roughly half of
+    * mm_phash_dedup's per-image cost at the sf1.0 decade. All media here
+    * arrives as in-memory byte arrays, so the disk spool buys nothing;
+    * MemoryCache vs FileCache streams are a transport choice with
+    * identical decode results. Referenced at the head of every ImageIO
+    * closure (lazy val: runs once per executor JVM, thread-safe). */
+  private object ImageIoSetup {
+    lazy val done: Unit = javax.imageio.ImageIO.setUseCache(false)
+  }
+
   /** Wrap a text/raw column as a typed media column: (media binary,
     * media_type, byte size). */
   def asMedia(df: DataFrame, srcCol: String, mediaType: String): DataFrame =
@@ -172,6 +185,7 @@ object Multimodal {
       corruptMod: Int = 7)(
       implicit enc: org.apache.spark.sql.Encoder[SyntheticMedia]): DataFrame =
     df.select(col(idCol).cast("long")).mapPartitions { it =>
+      ImageIoSetup.done
       it.map { r =>
         val id = r.getLong(0)
         if (corruptMod > 0 && id % corruptMod == 0)
@@ -359,6 +373,7 @@ object Multimodal {
   def realDecodeMeta(media: DataFrame)(
       implicit enc: org.apache.spark.sql.Encoder[DecodedImage]): org.apache.spark.sql.Dataset[DecodedImage] =
     media.select(col("doc_id").cast("long"), col("media")).mapPartitions { it =>
+      ImageIoSetup.done
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -408,6 +423,7 @@ object Multimodal {
   def realPhash(media: DataFrame)(
       implicit enc: org.apache.spark.sql.Encoder[PhashedImage]): org.apache.spark.sql.Dataset[PhashedImage] =
     media.select(col("doc_id").cast("long"), col("media")).mapPartitions { it =>
+      ImageIoSetup.done
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -471,6 +487,7 @@ object Multimodal {
       implicit enc: org.apache.spark.sql.Encoder[ResizedImage]): org.apache.spark.sql.Dataset[ResizedImage] = {
     require(factor >= 1, "factor must be >= 1")
     media.select(col("doc_id").cast("long"), col("media")).mapPartitions { it =>
+      ImageIoSetup.done
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -521,6 +538,7 @@ object Multimodal {
       corruptMod: Int = 7)(
       implicit enc: org.apache.spark.sql.Encoder[SyntheticMedia]): DataFrame =
     df.select(col(idCol).cast("long")).mapPartitions { it =>
+      ImageIoSetup.done
       val grays = Array.tabulate(256)(_.toByte)
       val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
       it.map { r =>
@@ -575,6 +593,7 @@ object Multimodal {
   def realSceneCuts(media: DataFrame, cutThreshold: Long = 64L)(
       implicit enc: org.apache.spark.sql.Encoder[SceneCutRow]): org.apache.spark.sql.Dataset[SceneCutRow] =
     media.select(col("doc_id").cast("long"), col("media")).mapPartitions { it =>
+      ImageIoSetup.done
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
