@@ -149,6 +149,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("r20 syntheticWavs emits bytes IDENTICAL to AudioSystem.write's encoding") {
+    // The hand-written 44-byte RIFF/WAVE header must be byte-for-byte what
+    // the JDK encoder produced before r20, across all three sample rates
+    // and the length range — so the decode side (the real operator
+    // surface) sees exactly the same container bytes.
+    def jdkWav(id: Long): Array[Byte] = {
+      val rate = 8000 + (id % 3).toInt * 4000
+      val n = 64 + (id % 128).toInt
+      val pcm = java.nio.ByteBuffer.allocate(n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => pcm.putShort((((id * 31 + i * 17) % 2003) - 1001).toShort))
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val ids = Seq(1L, 2L, 3L, 64L, 127L, 128L, 191L) // 3 rates, min/max lengths
+    val got = Multimodal.syntheticWavs(ids.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    ids.foreach { id =>
+      assert(got(id).sameElements(jdkWav(id)), s"byte mismatch at id $id")
+    }
+  }
+
   test("realPhash: identical bytes hash identically; a one-pixel change stays hamming-near; corrupt rows drop") {
     def png(id: Long, tweak: Boolean): Array[Byte] = {
       val (w, h) = (24, 20)
