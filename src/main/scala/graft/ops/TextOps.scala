@@ -828,29 +828,39 @@ object TextOps {
               refPermille: Int = 300, keepPts: Long = 10000L,
               dropPts: Long = 1000L, salt: String = "lm",
               broadcastMaxBigrams: Long = 4000000L): DataFrame = {
-    def bigrams(df: DataFrame): DataFrame =
+    // Per-doc (bigram, count) rows via the `gram_counts` kernel (r20; the
+    // r19(a) pre-aggregation lever): the explode is per-doc-DISTINCT
+    // scale, the weight join probes one string key instead of (w1, w2)
+    // per OCCURRENCE, and the former corpus-text `repartition(id)` is
+    // deleted outright — the scoring groupBy's map-side partials collapse
+    // each doc to one (count, sum) row before any exchange (each doc
+    // lives in one scan partition), so partials are doc-scale with or
+    // without the repartition and the corpus-text shuffle bought nothing
+    // (r19 rule b). Bigram adjacency: `tokens` yields no empty strings
+    // for ≥2-token docs (the [""] empty-doc sentinel dies on the size
+    // filter), so the kernel's enumeration ≡ the old element_at chain.
+    def bigramCounts(df: DataFrame): DataFrame =
       df.select(col(idCol), tokens(col(textCol)).as("_toks"))
         .filter(size(col("_toks")) >= 2)
-        .repartition(col(idCol))
-        .select(col(idCol), col("_toks"),
-          explode(sequence(lit(0), size(col("_toks")) - 2)).as("_idx"))
-        .select(col(idCol),
-          expr("element_at(_toks, _idx + 1)").as("w1"),
-          expr("element_at(_toks, _idx + 2)").as("w2"))
+        .select(col(idCol), explode(gramCounts(col("_toks"), 2)).as("_g"))
+        .select(col(idCol), col("_g.s").as("_bg"), col("_g.c").as("_c"))
     val refDocs = docs.filter(Sampling.bucketOf(col(idCol), salt) < refPermille)
       .select(col(idCol), col(textCol))
-    // ONE pass over the reference slice: the bigram explode aggregates
-    // straight to the Zipf-bounded (w1, w2) table, which is checkpointed
+    // ONE pass over the reference slice: per-doc pre-counts aggregate
+    // straight to the Zipf-bounded bigram table, which is checkpointed
     // (it feeds the weight join, the unigram rollup AND the vocab count —
     // round-4 rule (d)); c1 and V are then derived from c2 by summation
     // instead of re-exploding the slice (c1(w1) = Σ_w2 c2(w1,w2)).
-    val c2 = bigrams(refDocs).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c2")).localCheckpoint()
-    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val vocab = c2.agg(countDistinct(col("w1")).as("v"))
-    val weights0 = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
-      .select(col("w1"), col("w2"),
-        expr("c2 * 1000000 div (c1 + v)").as("pts"))
+    // Tokens never contain spaces, so w1 = substring_index(bigram, ' ', 1)
+    // recovers the unigram key exactly, at vocab scale.
+    val c2 = bigramCounts(refDocs).groupBy(col("_bg"))
+      .agg(sum(col("_c")).as("c2")).localCheckpoint()
+    val w1 = substring_index(col("_bg"), " ", 1)
+    val c1 = c2.groupBy(w1.as("_w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = c2.agg(countDistinct(w1).as("v"))
+    val weights0 = c2.select(col("_bg"), w1.as("_w1"), col("c2"))
+      .join(c1, Seq("_w1")).crossJoin(broadcast(vocab))
+      .select(col("_bg"), expr("c2 * 1000000 div (c1 + v)").as("pts"))
     val probe = math.min(broadcastMaxBigrams, Int.MaxValue - 1L).toInt
     // Fallback path checkpoints the weight table: AQE's skew split declines
     // SMJs with an aggregate build side (round-6 rule c), and hot bigrams
@@ -859,11 +869,11 @@ object TextOps {
     // corpus-scale.
     val weights = if (weights0.limit(probe + 1).count() <= probe) broadcast(weights0)
                   else weights0.localCheckpoint()
-    bigrams(docs.select(col(idCol), col(textCol)))
-      .join(weights, Seq("w1", "w2"), "left")
+    bigramCounts(docs.select(col(idCol), col(textCol)))
+      .join(weights, Seq("_bg"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(coalesce(col("pts"), lit(0L))).as("_psum"))
+      .agg(sum(col("_c")).as("n_bigrams"),
+        sum(col("_c") * coalesce(col("pts"), lit(0L))).as("_psum"))
       .withColumn("lm_pts", expr("_psum div n_bigrams"))
       .withColumn("bucket",
         when(col("lm_pts") >= keepPts, lit("keep"))
