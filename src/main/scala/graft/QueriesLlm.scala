@@ -5117,15 +5117,19 @@ object QueriesLlm {
         // hash shards show ~10⁶ (shuffle-balanced, unprunable) — the
         // both-layouts lakehouse trade-off, measured per shard.
         (s, d) => {
+          // r21: the range layout needs ONLY doc_id — it reads its own
+          // column-pruned scan instead of a checkpoint of the tokenize
+          // pass; the tokenize-derived narrow projection then has a
+          // single consumer (shardPlan, which checkpoints internally),
+          // so the former eager corpus-scale checkpoint here is deleted.
           val based = TextOps.withNormToks(Tables.documents(s, d), "text")
           val nTokens = when(length(col("_norm")) === 0, 0L)
             .otherwise(size(col("_toks")).cast("long"))
           val narrow = based.select(col("doc_id"), nTokens.as("n_tokens"))
-            .localCheckpoint() // feeds both layout assignments
           val hashPlan = Assemble.shardPlan(narrow, "doc_id", "n_tokens",
               shardTokens = 2000L, salt = "shard")
             .select(lit("hash").as("layout"), col("shard_id"), col("doc_id"))
-          val rangePlan = narrow
+          val rangePlan = Tables.documents(s, d)
             .select(lit("range").as("layout"),
               expr("doc_id div 100").as("shard_id"), col("doc_id"))
           Assemble.zoneMap(hashPlan.unionAll(rangePlan),

@@ -460,11 +460,20 @@ object Assemble {
   }
 
   def zoneMap(plan: DataFrame, shardCols: Seq[String], keyCol: String): DataFrame = {
-    val p = plan.select(shardCols.map(col) :+ col(keyCol): _*).localCheckpoint()
-    val zones = p.groupBy(shardCols.map(col): _*)
+    // The global span is derivable from the zone rollup itself
+    // (max over zones of max_key ≡ max over rows of key), so the corpus
+    // projection has ONE consumer and needs no materialization — the
+    // checkpoint moves to the bounded shard-scale rollup, which both the
+    // output and the span aggregate consume (round-4 rule d at the
+    // correct scale; r21 — the old shape materialized corpus-scale rows
+    // and scanned them twice).
+    val zones = plan.select(shardCols.map(col) :+ col(keyCol): _*)
+      .groupBy(shardCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"))
-    val global = p.agg((max(col(keyCol)) - min(col(keyCol))).as("_gspan"))
+      .localCheckpoint(eager = false)
+    val global = zones.agg(
+      (max(col("max_key")) - min(col("min_key"))).as("_gspan"))
     zones.crossJoin(broadcast(global))
       .withColumn("span_ppm",
         expr("(max_key - min_key) * 1000000 div greatest(_gspan, 1)"))

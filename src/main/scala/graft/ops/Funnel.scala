@@ -643,37 +643,51 @@ object Funnel {
   def userRfm(events: DataFrame, tsCol: String, userCol: String,
               typeCol: String, valueCol: String, convType: String,
               k: Int = 256): DataFrame = {
+    // ONE events pass (r21): the old shape broadcast a separate
+    // max(last_s) aggregate BEFORE the checkpoint, so the checkpoint job
+    // and the broadcast-build job each re-ran the events scan + rollup.
+    // Checkpoint the per-user rollup FIRST (user-scale), then fold the
+    // global max into the SAME bounded sample aggregate that feeds the
+    // medians — the recency median is derived from the last_s sample
+    // inside the 1-row meds plan (recency = (mx − last_s) div 86400 is
+    // per-element arithmetic on the sampled tags; the sample membership
+    // is priority-hash-only, so sampling last_s ≡ sampling recency).
     val per0 = events.filter(col(typeCol) === convType)
       .groupBy(col(userCol).as("user_id"))
       .agg(max(epochS(tsCol)).as("last_s"),
         count(lit(1)).as("freq"),
         sum(floor(col(valueCol) * 100).cast("long")).as("monetary_cents"))
-    val mx = per0.agg(max(col("last_s")).as("_mx"))
-    val per = per0.crossJoin(broadcast(mx))
-      .withColumn("recency_days", expr("(_mx - last_s) div 86400"))
       .localCheckpoint()
     def pri(salt: String) =
       -graft.ops.DedupOps.hash60(
         concat(lit(salt + ":"), col("user_id").cast("string")))
-    def med(c: String) = {
-      val sv = array_sort(transform(col(c),
-        p => struct(p.getField("tag").as("v"), p.getField("id").as("id"))))
+    // mx − tag ≥ 0 (mx is the global max), so floor ≡ the truncating SQL
+    // div of the per-row recency — bit-identical on the non-negative span.
+    def medFrom(c: Column, v: Column => Column) = {
+      val sv = array_sort(transform(c,
+        p => struct(v(p.getField("tag")).as("v"), p.getField("id").as("id"))))
       element_at(sv, greatest(lit(1),
         ceil(lit(50) * size(sv) / 100.0)).cast("int")).getField("v")
     }
-    val meds = broadcast(per
+    val meds = broadcast(per0
       .select(col("user_id").cast("long").as("_i"),
-        col("recency_days").cast("long").as("_vr"),
+        col("last_s").cast("long").as("_vr"),
         col("freq").cast("long").as("_vf"),
         col("monetary_cents").cast("long").as("_vm"),
         pri("rfm_r").as("_pr"), pri("rfm_f").as("_pf"), pri("rfm_m").as("_pm"))
       .agg(expr(s"topk_pairs_tag(_pr, _i, _vr, $k)").as("_tr"),
         expr(s"topk_pairs_tag(_pf, _i, _vf, $k)").as("_tf"),
-        expr(s"topk_pairs_tag(_pm, _i, _vm, $k)").as("_tm"))
-      .select(med("_tr").as("_med_r"), med("_tf").as("_med_f"),
-        med("_tm").as("_med_m")))
-    per
+        expr(s"topk_pairs_tag(_pm, _i, _vm, $k)").as("_tm"),
+        max(col("_vr")).as("_mx"))
+      .select(
+        medFrom(col("_tr"),
+          t => floor((col("_mx") - t) / lit(86400)).cast("long")).as("_med_r"),
+        medFrom(col("_tf"), identity).as("_med_f"),
+        medFrom(col("_tm"), identity).as("_med_m"),
+        col("_mx")))
+    per0
       .crossJoin(meds)
+      .withColumn("recency_days", expr("(_mx - last_s) div 86400"))
       .groupBy(
         (col("recency_days") < col("_med_r")).as("recent"),
         (col("freq") > col("_med_f")).as("frequent"),
@@ -873,25 +887,23 @@ object Funnel {
     * per (user, active day), whose cardinality is the engagement matrix
     * (users × calendar days), orders of magnitude below the event count
     * and reached with map-side partial aggregation (the keys repeat
-    * heavily, unlike the round-6 rule-b unique-key trap). Both weekly
-    * rollups then run on that bounded matrix; `localCheckpoint` because
-    * two aggregation subtrees consume it (round-4 rule d). */
-  def stickiness(events: DataFrame, tsCol: String, userCol: String): DataFrame = {
-    val base = events
+    * heavily, unlike the round-6 rule-b unique-key trap). On that
+    * matrix, `sum_dau` is a plain `count(*)` per week (each matrix row
+    * IS one user-day), so the former two-rollup + join shape (with its
+    * round-4-rule-d checkpoint) collapses into ONE aggregation with two
+    * count-distincts — no checkpoint, no join, one job (r21; the Expand
+    * the multi-distinct plans is ×3 of matrix-scale rows, bounded). */
+  def stickiness(events: DataFrame, tsCol: String, userCol: String): DataFrame =
+    events
       .select(col(userCol).as("user_id"),
         expr(s"CAST($tsCol AS LONG) div 86400").as("day_idx"))
       .distinct()
       .withColumn("week_idx", expr("day_idx div 7"))
-      .localCheckpoint()
-    val weekly = base.groupBy(col("week_idx"), col("day_idx"))
-      .agg(count(lit(1)).as("dau"))
       .groupBy(col("week_idx"))
-      .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("active_days"))
-    val wau = base.groupBy(col("week_idx"))
-      .agg(countDistinct(col("user_id")).as("wau"))
-    weekly.join(wau, Seq("week_idx"))
+      .agg(count(lit(1)).as("sum_dau"),
+        countDistinct(col("day_idx")).as("active_days"),
+        countDistinct(col("user_id")).as("wau"))
       .withColumn("stickiness_bp", expr("sum_dau * 10000 div (7 * wau)"))
-  }
 
   /** Weekday seasonality index per event type in integer basis points:
     * `n · 7 · 10000 div type_total` — 10000 means "this weekday carries
