@@ -4048,13 +4048,19 @@ object QueriesLlm {
             partitionCols = Seq("_isB")),
           "shard_id", "doc_id", "n_tokens", col("_csum"),
           extraKeys = Seq("_isB"))
-          .localCheckpoint(eager = false) // shard-scale; feeds off + both sides
+          .localCheckpoint(eager = false) // shard-scale; feeds both sides ×3
         val statCols = Seq("n_docs", "shard_tokens", "content_sum",
           "min_id", "max_id").map(col)
-        val a = m.filter(!col("_isB")).select(col("shard_id") +: statCols: _*)
-        val off = a.agg((max(col("shard_id")) + 1).as("_off"))
-        val b = m.filter(col("_isB"))
-          .crossJoin(broadcast(off)) // 1-row plan table, never collected
+        // A's max shard id rides a single-partition window over the
+        // shard-scale manifest (metadata rows — the compactionPlan
+        // precedent), deleting the separate broadcast round (r21
+        // bounded-rollup fusion); max() skips the B rows' nulls exactly
+        // like the old agg over the A filter.
+        val m2 = m.withColumn("_off",
+          max(when(!col("_isB"), col("shard_id")))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy()) + 1L)
+        val a = m2.filter(!col("_isB")).select(col("shard_id") +: statCols: _*)
+        val b = m2.filter(col("_isB"))
           .select((col("shard_id") + col("_off")).as("shard_id") +: statCols: _*)
         Assemble.manifestDiff(a, a.unionByName(b))
       },

@@ -40,10 +40,18 @@ object GzipCodec {
   private val bufTL = ThreadLocal.withInitial[Array[Byte]](
     () => new Array[Byte](8192))
 
-  // OS byte is 0xff ("unknown") — what GZIPOutputStream writes since
-  // Java 16 (JDK-8244706); verified against the JDK stream on this JVM.
+  // OS byte derived from a one-time GZIPOutputStream probe at class init
+  // (r20 advice): Java 16+ writes 0xff ("unknown", JDK-8244706), older
+  // JREs wrote 0 — deriving it from the RUNNING JVM's encoder enforces
+  // the byte-identity contract at class load, not only when the pinning
+  // spec happens to run on the deploy JVM.
+  private val osByte: Byte = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos); g.close()
+    bos.toByteArray()(9)
+  }
   private val header =
-    Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte)
+    Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, osByte)
 
   private def writeIntLE(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
     out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)

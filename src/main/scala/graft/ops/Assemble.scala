@@ -70,7 +70,13 @@ object Assemble {
       .withColumn("_key", shuffleKey(col(idCol), salt))
       .withColumn("_b", shiftright(col("_key"), shift))
       .withColumn("_v", value.cast("long"))
-      .localCheckpoint()
+      // eager=false still materializes every query stage below the final
+      // one at CONSTRUCTION time under AQE (AdaptiveSparkPlanExec.execute
+      // runs getFinalPhysicalPlan), so lazy-vs-eager only moves the final
+      // stage + block write out of the build phase — a one-job-round
+      // lever, A/B'd via this conf (three-leg FloorProfile, r21).
+      .localCheckpoint(eager =
+        df.sparkSession.conf.get("spark.graft.cumsumEagerCkpt", "false").toBoolean)
     // ≤ groups × `buckets` rows: the subtotal window is bounded by
     // construction, never by data volume.
     val offsets = keyed.groupBy(pcols :+ col("_b"): _*)
@@ -313,12 +319,13 @@ object Assemble {
                         budgetDocs: Long, alphaMilli: Int = 500,
                         salt: String = "temp"): DataFrame = {
     require(budgetDocs >= 0, "budget must be non-negative")
-    val stats = df.groupBy(col(stratumCol).cast("string").as("_b"))
+    // Σw rides a single-partition window over the ≤|strata| rollup, so
+    // the stratum table has ONE consumer (the plan broadcast) — the
+    // checkpoint and the separate Σw broadcast round both delete (r21).
+    val plan = df.groupBy(col(stratumCol).cast("string").as("_b"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w_alpha", temperatureWeight(col("n_docs"), alphaMilli))
-      .localCheckpoint()
-    val tot = stats.agg(sum(col("w_alpha")).as("_wsum"))
-    val plan = stats.crossJoin(broadcast(tot))
+      .withColumn("_wsum", sum(col("w_alpha")).over(Window.partitionBy()))
       .withColumn("target_n",
         least(col("n_docs"), expr(s"${budgetDocs}L * w_alpha div _wsum")))
       .withColumn("keep_ppm", expr("target_n * 1000000L div n_docs"))
@@ -361,18 +368,22 @@ object Assemble {
       .agg(sum(col(tokensCol)).as("avail_tokens"))
       .withColumn("cap_tokens", expr(s"avail_tokens * ${epochsMilli}L div 1000"))
     val ord = Window.orderBy(col("cap_tokens"), col("_b"))
-    val staged = avail
+    // The fair-share scalars ride a second full-frame window over the
+    // same single partition the prefix windows already sorted (≤|strata|
+    // rows) — one consumer, so the checkpoint and the broadcast round
+    // both delete (r21 bounded-rollup fusion).
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    avail
       .withColumn("_pre", coalesce(sum(col("cap_tokens"))
         .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_rem", count(lit(1))
         .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
       .withColumn("_capped",
         col("cap_tokens") * col("_rem") <= lit(totalBudget) - col("_pre"))
-      .localCheckpoint()
-    val fair = staged.agg(
-      coalesce(sum(when(col("_capped"), col("cap_tokens"))), lit(0L)).as("_csum"),
-      sum(when(col("_capped"), 0L).otherwise(1L)).as("_nunc"))
-    staged.crossJoin(broadcast(fair))
+      .withColumn("_csum", coalesce(
+        sum(when(col("_capped"), col("cap_tokens"))).over(full), lit(0L)))
+      .withColumn("_nunc",
+        sum(when(col("_capped"), 0L).otherwise(1L)).over(full))
       .withColumn("alloc_tokens",
         when(col("_capped"), col("cap_tokens"))
           .otherwise(expr(s"(${totalBudget}L - _csum) div _nunc")))
@@ -467,14 +478,13 @@ object Assemble {
     // output and the span aggregate consume (round-4 rule d at the
     // correct scale; r21 — the old shape materialized corpus-scale rows
     // and scanned them twice).
-    val zones = plan.select(shardCols.map(col) :+ col(keyCol): _*)
+    plan.select(shardCols.map(col) :+ col(keyCol): _*)
       .groupBy(shardCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"))
-      .localCheckpoint(eager = false)
-    val global = zones.agg(
-      (max(col("max_key")) - min(col("min_key"))).as("_gspan"))
-    zones.crossJoin(broadcast(global))
+      .withColumn("_gspan",
+        max(col("max_key")).over(Window.partitionBy())
+          - min(col("min_key")).over(Window.partitionBy()))
       .withColumn("span_ppm",
         expr("(max_key - min_key) * 1000000 div greatest(_gspan, 1)"))
       .drop("_gspan")

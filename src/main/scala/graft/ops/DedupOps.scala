@@ -1302,8 +1302,17 @@ object DedupOps {
         .withColumn("contaminated", col("overlap_ppm") >= thresholdPpm)
     } else {
       val useBroadcast = broadcastTest.getOrElse(testDocsSmall)
+      // Train-side repartition(id) is tier-dependent (r21, the r19b rule
+      // at join scope): under the BROADCAST join it pre-clusters for the
+      // groupBy(id), which then reuses the exchange (no shuffle after the
+      // join). Under the SHUFFLE join the _h exchange destroys the id
+      // clustering before the groupBy anyway, so repartitioning the
+      // corpus-TEXT rows up front is a pure full-corpus shuffle — decade
+      // wall-clock is floor-masked (A/B both orders a wash, R21Prof) but
+      // the deleted exchange is corpus-text-scale at any size.
       val trainShingles = shingleHashRowsDistinctPerDoc(
-        docs.filter(bucket >= testPermille), idCol, textCol)
+        docs.filter(bucket >= testPermille), idCol, textCol,
+        repartitionById = useBroadcast)
         .select(col(idCol), col("_h"))
       val testShingles = (if (useBroadcast) broadcast(testShingles0)
                           else testShingles0).withColumn("_m", lit(1L))

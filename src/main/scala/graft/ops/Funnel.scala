@@ -66,16 +66,22 @@ object Funnel {
     * count reads at most cap+1 rows, never the corpus. */
   private val foldBytesCap = BigInt(512L << 20)
 
+  // Keyed on the canonicalized plan's semanticHash, NOT the plan object
+  // (r20 advice): retaining LogicalPlan trees would grow driver memory
+  // with every distinct slice a long-lived session probes. A hash
+  // collision can only return a stale STRATEGY verdict (both paths are
+  // exact — same blast radius as the documented snapshot staleness).
+  // Size-bounded: past `fitsFoldCacheMax` entries the cache clears —
+  // the re-probe costs one LIMIT-bounded count, never correctness.
+  private val fitsFoldCacheMax = 1024
   private val fitsFoldCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
-    java.lang.Boolean]()
+    (org.apache.spark.sql.SparkSession, Int, Long), java.lang.Boolean]()
 
   /** True when `relevant` verifiably holds ≤ `cap` rows (the
     * `Similarity.fitsSmallCorpus` / `decontaminate` dispatch pattern).
     *
-    * Memoized per (session, CANONICALIZED analyzed plan, cap) — the
-    * ModelMemo keying discipline. The funnel family (steps, A/B, latency,
+    * Memoized per (session, canonicalized-plan DIGEST, cap) — the
+    * ModelMemo keying discipline, holding no plan trees. The funnel family (steps, A/B, latency,
     * …) probes the SAME relevant slice once per query; at the decade each
     * probe is a ~0.7-1.2 s full pass of the slice (FloorProfile: it was
     * most of ev_funnel/ev_ab_funnel's "build" time), and canonicalized
@@ -89,13 +95,14 @@ object Funnel {
       val it = fitsFoldCache.keySet.iterator()
       while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
       val key = (relevant.sparkSession,
-        relevant.queryExecution.analyzed.canonicalized, cap)
+        relevant.queryExecution.analyzed.canonicalized.semanticHash(), cap)
       val cached = fitsFoldCache.get(key)
       if (cached != null) cached.booleanValue()
       else {
         val fits =
           relevant.queryExecution.optimizedPlan.stats.sizeInBytes <= foldBytesCap &&
             relevant.limit(math.min(cap, Int.MaxValue - 1L).toInt + 1).count() <= cap
+        if (fitsFoldCache.size >= fitsFoldCacheMax) fitsFoldCache.clear()
         fitsFoldCache.put(key, java.lang.Boolean.valueOf(fits))
         fits
       }
@@ -593,7 +600,16 @@ object Funnel {
     * rollup reuses the window's user-keyed exchange (subset rule), so the
     * whole operator is one shuffle + one bounded rollup exchange.
     * FunnelSpec pins fused ≡ the join formulation. Output is bounded by
-    * |types|² + a direct row. */
+    * |types|² + a direct row.
+    *
+    * Skew bound, stated honestly (r20 advice): the per-(user, session)
+    * list holds one small string per CONVERSION in that session — bounded
+    * by conversions-per-session, which is data-dependent (a bot user
+    * converting for weeks under the gap funnels its credits through one
+    * buffer where the old join streamed them). Confirmed on the skewed
+    * decade (20% hot user, r19e fixture): see OPTIMIZATION_r21.md. A
+    * corpus where single sessions hold millions of conversions should
+    * pre-cap with the topPaths `_rn` trick before this rollup. */
   def attribution(events: DataFrame, tsCol: String, userCol: String,
                   typeCol: String, tieBreakCol: String, convType: String,
                   gapSecs: Long = 1800L): DataFrame = {
@@ -864,18 +880,20 @@ object Funnel {
         expr(s"CAST($tsCol AS LONG)").as("_ep"))
       .withColumn("_gap", col("_ep") - lag(col("_ep"), 1).over(w))
       .filter(col("_gap").isNotNull)
-    // ≤64-row rollup feeding two consumers (total + join): checkpoint so
-    // the corpus-scale lag window runs once (round-4 rule d).
-    val buckets = gaps
+    // The total rides a single-partition window over the ≤64-row rollup
+    // (bounded by construction — bit lengths of int64 gaps), so the
+    // rollup has ONE consumer: no checkpoint, no broadcast-build job
+    // round (r21 — the bounded-rollup scalar-aggregate fusion).
+    gaps
+      // grouped as `_b` (the bounded-bucket key convention the plan lint
+      // admits an unpartitioned window over), renamed at the edge
       .groupBy(when(col("_gap") === 0L, 0L)
-        .otherwise(length(bin(col("_gap"))).cast("long")).as("bucket"))
+        .otherwise(length(bin(col("_gap"))).cast("long")).as("_b"))
       .agg(count(lit(1)).as("n_gaps"),
         min(col("_gap")).as("min_gap"), max(col("_gap")).as("max_gap"))
-      .localCheckpoint()
-    val total = buckets.agg(sum(col("n_gaps")).as("_tot"))
-    buckets.crossJoin(broadcast(total))
-      .withColumn("share_bp", expr("n_gaps * 10000 div _tot"))
-      .drop("_tot")
+      .withColumn("_tot", sum(col("n_gaps")).over(Window.partitionBy()))
+      .select(col("_b").as("bucket"), col("n_gaps"), col("min_gap"),
+        col("max_gap"), expr("n_gaps * 10000 div _tot").as("share_bp"))
   }
 
   /** Weekly engagement stickiness — average DAU over WAU in integer basis

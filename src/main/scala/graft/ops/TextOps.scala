@@ -972,25 +972,22 @@ object TextOps {
         explode(ColumnGlue.column(graft.expressions.BigramBuckets(
           ColumnGlue.expression(col("_toks")),
           ColumnGlue.expression(lit(buckets.toLong))))).as("_g"))
-      .select(col(idCol), col("_tgt"), col("_g.h").as("bucket"), col("_g.c").as("c"))
+      .select(col(idCol), col("_tgt"), col("_g.h").as("_b"), col("_g.c").as("c"))
       .localCheckpoint(eager = false) // feeds weights AND scoring (plan lint)
-    // perBucket feeds totals AND the weight join: un-cut, the bucket
-    // rollup over the corpus-scale docBucket rows runs once PER consumer
-    // (two Exchanges + two partial/final agg passes — the r4 rule (d)
-    // duplicate was latent for rounds because the old nullable pmod key
-    // put an isnotnull filter on only one side, defeating the lint's
-    // canonical match; the non-nullable r20 kernel exposed it). The cut
-    // table is `buckets` rows (≤1024) — bounded by construction.
-    val perBucket = docBucket.groupBy(col("bucket"))
+    // The rt/tt totals ride a single-partition window over the bucket
+    // rollup (≤1024 rows, bounded by construction), so the rollup has ONE
+    // consumer: the r20 lineage cut and its broadcast-totals round both
+    // delete (r21 — the bounded-rollup scalar-aggregate fusion; the r4
+    // rule-d duplicate the cut fixed cannot recur with one consumer).
+    val weights = docBucket.groupBy(col("_b"))
       .agg(sum(col("c")).as("rc"),
         sum(when(col("_tgt"), col("c")).otherwise(0L)).as("tc"))
-      .localCheckpoint(eager = false) // feeds totals AND weights (plan lint)
-    val totals = perBucket.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
-    val weights = perBucket.crossJoin(broadcast(totals))
-      .select(col("bucket"),
+      .withColumn("rt", sum(col("rc")).over(Window.partitionBy()))
+      .withColumn("tt", sum(col("tc")).over(Window.partitionBy()))
+      .select(col("_b"),
         expr("(tc * 1000000 div tt) * 1000 div ((rc * 1000000 div rt) + 1)")
           .as("ratio_pts"))
-    docBucket.join(broadcast(weights), Seq("bucket"))
+    docBucket.join(broadcast(weights), Seq("_b"))
       .groupBy(col(idCol))
       .agg(sum(col("c") * col("ratio_pts")).as("_pts"), sum(col("c")).as("n_feats"))
       .select(col(idCol), col("n_feats"),

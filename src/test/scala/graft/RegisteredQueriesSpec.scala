@@ -135,7 +135,15 @@ class RegisteredQueriesSpec extends SparkSpec {
     "f9_log_fold", "a3_ordered_fold",
     // rank window over bm25Search's top-poolK output — ≤ 50 rows by the
     // upstream TakeOrdered, never corpus-scale (TextOps.hybridRrf)
-    "llm_hybrid_rrf")
+    "llm_hybrid_rrf",
+    // r21 bounded-rollup fusions over SHARD-MANIFEST rows (one row per
+    // shard — the Assemble.compactionPlan precedent: metadata scale,
+    // ~10⁵ rows at 100 TB with production shard sizes): zoneMap's global
+    // span and manifestDiff's append offset each ride a single-partition
+    // window over the shard rollup instead of a checkpoint + broadcast
+    // round. The window input is the manifest AGGREGATE, never corpus
+    // rows.
+    "llm_shard_zonemap", "llm_manifest_diff")
 
   /** The ONE sanctioned ScalaUDF: gzip (SURVEY §2.12 requires a UDF
     * registration; a codegen'd native Expression variant also exists). */

@@ -236,23 +236,31 @@ class FunnelSpec extends SparkSpec {
   }
 
   test("fitsFold memoizes the probe per (plan, cap): second call runs no job (r20)") {
-    var jobs = 0
+    // AtomicInteger + job-group filter (r20 advice): the count is mutated
+    // on the async listener-bus thread, and unrelated jobs on the shared
+    // context (parallel suites, UI work) must not flip the "no new job"
+    // assertion — only jobs in THIS test's group are counted.
+    val group = s"fitsfold-memo-${System.nanoTime()}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+        if (j.properties != null &&
+            group == j.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
     }
     val rel = events.filter($"event_type".isin("signup", "view"))
     val cap = 12345L // non-default, not a sentinel: forces the probe branch
     // the listener bus is async; settle() waits until the count stops
     // moving (bounded), so "no new job" assertions are race-free
     def settle(): Int = {
-      var last = -1; var cur = jobs; var spins = 0
+      var last = -1; var cur = jobs.get(); var spins = 0
       while (cur != last && spins < 40) {
-        last = cur; Thread.sleep(50); cur = jobs; spins += 1
+        last = cur; Thread.sleep(50); cur = jobs.get(); spins += 1
       }
       cur
     }
+    spark.sparkContext.setJobGroup(group, "fitsFold memo probe jobs")
     spark.sparkContext.addSparkListener(listener)
     try {
       val first = Funnel.fitsFold(rel, cap)
@@ -266,8 +274,20 @@ class FunnelSpec extends SparkSpec {
       assert(settle() === afterFirst, "memoized probe must not run another job")
       // a different cap is a different decision: probes again
       Funnel.fitsFold(rel, cap + 1)
-      assert(settle() > afterFirst)
-    } finally spark.sparkContext.removeSparkListener(listener)
+      val afterCap = settle()
+      assert(afterCap > afterFirst)
+      // a CHANGED source plan is a memo MISS (the ModelMemoSpec
+      // data-change contract, r20 verdict task 8): a slice over different
+      // data must re-probe, not reuse the old verdict
+      val relChanged = events.filter($"event_type".isin("signup", "view"))
+        .unionByName(events.limit(1))
+      Funnel.fitsFold(relChanged, cap)
+      assert(settle() > afterCap,
+        "a changed source plan must re-probe (data-change MISS)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.sparkContext.clearJobGroup()
+    }
   }
 
   test("funnelSteps: chained path honors the per-user event cap identically") {
